@@ -1,0 +1,40 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Reference parity: scripts/transform_script:11-14 reads one BigQuery
+table per job. Here the source layer is a catalog of parquet tables
+(the portable, pushdown-friendly format); BigQuery/JDBC connectors
+live in sources/readers.py behind import-tries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic SF.
+# (region/nation are constant-size; supplier/part/customer grow with
+# SF but stay far below fact tables — broadcast decisions for those
+# are left to AQE + autoBroadcastJoinThreshold rather than forced.)
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one catalog table. Parquet scan → column pruning and
+    predicate pushdown come free from whatever the caller selects."""
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; catalog has {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

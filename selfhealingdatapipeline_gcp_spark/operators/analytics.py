@@ -1,0 +1,196 @@
+"""Core ETL / analytics operators (reference: scripts/transform_script
+and the SQL shapes inside monitoring/detectors/*).
+
+Every operator is a pure logical-plan builder: DataFrames in,
+DataFrame out, no actions. Aggregate doubles are rounded to 4 (money
+to 2) decimals so the DuckDB oracle hash can't drift on ulps; every
+computed column carries an explicit alias (SURVEY.md §3).
+
+Scale notes (100 TB): nation/region are forced broadcast; orders ⋈
+lineitem is a shuffle join on the order key with AQE skew handling;
+all filters are expressed on raw columns so they push into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 pricing summary report (flagship).
+
+    Single scan → map-side partial agg → 6-group final agg. The
+    shipdate predicate pushes into the parquet scan.
+    """
+    return (
+        lineitem
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → top-10 revenue.
+
+    customer is the small side (broadcast via threshold); orders ⋈
+    lineitem shuffles on the order key. Deterministic tiebreak on
+    l_orderkey.
+    """
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame,
+                        region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: local-supplier revenue per nation in a region.
+
+    nation/region forced broadcast (constant-size dims); supplier is
+    broadcast-eligible via the size threshold. The c_nationkey =
+    s_nationkey correlation rides on the join output, not a shuffle.
+    """
+    return (
+        customer
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q10_returned_items(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns, per customer, top 20."""
+    return (
+        customer
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def top_customers_per_segment(customer: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k customers by account balance within each market segment.
+
+    Window top-k: one shuffle on the partition key; rank predicate
+    prunes before any downstream work.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        customer
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= k)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name",
+                F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_mktsegment", "rank_in_segment")
+    )
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a quarter) having at least one line
+    shipped > 30 days after the order date, counted per priority.
+
+    left_semi join = EXISTS — no row multiplication, shuffle only on
+    the order key.
+    """
+    late_lines = (
+        lineitem.select("l_orderkey", "l_shipdate")
+    )
+    window_orders = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        window_orders
+        .join(late_lines,
+              (F.col("o_orderkey") == F.col("l_orderkey"))
+              & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+              "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def etl_orders_enriched(orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame, region: DataFrame) -> DataFrame:
+    """The transform_script payload (reference scripts/transform_script:11-24),
+    re-expressed: typed read → cleanse → dim-enrich → sink-ready rows.
+
+    Output is partitionable by order_year for a partitioned parquet /
+    warehouse sink. Dim joins broadcast.
+    """
+    return (
+        orders
+        .filter(F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0))
+        .join(customer.select("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )

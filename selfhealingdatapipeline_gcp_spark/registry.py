@@ -1,0 +1,206 @@
+"""Query registry: every §2 capability as a named (spark_builder,
+oracle_sql) pair, kept side by side so they can't drift.
+
+``__spark_entry__.py`` (the driver contract) is a thin shim over
+this module. Builders take (spark, sf_dir) and return a DataFrame;
+oracle SQL is ANSI SQL runnable by DuckDB over the same parquet
+views. Entries with ``oracle=None`` get the driver's weaker
+rows-only check (non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Entry:
+    builder: Builder
+    oracle: str | None
+
+
+_REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, builder: Builder, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name!r}")
+    _REGISTRY[name] = Entry(builder, oracle)
+
+
+def queries() -> dict[str, Builder]:
+    _ensure_loaded()
+    return {name: e.builder for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle}
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [catalog.load(spark, sf_dir, n) for n in names]
+
+
+# --------------------------------------------------------------------
+# ETL / analytics core
+# --------------------------------------------------------------------
+
+def _register_analytics() -> None:
+    register(
+        "q1_pricing_summary",
+        lambda spark, sf: analytics.q1_pricing_summary(
+            *_t(spark, sf, "lineitem")),
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)  AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    )
+    register(
+        "q3_shipping_priority",
+        lambda spark, sf: analytics.q3_shipping_priority(
+            *_t(spark, sf, "customer", "orders", "lineitem")),
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+    )
+    register(
+        "q5_regional_revenue",
+        lambda spark, sf: analytics.q5_regional_revenue(
+            *_t(spark, sf, "customer", "orders", "lineitem",
+                "supplier", "nation", "region")),
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+    )
+    register(
+        "q10_returned_items",
+        lambda spark, sf: analytics.q10_returned_items(
+            *_t(spark, sf, "customer", "orders", "lineitem", "nation")),
+        """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    )
+    register(
+        "top_customers_per_segment",
+        lambda spark, sf: analytics.top_customers_per_segment(
+            *_t(spark, sf, "customer")),
+        """
+        SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, acctbal
+        FROM (
+          SELECT c_mktsegment,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rank_in_segment,
+                 c_custkey, c_name,
+                 round(c_acctbal, 2) AS acctbal
+          FROM customer
+        )
+        WHERE rank_in_segment <= 5
+        ORDER BY c_mktsegment, rank_in_segment
+        """,
+    )
+    register(
+        "order_priority_check",
+        lambda spark, sf: analytics.order_priority_check(
+            *_t(spark, sf, "orders", "lineitem")),
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+    register(
+        "etl_orders_enriched",
+        lambda spark, sf: analytics.etl_orders_enriched(
+            *_t(spark, sf, "orders", "customer", "nation", "region")),
+        """
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+               n_name AS nation, r_name AS region,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus, o_orderpriority,
+               round(o_totalprice, 2) AS totalprice
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderkey IS NOT NULL AND o_totalprice > 0
+        """,
+    )
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    _register_analytics()
+    # Late imports keep registry import-light and avoid cycles; each
+    # module registers its own §2 entries.
+    from selfhealingdatapipeline_gcp_spark import registry_detectors  # noqa: F401
+    from selfhealingdatapipeline_gcp_spark import registry_data_ops  # noqa: F401

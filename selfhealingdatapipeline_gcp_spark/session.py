@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Reference parity: the reference creates a bare SparkSession in
+scripts/transform_script:5-7 and leaves every knob at default. We
+instead pin the settings that matter at 100 TB (AQE, skew join,
+partition sizing) and for oracle parity (UTC session timezone).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local mode defaults come from $SPARK_GRAFT_CPUS; on a real cluster
+    the caller passes ``master=None`` with an external cluster manager
+    and a shuffle partition count sized to executors (rule of thumb:
+    2-3x total cores, bounded by ~128 MB per shuffle partition).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime coalescing, skew-join splitting, join-strategy
+        # switching. Essential at scale, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Oracle parity: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas-interop path (multimodal mapInPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep scans pushdown-friendly and splittable at 100 TB:
+        # 128 MB input partitions is the parquet sweet spot.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Dims up to 64 MB go broadcast without an explicit hint.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
