@@ -9,6 +9,7 @@ live in sources/readers.py behind import-tries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -27,7 +28,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     predicate pushdown come free from whatever the caller selects."""
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; catalog has {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as long (see session.py
+    # nanosAsLong); normalize to microsecond timestamps, flooring
+    # exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    for name, dtype in df.dtypes:
+        if name == "ts" and dtype == "bigint":
+            df = df.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

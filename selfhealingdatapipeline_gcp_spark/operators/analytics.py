@@ -36,11 +36,18 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
             F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 4).alias("__sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # averages derived from the pre-rounded sums — engine-native
+        # avg() can drift an ulp across engines and flip the rounding
+        .withColumn("avg_qty",
+                    F.round(F.col("sum_qty") / F.col("count_order"), 4))
+        .withColumn("avg_price",
+                    F.round(F.col("sum_base_price") / F.col("count_order"), 4))
+        .withColumn("avg_disc",
+                    F.round(F.col("__sum_disc") / F.col("count_order"), 4))
+        .drop("__sum_disc")
         .orderBy("l_returnflag", "l_linestatus")
     )
 

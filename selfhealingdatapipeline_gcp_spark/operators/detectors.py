@@ -1,0 +1,439 @@
+"""Monitoring detectors, re-expressed as declarative Spark plans.
+
+Reference parity (monitoring/detectors/*.py): each reference detector
+is a BigQuery SQL statement plus driver-side Python statistics; here
+the whole computation is one distributed plan per detector — the
+statistics (trailing baselines, z-scores, deviation percentages) run
+as window/aggregate expressions inside Catalyst, never on the driver.
+
+Table mapping (SURVEY.md §1): the reference's ``daily_revenue`` ≈
+``orders`` (+ dims for region/product), ``feed_arrivals`` ≈
+``events``. "Today"/"now" is never wall-clock: the anchor is the max
+date/timestamp of the table, computed as a 1-row aggregate and
+broadcast-cross-joined into the plan (SURVEY.md §3) — at 100 TB that
+is one extra scan-level max, not a driver round-trip per row.
+
+Determinism: double outputs rounded (4 places; money 2); z-scores
+guard std>0 exactly like revenue_detector.py:49.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_anchor(df: DataFrame, col: str, alias: str = "anchor") -> DataFrame:
+    """Cross-join the table's max(col) as a broadcast scalar."""
+    anchor = df.agg(F.max(col).alias(alias))
+    return df.crossJoin(F.broadcast(anchor))
+
+
+# ---------------------------------------------------------------------------
+# revenue_detector.py
+# ---------------------------------------------------------------------------
+
+def revenue_daily(orders: DataFrame) -> DataFrame:
+    """Daily revenue rollup (revenue_detector.py:91-105
+    ``_get_daily_revenue`` generalized to all days)."""
+    return (
+        orders
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_txn"),
+        )
+    )
+
+
+def revenue_anomaly(orders: DataFrame,
+                    z_threshold: float = 2.5,
+                    min_history: int = 7) -> DataFrame:
+    """Per-day z-score vs trailing-30-day baseline
+    (revenue_detector.py:21-89 ``check_revenue_anomaly``: 2.5 sigma,
+    ≥7 days of history, current day excluded from its own baseline).
+
+    One shuffle to daily grain, then a single ordered window — the
+    day-grain relation is tiny at any SF, so the window never skews.
+    """
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        # pre-round the daily grain so both engines window over
+        # bit-identical inputs (SURVEY §3 determinism policy)
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-30, -1)
+    base = (
+        daily
+        .withColumn("baseline_avg", F.avg("rev").over(w))
+        .withColumn("baseline_std", F.stddev_samp("rev").over(w))
+        .withColumn("n_hist", F.count("rev").over(w))
+    )
+    z = F.when(F.col("baseline_std") > 0,
+               (F.col("rev") - F.col("baseline_avg")) / F.col("baseline_std")
+               ).otherwise(F.lit(0.0))
+    return (
+        base
+        .filter(F.col("n_hist") >= min_history)
+        .select(
+            "d",
+            F.round("rev", 2).alias("revenue"),
+            F.round("baseline_avg", 4).alias("baseline_avg"),
+            F.round("baseline_std", 4).alias("baseline_std"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > z_threshold).alias("is_anomaly"),
+        )
+    )
+
+
+def revenue_breakdown(orders: DataFrame, lineitem: DataFrame,
+                      part: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      top_n: int = 10) -> DataFrame:
+    """Revenue breakdown by region x brand over the trailing 30 days
+    (revenue_detector.py:141-171 ``_get_revenue_breakdown``;
+    region/product_category → r_name/p_brand via dim joins).
+
+    Facts shuffle on the order key; all dims broadcast."""
+    window_orders = (
+        _with_anchor(orders, "o_orderdate")
+        .filter(F.col("o_orderdate") >= F.col("anchor") - F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        window_orders
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("transaction_count"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("category_revenue"),
+        )
+        # avg derived from the already-rounded sum: oracle-parity-safe
+        # (engine-native avg() can drift an ulp and flip the rounding).
+        .withColumn(
+            "avg_transaction_value",
+            F.round(F.col("category_revenue") / F.col("transaction_count"), 4))
+        .orderBy(F.desc("category_revenue"), "region", "brand")
+        .limit(top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# transaction_detector.py
+# ---------------------------------------------------------------------------
+
+def transaction_volume_anomaly(events: DataFrame,
+                               z_threshold: float = 2.5) -> DataFrame:
+    """Anchor-day hourly volumes vs per-hour-of-day historical baseline
+    (transaction_detector.py:21-142: recent count compared against an
+    hourly avg/std baseline).
+
+    Two aggregations over the same (day, hour) grain; baseline join is
+    on 24 hour keys → broadcast."""
+    by_hour = (
+        _with_anchor(events, "ts")
+        .select(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.to_date("anchor").alias("anchor_day"),
+        )
+        .groupBy("d", "h", "anchor_day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    baseline = (
+        by_hour.filter(F.col("d") < F.col("anchor_day"))
+        .groupBy("h")
+        .agg(
+            F.avg("cnt").alias("base_avg"),
+            F.stddev_samp("cnt").alias("base_std"),
+        )
+    )
+    current = by_hour.filter(F.col("d") == F.col("anchor_day"))
+    z = F.when(F.col("base_std") > 0,
+               (F.col("cnt") - F.col("base_avg")) / F.col("base_std")
+               ).otherwise(F.lit(0.0))
+    return (
+        current.join(F.broadcast(baseline), "h")
+        .select(
+            F.col("h").alias("hour"),
+            F.col("cnt").alias("txn_count"),
+            F.round("base_avg", 4).alias("baseline_avg"),
+            F.round("base_std", 4).alias("baseline_std"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > z_threshold).alias("is_anomaly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pattern_detector.py
+# ---------------------------------------------------------------------------
+
+def _pattern_break(counts_by_day: DataFrame, key: str,
+                   recent_days: int, baseline_days: int,
+                   break_pct: float) -> DataFrame:
+    """Shared shape for pattern_detector.py:72-172: recent daily rate
+    per key vs prior-window daily rate, % deviation, break flag.
+
+    counts_by_day: (d, <key>, cnt, anchor_day)."""
+    recent_lo = F.col("anchor_day") - F.expr(f"INTERVAL {recent_days} DAYS")
+    base_lo = F.col("anchor_day") - F.expr(
+        f"INTERVAL {recent_days + baseline_days} DAYS")
+    agg = (
+        counts_by_day
+        .filter(F.col("d") > base_lo)
+        .groupBy(key)
+        .agg(
+            (F.sum(F.when(F.col("d") > recent_lo, F.col("cnt")).otherwise(0))
+             / float(recent_days)).alias("recent_daily"),
+            (F.sum(F.when(F.col("d") <= recent_lo, F.col("cnt")).otherwise(0))
+             / float(baseline_days)).alias("baseline_daily"),
+        )
+    )
+    dev = F.when(
+        F.col("baseline_daily") > 0,
+        (F.col("recent_daily") - F.col("baseline_daily"))
+        / F.col("baseline_daily") * 100.0,
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        key,
+        F.round("recent_daily", 4).alias("recent_daily"),
+        F.round("baseline_daily", 4).alias("baseline_daily"),
+        F.round(dev, 4).alias("deviation_pct"),
+        (F.abs(dev) > break_pct).alias("is_break"),
+    )
+
+
+def pattern_break_region(orders: DataFrame, customer: DataFrame,
+                         nation: DataFrame, region: DataFrame,
+                         recent_days: int = 7, baseline_days: int = 30,
+                         break_pct: float = 50.0) -> DataFrame:
+    """Geographic pattern break (pattern_detector.py:72-121), region
+    via customer→nation→region broadcast joins."""
+    counts = (
+        _with_anchor(orders, "o_orderdate")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.col("r_name").alias("region"),
+            F.to_date("anchor").alias("anchor_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _pattern_break(counts, "region", recent_days, baseline_days, break_pct)
+
+
+def pattern_break_product(lineitem: DataFrame, part: DataFrame,
+                          recent_days: int = 7, baseline_days: int = 30,
+                          break_pct: float = 50.0) -> DataFrame:
+    """Product-mix pattern break (pattern_detector.py:123-172), brand
+    via broadcast part join on the lineitem ship date."""
+    counts = (
+        _with_anchor(lineitem, "l_shipdate")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.to_date("l_shipdate").alias("d"),
+            F.col("p_brand").alias("brand"),
+            F.to_date("anchor").alias("anchor_day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _pattern_break(counts, "brand", recent_days, baseline_days, break_pct)
+
+
+# ---------------------------------------------------------------------------
+# reconciliation_detector.py
+# ---------------------------------------------------------------------------
+
+def reconciliation_orders_lineitem(orders: DataFrame, lineitem: DataFrame,
+                                   window_days: int = 90) -> DataFrame:
+    """Source-vs-destination record reconciliation per day
+    (reconciliation_detector.py:20-144: source/destination counts +
+    discrepancy %). Source = orders; destination = orders that
+    materialized lineitems (left_semi join on the order key)."""
+    window_orders = (
+        _with_anchor(orders, "o_orderdate")
+        .filter(F.col("o_orderdate")
+                > F.col("anchor") - F.expr(f"INTERVAL {window_days} DAYS"))
+        .select("o_orderkey", F.to_date("o_orderdate").alias("d"))
+    )
+    src = window_orders.groupBy("d").agg(F.count(F.lit(1)).alias("n_source"))
+    matched = (
+        window_orders
+        .join(lineitem.select("l_orderkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_dest"))
+    )
+    n_dest = F.coalesce(F.col("n_dest"), F.lit(0))
+    return (
+        src.join(matched, "d", "left")
+        .select(
+            "d",
+            "n_source",
+            n_dest.alias("n_dest"),
+            F.round((F.col("n_source") - n_dest) * 100.0 / F.col("n_source"), 4)
+             .alias("discrepancy_pct"),
+            (F.col("n_source") != n_dest).alias("is_mismatch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# freshness_detector.py
+# ---------------------------------------------------------------------------
+
+def freshness_check(events: DataFrame, max_age_minutes: float = 60.0) -> DataFrame:
+    """Staleness per source feed (freshness_detector.py:20-112), with
+    event_type as the source id and the global max(ts) as "now".
+
+    Ages computed on exact epoch microseconds so the DuckDB oracle
+    can't drift."""
+    per_source = (
+        events.groupBy(F.col("event_type").alias("source"))
+        .agg(F.max("ts").alias("last_update"))
+    )
+    global_max = events.agg(F.max("ts").alias("now_ts"))
+    age_min = (F.unix_micros("now_ts") - F.unix_micros("last_update")) / 60e6
+    return (
+        per_source.crossJoin(F.broadcast(global_max))
+        .select(
+            "source",
+            "last_update",
+            F.round(age_min, 4).alias("age_minutes"),
+            (age_min > max_age_minutes).alias("is_stale"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# feed_detector.py
+# ---------------------------------------------------------------------------
+
+def feed_status(events: DataFrame, cutoff_hour: int = 17) -> DataFrame:
+    """Expected-vs-arrived feed check at a daily cutoff
+    (feed_detector.py:20-114: which feeds arrived today before
+    17:00, plus arrival stats). Expected set = all feed ids ever seen
+    (a distinct over the scan); arrivals = anchor-day events before
+    the cutoff hour."""
+    expected = events.select(F.col("event_type").alias("feed_id")).distinct()
+    today = (
+        _with_anchor(events, "ts")
+        .filter(
+            (F.to_date("ts") == F.to_date("anchor"))
+            & (F.hour("ts") < cutoff_hour)
+        )
+        .groupBy(F.col("event_type").alias("feed_id"))
+        .agg(
+            F.max("ts").alias("last_arrival"),
+            F.count(F.lit(1)).alias("n_arrivals"),
+        )
+    )
+    return (
+        expected.join(today, "feed_id", "left")
+        .select(
+            "feed_id",
+            F.col("last_arrival"),
+            F.coalesce("n_arrivals", F.lit(0)).alias("n_arrivals"),
+            F.col("last_arrival").isNotNull().alias("arrived"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sla_detector.py
+# ---------------------------------------------------------------------------
+
+def sla_processing_velocity(events: DataFrame,
+                            sla_hours: float = 4.0) -> DataFrame:
+    """Processing velocity + SLA-breach projection
+    (sla_detector.py:20-124: records/hour over a trailing window,
+    projected completion vs the SLA). Velocity = trailing 24 h rate;
+    backlog = trailing 1 h arrivals. Single-pass conditional agg."""
+    with_anchor = _with_anchor(events, "ts", "now_ts")
+    in_24h = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 24 HOURS")
+    in_1h = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 1 HOURS")
+    agg = with_anchor.agg(
+        F.sum(F.when(in_24h, 1).otherwise(0)).alias("n_24h"),
+        F.sum(F.when(in_1h, 1).otherwise(0)).alias("backlog_1h"),
+    )
+    velocity = F.col("n_24h") / 24.0
+    projected = F.when(velocity > 0, F.col("backlog_1h") / velocity).otherwise(F.lit(0.0))
+    return agg.select(
+        F.round(velocity, 4).alias("velocity_per_hour"),
+        F.col("backlog_1h"),
+        F.round(projected, 4).alias("projected_hours"),
+        (projected > sla_hours).alias("sla_breach"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_detector.py (trend checks; static profile lives in quality.py)
+# ---------------------------------------------------------------------------
+
+def quality_null_trend(events: DataFrame,
+                       columns: tuple[str, ...] = ("value", "props")) -> DataFrame:
+    """Anchor-day null rate vs historical baseline per column
+    (quality_detector.py:67-116 ``_check_null_trends``). Long-format
+    output via a single conditional aggregation + stack."""
+    a = _with_anchor(events, "ts")
+    is_today = F.to_date("ts") == F.to_date("anchor")
+    aggs = []
+    for c in columns:
+        isnull = F.col(c).isNull().cast("int")
+        aggs += [
+            (F.sum(F.when(is_today, isnull).otherwise(0)) * 100.0
+             / F.sum(F.when(is_today, 1).otherwise(0))).alias(f"{c}__today"),
+            (F.sum(F.when(~is_today, isnull).otherwise(0)) * 100.0
+             / F.sum(F.when(~is_today, 1).otherwise(0))).alias(f"{c}__base"),
+        ]
+    wide = a.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__today`, `{c}__base`" for c in columns)
+    return (
+        wide.selectExpr(
+            f"stack({len(columns)}, {stack_expr}) AS (col_name, today_null_pct, baseline_null_pct)")
+        .select(
+            "col_name",
+            F.round("today_null_pct", 4).alias("today_null_pct"),
+            F.round("baseline_null_pct", 4).alias("baseline_null_pct"),
+            F.round(F.col("today_null_pct") - F.col("baseline_null_pct"), 4)
+             .alias("delta_pct"),
+        )
+    )
+
+
+def quality_duplicate_trend(events: DataFrame, window_days: int = 14) -> DataFrame:
+    """Per-day duplicate rate on the natural key (user_id, event_type,
+    value) over the trailing window (quality_detector.py:118-168
+    ``_check_duplicate_trends``)."""
+    w = (
+        _with_anchor(events, "ts")
+        .filter(F.to_date("ts")
+                > F.to_date(F.col("anchor") - F.expr(f"INTERVAL {window_days} DAYS")))
+        .select(F.to_date("ts").alias("d"), "user_id", "event_type", "value")
+    )
+    return (
+        w.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id", "event_type", "value").alias("n_distinct"),
+        )
+        .select(
+            "d",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_distinct")).alias("n_dup"),
+            F.round((F.col("n_rows") - F.col("n_distinct")) * 100.0
+                    / F.col("n_rows"), 4).alias("dup_pct"),
+        )
+    )

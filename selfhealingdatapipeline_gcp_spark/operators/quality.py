@@ -1,0 +1,50 @@
+"""Static data-quality operators (reference: utils/data_quality.py).
+
+The reference builds ``COUNTIF(col IS NULL)`` per column from the
+BigQuery table schema (data_quality.py:13-17); here the profile is
+one conditional aggregation over the DataFrame's own schema — a
+single scan regardless of column count, then a stack to long format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column null counts + rates (data_quality.py:4-28)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', `{c}__nulls`" for c in cols)
+    return (
+        wide.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack_expr}) AS (col_name, n_null)")
+        .select(
+            "col_name",
+            "n_null",
+            F.col("__n").alias("n_rows"),
+            F.round(F.col("n_null") * 100.0 / F.col("__n"), 4).alias("null_pct"),
+        )
+    )
+
+
+def completeness_check(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Row/key/set completeness: counts, distinct keys, FK orphans,
+    domain violations — the rule-based part of the reference's quality
+    gate, as one plan (scan + broadcast-ish join + single agg)."""
+    joined = orders.join(
+        customer.select("c_custkey"),
+        orders["o_custkey"] == F.col("c_custkey"), "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct_keys"),
+        F.sum(F.col("c_custkey").isNull().cast("bigint")).alias("n_orphan_fk"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint"))
+         .alias("n_bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_nonpositive"),
+    )

@@ -1,1 +1,339 @@
-"""Detector query registrations (filled in §2 batch 2)."""
+"""Registry entries for the monitoring detectors + data quality
+(SURVEY.md §2). Oracle SQL mirrors each Spark plan expression by
+expression — same anchors, same guards, same rounding."""
+
+from __future__ import annotations
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import detectors, quality
+from selfhealingdatapipeline_gcp_spark.registry import register
+
+
+def _t(spark, sf, *names):
+    return [catalog.load(spark, sf, n) for n in names]
+
+
+register(
+    "revenue_daily",
+    lambda spark, sf: detectors.revenue_daily(*_t(spark, sf, "orders")),
+    """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_txn
+    FROM orders
+    GROUP BY 1
+    """,
+)
+
+_Z = "CASE WHEN baseline_std > 0 THEN (rev - baseline_avg) / baseline_std ELSE 0.0 END"
+register(
+    "revenue_anomaly",
+    lambda spark, sf: detectors.revenue_anomaly(*_t(spark, sf, "orders")),
+    f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT d, rev,
+             avg(rev)         OVER w AS baseline_avg,
+             stddev_samp(rev) OVER w AS baseline_std,
+             count(rev)       OVER w AS n_hist
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d,
+           round(rev, 2) AS revenue,
+           round(baseline_avg, 4) AS baseline_avg,
+           round(baseline_std, 4) AS baseline_std,
+           round({_Z}, 4) AS z_score,
+           (abs({_Z}) > 2.5) AS is_anomaly
+    FROM win
+    WHERE n_hist >= 7
+    """,
+)
+
+register(
+    "revenue_breakdown",
+    lambda spark, sf: detectors.revenue_breakdown(
+        *_t(spark, sf, "orders", "lineitem", "part", "customer",
+            "nation", "region")),
+    """
+    SELECT r_name AS region, p_brand AS brand,
+           count(*) AS transaction_count,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS category_revenue,
+           round(round(sum(l_extendedprice * (1 - l_discount)), 2) / count(*), 4)
+             AS avg_transaction_value
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+    GROUP BY 1, 2
+    ORDER BY category_revenue DESC, region, brand
+    LIMIT 10
+    """,
+)
+
+_TZ = "CASE WHEN base_std > 0 THEN (cnt - base_avg) / base_std ELSE 0.0 END"
+register(
+    "transaction_volume_anomaly",
+    lambda spark, sf: detectors.transaction_volume_anomaly(
+        *_t(spark, sf, "events")),
+    f"""
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), a AS (
+      SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events
+    ), baseline AS (
+      SELECT h, avg(cnt) AS base_avg, stddev_samp(cnt) AS base_std
+      FROM hourly, a WHERE d < anchor_day GROUP BY h
+    )
+    SELECT c.h AS hour, c.cnt AS txn_count,
+           round(base_avg, 4) AS baseline_avg,
+           round(base_std, 4) AS baseline_std,
+           round({_TZ}, 4) AS z_score,
+           (abs({_TZ}) > 2.5) AS is_anomaly
+    FROM hourly c, a
+    JOIN baseline ON c.h = baseline.h
+    WHERE c.d = anchor_day
+    """,
+)
+
+_DEV = ("CASE WHEN baseline_daily > 0 THEN "
+        "(recent_daily - baseline_daily) / baseline_daily * 100.0 ELSE 0.0 END")
+register(
+    "pattern_break_region",
+    lambda spark, sf: detectors.pattern_break_region(
+        *_t(spark, sf, "orders", "customer", "nation", "region")),
+    f"""
+    WITH a AS (
+      SELECT CAST(max(o_orderdate) AS DATE) AS anchor_day FROM orders
+    ), counts AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, r_name AS region, count(*) AS cnt
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT region,
+             sum(CASE WHEN d >  anchor_day - INTERVAL 7 DAY THEN cnt ELSE 0 END) / 7.0  AS recent_daily,
+             sum(CASE WHEN d <= anchor_day - INTERVAL 7 DAY THEN cnt ELSE 0 END) / 30.0 AS baseline_daily
+      FROM counts, a
+      WHERE d > anchor_day - INTERVAL 37 DAY
+      GROUP BY region
+    )
+    SELECT region,
+           round(recent_daily, 4)   AS recent_daily,
+           round(baseline_daily, 4) AS baseline_daily,
+           round({_DEV}, 4) AS deviation_pct,
+           (abs({_DEV}) > 50.0) AS is_break
+    FROM agg
+    """,
+)
+
+register(
+    "pattern_break_product",
+    lambda spark, sf: detectors.pattern_break_product(
+        *_t(spark, sf, "lineitem", "part")),
+    f"""
+    WITH a AS (
+      SELECT CAST(max(l_shipdate) AS DATE) AS anchor_day FROM lineitem
+    ), counts AS (
+      SELECT CAST(l_shipdate AS DATE) AS d, p_brand AS brand, count(*) AS cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT brand,
+             sum(CASE WHEN d >  anchor_day - INTERVAL 7 DAY THEN cnt ELSE 0 END) / 7.0  AS recent_daily,
+             sum(CASE WHEN d <= anchor_day - INTERVAL 7 DAY THEN cnt ELSE 0 END) / 30.0 AS baseline_daily
+      FROM counts, a
+      WHERE d > anchor_day - INTERVAL 37 DAY
+      GROUP BY brand
+    )
+    SELECT brand,
+           round(recent_daily, 4)   AS recent_daily,
+           round(baseline_daily, 4) AS baseline_daily,
+           round({_DEV}, 4) AS deviation_pct,
+           (abs({_DEV}) > 50.0) AS is_break
+    FROM agg
+    """,
+)
+
+register(
+    "reconciliation_orders_lineitem",
+    lambda spark, sf: detectors.reconciliation_orders_lineitem(
+        *_t(spark, sf, "orders", "lineitem")),
+    """
+    WITH w AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders
+      WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 90 DAY
+    ), src AS (
+      SELECT d, count(*) AS n_source FROM w GROUP BY d
+    ), m AS (
+      SELECT d, count(*) AS n_dest FROM w
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      GROUP BY d
+    )
+    SELECT src.d, n_source,
+           coalesce(n_dest, 0) AS n_dest,
+           round((n_source - coalesce(n_dest, 0)) * 100.0 / n_source, 4)
+             AS discrepancy_pct,
+           (n_source != coalesce(n_dest, 0)) AS is_mismatch
+    FROM src LEFT JOIN m ON src.d = m.d
+    """,
+)
+
+register(
+    "freshness_check",
+    lambda spark, sf: detectors.freshness_check(*_t(spark, sf, "events")),
+    """
+    WITH per_source AS (
+      SELECT event_type AS source, max(ts) AS last_update
+      FROM events GROUP BY 1
+    ), g AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT source, last_update,
+           round((epoch_us(now_ts) - epoch_us(last_update)) / 60000000.0, 4)
+             AS age_minutes,
+           ((epoch_us(now_ts) - epoch_us(last_update)) / 60000000.0 > 60.0)
+             AS is_stale
+    FROM per_source, g
+    """,
+)
+
+register(
+    "feed_status",
+    lambda spark, sf: detectors.feed_status(*_t(spark, sf, "events")),
+    """
+    WITH expected AS (
+      SELECT DISTINCT event_type AS feed_id FROM events
+    ), a AS (SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events),
+    today AS (
+      SELECT event_type AS feed_id, max(ts) AS last_arrival,
+             count(*) AS n_arrivals
+      FROM events, a
+      WHERE CAST(ts AS DATE) = anchor_day AND extract(hour FROM ts) < 17
+      GROUP BY 1
+    )
+    SELECT e.feed_id, t.last_arrival,
+           coalesce(t.n_arrivals, 0) AS n_arrivals,
+           t.last_arrival IS NOT NULL AS arrived
+    FROM expected e LEFT JOIN today t ON e.feed_id = t.feed_id
+    """,
+)
+
+register(
+    "sla_processing_velocity",
+    lambda spark, sf: detectors.sla_processing_velocity(
+        *_t(spark, sf, "events")),
+    """
+    WITH g AS (SELECT max(ts) AS now_ts FROM events),
+    agg AS (
+      SELECT
+        sum(CASE WHEN ts > now_ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS n_24h,
+        sum(CASE WHEN ts > now_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS backlog_1h
+      FROM events, g
+    )
+    SELECT round(n_24h / 24.0, 4) AS velocity_per_hour,
+           backlog_1h,
+           round(CASE WHEN n_24h / 24.0 > 0
+                      THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END, 4)
+             AS projected_hours,
+           (CASE WHEN n_24h / 24.0 > 0
+                 THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END > 4.0)
+             AS sla_breach
+    FROM agg
+    """,
+)
+
+register(
+    "quality_null_trend",
+    lambda spark, sf: detectors.quality_null_trend(*_t(spark, sf, "events")),
+    """
+    WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events),
+    w AS (
+      SELECT
+        sum(CASE WHEN CAST(ts AS DATE) = anchor_day AND value IS NULL THEN 1 ELSE 0 END) * 100.0
+          / sum(CASE WHEN CAST(ts AS DATE) = anchor_day THEN 1 ELSE 0 END) AS value_today,
+        sum(CASE WHEN CAST(ts AS DATE) != anchor_day AND value IS NULL THEN 1 ELSE 0 END) * 100.0
+          / sum(CASE WHEN CAST(ts AS DATE) != anchor_day THEN 1 ELSE 0 END) AS value_base,
+        sum(CASE WHEN CAST(ts AS DATE) = anchor_day AND props IS NULL THEN 1 ELSE 0 END) * 100.0
+          / sum(CASE WHEN CAST(ts AS DATE) = anchor_day THEN 1 ELSE 0 END) AS props_today,
+        sum(CASE WHEN CAST(ts AS DATE) != anchor_day AND props IS NULL THEN 1 ELSE 0 END) * 100.0
+          / sum(CASE WHEN CAST(ts AS DATE) != anchor_day THEN 1 ELSE 0 END) AS props_base
+      FROM events, a
+    ), long AS (
+      SELECT 'value' AS col_name, value_today AS t, value_base AS b FROM w
+      UNION ALL
+      SELECT 'props', props_today, props_base FROM w
+    )
+    SELECT col_name,
+           round(t, 4) AS today_null_pct,
+           round(b, 4) AS baseline_null_pct,
+           round(t - b, 4) AS delta_pct
+    FROM long
+    """,
+)
+
+register(
+    "quality_duplicate_trend",
+    lambda spark, sf: detectors.quality_duplicate_trend(
+        *_t(spark, sf, "events")),
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           count(*) AS n_rows,
+           count(*) - count(DISTINCT (user_id, event_type, value)) AS n_dup,
+           round((count(*) - count(DISTINCT (user_id, event_type, value)))
+                 * 100.0 / count(*), 4) AS dup_pct
+    FROM events
+    WHERE CAST(ts AS DATE) >
+          CAST((SELECT max(ts) FROM events) - INTERVAL 14 DAY AS DATE)
+    GROUP BY 1
+    """,
+)
+
+_ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority")
+_NULL_SUMS = ",\n        ".join(
+    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nulls"
+    for c in _ORDER_COLS)
+_NULL_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT '{c}' AS col_name, {c}_nulls AS n_null, __n FROM w"
+    for c in _ORDER_COLS)
+register(
+    "quality_null_profile",
+    lambda spark, sf: quality.null_profile(
+        catalog.load(spark, sf, "orders"), list(_ORDER_COLS)),
+    f"""
+    WITH w AS (
+      SELECT count(*) AS __n,
+        {_NULL_SUMS}
+      FROM orders
+    ), long AS (
+      {_NULL_UNION}
+    )
+    SELECT col_name, n_null, __n AS n_rows,
+           round(n_null * 100.0 / __n, 4) AS null_pct
+    FROM long
+    """,
+)
+
+register(
+    "quality_completeness",
+    lambda spark, sf: quality.completeness_check(
+        *_t(spark, sf, "orders", "customer")),
+    """
+    SELECT count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_distinct_keys,
+           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_fk,
+           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+             AS n_bad_status,
+           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+)

@@ -47,6 +47,10 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Dims up to 64 MB go broadcast without an explicit hint.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The test events table carries parquet TIMESTAMP(NANOS), which
+        # Spark's reader rejects natively; read as long and convert in
+        # the catalog (micros, floor — same as DuckDB's ns→us cast).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -1,0 +1,42 @@
+"""Parity tests for the monitoring-detector suite (SURVEY §2 batch 2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhealingdatapipeline_gcp_spark import registry
+
+from conftest import SF_ORACLE, assert_parity
+
+DETECTORS = [
+    "revenue_daily",
+    "revenue_anomaly",
+    "revenue_breakdown",
+    "transaction_volume_anomaly",
+    "pattern_break_region",
+    "pattern_break_product",
+    "reconciliation_orders_lineitem",
+    "freshness_check",
+    "feed_status",
+    "sla_processing_velocity",
+    "quality_null_trend",
+    "quality_duplicate_trend",
+    "quality_null_profile",
+    "quality_completeness",
+]
+
+
+@pytest.mark.parametrize("name", DETECTORS)
+def test_parity(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_revenue_anomaly_flags_something_sane(spark):
+    df = registry.queries()["revenue_anomaly"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) > 100
+    # z-scores are finite and the anomaly flag matches its definition
+    for r in rows[:50]:
+        assert r.is_anomaly == (abs(r.z_score) > 2.5) or r.baseline_std == 0.0
