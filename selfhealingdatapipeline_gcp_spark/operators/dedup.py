@@ -1,0 +1,165 @@
+"""Deduplication operators for document-scale corpora.
+
+These are the LLM-training-data operators the build brief adds on top
+of the reference's own surface (SURVEY.md §2). Designed for 100 TB:
+
+- exact: one hash-groupBy shuffle on a 12-byte key, never on raw text.
+- MinHash+LSH: shingle → signature entirely inside codegen (per-row
+  array ops, no shuffle), then ONE equi-join on (band|hash) keys —
+  candidate pairs are bounded by bucket collisions, never all-pairs.
+- n-gram Jaccard: explode-and-count — linear in total shingles, join
+  keyed on the shingle string; used as the exact verifier at small
+  candidate counts (at full scale you run LSH first, then verify).
+- SimHash: 32-bit signature per row in codegen; candidates bucketed
+  by the top byte; hamming distance via xor/bit_count.
+- embedding cosine: explicit-fold dot products (bit-identical across
+  engines); all-pairs form is for modest corpora / verification — the
+  scale path is IVF/LSH in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash, keep lowest doc_id
+    (hash-groupBy; the shuffle key is md5, never the document)."""
+    return (
+        documents
+        .select(F.col("doc_id"), F.md5(F.col("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keeper_doc_id", "n_copies",
+                (F.col("n_copies") > 1).alias("had_duplicates"))
+    )
+
+
+def _shingled(documents: DataFrame) -> DataFrame:
+    return (
+        documents
+        .select("doc_id", textfn.shingles("text").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def dedup_ngram_jaccard(documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram Jaccard ≥ threshold.
+
+    Explode distinct shingles → self-join on the shingle string →
+    count common per pair. Join fan-out is bounded by shingle
+    frequency; at full scale run dedup_minhash_lsh first and verify
+    only its candidates with this."""
+    ex = (
+        _shingled(documents)
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.max("a.n").alias("n_a"),
+            F.max("b.n").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+    """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs.
+
+    Signature computation is per-row array math inside whole-stage
+    codegen; the only shuffle is the equi-join on band keys. Banding
+    at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸)."""
+    sigs = (
+        _shingled(documents)
+        .select(
+            "doc_id",
+            textfn.minhash_signature(
+                F.transform(F.col("sh"), textfn.md5int)).alias("sig"),
+        )
+        .select("doc_id",
+                F.explode(textfn.lsh_band_keys(F.col("sig"))).alias("bkey"))
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_simhash(documents: DataFrame,
+                  bucket_shift_bits: int = 24) -> DataFrame:
+    """SimHash(32-bit) near-dup candidates: bucket on the top byte,
+    report in-bucket pairs with hamming distance (xor + bit_count)."""
+    sh = (
+        documents
+        .select(
+            "doc_id",
+            textfn.simhash32(
+                F.transform(textfn.tokens("text"), textfn.md5int)
+            ).alias("simhash"),
+        )
+        .withColumn(
+            "bucket",
+            F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(bucket_shift_bits)))
+             .cast("bigint"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+             .alias("hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_embedding(embeddings: DataFrame,
+                    threshold: float = 0.35) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold (all-pairs with
+    precomputed norms — the exact verifier; scale path is
+    similarity.ann_ivf_topk's cell-pruned search)."""
+    v = vectorfn.to_double(F.col("embedding"))
+    n = embeddings.select(
+        "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = vectorfn.cosine(F.col("a.v"), F.col("b.v"),
+                          F.col("a.nrm"), F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing (SURVEY §2).
+
+Media assets are opaque ``binary`` payload columns + typed metadata,
+processed with Arrow-batched ``mapInPandas`` — the shape a real
+image/audio pipeline takes on Spark. The actual codec decode is
+STUBBED (no image/audio libraries in this environment): decoding
+raises NotImplementedError, and the metadata/frame extractors use a
+clearly-marked deterministic fake derived from the payload bytes, so
+the Spark-side plumbing — schema, batching, partitioning, UDF
+signatures — is real and tested end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
+               "media_format string")
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_crc bigint"
+
+
+def decode_image(payload: bytes) -> object:
+    """Real codec hook — plug Pillow/libvips here on a real cluster."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "metadata extraction uses the deterministic fake below")
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic FAKE decode: dimensions derived from payload
+    bytes (stands in for a real header parse)."""
+    w = 64 + (payload[0] if payload else 0) % 1920
+    h = 64 + (payload[-1] if payload else 0) % 1080
+    return w, h
+
+
+def with_payload(documents: DataFrame) -> DataFrame:
+    """Opaque binary payload column + source metadata (the ingest
+    shape: binary blob, typed sidecar columns)."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.col("source").alias("media_format"),
+    )
+
+
+def multimodal_meta(documents: DataFrame) -> DataFrame:
+    """Per-asset metadata extraction over Arrow batches.
+
+    mapInPandas: payloads stream through in columnar batches; the
+    batch loop is vectorized pandas, not per-row Python calls."""
+    payloads = with_payload(documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_dims)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["payload"].str.len().astype("int32"),
+                "width": dims.map(lambda d: d[0]).astype("int32"),
+                "height": dims.map(lambda d: d[1]).astype("int32"),
+                "media_format": pdf["media_format"],
+            })
+
+    return payloads.mapInPandas(extract, META_SCHEMA)
+
+
+def multimodal_framesample(documents: DataFrame,
+                           stride: int = 2) -> DataFrame:
+    """Frame sampling plan: each asset yields every ``stride``-th
+    frame index with a per-frame checksum (deterministic fake for the
+    real frame grab). Output is long-format (doc_id, frame_idx, crc) —
+    the explode shape a video pipeline feeds to feature extraction."""
+    payloads = with_payload(documents)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        for pdf in batches:
+            out_doc, out_idx, out_crc = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + (len(payload) % 10)
+                for i in range(0, n_frames, stride):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_crc.append(zlib.crc32(payload + bytes([i])))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_crc": pd.Series(out_crc, dtype="int64"),
+            })
+
+    return payloads.mapInPandas(sample, FRAME_SCHEMA)

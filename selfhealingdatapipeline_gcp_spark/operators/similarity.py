@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force top-k is the exact baseline: broadcast the (small) query
+set against the corpus — map-side only, zero shuffle of the corpus.
+IVF is the scale path: assign every vector to its nearest centroid
+(broadcast centroids), probe only the closest cells per query —
+at 100 TB the per-query candidate set shrinks by ~n_cells/n_probe.
+
+Centroids here are chosen deterministically (every 100th vector) so
+the result is oracle-checkable; swap in k-means centroids for real
+deployments without touching the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.functions import vectorfn
+
+
+def _with_norms(embeddings: DataFrame) -> DataFrame:
+    v = vectorfn.to_double(F.col("embedding"))
+    return embeddings.select(
+        "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
+
+
+def ann_bruteforce_topk(embeddings: DataFrame, n_queries: int = 5,
+                        k: int = 10) -> DataFrame:
+    """Exact cosine top-k for the first ``n_queries`` vectors.
+
+    Queries broadcast; corpus never shuffles; ranking on the rounded
+    score with vec_id tiebreak (deterministic across engines)."""
+    n = _with_norms(embeddings)
+    q = (
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    )
+    score = F.round(
+        vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                 centroid_stride: int = 100, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every ``centroid_stride``-th
+    vector), nearest-cell assignment, probe ``n_probe`` cells per query.
+
+    Both the assignment and the probe are broadcast joins against the
+    centroid set; the final search touches only vectors in probed
+    cells. Approximate by construction — recall < 1 vs brute force."""
+    n = _with_norms(embeddings)
+    cents = (
+        n.filter(F.col("vec_id") % centroid_stride == 0)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+    )
+    cscore = F.round(
+        vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6)
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv0"), F.col("nrm").alias("qnrm0"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id",
+                F.round(vectorfn.cosine(F.col("qv0"), F.col("cv"),
+                                        F.col("qnrm0"), F.col("cnrm")), 6)
+                 .alias("cscore"),
+                "cent_id")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+
+    cands = probes.join(assign, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
+    q = n.select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    score = F.round(
+        vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        cands
+        .join(n, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                score.alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label corpus stats (vector aggregates over the scan)."""
+    n = _with_norms(embeddings)
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max(F.size("v")).alias("dim"),
+            F.round(F.sum(F.round(F.col("nrm"), 6)), 4).alias("sum_norm"),
+        )
+        .withColumn("avg_norm",
+                    F.round(F.col("sum_norm") / F.col("n_vecs"), 4))
+        .orderBy("label")
+    )

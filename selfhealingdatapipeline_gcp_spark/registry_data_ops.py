@@ -1,1 +1,395 @@
-"""Data-ops (dedup/similarity/text/multimodal/streaming) registrations."""
+"""Registry entries for dedup / similarity / text / multimodal /
+streaming (SURVEY.md §2). Oracle SQL mirrors every hash, fold, and
+rounding of the Spark expressions (see functions/textfn.py,
+functions/vectorfn.py for the expression twins)."""
+
+from __future__ import annotations
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import (
+    dedup, multimodal, similarity, textanalysis)
+from selfhealingdatapipeline_gcp_spark.registry import register
+from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+
+def _t(spark, sf, *names):
+    return [catalog.load(spark, sf, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB twins of functions/textfn.py + vectorfn.py)
+# ---------------------------------------------------------------------------
+
+_TOKENS = "list_filter(str_split(text, ' '), x -> x != '')"
+
+
+def _md5int(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 12))::BIGINT)"
+
+
+# distinct 3-gram shingles over tokens t
+_SHINGLES = ("list_distinct(list_transform("
+             "range(1, greatest(len(t) - 2, 0) + 1), "
+             "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))")
+
+# sequential-fold dot product of double lists a·b (vectorfn.dot twin)
+def _dot(a: str, b: str) -> str:
+    return (f"list_reduce([CAST(0.0 AS DOUBLE)] || "
+            f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+            f"(acc, x) -> acc + x)")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_exact",
+    lambda spark, sf: dedup.dedup_exact(*_t(spark, sf, "documents")),
+    """
+    SELECT min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           (count(*) > 1) AS had_duplicates
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+
+register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: dedup.dedup_ngram_jaccard(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ex AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common, max(a.n) AS n_a, max(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+    FROM pairs
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_SIG = ("list_transform(range(1, 33), j -> "
+        "list_min(list_transform(xs, x -> ((17 + j*13)*x + j*7919) % 1000000007)))")
+_BKEYS = ("list_transform(range(0, 8), b -> "
+          "b::VARCHAR || '|' || sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR"
+          " || '|' || sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR)")
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: dedup.dedup_minhash_lsh(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_SIMHASH_BITS = (
+    "list_transform(range(0, 32), k -> "
+    "list_reduce([CAST(0 AS BIGINT)] || xs, "
+    "(acc, x) -> acc + (CAST(floor(x / power(2, k)) AS BIGINT) % 2) * 2 - 1))")
+_SIMHASH = ("list_reduce([CAST(0 AS BIGINT)] || range(0, 32), (acc, k) -> "
+            "acc + CASE WHEN bits[k+1] > 0 "
+            "THEN CAST(power(2, k) AS BIGINT) ELSE 0 END)")
+register(
+    "dedup_simhash",
+    lambda spark, sf: dedup.dedup_simhash(*_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_TOKENS}, w -> {_md5int('w')}) AS xs
+      FROM documents
+    ), b AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS bits FROM toks
+    ), s AS (
+      SELECT doc_id, {_SIMHASH} AS simhash FROM b
+    ), sh AS (
+      SELECT doc_id, simhash,
+             CAST(floor(simhash / power(2, 24)) AS BIGINT) AS bucket
+      FROM s
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bucket AS bucket,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+_EMB_NORMED = (
+    "SELECT vec_id, label, v, sqrt({dot}) AS nrm "
+    "FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+).format(dot=_dot("v", "v"))
+register(
+    "dedup_embedding",
+    lambda spark, sf: dedup.dedup_embedding(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED})
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine,
+           (a.label = b.label) AS same_label
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+register(
+    "ann_bruteforce_topk",
+    lambda spark, sf: similarity.ann_bruteforce_topk(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS score
+      FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+
+register(
+    "ann_ivf_topk",
+    lambda spark, sf: similarity.ann_ivf_topk(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 100 = 0
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents WHERE n.vec_id < 5
+      ) WHERE rn <= 2
+    ), cands AS (
+      SELECT probes.query_id, assign.vec_id
+      FROM probes JOIN assign ON probes.cent_id = assign.cent_id
+      WHERE assign.vec_id != probes.query_id
+    ), scored AS (
+      SELECT cands.query_id, cands.vec_id AS neighbor_id,
+             round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS score
+      FROM cands
+      JOIN n c ON cands.vec_id = c.vec_id
+      JOIN n q ON cands.query_id = q.vec_id
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+
+register(
+    "embedding_stats",
+    lambda spark, sf: similarity.embedding_stats(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED})
+    SELECT label, count(*) AS n_vecs,
+           max(len(v)) AS dim,
+           round(sum(round(nrm, 6)), 4) AS sum_norm,
+           round(round(sum(round(nrm, 6)), 4) / count(*), 4) AS avg_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+register(
+    "text_token_count",
+    lambda spark, sf: textanalysis.text_token_count(
+        *_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_unique_tokens,
+           length(text) AS n_chars_actual
+    FROM (SELECT doc_id, text, {_TOKENS} AS t FROM documents)
+    """,
+)
+
+_STOPS = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+register(
+    "text_quality_score",
+    lambda spark, sf: textanalysis.text_quality_score(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(t) AS n,
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(t, x -> length(x)::BIGINT),
+                         (acc, x) -> acc + x) AS sum_len,
+             len(list_filter(t, x -> list_contains({_STOPS}, x))) AS n_stop
+      FROM d
+    ), g AS (
+      SELECT doc_id, n,
+             sum_len / greatest(n, 1) AS mean_len,
+             n_stop / greatest(n, 1) AS stop_ratio,
+             least(n / 100.0, 1.0) AS len_score
+      FROM f
+    )
+    SELECT doc_id,
+           n AS n_tokens,
+           round(mean_len, 4) AS mean_token_len,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(0.5 * len_score + 0.3 * stop_ratio
+                 + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
+                          THEN 1.0 ELSE 0.0 END), 4) AS quality_score
+    FROM g
+    """,
+)
+
+_MARKER_SQL = {
+    "en": "['the','a','of','and','is']",
+    "de": "['der','die','das','und','ist']",
+    "es": "['el','la','de','y','es']",
+    "fr": "['le','la','de','et','est']",
+}
+_SCORES = ",\n             ".join(
+    f"len(list_filter(t, x -> list_contains({arr}, x))) / greatest(len(t), 1)"
+    f" AS s_{lang}" for lang, arr in _MARKER_SQL.items())
+register(
+    "text_language_id",
+    lambda spark, sf: textanalysis.text_language_id(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             {_SCORES}
+      FROM d
+    )
+    SELECT doc_id,
+           round(s_en, 4) AS score_en,
+           round(s_de, 4) AS score_de,
+           round(s_es, 4) AS score_es,
+           round(s_fr, 4) AS score_fr,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0.0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM s
+    """,
+)
+
+register(
+    "doc_fingerprint",
+    lambda spark, sf: textanalysis.doc_fingerprint(*_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id,
+           list_reduce([CAST(0 AS BIGINT)] ||
+                       list_transform({_TOKENS}, w -> {_md5int('w')}),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+           list_reduce([CAST(0 AS BIGINT)] ||
+                       list_transform({_TOKENS}, w -> {_md5int('w')}),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS shard
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed → rows-only check by design)
+# ---------------------------------------------------------------------------
+
+register(
+    "multimodal_meta",
+    lambda spark, sf: multimodal.multimodal_meta(*_t(spark, sf, "documents")),
+    None,
+)
+
+register(
+    "multimodal_framesample",
+    lambda spark, sf: multimodal.multimodal_framesample(
+        *_t(spark, sf, "documents")),
+    None,
+)
+
+# ---------------------------------------------------------------------------
+# structured streaming
+# ---------------------------------------------------------------------------
+
+register(
+    "streaming_txn_volume",
+    monitors.streaming_txn_volume,
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "streaming_sessionize",
+    monitors.streaming_sessionize,
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+)

@@ -1,0 +1,88 @@
+"""Structured Streaming forms of the monitoring detectors.
+
+The reference's detectors poll BigQuery on a schedule; the streaming-
+native form is a continuous windowed aggregation over the event feed.
+Here the same parquet events drive a real ``readStream`` →
+``writeStream`` pipeline with an ``availableNow`` trigger, so the
+batch-equivalent result is produced synchronously and is oracle-
+checkable; on a live feed you'd swap the source for Kafka and keep
+the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_sink_counter = itertools.count()
+
+
+def _staged_dir(path: str) -> str:
+    """Spark's file-stream source monitors a DIRECTORY; the test data
+    is a single parquet file. Stage a symlink under scratch space —
+    on a real deployment the source is already a directory/bucket
+    prefix (or Kafka) and this is a no-op."""
+    d = f"/tmp/shdp_stream/{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet; nanos ts normalized
+    exactly like catalog.load."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).parquet(_staged_dir(path))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"shdp_stream_sink_{next(_sink_counter)}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def streaming_txn_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event volume per type as a streaming windowed count
+    (streaming form of transaction_detector). Complete-mode memory
+    sink: every window emits, matching the batch equivalent."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type", "n_events")
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str,
+                         gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (session_window = built-in stateful
+    sessionization; events < gap apart merge). Runs the same plan the
+    streaming engine executes with state-store sessions."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("user_id", "session_start", "session_end", "n_events")

@@ -1,0 +1,80 @@
+"""Parity + behavior tests for dedup / similarity / text / multimodal
+/ streaming (SURVEY §2 batch 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhealingdatapipeline_gcp_spark import registry
+
+from conftest import SF_ORACLE, assert_parity
+
+ORACLE_CHECKED = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_stats",
+    "text_token_count",
+    "text_quality_score",
+    "text_language_id",
+    "doc_fingerprint",
+    "streaming_txn_volume",
+    "streaming_sessionize",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_parity(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_minhash_lsh_catches_planted_near_dups(spark):
+    """The 25 known jaccard≥0.5 pairs should largely appear among LSH
+    candidates (banding at b=8/r=4 targets s≥0.5)."""
+    qs = registry.queries()
+    exact = {(r.doc_a, r.doc_b)
+             for r in qs["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()}
+    assert exact, "expected planted near-dup pairs in test data"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_meta(spark):
+    df = registry.queries()["multimodal_meta"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r.n_bytes > 0 and 64 <= r.width and 64 <= r.height
+
+
+def test_multimodal_framesample(spark):
+    df = registry.queries()["multimodal_framesample"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) >= 500
+    assert {"doc_id", "frame_idx", "frame_crc"} == set(df.columns)
+
+
+def test_multimodal_decode_is_stubbed():
+    from selfhealingdatapipeline_gcp_spark.operators import multimodal
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_ann_bruteforce_sane(spark):
+    rows = registry.queries()["ann_bruteforce_topk"](spark, SF_ORACLE).collect()
+    assert len(rows) == 50  # 5 queries x 10 neighbors
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in scores)
