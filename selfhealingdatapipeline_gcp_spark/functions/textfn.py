@@ -49,12 +49,18 @@ def minhash_signature(shingle_ints: Column, num_perm: int = 32) -> Column:
     One pass over the shingle array per permutation, all inside
     codegen — the classic a·x+b universal-hash family, deterministic
     across engines."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_perm)),
-        lambda j: F.array_min(
-            F.transform(
-                shingle_ints,
-                lambda x: ((F.lit(17) + j * 13) * x + j * 7919) % HASH_MOD)),
+    # Single fold over the shingle array maintaining all num_perm
+    # running minima — the shingle hash (md5) is evaluated exactly
+    # once per shingle, not once per permutation. Init sentinel is
+    # HASH_MOD (> any hash value), so any non-empty input replaces it.
+    return F.aggregate(
+        shingle_ints,
+        F.array_repeat(F.lit(HASH_MOD).cast("bigint"), num_perm),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(num_perm)),
+            lambda m, j: F.least(
+                m, ((F.lit(17) + j * 13) * x + j * 7919) % HASH_MOD)),
     )
 
 
@@ -81,12 +87,14 @@ def simhash32(token_ints: Column) -> Column:
             lambda acc, x: acc
             + (F.floor(x / F.pow(F.lit(2.0), k)).cast("bigint") % 2) * 2 - 1,
         )
-    bits = F.transform(F.sequence(F.lit(0), F.lit(31)), bit_sum)
+    # single nested fold: each bit's ±1 sum is evaluated exactly once
+    # (a separate bits-array column would get re-inlined by
+    # CollapseProject and recomputed per bit)
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(31)),
         F.lit(0).cast("bigint"),
         lambda acc, k: acc + F.when(
-            F.element_at(bits, k + 1) > 0,
+            bit_sum(k) > 0,
             F.pow(F.lit(2.0), k).cast("bigint")).otherwise(F.lit(0)),
     )
 
