@@ -1,0 +1,206 @@
+"""Self-healing: error analysis → fix suggestion → fix application.
+
+Reference parity:
+- utils/vertex_ai_handler.py:5-87 ``analyze_error`` sends the Spark
+  driver log to Gemini and falls back to a regex check for the
+  double-dot table-name bug. Here the classifier is a deterministic
+  rule engine over the real Spark/PySpark exception taxonomy; an LLM
+  hook can be plugged in via ``set_llm_analyzer`` (stubbed — no AI
+  SDK in this environment, and determinism is a feature in tests).
+- utils/auto_healer.py:4-120 ``apply_fix`` rewrites the failing job
+  script (gs:// or local) for CODE fixes. Here fixes are first-class
+  objects: source-text patchers (the double-dot rewrite) AND Spark
+  conf/plan-level remediations (repartition bump, broadcast-threshold
+  drop, schema relax, plain retry) that a retrying pipeline can apply
+  between attempts.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Fix:
+    fix_type: str                      # CODE | CONFIG | RETRY | MANUAL
+    root_cause: str
+    suggested_fix: str
+    # conf changes a pipeline applies to the SparkSession before retry
+    conf_changes: dict[str, str] = field(default_factory=dict)
+    # regex → replacement applied to the job's source text (CODE fixes)
+    code_sub: tuple[str, str] | None = None
+    retryable: bool = True
+
+
+# Rule table: (name, pattern on the error text, fix builder).
+# Patterns target real Spark exception signatures.
+_RULES: list[tuple[str, re.Pattern[str], Callable[[re.Match[str]], Fix]]] = []
+
+
+def _rule(name: str, pattern: str):
+    def deco(fn: Callable[[re.Match[str]], Fix]):
+        _RULES.append((name, re.compile(pattern, re.IGNORECASE | re.DOTALL), fn))
+        return fn
+    return deco
+
+
+@_rule("double_dot_table", r"\b\w+\.\.\w+|Syntax error.*\.\.")
+def _fix_double_dot(m: re.Match[str]) -> Fix:
+    # the reference's marquee bug: "dataset..table" (auto_healer.py:97-102)
+    return Fix(
+        fix_type="CODE",
+        root_cause="double dot in table reference",
+        suggested_fix="collapse '..' to '.' in table identifiers",
+        code_sub=(r"\.\.+", "."),
+    )
+
+
+@_rule("missing_column", r"UNRESOLVED_COLUMN|cannot be resolved|AnalysisException.*column")
+def _fix_missing_column(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="query references a column absent from the schema",
+        suggested_fix="check upstream schema / rename or drop the column reference",
+        retryable=False,
+    )
+
+
+@_rule("missing_table", r"TABLE_OR_VIEW_NOT_FOUND|PATH_NOT_FOUND|Path does not exist|NoSuchTableException")
+def _fix_missing_table(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="input table/path missing",
+        suggested_fix="verify the source landed; check ingest job and path config",
+        retryable=False,
+    )
+
+
+@_rule("oom", r"OutOfMemoryError|MEMORY_LIMIT|Container killed.*memory|exceeds memory limit")
+def _fix_oom(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="executor/driver memory exhausted",
+        suggested_fix="increase shuffle parallelism and lower in-memory batch sizes",
+        conf_changes={
+            "spark.sql.shuffle.partitions": "increase:2x",
+            "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+        },
+    )
+
+
+@_rule("broadcast_oom", r"Cannot broadcast|broadcast.*(?:8GB|too large)|BroadcastJoin.*(?:memory|timeout)")
+def _fix_broadcast(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="broadcast side exceeded the broadcast limit",
+        suggested_fix="disable auto-broadcast so the join shuffles",
+        conf_changes={"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    )
+
+
+@_rule("shuffle_fetch", r"FetchFailed|shuffle.*(?:fetch|lost)|ExecutorLostFailure")
+def _fix_shuffle(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="RETRY",
+        root_cause="shuffle fetch failure / lost executor (transient)",
+        suggested_fix="retry; infrastructure-level transient failure",
+    )
+
+
+@_rule("schema_mismatch", r"Failed merging schema|CANNOT_MERGE_SCHEMAS|Parquet column cannot be converted")
+def _fix_schema(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="incompatible schemas across input files",
+        suggested_fix="read with an explicit schema / enable permissive merge",
+        conf_changes={"spark.sql.parquet.mergeSchema": "false"},
+    )
+
+
+@_rule("permission", r"Permission denied|AccessDenied|403")
+def _fix_permission(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="storage permission error",
+        suggested_fix="grant the job's service account access to the path",
+        retryable=False,
+    )
+
+
+# optional LLM analyzer hook (reference uses Gemini; stubbed here)
+_llm_analyzer: Callable[[str], Fix | None] | None = None
+
+
+def set_llm_analyzer(fn: Callable[[str], Fix | None] | None) -> None:
+    global _llm_analyzer
+    _llm_analyzer = fn
+
+
+def analyze_error(error_log: str) -> Fix:
+    """Classify an error log into a Fix (vertex_ai_handler.py:5-87,
+    deterministic re-expression). First matching rule wins; the
+    optional LLM hook is consulted only if no rule matches."""
+    for _name, pattern, builder in _RULES:
+        m = pattern.search(error_log)
+        if m:
+            return builder(m)
+    if _llm_analyzer is not None:
+        fix = _llm_analyzer(error_log)
+        if fix is not None:
+            return fix
+    return Fix(
+        fix_type="RETRY",
+        root_cause="unclassified failure",
+        suggested_fix="retry once; escalate if it persists",
+    )
+
+
+def suggest_fix(fix: Fix) -> Fix:
+    """Identity passthrough (vertex_ai_handler.py:89-90)."""
+    return fix
+
+
+def apply_code_fix(source_text: str, fix: Fix) -> str:
+    """Apply a CODE fix to job source text (auto_healer.py:92-120)."""
+    if fix.code_sub is None:
+        return source_text
+    pattern, repl = fix.code_sub
+    return re.sub(pattern, repl, source_text)
+
+
+def apply_conf_fix(spark, fix: Fix) -> dict[str, str]:
+    """Apply CONFIG remediations to the live session; returns what
+    changed. 'increase:2x' doubles the current integer value."""
+    applied: dict[str, str] = {}
+    for key, value in fix.conf_changes.items():
+        if value.startswith("increase:"):
+            factor = int(value.split(":")[1].rstrip("x"))
+            current = int(spark.conf.get(key))
+            value = str(current * factor)
+        spark.conf.set(key, value)
+        applied[key] = value
+    return applied
+
+
+def apply_fix(fix: Fix, spark=None, source_text: str | None = None
+              ) -> dict[str, object]:
+    """Dispatch on fix type (auto_healer.py:4-46). Returns an audit
+    record of what was done."""
+    record: dict[str, object] = {
+        "fix_type": fix.fix_type,
+        "root_cause": fix.root_cause,
+        "suggested_fix": fix.suggested_fix,
+        "applied": False,
+    }
+    if fix.fix_type == "CODE" and source_text is not None:
+        fixed = apply_code_fix(source_text, fix)
+        record["fixed_source"] = fixed
+        record["applied"] = fixed != source_text
+    elif fix.fix_type == "CONFIG" and spark is not None and fix.conf_changes:
+        record["conf_applied"] = apply_conf_fix(spark, fix)
+        record["applied"] = True
+    elif fix.fix_type == "RETRY":
+        record["applied"] = True
+    return record

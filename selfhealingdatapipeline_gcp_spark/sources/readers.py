@@ -1,0 +1,79 @@
+"""Source connectors (reference: scripts/transform_script:11-14 reads
+BigQuery via the spark-bigquery-connector).
+
+Parquet is the primary format (columnar, predicate pushdown, column
+pruning). CSV/JSON readers require explicit schemas — schema
+inference is a full extra pass at 100 TB. Warehouse connectors
+(BigQuery, JDBC) keep the reference's read shape but are gated on
+their drivers being present on the classpath.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str,
+                 schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True, **options: str) -> DataFrame:
+    """Schema is mandatory: inferSchema is an extra full scan and
+    non-deterministic typing at scale."""
+    return (spark.read.schema(schema)
+            .options(header=str(header).lower(), **options).csv(path))
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType,
+              **options: str) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              num_partitions: int = 32,
+              lower_bound: int | None = None,
+              upper_bound: int | None = None,
+              **options: str) -> DataFrame:
+    """JDBC read, parallelized by key range when bounds are given —
+    a single-partition JDBC read is a driver bottleneck at any scale.
+    Raises a clear error when no driver jar is on the classpath."""
+    reader = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", table))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        reader = (reader
+                  .option("partitionColumn", partition_column)
+                  .option("numPartitions", str(num_partitions))
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound)))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # driver jar absent in this environment
+        raise NotImplementedError(
+            "JDBC driver not on classpath in this environment; "
+            "add the driver jar via spark.jars on a real cluster") from e
+
+
+def read_bigquery(spark: SparkSession, table: str, **options: str) -> DataFrame:
+    """BigQuery read (the reference's source, transform_script:11-14).
+    Needs the spark-bigquery-connector jar — absent here, so this
+    raises with setup instructions rather than failing obscurely."""
+    try:
+        reader = spark.read.format("bigquery").option("table", table)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    except Exception as e:
+        raise NotImplementedError(
+            "spark-bigquery-connector not on classpath; on Dataproc use "
+            "--jars gs://spark-lib/bigquery/spark-bigquery-latest.jar") from e

@@ -1,0 +1,145 @@
+"""Control-plane tests: healer classification, fix application, and
+the self-healing pipeline runner (model: reference
+tests/test_pipeline.py, widened to the full rule table)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.plans import healer
+from selfhealingdatapipeline_gcp_spark.plans.pipeline import Pipeline, Task
+
+
+@pytest.mark.parametrize("log,expected_type,expected_cause_kw", [
+    ("pyspark.errors.AnalysisException: [PARSE_SYNTAX_ERROR] Syntax error "
+     "near 'selfhealing..employee_data'", "CODE", "double dot"),
+    ("AnalysisException: [UNRESOLVED_COLUMN.WITH_SUGGESTION] A column with "
+     "name `revnue` cannot be resolved", "MANUAL", "column"),
+    ("AnalysisException: [TABLE_OR_VIEW_NOT_FOUND] The table `x` cannot be "
+     "found", "CONFIG", "missing"),
+    ("java.lang.OutOfMemoryError: Java heap space", "CONFIG", "memory"),
+    ("org.apache.spark.shuffle.FetchFailedException: Failed to connect",
+     "RETRY", "transient"),
+    ("SparkException: Cannot broadcast the table that is larger than 8GB",
+     "CONFIG", "broadcast"),
+    ("Caused by: java.nio.file.AccessDeniedException: Permission denied",
+     "MANUAL", "permission"),
+    ("some totally novel failure mode", "RETRY", "unclassified"),
+])
+def test_analyze_error_rules(log, expected_type, expected_cause_kw):
+    fix = healer.analyze_error(log)
+    assert fix.fix_type == expected_type
+    assert expected_cause_kw.lower() in fix.root_cause.lower()
+
+
+def test_apply_code_fix_double_dot():
+    # the reference's marquee auto-fix (auto_healer.py:97-102)
+    src = 'df = spark.read.table("proj.selfhealing..employee_data")'
+    fix = healer.analyze_error("Syntax error near 'selfhealing..employee'")
+    fixed = healer.apply_code_fix(src, fix)
+    assert "selfhealing.employee_data" in fixed
+    assert ".." not in fixed
+
+
+def test_apply_conf_fix_doubles_partitions(spark):
+    before = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fix = healer.analyze_error("java.lang.OutOfMemoryError: GC overhead")
+    applied = healer.apply_fix(fix, spark=spark)
+    after = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        assert applied["applied"] is True
+        assert after == before * 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(before))
+
+
+def test_pipeline_retries_transient_and_succeeds(spark):
+    attempts = {"n": 0}
+
+    def flaky(s, ctx):
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("FetchFailed: shuffle fetch failed (injected)")
+        return s.range(5).count()
+
+    p = Pipeline("flaky", [Task("t", flaky, max_retries=3)])
+    res = p.run(spark)["t"]
+    assert res.status == "SUCCESS"
+    assert res.attempts == 3
+    assert res.result == 5
+    assert len(res.fixes) == 2
+
+
+def test_pipeline_nonretryable_stops_early(spark):
+    calls = {"n": 0}
+
+    def bad(s, ctx):
+        calls["n"] += 1
+        raise RuntimeError("[TABLE_OR_VIEW_NOT_FOUND] table `nope` not found")
+
+    p = Pipeline("bad", [Task("t", bad, max_retries=5)])
+    res = p.run(spark)["t"]
+    assert res.status == "FAILED"
+    assert calls["n"] == 1  # non-retryable: no wasted attempts
+
+
+def test_pipeline_skips_downstream_and_passes_context(spark):
+    def make(s, ctx):
+        return s.range(10)
+
+    def consume(s, ctx):
+        return ctx["make"].count()
+
+    def boom(s, ctx):
+        raise RuntimeError("Permission denied on bucket")
+
+    p = Pipeline("dag", [
+        Task("make", make),
+        Task("boom", boom, max_retries=0),
+        Task("consume", consume, depends_on=("make",)),
+        Task("after_boom", consume, depends_on=("boom",)),
+    ])
+    res = p.run(spark)
+    assert res["make"].status == "SUCCESS"
+    assert res["consume"].status == "SUCCESS" and res["consume"].result == 10
+    assert res["boom"].status == "FAILED"
+    assert res["after_boom"].status == "SKIPPED"
+
+
+def test_pipeline_quality_gate(spark):
+    def produce(s, ctx):
+        return s.range(3)
+
+    def gate(df):
+        if df.filter(F.col("id") < 0).count() > 0:
+            raise ValueError("negative ids")
+
+    p = Pipeline("gated", [Task("t", produce, validate=gate)])
+    assert p.run(spark)["t"].status == "SUCCESS"
+
+
+def test_pipeline_rejects_cycles():
+    t1 = Task("a", lambda s, c: 1, depends_on=("b",))
+    t2 = Task("b", lambda s, c: 1, depends_on=("a",))
+    with pytest.raises(ValueError, match="cycle"):
+        Pipeline("cyclic", [t1, t2]).run(None)
+
+
+def test_alerts_routing(spark):
+    from selfhealingdatapipeline_gcp_spark import registry
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+    from conftest import SF_ORACLE
+
+    qs = registry.queries()
+    outputs = {
+        "revenue_anomaly": qs["revenue_anomaly"](spark, SF_ORACLE),
+        "freshness_check": qs["freshness_check"](spark, SF_ORACLE),
+    }
+    out = alerts.collect_alerts(outputs)
+    rows = out.collect()
+    assert set(out.columns) == {"detector", "alert_key", "severity", "detail"}
+    assert all(r.severity in alerts.SEVERITIES for r in rows)
+    # dedup key is unique
+    keys = [(r.detector, r.alert_key) for r in rows]
+    assert len(keys) == len(set(keys))
