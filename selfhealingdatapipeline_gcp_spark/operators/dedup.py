@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition before compute-heavy per-row work.
+
+    Small-file inputs (and single hot files at any scale) otherwise
+    pin the whole shingle/signature computation to one task; the
+    repartition cost is one shuffle of the raw rows, repaid 32× in
+    the expensive stage. On a 100 TB input with many splits this is
+    still correct — it rebalances skewed splits."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n)
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup by content hash, keep lowest doc_id
     (hash-groupBy; the shuffle key is md5, never the document)."""
@@ -42,10 +54,13 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 
 def _shingled(documents: DataFrame) -> DataFrame:
+    # No size()>0 filter here: a deterministic filter on the computed
+    # column gets predicate-pushed below the repartition Exchange and
+    # re-evaluates the whole shingle expression (twice!) on the
+    # unspread input. Downstream explodes drop empty arrays for free.
     return (
-        documents
+        _spread(documents)
         .select("doc_id", textfn.shingles("text").alias("sh"))
-        .filter(F.size("sh") > 0)
     )
 
 
@@ -88,15 +103,27 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     Signature computation is per-row array math inside whole-stage
     codegen; the only shuffle is the equi-join on band keys. Banding
     at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸)."""
-    sigs = (
+    # explode → scalar hash columns → 32 min() aggregates: everything
+    # stays in whole-stage codegen (array-fold HOFs are interpreted),
+    # and the groupBy gets map-side partial aggregation, so the
+    # shuffle carries ~32 longs per doc per partition, not shingles.
+    ex = (
         _shingled(documents)
-        .select(
-            "doc_id",
-            textfn.minhash_signature(
-                F.transform(F.col("sh"), textfn.md5int)).alias("sig"),
-        )
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", textfn.md5int(F.col("s")).alias("x"))
+    )
+    n_perm = 32
+    hashes = [
+        (((F.lit(17) + j * 13) * F.col("x") + j * 7919) % textfn.HASH_MOD)
+        .alias(f"h{j}") for j in range(1, n_perm + 1)
+    ]
+    sig = F.array(*[F.col(f"mh{j}") for j in range(1, n_perm + 1)])
+    sigs = (
+        ex.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"mh{j}") for j in range(1, n_perm + 1)])
         .select("doc_id",
-                F.explode(textfn.lsh_band_keys(F.col("sig"))).alias("bkey"))
+                F.explode(textfn.lsh_band_keys(sig)).alias("bkey"))
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
@@ -110,11 +137,17 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(documents: DataFrame,
-                  bucket_shift_bits: int = 24) -> DataFrame:
+                  bucket_shift_bits: int = 24,
+                  max_hamming: int = 6) -> DataFrame:
     """SimHash(32-bit) near-dup candidates: bucket on the top byte,
-    report in-bucket pairs with hamming distance (xor + bit_count)."""
+    keep in-bucket pairs with hamming ≤ max_hamming (xor+bit_count).
+
+    Scale caveat: corpora with homogeneous token distributions skew
+    into few buckets (in-bucket pairing is quadratic). The production
+    shape is multi-table SimHash (bucket on several rotated bit
+    windows); at 32 bits this single-table form is the verifier."""
     sh = (
-        documents
+        _spread(documents)
         .select(
             "doc_id",
             textfn.simhash32(
@@ -137,6 +170,7 @@ def dedup_simhash(documents: DataFrame,
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
              .alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -147,7 +181,7 @@ def dedup_embedding(embeddings: DataFrame,
     precomputed norms — the exact verifier; scale path is
     similarity.ann_ivf_topk's cell-pruned search)."""
     v = vectorfn.to_double(F.col("embedding"))
-    n = embeddings.select(
+    n = _spread(embeddings).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
     a, b = n.alias("a"), n.alias("b")
     cos = vectorfn.cosine(F.col("a.v"), F.col("b.v"),

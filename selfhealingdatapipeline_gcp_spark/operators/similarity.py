@@ -20,8 +20,11 @@ from selfhealingdatapipeline_gcp_spark.functions import vectorfn
 
 
 def _with_norms(embeddings: DataFrame) -> DataFrame:
+    # round-robin spread: a single-file corpus otherwise pins all the
+    # per-pair dot products to one task (explicit N is AQE-stable)
+    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     v = vectorfn.to_double(F.col("embedding"))
-    return embeddings.select(
+    return embeddings.repartition(n_part).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
 
 

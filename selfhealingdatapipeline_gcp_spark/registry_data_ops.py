@@ -131,6 +131,7 @@ register(
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bucket AS bucket,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     ORDER BY doc_a, doc_b
     """,
 )
