@@ -19,7 +19,7 @@ of the reference's own surface (SURVEY.md §2). Designed for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
@@ -53,14 +53,34 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingled(documents: DataFrame) -> DataFrame:
-    # No size()>0 filter here: a deterministic filter on the computed
-    # column gets predicate-pushed below the repartition Exchange and
-    # re-evaluates the whole shingle expression (twice!) on the
-    # unspread input. Downstream explodes drop empty arrays for free.
-    return (
+def _shingle_rows(documents: DataFrame) -> DataFrame:
+    """Long-format 3-gram shingles: (doc_id, s), duplicates included.
+
+    Built with posexplode + windowed lead() instead of array
+    expressions: higher-order array functions are interpreted
+    (no whole-stage codegen) and measured ~20ms/doc, while
+    split+explode+window+concat all stay inside codegen. The window
+    shuffle is on doc_id — the same key every downstream agg needs.
+    """
+    toks = (
         _spread(documents)
-        .select("doc_id", textfn.shingles("text").alias("sh"))
+        .select("doc_id", F.posexplode(textfn.tokens("text"))
+                .alias("pos", "w"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        toks
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("w"),
+                        F.lead("w", 1).over(win),
+                        F.lead("w", 2).over(win)).alias("s"),
+            F.lead("w", 2).over(win).alias("__w2"),
+        )
+        # stop at n-2 like the array form (concat_ws would silently
+        # drop the missing tail tokens otherwise)
+        .filter(F.col("__w2").isNotNull())
+        .drop("__w2")
     )
 
 
@@ -68,14 +88,14 @@ def dedup_ngram_jaccard(documents: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard ≥ threshold.
 
-    Explode distinct shingles → self-join on the shingle string →
-    count common per pair. Join fan-out is bounded by shingle
-    frequency; at full scale run dedup_minhash_lsh first and verify
-    only its candidates with this."""
-    ex = (
-        _shingled(documents)
-        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
-    )
+    Distinct shingle rows → self-join on the shingle string → count
+    common per pair. Join fan-out is bounded by shingle frequency; at
+    full scale run dedup_minhash_lsh first and verify only its
+    candidates with this."""
+    distinct_sh = _shingle_rows(documents).dropDuplicates(["doc_id", "s"])
+    n_win = Window.partitionBy("doc_id")
+    ex = distinct_sh.select(
+        "doc_id", F.count(F.lit(1)).over(n_win).alias("n"), "s")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -103,15 +123,13 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     Signature computation is per-row array math inside whole-stage
     codegen; the only shuffle is the equi-join on band keys. Banding
     at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸)."""
-    # explode → scalar hash columns → 32 min() aggregates: everything
-    # stays in whole-stage codegen (array-fold HOFs are interpreted),
-    # and the groupBy gets map-side partial aggregation, so the
-    # shuffle carries ~32 longs per doc per partition, not shingles.
-    ex = (
-        _shingled(documents)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .select("doc_id", textfn.md5int(F.col("s")).alias("x"))
-    )
+    # shingle rows → scalar hash columns → 32 min() aggregates:
+    # everything stays in whole-stage codegen (array-fold HOFs are
+    # interpreted), and the groupBy gets map-side partial aggregation,
+    # so the signature shuffle carries ~32 longs per doc. MinHash is
+    # duplicate-insensitive (min over a multiset), so no distinct.
+    ex = _shingle_rows(documents).select(
+        "doc_id", textfn.md5int(F.col("s")).alias("x"))
     n_perm = 32
     hashes = [
         (((F.lit(17) + j * 13) * F.col("x") + j * 7919) % textfn.HASH_MOD)
@@ -146,14 +164,27 @@ def dedup_simhash(documents: DataFrame,
     into few buckets (in-bucket pairing is quadratic). The production
     shape is multi-table SimHash (bucket on several rotated bit
     windows); at 32 bits this single-table form is the verifier."""
-    sh = (
+    # token explode → scalar hash → 32 conditional-sum aggregates
+    # (codegen + map-side partial agg), then the signature assembles
+    # from the 32 sums as a plain scalar expression.
+    ex = (
         _spread(documents)
-        .select(
-            "doc_id",
-            textfn.simhash32(
-                F.transform(textfn.tokens("text"), textfn.md5int)
-            ).alias("simhash"),
-        )
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+        .select("doc_id", textfn.md5int(F.col("w")).alias("x"))
+    )
+    bit_sums = [
+        F.sum((F.floor(F.col("x") / F.lit(float(2 ** k))).cast("bigint") % 2)
+              * 2 - 1).alias(f"b{k}")
+        for k in range(32)
+    ]
+    simhash = sum(
+        (F.when(F.col(f"b{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+         for k in range(32)),
+        start=F.lit(0),
+    ).cast("bigint")
+    sh = (
+        ex.groupBy("doc_id").agg(*bit_sums)
+        .select("doc_id", simhash.alias("simhash"))
         .withColumn(
             "bucket",
             F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(bucket_shift_bits)))
