@@ -201,3 +201,149 @@ def etl_orders_enriched(orders: DataFrame, customer: DataFrame,
             F.round("o_totalprice", 2).alias("totalprice"),
         )
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6 shape: potential revenue from discount changes —
+    single scan, every predicate pushed into parquet."""
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue_effect"))
+    )
+
+
+def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for one month
+    (p_type = 'PROMO'); part broadcast, single conditional agg."""
+    promo = F.when(F.col("p_type") == "PROMO",
+                   F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                   ).otherwise(F.lit(0.0))
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(F.col("promo_revenue") * 100.0 / F.col("total_revenue"), 4))
+    )
+
+
+def q18_large_orders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, min_qty: float = 150.0) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds the
+    threshold, with customer context. The lineitem agg runs first
+    (map-side combine), then a semi-bounded join to orders."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        big
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_name"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "o_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def pivot_event_daily(events: DataFrame) -> DataFrame:
+    """Daily event counts pivoted to one column per type (explicit
+    pivot values → no extra discovery pass over the data)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events
+        .groupBy(F.to_date("ts").alias("d"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select("d", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+                       for t in types])
+    )
+
+
+def rollup_revenue_region_nation(orders: DataFrame, customer: DataFrame,
+                                 nation: DataFrame, region: DataFrame
+                                 ) -> DataFrame:
+    """Region → nation rollup of order revenue (grouping-sets shape);
+    NULL subtotal levels labeled 'ALL' for a stable contract."""
+    return (
+        orders
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "revenue", "n_orders",
+        )
+    )
+
+
+def revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
+    """Daily revenue with trailing moving average and week-over-week
+    delta (ordered window over the pre-rounded day grain)."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-(window_days - 1), 0)
+    w_lag = Window.orderBy("d")
+    prev = F.lag("revenue", window_days).over(w_lag)
+    return daily.select(
+        "d", "revenue",
+        F.round(F.avg("revenue").over(w_ma), 4).alias("ma7"),
+        F.round(
+            F.when(prev > 0, (F.col("revenue") - prev) * 100.0 / prev)
+             .otherwise(F.lit(0.0)), 4).alias("wow_pct"),
+    )
+
+
+def user_activity_summary(events: DataFrame) -> DataFrame:
+    """Per-user behavioral features (the feature-engineering shape):
+    one shuffle on user_id, everything else map-side."""
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+             .alias("n_purchases"),
+        )
+        # seconds at 6 decimals = exact µs precision (hours at 4
+        # decimals lands on cross-engine rounding boundaries whenever
+        # the µs gap is a multiple of 0.18 s)
+        .withColumn(
+            "lifespan_s",
+            F.round((F.unix_micros("last_seen") - F.unix_micros("first_seen"))
+                    / 1e6, 6))
+    )

@@ -204,3 +204,4 @@ def _ensure_loaded() -> None:
     # module registers its own §2 entries.
     from selfhealingdatapipeline_gcp_spark import registry_detectors  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_data_ops  # noqa: F401
+    from selfhealingdatapipeline_gcp_spark import registry_extended  # noqa: F401

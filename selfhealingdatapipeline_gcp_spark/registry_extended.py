@@ -1,0 +1,186 @@
+"""Registry entries for the extended analytics surface: more TPC-H
+shapes, pivot/rollup/window analytics, feature engineering, and the
+as-of join (SURVEY.md §2 additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import analytics, asof
+from selfhealingdatapipeline_gcp_spark.registry import register
+
+
+def _t(spark, sf, *names):
+    return [catalog.load(spark, sf, n) for n in names]
+
+
+register(
+    "q6_forecast_revenue",
+    lambda spark, sf: analytics.q6_forecast_revenue(*_t(spark, sf, "lineitem")),
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register(
+    "q14_promo_revenue",
+    lambda spark, sf: analytics.q14_promo_revenue(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    WITH agg AS (
+      SELECT
+        round(sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+          AS promo_revenue,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    )
+    SELECT promo_revenue, total_revenue,
+           round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
+    FROM agg
+    """,
+)
+
+register(
+    "q18_large_orders",
+    lambda spark, sf: analytics.q18_large_orders(
+        *_t(spark, sf, "customer", "orders", "lineitem")),
+    """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 150.0
+    )
+    SELECT c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+_PIVOT_SQL = ",\n           ".join(
+    f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+    for t in _PIVOT_TYPES)
+register(
+    "pivot_event_daily",
+    lambda spark, sf: analytics.pivot_event_daily(*_t(spark, sf, "events")),
+    f"""
+    SELECT CAST(ts AS DATE) AS d,
+           {_PIVOT_SQL}
+    FROM events
+    GROUP BY 1
+    """,
+)
+
+register(
+    "rollup_revenue_region_nation",
+    lambda spark, sf: analytics.rollup_revenue_region_nation(
+        *_t(spark, sf, "orders", "customer", "nation", "region")),
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+
+register(
+    "revenue_moving_avg",
+    lambda spark, sf: analytics.revenue_moving_avg(*_t(spark, sf, "orders")),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT d, revenue,
+             avg(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS ma7_raw,
+             lag(revenue, 7) OVER (ORDER BY d) AS prev
+      FROM daily
+    )
+    SELECT d, revenue,
+           round(ma7_raw, 4) AS ma7,
+           round(CASE WHEN prev > 0
+                 THEN (revenue - prev) * 100.0 / prev ELSE 0.0 END, 4)
+             AS wow_pct
+    FROM win
+    """,
+)
+
+register(
+    "user_activity_summary",
+    lambda spark, sf: analytics.user_activity_summary(*_t(spark, sf, "events")),
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(sum(value), 2) AS total_value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+             AS lifespan_s
+    FROM events
+    GROUP BY user_id
+    """,
+)
+
+
+def _asof_purchase_attribution(spark, sf):
+    events = catalog.load(spark, sf, "events")
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("c_id")))
+    joined = asof.asof_join(purchases, clicks, on="user_id",
+                            left_ts="ts", right_ts="c_ts",
+                            right_cols=("c_ts", "c_id"))
+    # round at 6 decimals = the value's exact µs precision; rounding
+    # below it (e.g. 4) hits the .5 boundary systematically and
+    # Spark (shortest-decimal) vs DuckDB (binary) disagree there
+    gap = (F.unix_micros("ts") - F.unix_micros("asof_c_ts")) / 1e6
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("asof_c_ts").alias("prev_click_ts"),
+        F.col("asof_c_id").alias("prev_click_id"),
+        F.round(gap, 6).alias("gap_s"),
+    )
+
+
+register(
+    "asof_purchase_attribution",
+    _asof_purchase_attribution,
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS prev_click_ts,
+           c.event_id AS prev_click_id,
+           round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)

@@ -1,0 +1,41 @@
+"""Parity tests for the extended analytics surface (SURVEY §2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhealingdatapipeline_gcp_spark import registry
+
+from conftest import SF_ORACLE, assert_parity
+
+EXTENDED = [
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "pivot_event_daily",
+    "rollup_revenue_region_nation",
+    "revenue_moving_avg",
+    "user_activity_summary",
+    "asof_purchase_attribution",
+]
+
+
+@pytest.mark.parametrize("name", EXTENDED)
+def test_parity(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_asof_semantics(spark):
+    """Every attributed click strictly precedes its purchase, and is
+    the latest such click for that user."""
+    df = registry.queries()["asof_purchase_attribution"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert rows
+    n_attributed = sum(1 for r in rows if r.prev_click_ts is not None)
+    assert n_attributed > 0
+    for r in rows[:200]:
+        if r.prev_click_ts is not None:
+            assert r.prev_click_ts < r.ts
+            assert r.gap_s > 0
