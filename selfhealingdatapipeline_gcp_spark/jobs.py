@@ -1,0 +1,74 @@
+"""End-to-end job wiring — the reference DAG as one callable
+(dag/self_healing_pipeline.py:154-225: submit transform → quality
+check, with self-healing on failure).
+
+``run_etl_job`` is the equivalent of triggering the Airflow DAG: it
+builds the transform, gates it on data quality, writes the sink, and
+routes detector alerts — all through the self-healing Pipeline
+runner, so any task failure goes through analyze → suggest → apply →
+retry.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark import catalog, registry
+from selfhealingdatapipeline_gcp_spark.operators import analytics, quality
+from selfhealingdatapipeline_gcp_spark.plans import alerts
+from selfhealingdatapipeline_gcp_spark.plans.pipeline import Pipeline, Task
+from selfhealingdatapipeline_gcp_spark.sources import writers
+
+
+def run_etl_job(spark: SparkSession, sf_dir: str, output_path: str,
+                ) -> dict[str, Any]:
+    """The reference pipeline, Spark-first: transform → quality gate →
+    partitioned sink → monitoring sweep → alert routing."""
+
+    def transform(s: SparkSession, ctx: dict[str, Any]):
+        return analytics.etl_orders_enriched(
+            catalog.load(s, sf_dir, "orders"),
+            catalog.load(s, sf_dir, "customer"),
+            catalog.load(s, sf_dir, "nation"),
+            catalog.load(s, sf_dir, "region"),
+        )
+
+    def quality_gate(df) -> None:
+        # reference utils/data_quality.py: nulls must not appear in
+        # key columns; here it fails the task (and thus heals/retries)
+        profile = quality.null_profile(
+            df, ["o_orderkey", "totalprice", "region"])
+        bad = profile.filter(F.col("n_null") > 0).count()
+        if bad:
+            raise ValueError(f"quality gate: {bad} key columns contain nulls")
+
+    def sink(s: SparkSession, ctx: dict[str, Any]):
+        writers.write_parquet(ctx["transform"], output_path,
+                              partition_by=("order_year",),
+                              target_partitions=8)
+        return output_path
+
+    def monitoring(s: SparkSession, ctx: dict[str, Any]):
+        qs = registry.queries()
+        outputs = {
+            "revenue_anomaly": qs["revenue_anomaly"](s, sf_dir),
+            "transaction_volume_anomaly":
+                qs["transaction_volume_anomaly"](s, sf_dir),
+            "freshness_check": qs["freshness_check"](s, sf_dir),
+        }
+        return alerts.collect_alerts(outputs).collect()
+
+    pipe = Pipeline("etl_orders", [
+        Task("transform", transform, validate=quality_gate),
+        Task("sink", sink, depends_on=("transform",)),
+        Task("monitoring", monitoring, depends_on=("sink",)),
+    ])
+    results = pipe.run(spark)
+    return {
+        "statuses": {k: v.status for k, v in results.items()},
+        "alerts": results["monitoring"].result
+        if results["monitoring"].status == "SUCCESS" else None,
+    }

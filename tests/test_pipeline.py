@@ -143,3 +143,14 @@ def test_alerts_routing(spark):
     # dedup key is unique
     keys = [(r.detector, r.alert_key) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_run_etl_job_end_to_end(spark, tmp_path):
+    from selfhealingdatapipeline_gcp_spark import jobs
+    out = jobs.run_etl_job(spark, "/root/testdata/sf0.001",
+                           str(tmp_path / "sink"))
+    assert out["statuses"] == {
+        "transform": "SUCCESS", "sink": "SUCCESS", "monitoring": "SUCCESS"}
+    assert out["alerts"] is not None
+    back = spark.read.parquet(str(tmp_path / "sink"))
+    assert back.count() == 1500

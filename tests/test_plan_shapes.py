@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions (SURVEY §4/§5): the optimizations
+the 100 TB design depends on must actually appear in the plan —
+pushdown, column pruning, broadcast joins, no accidental cartesian
+products. These tests would catch a regression that stays correct
+but stops scaling."""
+
+from __future__ import annotations
+
+from selfhealingdatapipeline_gcp_spark import registry
+
+from conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    df = registry.queries()["q1_pricing_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: l_partkey/l_suppkey are not read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_partkey" not in read_schema[0]
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = registry.queries()["q6_forecast_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or col in plan.split("PushedFilters")[1][:400]
+
+
+def test_q5_dims_broadcast(spark):
+    df = registry.queries()["q5_regional_revenue"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_etl_enriched_broadcasts_dims(spark):
+    df = registry.queries()["etl_orders_enriched"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_join_is_equijoin(spark):
+    """The LSH candidate join must be a hash/sort-merge equi-join on
+    the band key — a nested-loop here means the banding is broken."""
+    df = registry.queries()["dedup_minhash_lsh"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """Brute-force ANN must broadcast the query set (corpus never
+    shuffles); the nested-loop join IS the intended shape here."""
+    df = registry.queries()["ann_bruteforce_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: two HashAggregate levels around the exchange."""
+    df = registry.queries()["q1_pricing_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_order_priority_semi_join(spark):
+    df = registry.queries()["order_priority_check"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
