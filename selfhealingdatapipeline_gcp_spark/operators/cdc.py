@@ -1,0 +1,85 @@
+"""CDC / slowly-changing-dimension operators.
+
+No Delta/Iceberg jars in this environment, so MERGE semantics are
+composed from primitive ops (the pyspark guide's emulation): upsert =
+anti-join + union; SCD2 = close-out changed rows + append new
+versions. Plan shapes are one shuffle on the business key each —
+swap the sink for Delta's MERGE INTO on a real deployment without
+changing callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(current: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Last-writer-wins upsert: rows of ``current`` whose key is not
+    updated, plus all update rows."""
+    surviving = current.join(updates.select(key), key, "left_anti")
+    return surviving.unionByName(updates)
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame, key: str,
+               compare_cols: tuple[str, ...],
+               effective_col: str = "effective_from",
+               end_col: str = "effective_to",
+               current_flag: str = "is_current") -> DataFrame:
+    """Apply a batch of updates to an SCD2 dimension.
+
+    dim: (key, compare_cols..., effective_from, effective_to,
+    is_current). updates: (key, compare_cols..., effective_from).
+    Changed keys get their current row closed out (effective_to :=
+    update's effective_from) and a new current row appended; unchanged
+    keys pass through untouched.
+    """
+    cmp = None
+    for c in compare_cols:
+        ne = F.col(f"d.{c}") != F.col(f"u.{c}")
+        cmp = ne if cmp is None else (cmp | ne)
+
+    d, u = dim.alias("d"), updates.alias("u")
+    joined = d.join(u, F.col(f"d.{key}") == F.col(f"u.{key}"), "left")
+
+    changed_current = (
+        joined
+        .filter(F.col(f"d.{current_flag}") & F.col(f"u.{key}").isNotNull() & cmp)
+    )
+    # close out the old version
+    closed = changed_current.select(
+        *[F.col(f"d.{c}") for c in (key, *compare_cols, effective_col)],
+        F.col(f"u.{effective_col}").alias(end_col),
+        F.lit(False).alias(current_flag),
+    )
+    # untouched rows: history rows, unchanged current rows, and
+    # current rows with no update
+    untouched = (
+        joined
+        .filter(~(F.col(f"d.{current_flag}")
+                  & F.col(f"u.{key}").isNotNull() & cmp))
+        .select("d.*")
+    )
+    # new current versions for changed keys + brand-new keys
+    new_versions = (
+        u.join(d.filter(F.col(f"d.{current_flag}")),
+               F.col(f"u.{key}") == F.col(f"d.{key}"), "left")
+        .filter(F.col(f"d.{key}").isNull() | cmp)
+        .select(
+            *[F.col(f"u.{c}") for c in (key, *compare_cols, effective_col)],
+            F.lit(None).cast("timestamp").alias(end_col),
+            F.lit(True).alias(current_flag),
+        )
+    )
+    return untouched.unionByName(closed).unionByName(new_versions)
+
+
+def latest_snapshot(history: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Collapse an append-only change log to the latest row per key
+    (window top-1 — the read side of CDC)."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col))
+    return (
+        history.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -77,3 +77,11 @@ def read_bigquery(spark: SparkSession, table: str, **options: str) -> DataFrame:
         raise NotImplementedError(
             "spark-bigquery-connector not on classpath; on Dataproc use "
             "--jars gs://spark-lib/bigquery/spark-bigquery-latest.jar") from e
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -57,3 +57,25 @@ def write_bigquery(df: DataFrame, table: str, mode: str = "overwrite",
         raise NotImplementedError(
             "spark-bigquery-connector not on classpath; on Dataproc use "
             "--jars gs://spark-lib/bigquery/spark-bigquery-latest.jar") from e
+
+
+def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
+                         n_buckets: int = 32, mode: str = "overwrite",
+                         sort_col: str | None = None) -> None:
+    """Bucketed managed table (bucketBy + saveAsTable): downstream
+    joins/aggregations on the bucket column need NO shuffle — the
+    co-location is persisted in the file layout. At 100 TB, bucketing
+    the fact tables on their join key once pays for itself on every
+    subsequent join."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: tuple[str, ...] = ()) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -1,0 +1,94 @@
+"""Tests for the scale toolbox: bucketed co-located joins, skew
+salting, CDC/SCD2, ORC round-trip."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.functions import skew
+from selfhealingdatapipeline_gcp_spark.operators import cdc
+from selfhealingdatapipeline_gcp_spark.sources import readers, writers
+
+from conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # managed tables land in the default warehouse dir (gitignored)
+    orders = catalog.load(spark, SF_SMOKE, "orders")
+    lineitem = catalog.load(spark, SF_SMOKE, "lineitem")
+    writers.write_bucketed_table(orders, "b_orders", "o_orderkey", 8)
+    writers.write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", "o_orderkey", 8)
+    try:
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: the join must not introduce an Exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    lineitem = catalog.load(spark, SF_SMOKE, "lineitem")
+    part = catalog.load(spark, SF_SMOKE, "part").withColumnRenamed(
+        "p_partkey", "l_partkey")
+    plain = lineitem.join(part, "l_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p_retailprice").alias("s"))
+    salted = skew.salted_join(lineitem, part, "l_partkey",
+                              salt_factor=4,
+                              big_salt_source="l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p_retailprice").alias("s"))
+    pr, sr = plain.collect()[0], salted.collect()[0]
+    assert pr.n == sr.n
+    assert abs(pr.s - sr.s) < 1e-6 * abs(pr.s)
+
+
+def test_upsert_and_snapshot(spark):
+    cur = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, v string, ts int")
+    upd = spark.createDataFrame(
+        [(2, "b2", 30), (3, "c", 30)], "k int, v string, ts int")
+    out = {r.k: r.v for r in cdc.upsert(cur, upd, "k").collect()}
+    assert out == {1: "a", 2: "b2", 3: "c"}
+
+    log = cur.unionByName(upd)
+    snap = {r.k: r.v for r in cdc.latest_snapshot(log, "k", "ts").collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_scd2_apply(spark):
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 2, 1)
+    dim = spark.createDataFrame(
+        [(1, "NY", t0, None, True), (2, "LA", t0, None, True)],
+        "k int, city string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean")
+    updates = spark.createDataFrame(
+        [(1, "SF", t1), (2, "LA", t1), (3, "CHI", t1)],
+        "k int, city string, effective_from timestamp")
+    out = cdc.scd2_apply(dim, updates, "k", ("city",))
+    rows = {(r.k, r.city, r.is_current): r for r in out.collect()}
+    # key 1 changed: closed-out NY + current SF
+    assert rows[(1, "NY", False)].effective_to == t1
+    assert rows[(1, "SF", True)].effective_to is None
+    # key 2 unchanged: single current row
+    assert (2, "LA", True) in rows and (2, "LA", False) not in rows
+    # key 3 brand new
+    assert (3, "CHI", True) in rows
+    assert len(rows) == 4
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    df = catalog.load(spark, SF_SMOKE, "nation")
+    p = str(tmp_path / "orc")
+    writers.write_orc(df, p)
+    assert readers.read_orc(spark, p).count() == 25
