@@ -394,3 +394,10 @@ register(
     FROM y GROUP BY user_id, sid
     """,
 )
+
+register(
+    "streaming_stateful_volume",
+    monitors.streaming_stateful_volume_monitor,
+    # genuinely non-SQL-expressible: arbitrary-state streaming op
+    None,
+)

@@ -86,3 +86,47 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str,
     )
     out = _run_to_memory(agg, "complete")
     return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+def streaming_stateful_volume_monitor(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per feed, keep running batch-volume statistics in managed state
+    and flag batches whose volume doubles the running average.
+
+    This is the arbitrary-state form the reference's detectors would
+    take on a live feed — state survives across micro-batches in the
+    state store; with availableNow the whole file set is one batch,
+    which keeps the output deterministic for the rows-only check.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    out_schema = ("event_type string, batch_count bigint, "
+                  "prior_batches bigint, prior_avg double, "
+                  "is_anomaly boolean")
+    state_schema = "n bigint, total bigint"
+
+    def track(key, pdfs, state: GroupState):
+        cnt = 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        n, total = state.get if state.exists else (0, 0)
+        prior_avg = (total / n) if n else 0.0
+        state.update((n + 1, total + cnt))
+        yield pd.DataFrame([{
+            "event_type": key[0],
+            "batch_count": cnt,
+            "prior_batches": n,
+            "prior_avg": round(prior_avg, 4),
+            "is_anomaly": bool(n > 0 and cnt > 2 * prior_avg),
+        }])
+
+    agg = (
+        stream
+        .groupBy("event_type")
+        .applyInPandasWithState(track, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )
+    return _run_to_memory(agg, "update")

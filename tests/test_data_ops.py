@@ -78,3 +78,14 @@ def test_ann_bruteforce_sane(spark):
         scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True)
         assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_streaming_stateful_volume_monitor(spark):
+    df = registry.queries()["streaming_stateful_volume"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 5  # one state row per event type
+    total = sum(r.batch_count for r in rows)
+    from selfhealingdatapipeline_gcp_spark import catalog
+    assert total == catalog.load(spark, SF_ORACLE, "events").count()
+    for r in rows:
+        assert r.prior_batches == 0 and not r.is_anomaly
