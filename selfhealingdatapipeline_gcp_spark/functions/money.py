@@ -1,0 +1,84 @@
+"""Exact money arithmetic for cross-engine parity (SURVEY §3).
+
+Summing 2-decimal money as doubles is order-dependent: Spark and the
+DuckDB oracle accumulate in different orders, drift ~1e-8, and
+`round(sum, 2)` flips at a boundary every few thousand groups.
+The fix: convert to exact integer cents BEFORE aggregating —
+integer sums are order-independent and bit-identical everywhere —
+and convert back with a plain division (exact-input, no round()).
+
+Ratio outputs use floor-truncation instead of round(): round() on
+doubles disagrees across engines at .xx5 boundaries (Spark rounds
+the shortest-decimal repr via BigDecimal, DuckDB rounds the binary
+value); floor of bit-identical doubles can never disagree.
+
+Headroom: cents·e2 (the revenue e4 path) bounds at ~9e14 dollars per
+group sum in int64; the e6 charge path at ~9e12. Beyond that, switch
+the accumulator to DECIMAL(38,x) — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: Column) -> Column:
+    """Exact integer cents of a 2-decimal money column.
+    DuckDB twin: CAST(round(x * 100) AS BIGINT)."""
+    return F.round(col * 100, 0).cast("bigint")
+
+
+def sum_money(col: Column) -> Column:
+    """Exact sum of a 2-decimal money column, as dollars (double).
+    DuckDB twin: sum(CAST(round(x*100) AS BIGINT)) / 100.0"""
+    return F.sum(cents(col)) / 100.0
+
+
+def sum_revenue_e4(price: Column, discount: Column) -> Column:
+    """Exact sum of price·(1-discount) — both 2-decimal — as dollars.
+    Per-row term: cents(price)·(100 - cents(discount)) is an exact
+    e4-scaled integer. DuckDB twin:
+    sum(CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS BIGINT))) / 10000.0
+    """
+    return F.sum(cents(price) * (100 - cents(discount))) / 10000.0
+
+
+def sum_charge_e6(price: Column, discount: Column, tax: Column) -> Column:
+    """Exact sum of price·(1-discount)·(1+tax), as dollars (e6 ints).
+    DuckDB twin: sum(... * (100 - ...) * (100 + ...)) / 1000000.0"""
+    return F.sum(cents(price) * (100 - cents(discount))
+                 * (100 + cents(tax))) / 1e6
+
+
+def trunc(col: Column, places: int = 4) -> Column:
+    """Floor-truncation at ``places`` decimals — deterministic across
+    engines for bit-identical inputs (round() is not, at ties).
+    DuckDB twin: floor(x * 1e{places}) / 1e{places}."""
+    scale = float(10 ** places)
+    return F.floor(col * scale) / scale
+
+
+# DuckDB SQL fragment builders (keep the twins next to the exprs)
+
+def sql_cents(expr: str) -> str:
+    return f"CAST(round({expr} * 100) AS BIGINT)"
+
+
+def sql_sum_money(expr: str) -> str:
+    return f"(sum({sql_cents(expr)}) / 100.0)"
+
+
+def sql_sum_revenue(price: str, discount: str) -> str:
+    return (f"(sum({sql_cents(price)} * (100 - {sql_cents(discount)}))"
+            f" / 10000.0)")
+
+
+def sql_sum_charge(price: str, discount: str, tax: str) -> str:
+    return (f"(sum({sql_cents(price)} * (100 - {sql_cents(discount)})"
+            f" * (100 + {sql_cents(tax)})) / 1000000.0)")
+
+
+def sql_trunc(expr: str, places: int = 4) -> str:
+    scale = float(10 ** places)
+    return f"(floor(({expr}) * {scale}) / {scale})"

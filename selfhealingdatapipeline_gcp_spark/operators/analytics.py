@@ -17,8 +17,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-def _revenue():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+from selfhealingdatapipeline_gcp_spark.functions import money
+
+
+def _sum_revenue():
+    """Exact revenue sum (functions/money.py): integer-cents
+    arithmetic, order-independent, oracle-parity-safe."""
+    return money.sum_revenue_e4(F.col("l_extendedprice"), F.col("l_discount"))
 
 
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
@@ -32,22 +37,25 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
         .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: double sums are exact
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.sum("l_discount"), 4).alias("__sum_disc"),
+            # money: exact integer-cents sums (functions/money.py)
+            money.sum_money(F.col("l_extendedprice")).alias("sum_base_price"),
+            _sum_revenue().alias("sum_disc_price"),
+            money.sum_charge_e6(F.col("l_extendedprice"), F.col("l_discount"),
+                                F.col("l_tax")).alias("sum_charge"),
+            (F.sum(money.cents(F.col("l_discount"))) / 100.0).alias("__disc_sum"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        # averages derived from the pre-rounded sums — engine-native
-        # avg() can drift an ulp across engines and flip the rounding
+        # ratios: floor-trunc of bit-identical doubles (round() can
+        # disagree across engines at .xx5 ties)
         .withColumn("avg_qty",
-                    F.round(F.col("sum_qty") / F.col("count_order"), 4))
+                    money.trunc(F.col("sum_qty") / F.col("count_order")))
         .withColumn("avg_price",
-                    F.round(F.col("sum_base_price") / F.col("count_order"), 4))
+                    money.trunc(F.col("sum_base_price") / F.col("count_order")))
         .withColumn("avg_disc",
-                    F.round(F.col("__sum_disc") / F.col("count_order"), 4))
-        .drop("__sum_disc")
+                    money.trunc(F.col("__disc_sum") / F.col("count_order")))
+        .drop("__disc_sum")
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -68,7 +76,7 @@ def q3_shipping_priority(customer: DataFrame, orders: DataFrame,
         .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > cutoff)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_sum_revenue().alias("revenue"))
         .select(
             "l_orderkey", "revenue",
             F.to_date("o_orderdate").alias("orderdate"),
@@ -103,7 +111,7 @@ def q5_regional_revenue(customer: DataFrame, orders: DataFrame,
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == region_name)
         .groupBy("n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_sum_revenue().alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 
@@ -122,7 +130,7 @@ def q10_returned_items(customer: DataFrame, orders: DataFrame,
         .filter(F.col("l_returnflag") == "R")
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(_sum_revenue().alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -214,7 +222,8 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
             & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .agg((F.sum(money.cents(F.col("l_extendedprice"))
+                   * money.cents(F.col("l_discount"))) / 10000.0)
              .alias("revenue_effect"))
     )
 
@@ -222,9 +231,9 @@ def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
 def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """TPC-H Q14 shape: promotion revenue share for one month
     (p_type = 'PROMO'); part broadcast, single conditional agg."""
-    promo = F.when(F.col("p_type") == "PROMO",
-                   F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                   ).otherwise(F.lit(0.0))
+    rev_e4 = (money.cents(F.col("l_extendedprice"))
+              * (100 - money.cents(F.col("l_discount"))))
+    promo_e4 = F.when(F.col("p_type") == "PROMO", rev_e4).otherwise(F.lit(0))
     return (
         lineitem
         .filter(
@@ -234,13 +243,12 @@ def q14_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(F.sum(promo), 2).alias("promo_revenue"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("total_revenue"),
+            (F.sum(promo_e4) / 10000.0).alias("promo_revenue"),
+            (F.sum(rev_e4) / 10000.0).alias("total_revenue"),
         )
         .withColumn(
             "promo_pct",
-            F.round(F.col("promo_revenue") * 100.0 / F.col("total_revenue"), 4))
+            money.trunc(F.col("promo_revenue") * 100.0 / F.col("total_revenue")))
     )
 
 
@@ -296,7 +304,7 @@ def rollup_revenue_region_nation(orders: DataFrame, customer: DataFrame,
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        .agg(money.sum_money(F.col("o_totalprice")).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("region"),
@@ -311,17 +319,17 @@ def revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
     delta (ordered window over the pre-rounded day grain)."""
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money.sum_money(F.col("o_totalprice")).alias("revenue"))
     )
     w_ma = Window.orderBy("d").rowsBetween(-(window_days - 1), 0)
     w_lag = Window.orderBy("d")
     prev = F.lag("revenue", window_days).over(w_lag)
     return daily.select(
         "d", "revenue",
-        F.round(F.avg("revenue").over(w_ma), 4).alias("ma7"),
-        F.round(
+        money.trunc(F.avg("revenue").over(w_ma)).alias("ma7"),
+        money.trunc(
             F.when(prev > 0, (F.col("revenue") - prev) * 100.0 / prev)
-             .otherwise(F.lit(0.0)), 4).alias("wow_pct"),
+             .otherwise(F.lit(0.0))).alias("wow_pct"),
     )
 
 
@@ -333,7 +341,7 @@ def user_activity_summary(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money.sum_money(F.col("value")).alias("total_value"),
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
@@ -346,4 +354,70 @@ def user_activity_summary(events: DataFrame) -> DataFrame:
             "lifespan_s",
             F.round((F.unix_micros("last_seen") - F.unix_micros("first_seen"))
                     / 1e6, 6))
+    )
+
+
+def q7_nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
+                           orders: DataFrame, customer: DataFrame,
+                           nation: DataFrame) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between (supplier nation,
+    customer nation) pairs per year. nation broadcast twice under
+    different aliases; facts shuffle on their natural keys."""
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    return (
+        lineitem
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(money.sum_revenue_e4(F.col("l_extendedprice"),
+                                 F.col("l_discount")).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_brand_market_share(lineitem: DataFrame, part: DataFrame,
+                          orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          brand: str = "Brand#1",
+                          region_name: str = "ASIA") -> DataFrame:
+    """TPC-H Q8 shape: one brand's share of a region's yearly revenue
+    (conditional agg over the dim-enriched fact)."""
+    rev_e4 = (money.cents(F.col("l_extendedprice"))
+              * (100 - money.cents(F.col("l_discount"))))
+    brand_e4 = F.when(F.col("p_brand") == brand, rev_e4).otherwise(F.lit(0))
+    return (
+        lineitem
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == region_name)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(brand_e4) / 10000.0).alias("brand_revenue"),
+            (F.sum(rev_e4) / 10000.0).alias("total_revenue"),
+        )
+        .withColumn(
+            "market_share_pct",
+            money.trunc(F.col("brand_revenue") * 100.0
+                        / F.col("total_revenue")))
+        .orderBy("o_year")
     )

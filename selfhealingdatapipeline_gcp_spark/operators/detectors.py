@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from selfhealingdatapipeline_gcp_spark.functions import money
+
 
 def _with_anchor(df: DataFrame, col: str, alias: str = "anchor") -> DataFrame:
     """Cross-join the table's max(col) as a broadcast scalar."""
@@ -40,7 +42,7 @@ def revenue_daily(orders: DataFrame) -> DataFrame:
         orders
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money.sum_money(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_txn"),
         )
     )
@@ -56,31 +58,42 @@ def revenue_anomaly(orders: DataFrame,
     One shuffle to daily grain, then a single ordered window — the
     day-grain relation is tiny at any SF, so the window never skews.
     """
+    # Exact integer-cents grain; the window keeps INTEGER sums
+    # (sum, sum-of-squares, count) and derives avg/std arithmetically:
+    # engine-native windowed avg()/stddev() accumulate doubles in
+    # engine-specific order and drift an ulp even on identical inputs.
+    # int64 bound: daily cents² · 31 days stays < 2^63 up to ~sf1;
+    # switch the accumulator to DECIMAL beyond that.
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
-        # pre-round the daily grain so both engines window over
-        # bit-identical inputs (SURVEY §3 determinism policy)
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
     )
     w = Window.orderBy("d").rowsBetween(-30, -1)
     base = (
         daily
-        .withColumn("baseline_avg", F.avg("rev").over(w))
-        .withColumn("baseline_std", F.stddev_samp("rev").over(w))
-        .withColumn("n_hist", F.count("rev").over(w))
+        .withColumn("sum_c", F.sum("rev_c").over(w))
+        .withColumn("sumsq_c", F.sum(F.col("rev_c") * F.col("rev_c")).over(w))
+        .withColumn("n_hist", F.count("rev_c").over(w))
     )
-    z = F.when(F.col("baseline_std") > 0,
-               (F.col("rev") - F.col("baseline_avg")) / F.col("baseline_std")
-               ).otherwise(F.lit(0.0))
+    n = F.col("n_hist").cast("double")
+    sum_d = F.col("sum_c").cast("double")
+    avg_dollars = sum_d / n / 100.0
+    var_c = F.greatest(
+        (F.col("sumsq_c").cast("double") - sum_d * sum_d / n) / (n - 1),
+        F.lit(0.0))
+    std_dollars = F.sqrt(var_c) / 100.0
+    rev_dollars = F.col("rev_c") / 100.0
+    z = F.when(std_dollars > 0,
+               (rev_dollars - avg_dollars) / std_dollars).otherwise(F.lit(0.0))
     return (
         base
         .filter(F.col("n_hist") >= min_history)
         .select(
             "d",
-            F.round("rev", 2).alias("revenue"),
-            F.round("baseline_avg", 4).alias("baseline_avg"),
-            F.round("baseline_std", 4).alias("baseline_std"),
-            F.round(z, 4).alias("z_score"),
+            rev_dollars.alias("revenue"),
+            money.trunc(avg_dollars).alias("baseline_avg"),
+            money.trunc(std_dollars).alias("baseline_std"),
+            money.trunc(z).alias("z_score"),
             (F.abs(z) > z_threshold).alias("is_anomaly"),
         )
     )
@@ -111,14 +124,12 @@ def revenue_breakdown(orders: DataFrame, lineitem: DataFrame,
         .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("transaction_count"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            money.sum_revenue_e4(F.col("l_extendedprice"), F.col("l_discount"))
              .alias("category_revenue"),
         )
-        # avg derived from the already-rounded sum: oracle-parity-safe
-        # (engine-native avg() can drift an ulp and flip the rounding).
         .withColumn(
             "avg_transaction_value",
-            F.round(F.col("category_revenue") / F.col("transaction_count"), 4))
+            money.trunc(F.col("category_revenue") / F.col("transaction_count")))
         .orderBy(F.desc("category_revenue"), "region", "brand")
         .limit(top_n)
     )
@@ -146,26 +157,36 @@ def transaction_volume_anomaly(events: DataFrame,
         .groupBy("d", "h", "anchor_day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # exact integer sums → derived avg/std (engine-native stddev
+    # accumulation differs at ulp level; see revenue_anomaly)
     baseline = (
         by_hour.filter(F.col("d") < F.col("anchor_day"))
         .groupBy("h")
         .agg(
-            F.avg("cnt").alias("base_avg"),
-            F.stddev_samp("cnt").alias("base_std"),
+            F.sum("cnt").alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+            F.count(F.lit(1)).alias("nb"),
         )
     )
+    nb = F.col("nb").cast("double")
+    s1 = F.col("s1").cast("double")
+    base_avg = s1 / nb
+    base_std = F.when(
+        F.col("nb") > 1,
+        F.sqrt(F.greatest(
+            (F.col("s2").cast("double") - s1 * s1 / nb) / (nb - 1),
+            F.lit(0.0))))
     current = by_hour.filter(F.col("d") == F.col("anchor_day"))
-    z = F.when(F.col("base_std") > 0,
-               (F.col("cnt") - F.col("base_avg")) / F.col("base_std")
-               ).otherwise(F.lit(0.0))
+    z = F.when(base_std > 0,
+               (F.col("cnt") - base_avg) / base_std).otherwise(F.lit(0.0))
     return (
         current.join(F.broadcast(baseline), "h")
         .select(
             F.col("h").alias("hour"),
             F.col("cnt").alias("txn_count"),
-            F.round("base_avg", 4).alias("baseline_avg"),
-            F.round("base_std", 4).alias("baseline_std"),
-            F.round(z, 4).alias("z_score"),
+            money.trunc(base_avg).alias("baseline_avg"),
+            money.trunc(base_std).alias("baseline_std"),
+            money.trunc(z).alias("z_score"),
             (F.abs(z) > z_threshold).alias("is_anomaly"),
         )
     )
@@ -203,9 +224,9 @@ def _pattern_break(counts_by_day: DataFrame, key: str,
     ).otherwise(F.lit(0.0))
     return agg.select(
         key,
-        F.round("recent_daily", 4).alias("recent_daily"),
-        F.round("baseline_daily", 4).alias("baseline_daily"),
-        F.round(dev, 4).alias("deviation_pct"),
+        money.trunc(F.col("recent_daily")).alias("recent_daily"),
+        money.trunc(F.col("baseline_daily")).alias("baseline_daily"),
+        money.trunc(dev).alias("deviation_pct"),
         (F.abs(dev) > break_pct).alias("is_break"),
     )
 
@@ -282,8 +303,8 @@ def reconciliation_orders_lineitem(orders: DataFrame, lineitem: DataFrame,
             "d",
             "n_source",
             n_dest.alias("n_dest"),
-            F.round((F.col("n_source") - n_dest) * 100.0 / F.col("n_source"), 4)
-             .alias("discrepancy_pct"),
+            money.trunc((F.col("n_source") - n_dest) * 100.0
+                        / F.col("n_source")).alias("discrepancy_pct"),
             (F.col("n_source") != n_dest).alias("is_mismatch"),
         )
     )
@@ -310,7 +331,7 @@ def freshness_check(events: DataFrame, max_age_minutes: float = 60.0) -> DataFra
         .select(
             "source",
             "last_update",
-            F.round(age_min, 4).alias("age_minutes"),
+            money.trunc(age_min).alias("age_minutes"),
             (age_min > max_age_minutes).alias("is_stale"),
         )
     )
@@ -370,9 +391,9 @@ def sla_processing_velocity(events: DataFrame,
     velocity = F.col("n_24h") / 24.0
     projected = F.when(velocity > 0, F.col("backlog_1h") / velocity).otherwise(F.lit(0.0))
     return agg.select(
-        F.round(velocity, 4).alias("velocity_per_hour"),
+        money.trunc(velocity).alias("velocity_per_hour"),
         F.col("backlog_1h"),
-        F.round(projected, 4).alias("projected_hours"),
+        money.trunc(projected).alias("projected_hours"),
         (projected > sla_hours).alias("sla_breach"),
     )
 
@@ -405,9 +426,9 @@ def quality_null_trend(events: DataFrame,
             f"stack({len(columns)}, {stack_expr}) AS (col_name, today_null_pct, baseline_null_pct)")
         .select(
             "col_name",
-            F.round("today_null_pct", 4).alias("today_null_pct"),
-            F.round("baseline_null_pct", 4).alias("baseline_null_pct"),
-            F.round(F.col("today_null_pct") - F.col("baseline_null_pct"), 4)
+            money.trunc(F.col("today_null_pct")).alias("today_null_pct"),
+            money.trunc(F.col("baseline_null_pct")).alias("baseline_null_pct"),
+            money.trunc(F.col("today_null_pct") - F.col("baseline_null_pct"))
              .alias("delta_pct"),
         )
     )
@@ -433,7 +454,7 @@ def quality_duplicate_trend(events: DataFrame, window_days: int = 14) -> DataFra
             "d",
             "n_rows",
             (F.col("n_rows") - F.col("n_distinct")).alias("n_dup"),
-            F.round((F.col("n_rows") - F.col("n_distinct")) * 100.0
-                    / F.col("n_rows"), 4).alias("dup_pct"),
+            money.trunc((F.col("n_rows") - F.col("n_distinct")) * 100.0
+                        / F.col("n_rows")).alias("dup_pct"),
         )
     )

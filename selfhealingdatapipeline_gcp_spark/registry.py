@@ -60,18 +60,26 @@ def _register_analytics() -> None:
         lambda spark, sf: analytics.q1_pricing_summary(
             *_t(spark, sf, "lineitem")),
         """
-        SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2)  AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
-               round(round(sum(l_extendedprice), 2) / count(*), 4) AS avg_price,
-               round(round(sum(l_discount), 4) / count(*), 4) AS avg_disc,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
+        WITH agg AS (
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) AS sum_base_price,
+                 (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS sum_disc_price,
+                 (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                  / 1000000.0) AS sum_charge,
+                 (sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0) AS disc_sum,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+               sum_disc_price, sum_charge,
+               (floor((sum_qty / count_order) * 10000.0) / 10000.0) AS avg_qty,
+               (floor((sum_base_price / count_order) * 10000.0) / 10000.0) AS avg_price,
+               (floor((disc_sum / count_order) * 10000.0) / 10000.0) AS avg_disc,
+               count_order
+        FROM agg
         ORDER BY l_returnflag, l_linestatus
         """,
     )
@@ -81,7 +89,7 @@ def _register_analytics() -> None:
             *_t(spark, sf, "customer", "orders", "lineitem")),
         """
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS revenue,
                CAST(o_orderdate AS DATE) AS orderdate,
                o_orderpriority
         FROM customer
@@ -102,7 +110,7 @@ def _register_analytics() -> None:
                 "supplier", "nation", "region")),
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -122,7 +130,7 @@ def _register_analytics() -> None:
             *_t(spark, sf, "customer", "orders", "lineitem", "nation")),
         """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS revenue
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey

@@ -18,38 +18,17 @@ register(
     lambda spark, sf: detectors.revenue_daily(*_t(spark, sf, "orders")),
     """
     SELECT CAST(o_orderdate AS DATE) AS d,
-           round(sum(o_totalprice), 2) AS revenue,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue,
            count(*) AS n_txn
     FROM orders
     GROUP BY 1
     """,
 )
 
-_Z = "CASE WHEN baseline_std > 0 THEN (rev - baseline_avg) / baseline_std ELSE 0.0 END"
 register(
     "revenue_anomaly",
     lambda spark, sf: detectors.revenue_anomaly(*_t(spark, sf, "orders")),
-    f"""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 2) AS rev
-      FROM orders GROUP BY 1
-    ), win AS (
-      SELECT d, rev,
-             avg(rev)         OVER w AS baseline_avg,
-             stddev_samp(rev) OVER w AS baseline_std,
-             count(rev)       OVER w AS n_hist
-      FROM daily
-      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
-    )
-    SELECT d,
-           round(rev, 2) AS revenue,
-           round(baseline_avg, 4) AS baseline_avg,
-           round(baseline_std, 4) AS baseline_std,
-           round({_Z}, 4) AS z_score,
-           (abs({_Z}) > 2.5) AS is_anomaly
-    FROM win
-    WHERE n_hist >= 7
-    """,
+    '\n    WITH daily AS (\n      SELECT CAST(o_orderdate AS DATE) AS d,\n             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c\n      FROM orders GROUP BY 1\n    ), win AS (\n      SELECT d, rev_c,\n             CAST(sum(rev_c)         OVER w AS DOUBLE) AS sum_c,\n             CAST(sum(rev_c * rev_c) OVER w AS DOUBLE) AS sumsq_c,\n             CAST(count(rev_c)       OVER w AS DOUBLE) AS n_hist\n      FROM daily\n      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)\n    )\n    SELECT d,\n           (rev_c / 100.0) AS revenue,\n           (floor(((sum_c / n_hist / 100.0)) * 10000.0) / 10000.0) AS baseline_avg,\n           (floor(((sqrt(greatest((sumsq_c - sum_c * sum_c / n_hist) / (n_hist - 1), 0.0)) / 100.0)) * 10000.0) / 10000.0) AS baseline_std,\n           (floor((CASE WHEN (sqrt(greatest((sumsq_c - sum_c * sum_c / n_hist) / (n_hist - 1), 0.0)) / 100.0) > 0 THEN ((rev_c / 100.0) - (sum_c / n_hist / 100.0)) / (sqrt(greatest((sumsq_c - sum_c * sum_c / n_hist) / (n_hist - 1), 0.0)) / 100.0) ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,\n           (abs(CASE WHEN (sqrt(greatest((sumsq_c - sum_c * sum_c / n_hist) / (n_hist - 1), 0.0)) / 100.0) > 0 THEN ((rev_c / 100.0) - (sum_c / n_hist / 100.0)) / (sqrt(greatest((sumsq_c - sum_c * sum_c / n_hist) / (n_hist - 1), 0.0)) / 100.0) ELSE 0.0 END) > 2.5) AS is_anomaly\n    FROM win\n    WHERE n_hist >= 7\n    ',
 )
 
 register(
@@ -60,8 +39,8 @@ register(
     """
     SELECT r_name AS region, p_brand AS brand,
            count(*) AS transaction_count,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS category_revenue,
-           round(round(sum(l_extendedprice * (1 - l_discount)), 2) / count(*), 4)
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS category_revenue,
+           (floor(((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) / count(*)) * 10000.0) / 10000.0)
              AS avg_transaction_value
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -76,31 +55,11 @@ register(
     """,
 )
 
-_TZ = "CASE WHEN base_std > 0 THEN (cnt - base_avg) / base_std ELSE 0.0 END"
 register(
     "transaction_volume_anomaly",
     lambda spark, sf: detectors.transaction_volume_anomaly(
         *_t(spark, sf, "events")),
-    f"""
-    WITH hourly AS (
-      SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,
-             count(*) AS cnt
-      FROM events GROUP BY 1, 2
-    ), a AS (
-      SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events
-    ), baseline AS (
-      SELECT h, avg(cnt) AS base_avg, stddev_samp(cnt) AS base_std
-      FROM hourly, a WHERE d < anchor_day GROUP BY h
-    )
-    SELECT c.h AS hour, c.cnt AS txn_count,
-           round(base_avg, 4) AS baseline_avg,
-           round(base_std, 4) AS baseline_std,
-           round({_TZ}, 4) AS z_score,
-           (abs({_TZ}) > 2.5) AS is_anomaly
-    FROM hourly c, a
-    JOIN baseline ON c.h = baseline.h
-    WHERE c.d = anchor_day
-    """,
+    '\n    WITH hourly AS (\n      SELECT CAST(ts AS DATE) AS d, CAST(extract(hour FROM ts) AS INT) AS h,\n             count(*) AS cnt\n      FROM events GROUP BY 1, 2\n    ), a AS (\n      SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events\n    ), baseline AS (\n      SELECT h,\n             CAST(sum(cnt) AS DOUBLE) AS s1,\n             CAST(sum(cnt * cnt) AS DOUBLE) AS s2,\n             CAST(count(*) AS DOUBLE) AS nb\n      FROM hourly, a WHERE d < anchor_day GROUP BY h\n    )\n    SELECT c.h AS hour, c.cnt AS txn_count,\n           (floor(((s1 / nb)) * 10000.0) / 10000.0) AS baseline_avg,\n           (floor(((CASE WHEN nb > 1 THEN sqrt(greatest((s2 - s1 * s1 / nb) / (nb - 1), 0.0)) END)) * 10000.0) / 10000.0) AS baseline_std,\n           (floor((CASE WHEN (CASE WHEN nb > 1 THEN sqrt(greatest((s2 - s1 * s1 / nb) / (nb - 1), 0.0)) END) > 0 THEN (c.cnt - (s1 / nb)) / (CASE WHEN nb > 1 THEN sqrt(greatest((s2 - s1 * s1 / nb) / (nb - 1), 0.0)) END) ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,\n           (abs(CASE WHEN (CASE WHEN nb > 1 THEN sqrt(greatest((s2 - s1 * s1 / nb) / (nb - 1), 0.0)) END) > 0 THEN (c.cnt - (s1 / nb)) / (CASE WHEN nb > 1 THEN sqrt(greatest((s2 - s1 * s1 / nb) / (nb - 1), 0.0)) END) ELSE 0.0 END) > 2.5) AS is_anomaly\n    FROM hourly c, a\n    JOIN baseline ON c.h = baseline.h\n    WHERE c.d = anchor_day\n    ',
 )
 
 _DEV = ("CASE WHEN baseline_daily > 0 THEN "
@@ -128,9 +87,9 @@ register(
       GROUP BY region
     )
     SELECT region,
-           round(recent_daily, 4)   AS recent_daily,
-           round(baseline_daily, 4) AS baseline_daily,
-           round({_DEV}, 4) AS deviation_pct,
+           (floor((recent_daily) * 10000.0) / 10000.0) AS recent_daily,
+           (floor((baseline_daily) * 10000.0) / 10000.0) AS baseline_daily,
+           (floor(({_DEV}) * 10000.0) / 10000.0) AS deviation_pct,
            (abs({_DEV}) > 50.0) AS is_break
     FROM agg
     """,
@@ -156,9 +115,9 @@ register(
       GROUP BY brand
     )
     SELECT brand,
-           round(recent_daily, 4)   AS recent_daily,
-           round(baseline_daily, 4) AS baseline_daily,
-           round({_DEV}, 4) AS deviation_pct,
+           (floor((recent_daily) * 10000.0) / 10000.0) AS recent_daily,
+           (floor((baseline_daily) * 10000.0) / 10000.0) AS baseline_daily,
+           (floor(({_DEV}) * 10000.0) / 10000.0) AS deviation_pct,
            (abs({_DEV}) > 50.0) AS is_break
     FROM agg
     """,
@@ -182,7 +141,7 @@ register(
     )
     SELECT src.d, n_source,
            coalesce(n_dest, 0) AS n_dest,
-           round((n_source - coalesce(n_dest, 0)) * 100.0 / n_source, 4)
+           (floor(((n_source - coalesce(n_dest, 0)) * 100.0 / n_source) * 10000.0) / 10000.0)
              AS discrepancy_pct,
            (n_source != coalesce(n_dest, 0)) AS is_mismatch
     FROM src LEFT JOIN m ON src.d = m.d
@@ -198,7 +157,7 @@ register(
       FROM events GROUP BY 1
     ), g AS (SELECT max(ts) AS now_ts FROM events)
     SELECT source, last_update,
-           round((epoch_us(now_ts) - epoch_us(last_update)) / 60000000.0, 4)
+           (floor(((epoch_us(now_ts) - epoch_us(last_update)) / 60000000.0) * 10000.0) / 10000.0)
              AS age_minutes,
            ((epoch_us(now_ts) - epoch_us(last_update)) / 60000000.0 > 60.0)
              AS is_stale
@@ -239,10 +198,9 @@ register(
         sum(CASE WHEN ts > now_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS backlog_1h
       FROM events, g
     )
-    SELECT round(n_24h / 24.0, 4) AS velocity_per_hour,
+    SELECT (floor((n_24h / 24.0) * 10000.0) / 10000.0) AS velocity_per_hour,
            backlog_1h,
-           round(CASE WHEN n_24h / 24.0 > 0
-                      THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END, 4)
+           (floor((CASE WHEN n_24h / 24.0 > 0 THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END) * 10000.0) / 10000.0)
              AS projected_hours,
            (CASE WHEN n_24h / 24.0 > 0
                  THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END > 4.0)
@@ -273,9 +231,9 @@ register(
       SELECT 'props', props_today, props_base FROM w
     )
     SELECT col_name,
-           round(t, 4) AS today_null_pct,
-           round(b, 4) AS baseline_null_pct,
-           round(t - b, 4) AS delta_pct
+           (floor((t) * 10000.0) / 10000.0) AS today_null_pct,
+           (floor((b) * 10000.0) / 10000.0) AS baseline_null_pct,
+           (floor((t - b) * 10000.0) / 10000.0) AS delta_pct
     FROM long
     """,
 )
@@ -288,8 +246,7 @@ register(
     SELECT CAST(ts AS DATE) AS d,
            count(*) AS n_rows,
            count(*) - count(DISTINCT (user_id, event_type, value)) AS n_dup,
-           round((count(*) - count(DISTINCT (user_id, event_type, value)))
-                 * 100.0 / count(*), 4) AS dup_pct
+           (floor(((count(*) - count(DISTINCT (user_id, event_type, value))) * 100.0 / count(*)) * 10000.0) / 10000.0) AS dup_pct
     FROM events
     WHERE CAST(ts AS DATE) >
           CAST((SELECT max(ts) FROM events) - INTERVAL 14 DAY AS DATE)

@@ -19,7 +19,7 @@ register(
     "q6_forecast_revenue",
     lambda spark, sf: analytics.q6_forecast_revenue(*_t(spark, sf, "lineitem")),
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_effect
+    SELECT (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0) AS revenue_effect
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -35,16 +35,16 @@ register(
     """
     WITH agg AS (
       SELECT
-        round(sum(CASE WHEN p_type = 'PROMO'
-                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+        (sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) / 10000.0)
           AS promo_revenue,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
     )
     SELECT promo_revenue, total_revenue,
-           round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct
+           (floor((promo_revenue * 100.0 / total_revenue) * 10000.0) / 10000.0) AS promo_pct
     FROM agg
     """,
 )
@@ -93,7 +93,7 @@ register(
     """
     SELECT coalesce(r_name, 'ALL') AS region,
            coalesce(n_name, 'ALL') AS nation,
-           round(sum(o_totalprice), 2) AS revenue,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -109,7 +109,7 @@ register(
     """
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             round(sum(o_totalprice), 2) AS revenue
+             (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue
       FROM orders GROUP BY 1
     ), win AS (
       SELECT d, revenue,
@@ -119,10 +119,10 @@ register(
       FROM daily
     )
     SELECT d, revenue,
-           round(ma7_raw, 4) AS ma7,
-           round(CASE WHEN prev > 0
-                 THEN (revenue - prev) * 100.0 / prev ELSE 0.0 END, 4)
-             AS wow_pct
+           (floor(ma7_raw * 10000.0) / 10000.0) AS ma7,
+           (floor((CASE WHEN prev > 0
+                   THEN (revenue - prev) * 100.0 / prev ELSE 0.0 END)
+                  * 10000.0) / 10000.0) AS wow_pct
     FROM win
     """,
 )
@@ -134,7 +134,7 @@ register(
     SELECT user_id,
            count(*) AS n_events,
            count(DISTINCT event_type) AS n_types,
-           round(sum(value), 2) AS total_value,
+           (sum(CAST(round(value * 100) AS BIGINT)) / 100.0) AS total_value,
            min(ts) AS first_seen,
            max(ts) AS last_seen,
            sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -182,5 +182,56 @@ register(
     ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts > c.ts
+    """,
+)
+
+register(
+    "q7_nation_trade_volume",
+    lambda spark, sf: analytics.q7_nation_trade_volume(
+        *_t(spark, sf, "supplier", "lineitem", "orders", "customer",
+            "nation")),
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+
+register(
+    "q8_brand_market_share",
+    lambda spark, sf: analytics.q8_brand_market_share(
+        *_t(spark, sf, "lineitem", "part", "orders", "customer",
+            "nation", "region")),
+    """
+    WITH agg AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             (sum(CASE WHEN p_brand = 'Brand#1'
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) / 10000.0)
+               AS brand_revenue,
+             (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS total_revenue
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1
+    )
+    SELECT o_year, brand_revenue, total_revenue,
+           (floor((brand_revenue * 100.0 / total_revenue) * 10000.0)
+            / 10000.0) AS market_share_pct
+    FROM agg
+    ORDER BY o_year
     """,
 )

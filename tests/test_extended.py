@@ -39,3 +39,11 @@ def test_asof_semantics(spark):
         if r.prev_click_ts is not None:
             assert r.prev_click_ts < r.ts
             assert r.gap_s > 0
+
+
+@pytest.mark.parametrize("name", ["q7_nation_trade_volume",
+                                  "q8_brand_market_share"])
+def test_parity_q7_q8(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
