@@ -112,7 +112,8 @@ def dedup_ngram_jaccard(documents: DataFrame,
     return (
         pairs
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b",
+                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -123,14 +123,18 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label corpus stats (vector aggregates over the scan)."""
     n = _with_norms(embeddings)
+    # norms scaled to exact integer micro-units before summing:
+    # double sums are order-dependent across engines (SURVEY §3)
     return (
         n.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.max(F.size("v")).alias("dim"),
-            F.round(F.sum(F.round(F.col("nrm"), 6)), 4).alias("sum_norm"),
+            F.sum(F.floor(F.col("nrm") * 1e6).cast("bigint")).alias("__norm_u"),
         )
+        .withColumn("sum_norm", F.col("__norm_u") / 1e6)
         .withColumn("avg_norm",
-                    F.round(F.col("sum_norm") / F.col("n_vecs"), 4))
+                    F.floor(F.col("__norm_u") / F.col("n_vecs")) / 1e6)
+        .drop("__norm_u")
         .orderBy("label")
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from selfhealingdatapipeline_gcp_spark.functions import textfn
+from selfhealingdatapipeline_gcp_spark.functions import money, textfn
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
@@ -54,9 +54,9 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
     return d.select(
         "doc_id",
         n.alias("n_tokens"),
-        F.round(mean_len, 4).alias("mean_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        money.trunc(mean_len).alias("mean_token_len"),
+        money.trunc(stop_ratio).alias("stopword_ratio"),
+        money.trunc(score).alias("quality_score"),
     )
 
 
@@ -75,7 +75,7 @@ def text_language_id(documents: DataFrame) -> DataFrame:
         s = scores[lang]
         pred = F.when(s >= best, F.lit(lang)).otherwise(pred)
         best = F.when(s >= best, s).otherwise(best)
-    cols = [F.round(scores[lang], 4).alias(f"score_{lang}") for lang in langs]
+    cols = [money.trunc(scores[lang]).alias(f"score_{lang}") for lang in langs]
     return d.select("doc_id", *cols,
                     F.when(best <= 0.0, F.lit("unknown")).otherwise(pred)
                      .alias("predicted_lang"))

@@ -72,7 +72,8 @@ register(
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS jaccard
+           (floor((n_common * 1.0 / (n_a + n_b - n_common)) * 1000000.0)
+            / 1000000.0) AS jaccard
     FROM pairs
     WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
     ORDER BY doc_a, doc_b
@@ -233,8 +234,9 @@ register(
     WITH n AS ({_EMB_NORMED})
     SELECT label, count(*) AS n_vecs,
            max(len(v)) AS dim,
-           round(sum(round(nrm, 6)), 4) AS sum_norm,
-           round(round(sum(round(nrm, 6)), 4) / count(*), 4) AS avg_norm
+           (sum(CAST(floor(nrm * 1000000.0) AS BIGINT)) / 1000000.0) AS sum_norm,
+           (floor(sum(CAST(floor(nrm * 1000000.0) AS BIGINT)) / count(*)) / 1000000.0)
+             AS avg_norm
     FROM n GROUP BY label ORDER BY label
     """,
 )
@@ -279,11 +281,12 @@ register(
     )
     SELECT doc_id,
            n AS n_tokens,
-           round(mean_len, 4) AS mean_token_len,
-           round(stop_ratio, 4) AS stopword_ratio,
-           round(0.5 * len_score + 0.3 * stop_ratio
-                 + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
-                          THEN 1.0 ELSE 0.0 END), 4) AS quality_score
+           (floor(mean_len * 10000.0) / 10000.0) AS mean_token_len,
+           (floor(stop_ratio * 10000.0) / 10000.0) AS stopword_ratio,
+           (floor((0.5 * len_score + 0.3 * stop_ratio
+                   + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
+                            THEN 1.0 ELSE 0.0 END)) * 10000.0) / 10000.0)
+             AS quality_score
     FROM g
     """,
 )
@@ -309,10 +312,10 @@ register(
       FROM d
     )
     SELECT doc_id,
-           round(s_en, 4) AS score_en,
-           round(s_de, 4) AS score_de,
-           round(s_es, 4) AS score_es,
-           round(s_fr, 4) AS score_fr,
+           (floor(s_en * 10000.0) / 10000.0) AS score_en,
+           (floor(s_de * 10000.0) / 10000.0) AS score_de,
+           (floor(s_es * 10000.0) / 10000.0) AS score_es,
+           (floor(s_fr * 10000.0) / 10000.0) AS score_fr,
            CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0.0 THEN 'unknown'
                 WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
