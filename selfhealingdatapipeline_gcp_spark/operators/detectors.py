@@ -58,30 +58,36 @@ def revenue_anomaly(orders: DataFrame,
     One shuffle to daily grain, then a single ordered window — the
     day-grain relation is tiny at any SF, so the window never skews.
     """
-    # Exact integer-cents grain; the window keeps INTEGER sums
-    # (sum, sum-of-squares, count) and derives avg/std arithmetically:
+    # Exact integer grain; the window keeps INTEGER sums (sum,
+    # sum-of-squares, count) and derives avg/std arithmetically:
     # engine-native windowed avg()/stddev() accumulate doubles in
     # engine-specific order and drift an ulp even on identical inputs.
-    # int64 bound: daily cents² · 31 days stays < 2^63 up to ~sf1;
-    # switch the accumulator to DECIMAL beyond that.
+    # The variance accumulator uses WHOLE-DOLLAR integers (cents² ·
+    # 31 days overflows int64 past ~sf0.05; dollars² holds to ~sf50 —
+    # ANSI mode throws on overflow rather than corrupting).
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+        # exact whole-dollar value: (k·100)/100 is exact in IEEE
+        .withColumn(
+            "rev_usd",
+            ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(100))) / 100)
+            .cast("bigint"))
     )
     w = Window.orderBy("d").rowsBetween(-30, -1)
     base = (
         daily
-        .withColumn("sum_c", F.sum("rev_c").over(w))
-        .withColumn("sumsq_c", F.sum(F.col("rev_c") * F.col("rev_c")).over(w))
-        .withColumn("n_hist", F.count("rev_c").over(w))
+        .withColumn("sum_u", F.sum("rev_usd").over(w))
+        .withColumn("sumsq_u", F.sum(F.col("rev_usd") * F.col("rev_usd")).over(w))
+        .withColumn("n_hist", F.count("rev_usd").over(w))
     )
     n = F.col("n_hist").cast("double")
-    sum_d = F.col("sum_c").cast("double")
-    avg_dollars = sum_d / n / 100.0
-    var_c = F.greatest(
-        (F.col("sumsq_c").cast("double") - sum_d * sum_d / n) / (n - 1),
+    sum_d = F.col("sum_u").cast("double")
+    avg_dollars = sum_d / n
+    var_u = F.greatest(
+        (F.col("sumsq_u").cast("double") - sum_d * sum_d / n) / (n - 1),
         F.lit(0.0))
-    std_dollars = F.sqrt(var_c) / 100.0
+    std_dollars = F.sqrt(var_u)
     rev_dollars = F.col("rev_c") / 100.0
     z = F.when(std_dollars > 0,
                (rev_dollars - avg_dollars) / std_dollars).otherwise(F.lit(0.0))
