@@ -421,3 +421,38 @@ def q8_brand_market_share(lineitem: DataFrame, part: DataFrame,
                         / F.col("total_revenue")))
         .orderBy("o_year")
     )
+
+
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles of event value per type (Spark percentile()
+    and DuckDB quantile_cont share linear interpolation — verified
+    bit-identical). Exact percentile = full sort per group; use
+    approx_distinct_stats for the sketch path at scale."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_stats(events: DataFrame) -> DataFrame:
+    """Sketch-based aggregates (the 100 TB path): HyperLogLog++
+    distinct counts and approximate percentiles — constant memory per
+    group vs full sort/set. Rows-only check (sketches are
+    engine-specific by nature); exact twins sit alongside for error
+    inspection."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.percentile_approx("value", 0.9, 1000).alias("approx_p90"),
+        )
+        .orderBy("event_type")
+    )

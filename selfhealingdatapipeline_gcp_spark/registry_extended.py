@@ -235,3 +235,28 @@ register(
     ORDER BY o_year
     """,
 )
+
+register(
+    "event_value_percentiles",
+    lambda spark, sf: analytics.event_value_percentiles(
+        *_t(spark, sf, "events")),
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+register(
+    "approx_distinct_stats",
+    lambda spark, sf: analytics.approx_distinct_stats(
+        *_t(spark, sf, "events")),
+    # sketches (HLL++, KLL) are engine-specific — rows-only check
+    None,
+)

@@ -47,3 +47,17 @@ def test_parity_q7_q8(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_parity_percentiles(spark, duck):
+    q = registry.queries()["event_value_percentiles"]
+    sql = registry.oracle_sql()["event_value_percentiles"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_approx_distinct_close_to_exact(spark):
+    rows = registry.queries()["approx_distinct_stats"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
