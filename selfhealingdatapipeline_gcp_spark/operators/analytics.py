@@ -456,3 +456,96 @@ def approx_distinct_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def parts_supplier_stats(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type,
+    size) bucket, observed through lineitem. Distinct-agg shuffles on
+    the group key; part stays broadcast."""
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                               brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17 shape: revenue locked in small-quantity orders of one
+    brand — lines with quantity < 20% of that part's average.
+
+    The per-part average is a window over the part key (one shuffle),
+    not a correlated subquery re-scan."""
+    w = Window.partitionBy("l_partkey")
+    lines = (
+        lineitem
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("p_brand") == brand)
+        # quantities are integer-valued: the window sum/count is exact
+        .withColumn("part_qty_sum", F.sum("l_quantity").over(w))
+        .withColumn("part_qty_n", F.count(F.lit(1)).over(w))
+    )
+    threshold = 0.2 * (F.col("part_qty_sum") / F.col("part_qty_n"))
+    from selfhealingdatapipeline_gcp_spark.functions import money as _m
+    return (
+        lines
+        .filter(F.col("l_quantity") < threshold)
+        .agg(
+            (F.sum(_m.cents(F.col("l_extendedprice"))) / 100.0 / 7.0)
+            .alias("avg_yearly_raw"))
+        .select(
+            F.floor(F.col("avg_yearly_raw") * 100.0).cast("bigint")
+             .alias("avg_yearly_cents"))
+    )
+
+
+def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
+    """Per-user conversion funnel: earliest view → first later click →
+    first later purchase; counts per completed stage.
+
+    One shuffle on user_id; stage ordering enforced by conditional
+    min-timestamps (no self-joins, no per-user loops)."""
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+             .alias("view_ts"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+    )
+    first_click = (
+        per_user.join(clicks, "user_id", "left")
+        .filter(F.col("c_ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("c_ts").alias("click_ts"))
+    )
+    first_purchase = (
+        first_click.join(purchases, "user_id", "left")
+        .filter(F.col("p_ts") > F.col("click_ts"))
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    viewed = per_user.filter(F.col("view_ts").isNotNull())
+    return (
+        viewed.select(F.lit("1_view").alias("stage"),
+                      F.col("user_id"))
+        .unionByName(first_click.select(F.lit("2_click").alias("stage"),
+                                        F.col("user_id")))
+        .unionByName(first_purchase.select(F.lit("3_purchase").alias("stage"),
+                                           F.col("user_id")))
+        .groupBy("stage")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("stage")
+    )

@@ -260,3 +260,72 @@ register(
     # sketches (HLL++, KLL) are engine-specific — rows-only check
     None,
 )
+
+register(
+    "parts_supplier_stats",
+    lambda spark, sf: analytics.parts_supplier_stats(
+        *_t(spark, sf, "part", "lineitem")),
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+register(
+    "q17_small_quantity_revenue",
+    lambda spark, sf: analytics.q17_small_quantity_revenue(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    WITH lines AS (
+      SELECT l_partkey, l_quantity, l_extendedprice,
+             sum(l_quantity) OVER (PARTITION BY l_partkey) AS part_qty_sum,
+             count(*)        OVER (PARTITION BY l_partkey) AS part_qty_n
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#3'
+    )
+    SELECT CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       / 100.0 / 7.0) * 100.0) AS BIGINT)
+             AS avg_yearly_cents
+    FROM lines
+    WHERE l_quantity < 0.2 * (part_qty_sum / part_qty_n)
+    """,
+)
+
+register(
+    "funnel_view_click_purchase",
+    lambda spark, sf: analytics.funnel_view_click_purchase(
+        *_t(spark, sf, "events")),
+    """
+    WITH pu AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+      FROM events GROUP BY user_id
+    ), fc AS (
+      SELECT pu.user_id, pu.view_ts, min(e.ts) AS click_ts
+      FROM pu JOIN events e
+        ON e.user_id = pu.user_id AND e.event_type = 'click'
+       AND e.ts > pu.view_ts
+      GROUP BY pu.user_id, pu.view_ts
+    ), fp AS (
+      SELECT fc.user_id, min(e.ts) AS purchase_ts
+      FROM fc JOIN events e
+        ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+       AND e.ts > fc.click_ts
+      GROUP BY fc.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, count(*) AS n_users FROM pu
+       WHERE view_ts IS NOT NULL
+      UNION ALL
+      SELECT '2_click', count(*) FROM fc
+      UNION ALL
+      SELECT '3_purchase', count(*) FROM fp
+    ) ORDER BY stage
+    """,
+)

@@ -61,3 +61,12 @@ def test_approx_distinct_close_to_exact(spark):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
+
+
+@pytest.mark.parametrize("name", ["parts_supplier_stats",
+                                  "q17_small_quantity_revenue",
+                                  "funnel_view_click_purchase"])
+def test_parity_batch4(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
