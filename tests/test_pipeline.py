@@ -154,3 +154,27 @@ def test_run_etl_job_end_to_end(spark, tmp_path):
     assert out["alerts"] is not None
     back = spark.read.parquet(str(tmp_path / "sink"))
     assert back.count() == 1500
+
+
+def test_llm_analyzer_hook():
+    """The optional LLM hook (reference: Gemini in vertex_ai_handler)
+    is consulted only for unclassified errors and is cleanly
+    detachable."""
+    calls = []
+
+    def fake_llm(log):
+        calls.append(log)
+        return healer.Fix(fix_type="CONFIG", root_cause="llm-classified",
+                          suggested_fix="from hook")
+
+    healer.set_llm_analyzer(fake_llm)
+    try:
+        # rule engine wins — hook not consulted
+        fix = healer.analyze_error("java.lang.OutOfMemoryError")
+        assert fix.root_cause != "llm-classified" and not calls
+        # unclassified falls through to the hook
+        fix = healer.analyze_error("mysterious failure xyz")
+        assert fix.root_cause == "llm-classified" and len(calls) == 1
+    finally:
+        healer.set_llm_analyzer(None)
+    assert healer.analyze_error("mysterious failure xyz").fix_type == "RETRY"
