@@ -28,6 +28,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     predicate pushdown come free from whatever the caller selects."""
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; catalog has {TABLES}")
+    # Defensive session conf: the caller's SparkSession (e.g. the
+    # driver harness) may not come from session.get_spark. Both are
+    # runtime-settable SQL confs; without them events.parquet
+    # (TIMESTAMP NANOS) fails to read and date/hour functions shift
+    # against the UTC-naive DuckDB oracle.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) columns arrive as long (see session.py
     # nanosAsLong); normalize to microsecond timestamps, flooring

@@ -38,6 +38,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet; nanos ts normalized
     exactly like catalog.load."""
     path = f"{sf_dir}/events.parquet"
+    # defensive conf (see catalog.load): callers may pass an untuned
+    # session; events.parquet is TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_staged_dir(path))
     if dict(stream.dtypes).get("ts") == "bigint":
