@@ -138,3 +138,27 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         .drop("__norm_u")
         .orderBy("label")
     )
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid in long format (label, dim_idx, centroid):
+    posexplode to (label, dim) grain, integer micro-unit sums for
+    cross-engine-exact means, no array rebuild (downstream consumers
+    re-assemble or join on dim_idx as needed)."""
+    ex = embeddings.select(
+        "label",
+        F.posexplode(vectorfn.to_double(F.col("embedding")))
+         .alias("dim_idx", "x"),
+    )
+    return (
+        ex.groupBy("label", "dim_idx")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e6).cast("bigint")).alias("__s"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select(
+            "label", "dim_idx", "n_vecs",
+            (F.floor(F.col("__s") / F.col("n_vecs")) / 1e6).alias("centroid"),
+        )
+        .orderBy("label", "dim_idx")
+    )

@@ -404,3 +404,22 @@ register(
     # genuinely non-SQL-expressible: arbitrary-state streaming op
     None,
 )
+
+register(
+    "embedding_centroids",
+    lambda spark, sf: similarity.embedding_centroids(
+        *_t(spark, sf, "embeddings")),
+    """
+    WITH ex AS (
+      SELECT label, CAST(u.i - 1 AS INT) AS dim_idx, v[u.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    )
+    SELECT label, dim_idx, count(*) AS n_vecs,
+           (floor(sum(CAST(floor(x * 1000000.0) AS BIGINT)) / count(*))
+            / 1000000.0) AS centroid
+    FROM ex
+    GROUP BY label, dim_idx
+    ORDER BY label, dim_idx
+    """,
+)

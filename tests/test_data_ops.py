@@ -89,3 +89,50 @@ def test_streaming_stateful_volume_monitor(spark):
     assert total == catalog.load(spark, SF_ORACLE, "events").count()
     for r in rows:
         assert r.prior_batches == 0 and not r.is_anomaly
+
+
+def test_parity_embedding_centroids(spark, duck):
+    q = registry.queries()["embedding_centroids"]
+    sql = registry.oracle_sql()["embedding_centroids"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_expression_twins_match_codegen_path(spark):
+    """functions/textfn.py array-expression forms must agree with the
+    codegen (explode/window) forms used by the operators."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators.dedup import _shingle_rows
+
+    docs = catalog.load(spark, SF_ORACLE, "documents").limit(50)
+    array_form = {
+        (r.doc_id, s)
+        for r in docs.select("doc_id",
+                             textfn.shingles("text").alias("sh")).collect()
+        for s in r.sh
+    }
+    row_form = {(r.doc_id, r.s)
+                for r in _shingle_rows(docs).dropDuplicates(["doc_id", "s"])
+                .collect()}
+    assert array_form == row_form
+
+    # minhash: array-fold signature == explode+min-agg signature values
+    sig_arr = (
+        docs.select("doc_id", textfn.minhash_signature(
+            F.transform(textfn.shingles("text"), textfn.md5int)).alias("sig"))
+        .collect()
+    )
+    ex = _shingle_rows(docs).select(
+        "doc_id", textfn.md5int(F.col("s")).alias("x"))
+    hashes = [(((F.lit(17) + j * 13) * F.col("x") + j * 7919)
+               % textfn.HASH_MOD).alias(f"h{j}") for j in range(1, 33)]
+    sig_row = {
+        r.doc_id: [r[f"mh{j}"] for j in range(1, 33)]
+        for r in ex.select("doc_id", *hashes).groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"mh{j}") for j in range(1, 33)])
+        .collect()
+    }
+    for r in sig_arr:
+        if r.doc_id in sig_row:
+            assert list(r.sig) == sig_row[r.doc_id], r.doc_id
