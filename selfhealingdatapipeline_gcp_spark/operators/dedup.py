@@ -25,16 +25,17 @@ from pyspark.sql import functions as F
 from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition before compute-heavy per-row work.
+def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Repartition before compute-heavy per-row work.
 
     Small-file inputs (and single hot files at any scale) otherwise
     pin the whole shingle/signature computation to one task; the
     repartition cost is one shuffle of the raw rows, repaid 32× in
-    the expensive stage. On a 100 TB input with many splits this is
-    still correct — it rebalances skewed splits."""
+    the expensive stage. When ``key`` is given, hash-partition on it
+    so the downstream window/agg on the same key REUSES this exchange
+    (one shuffle total instead of two)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n)
+    return df.repartition(n, key) if key else df.repartition(n)
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -63,7 +64,7 @@ def _shingle_rows(documents: DataFrame) -> DataFrame:
     shuffle is on doc_id — the same key every downstream agg needs.
     """
     toks = (
-        _spread(documents)
+        _spread(documents, "doc_id")
         .select("doc_id", F.posexplode(textfn.tokens("text"))
                 .alias("pos", "w"))
     )
@@ -169,7 +170,7 @@ def dedup_simhash(documents: DataFrame,
     # (codegen + map-side partial agg), then the signature assembles
     # from the 32 sums as a plain scalar expression.
     ex = (
-        _spread(documents)
+        _spread(documents, "doc_id")
         .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
         .select("doc_id", textfn.md5int(F.col("w")).alias("x"))
     )
