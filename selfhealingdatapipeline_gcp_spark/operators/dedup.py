@@ -230,3 +230,37 @@ def dedup_embedding(embeddings: DataFrame,
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+def dedup_lsh_verified(documents: DataFrame,
+                       threshold: float = 0.5) -> DataFrame:
+    """The production near-dup composition: MinHash-LSH generates
+    candidates, exact Jaccard verifies ONLY those candidates.
+
+    At 100 TB this is the whole point of LSH — the exact-verify join
+    fans out per candidate pair (× ~shingles-per-doc), never across
+    the corpus. Output = verified pairs with their exact Jaccard."""
+    cand = dedup_minhash_lsh(documents)
+    per_doc = _shingle_rows(documents).dropDuplicates(["doc_id", "s"])
+    counts = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = per_doc.select(F.col("doc_id").alias("doc_a"), "s")
+    b = per_doc.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand
+        .join(a, "doc_a")          # fan out candidate pairs by doc_a's shingles
+        .join(b, ["doc_b", "s"])   # equi-join: matching shingle must exist in doc_b
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b",
+                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -423,3 +423,39 @@ register(
     ORDER BY label, dim_idx
     """,
 )
+
+register(
+    "dedup_lsh_verified",
+    lambda spark, sf: dedup.dedup_lsh_verified(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), ex AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+    ), common AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common,
+             max(ea.n) AS n_a, max(eb.n) AS n_b
+      FROM cand
+      JOIN ex ea ON ea.doc_id = cand.doc_a
+      JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.g = ea.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           (floor((n_common * 1.0 / (n_a + n_b - n_common)) * 1000000.0)
+            / 1000000.0) AS jaccard
+    FROM common
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+)

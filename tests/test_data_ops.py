@@ -136,3 +136,23 @@ def test_expression_twins_match_codegen_path(spark):
     for r in sig_arr:
         if r.doc_id in sig_row:
             assert list(r.sig) == sig_row[r.doc_id], r.doc_id
+
+
+def test_parity_lsh_verified(spark, duck):
+    q = registry.queries()["dedup_lsh_verified"]
+    sql = registry.oracle_sql()["dedup_lsh_verified"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_lsh_verified_subset_of_exact_jaccard(spark):
+    """Verified-LSH results must be a subset of full exact Jaccard
+    (LSH can only miss pairs, never invent them)."""
+    qs = registry.queries()
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in qs["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()}
+    verified = {(r.doc_a, r.doc_b): r.jaccard
+                for r in qs["dedup_lsh_verified"](spark, SF_ORACLE).collect()}
+    assert set(verified) <= set(full)
+    for k, v in verified.items():
+        assert v == full[k]
+    assert len(verified) >= 0.8 * len(full)  # banding recall at s>=0.5
