@@ -7,7 +7,7 @@ and a rolling-hash fingerprint. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.functions import money, textfn
@@ -22,36 +22,45 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
-
 def text_token_count(documents: DataFrame) -> DataFrame:
-    """Token counts: whitespace tokens, unique tokens, chars."""
-    t = textfn.tokens("text")
-    return documents.select(
-        "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.length("text").alias("n_chars_actual"),
+    """Token counts: whitespace tokens, unique tokens, chars.
+
+    Explode + aggregate (whole-stage codegen + map-side partial agg)
+    instead of array expressions — HOFs are interpreted (SURVEY §3b).
+    """
+    ex = documents.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.explode(textfn.tokens("text")).alias("w"))
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("n_unique_tokens"),
+            F.first("n_chars").alias("n_chars_actual"),
+        )
     )
 
 
 def text_quality_score(documents: DataFrame) -> DataFrame:
     """Length / stopword-ratio / word-length composite quality score —
     the standard cheap pre-filter in training-data pipelines."""
-    d = documents.select("doc_id", "text", textfn.tokens("text").alias("t"))
-    n = F.size("t")
-    sum_len = F.aggregate(F.col("t"), F.lit(0).cast("bigint"),
-                          lambda acc, x: acc + F.length(x))
-    mean_len = sum_len / F.greatest(n, F.lit(1))
-    stop_ratio = _count_in(F.col("t"), STOPWORDS) / F.greatest(n, F.lit(1))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ex = documents.select(
+        "doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    agg = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.length("w")).alias("__sum_len"),
+        F.sum(F.array_contains(stop_arr, F.col("w")).cast("bigint"))
+         .alias("__n_stop"),
+    )
+    n = F.col("__n")
+    mean_len = F.col("__sum_len") / F.greatest(n, F.lit(1))
+    stop_ratio = F.col("__n_stop") / F.greatest(n, F.lit(1))
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
     wl_score = F.when((mean_len >= 2.0) & (mean_len <= 10.0),
                       F.lit(1.0)).otherwise(F.lit(0.0))
     score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * wl_score
-    return d.select(
+    return agg.select(
         "doc_id",
         n.alias("n_tokens"),
         money.trunc(mean_len).alias("mean_token_len"),
@@ -63,10 +72,18 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
 def text_language_id(documents: DataFrame) -> DataFrame:
     """Marker-word language ID (n-gram-free heuristic): per-language
     marker hit rate, argmax with fixed preference order on ties."""
-    d = documents.select("doc_id", textfn.tokens("text").alias("t"))
-    n = F.greatest(F.size("t"), F.lit(1))
-    scores = {lang: _count_in(F.col("t"), words) / n
-              for lang, words in LANG_MARKERS.items()}
+    ex = documents.select(
+        "doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    marker_aggs = []
+    for lang, words in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        marker_aggs.append(
+            F.sum(F.array_contains(arr, F.col("w")).cast("bigint"))
+             .alias(f"__m_{lang}"))
+    d = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"), *marker_aggs)
+    n = F.greatest(F.col("__n"), F.lit(1))
+    scores = {lang: F.col(f"__m_{lang}") / n for lang in LANG_MARKERS}
     langs = list(LANG_MARKERS)
     pred = F.lit("unknown")
     best = F.lit(-1.0)
