@@ -549,3 +549,19 @@ def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("stage")
     )
+
+
+def cube_orders_status_priority(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination
+    with labeled subtotals — the OLAP summary-table shape."""
+    return (
+        orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(money.sum_money(F.col("o_totalprice")).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "revenue", "n_orders",
+        )
+    )

@@ -48,3 +48,24 @@ def completeness_check(orders: DataFrame, customer: DataFrame) -> DataFrame:
          .alias("n_bad_status"),
         F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("n_nonpositive"),
     )
+
+
+def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Generic min/max/distinct profile per column, long format
+    (values stringified for a uniform schema). One conditional
+    aggregation pass + stack — single scan for any column count."""
+    aggs = []
+    for c in columns:
+        # min/max on the NATIVE type, stringified after (a string-cast
+        # min would order integers lexicographically)
+        aggs += [
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    wide = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', `{c}__min`, `{c}__max`, `{c}__nd`" for c in columns)
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_expr}) "
+        "AS (col_name, min_value, max_value, n_distinct)")

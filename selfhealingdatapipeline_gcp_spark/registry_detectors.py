@@ -294,3 +294,19 @@ register(
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     """,
 )
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderdate", "o_orderpriority")
+_PROFILE_UNION = "\n      UNION ALL\n      ".join(
+    f"SELECT '{c}' AS col_name, CAST(min({c}) AS VARCHAR) AS min_value, "
+    f"CAST(max({c}) AS VARCHAR) AS max_value, "
+    f"count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS)
+register(
+    "quality_column_profile",
+    lambda spark, sf: quality.column_profile(
+        catalog.load(spark, sf, "orders"), list(_PROFILE_COLS)),
+    f"""
+    {_PROFILE_UNION}
+    """,
+)

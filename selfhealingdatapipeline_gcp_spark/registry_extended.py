@@ -329,3 +329,17 @@ register(
     ) ORDER BY stage
     """,
 )
+
+register(
+    "cube_orders_status_priority",
+    lambda spark, sf: analytics.cube_orders_status_priority(
+        *_t(spark, sf, "orders")),
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)

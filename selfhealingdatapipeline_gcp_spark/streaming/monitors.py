@@ -134,3 +134,32 @@ def streaming_stateful_volume_monitor(spark: SparkSession,
                                 "update", GroupStateTimeout.NoTimeout)
     )
     return _run_to_memory(agg, "update")
+
+
+def streaming_to_parquet_sink(spark: SparkSession, sf_dir: str,
+                              output_path: str) -> int:
+    """Streaming → parquet via foreachBatch with epoch-keyed
+    idempotent writes (the exactly-once sink pattern: each micro-batch
+    lands in its own epoch directory with overwrite, so replays after
+    failure rewrite the same epoch instead of duplicating it).
+    Returns the number of epochs written."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+    epochs = []
+
+    def write_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{output_path}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(write_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return len(epochs)

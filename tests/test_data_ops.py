@@ -156,3 +156,18 @@ def test_lsh_verified_subset_of_exact_jaccard(spark):
     for k, v in verified.items():
         assert v == full[k]
     assert len(verified) >= 0.8 * len(full)  # banding recall at s>=0.5
+
+
+def test_streaming_foreachbatch_sink(spark, tmp_path):
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+    out = str(tmp_path / "stream_sink")
+    n_epochs = monitors.streaming_to_parquet_sink(spark, SF_ORACLE, out)
+    assert n_epochs >= 1
+    back = spark.read.parquet(out)
+    # complete-mode snapshot of the final epoch matches the batch agg
+    import pyspark.sql.functions as F
+    last = back.filter(F.col("epoch") == n_epochs - 1) \
+        if "epoch" in back.columns else back
+    total = last.agg(F.sum("n_events")).collect()[0][0]
+    from selfhealingdatapipeline_gcp_spark import catalog
+    assert total == catalog.load(spark, SF_ORACLE, "events").count()

@@ -70,3 +70,11 @@ def test_parity_batch4(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+@pytest.mark.parametrize("name", ["cube_orders_status_priority",
+                                  "quality_column_profile"])
+def test_parity_batch5(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
