@@ -38,6 +38,11 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_score",
     "doc_fingerprint",
+    "asof_purchase_attribution",
+    "q7_nation_trade_volume",
+    "funnel_view_click_purchase",
+    "dedup_lsh_verified",
+    "embedding_centroids",
 ]
 
 

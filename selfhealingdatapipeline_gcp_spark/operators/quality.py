@@ -69,3 +69,22 @@ def column_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(columns)}, {stack_expr}) "
         "AS (col_name, min_value, max_value, n_distinct)")
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Join/agg-key skew introspection: distribution stats over per-key
+    row counts. This is the measurement that decides salting /
+    AQE-skew settings before a big join (SURVEY §4) — run it on the
+    planned join key, not after the job dies."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.percentile("cnt", 0.5).alias("p50_key_rows"),
+        F.percentile("cnt", 0.99).alias("p99_key_rows"),
+    ).select(
+        "n_keys", "n_rows", "max_key_rows", "p50_key_rows", "p99_key_rows",
+        (F.floor(F.col("max_key_rows") * 1e6 / F.col("n_rows")) / 1e6)
+        .alias("top_key_share"),
+    )

@@ -14,6 +14,14 @@ from selfhealingdatapipeline_gcp_spark.functions import money, textfn
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-spread on doc_id before per-row/explode work: single-file
+    inputs otherwise pin the whole stage to one task (SURVEY §3b);
+    downstream doc_id aggs reuse the exchange."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, "doc_id")
+
+
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is"),
     "de": ("der", "die", "das", "und", "ist"),
@@ -28,7 +36,7 @@ def text_token_count(documents: DataFrame) -> DataFrame:
     Explode + aggregate (whole-stage codegen + map-side partial agg)
     instead of array expressions — HOFs are interpreted (SURVEY §3b).
     """
-    ex = documents.select(
+    ex = _spread(documents).select(
         "doc_id", F.length("text").alias("n_chars"),
         F.explode(textfn.tokens("text")).alias("w"))
     return (
@@ -45,7 +53,7 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
     """Length / stopword-ratio / word-length composite quality score —
     the standard cheap pre-filter in training-data pipelines."""
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    ex = documents.select(
+    ex = _spread(documents).select(
         "doc_id", F.explode(textfn.tokens("text")).alias("w"))
     agg = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -72,7 +80,7 @@ def text_quality_score(documents: DataFrame) -> DataFrame:
 def text_language_id(documents: DataFrame) -> DataFrame:
     """Marker-word language ID (n-gram-free heuristic): per-language
     marker hit rate, argmax with fixed preference order on ties."""
-    ex = documents.select(
+    ex = _spread(documents).select(
         "doc_id", F.explode(textfn.tokens("text")).alias("w"))
     marker_aggs = []
     for lang, words in LANG_MARKERS.items():
@@ -104,7 +112,7 @@ def doc_fingerprint(documents: DataFrame, n_shards: int = 64) -> DataFrame:
     dedup/snapshot pipeline would bucket by)."""
     ints = F.transform(textfn.tokens("text"), textfn.md5int)
     fp = textfn.poly_fingerprint(ints)
-    return documents.select(
+    return _spread(documents).select(
         "doc_id",
         fp.alias("fingerprint"),
         (fp % n_shards).alias("shard"),

@@ -310,3 +310,22 @@ register(
     {_PROFILE_UNION}
     """,
 )
+
+register(
+    "key_skew_profile",
+    lambda spark, sf: quality.key_skew_profile(
+        catalog.load(spark, sf, "lineitem"), "l_orderkey"),
+    """
+    WITH counts AS (
+      SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT count(*) AS n_keys,
+           sum(cnt) AS n_rows,
+           max(cnt) AS max_key_rows,
+           quantile_cont(cnt, 0.5) AS p50_key_rows,
+           quantile_cont(cnt, 0.99) AS p99_key_rows,
+           (floor(max(cnt) * 1000000.0 / sum(cnt)) / 1000000.0)
+             AS top_key_share
+    FROM counts
+    """,
+)

@@ -40,3 +40,9 @@ def test_revenue_anomaly_flags_something_sane(spark):
     # z-scores are finite and the anomaly flag matches its definition
     for r in rows[:50]:
         assert r.is_anomaly == (abs(r.z_score) > 2.5) or r.baseline_std == 0.0
+
+
+def test_parity_key_skew_profile(spark, duck):
+    from conftest import SF_ORACLE as SF, assert_parity as ap
+    q = registry.queries()["key_skew_profile"]
+    ap(q(spark, SF), duck, registry.oracle_sql()["key_skew_profile"])
