@@ -565,3 +565,56 @@ def cube_orders_status_priority(orders: DataFrame) -> DataFrame:
             "revenue", "n_orders",
         )
     )
+
+
+def event_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured processing: parse the JSON ``props`` payload
+    (get_json_object → typed column) and aggregate per event type.
+    JSON parsing is JVM-side codegen — no Python in the row path."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .withColumn("avg_k",
+                    F.floor(F.col("sum_k") * 1e4 / F.col("n_events")) / 1e4)
+        .orderBy("event_type")
+    )
+
+
+def customers_without_orders(customer: DataFrame,
+                             orders: DataFrame) -> DataFrame:
+    """Set-difference shape: customers that never ordered
+    (left_anti join — the scalable EXCEPT)."""
+    return (
+        customer
+        .join(orders.select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def missing_order_days(orders: DataFrame) -> DataFrame:
+    """Calendar-gap detection: days in [min, max] with no orders.
+
+    The calendar is generated from the data's own bounds (sequence +
+    explode — one row per day, trivially small) and anti-joined
+    against the observed days."""
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("d_min"),
+        F.max(F.to_date("o_orderdate")).alias("d_max"))
+    calendar = bounds.select(
+        F.explode(F.sequence("d_min", "d_max")).alias("d"))
+    observed = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
+    return (
+        calendar.join(observed, "d", "left_anti")
+        .orderBy("d")
+    )

@@ -343,3 +343,56 @@ register(
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
+
+register(
+    "event_props_stats",
+    lambda spark, sf: analytics.event_props_stats(*_t(spark, sf, "events")),
+    """
+    WITH parsed AS (
+      SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(k) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           count(DISTINCT k) AS n_distinct_k,
+           (floor(sum(k) * 10000.0 / count(*)) / 10000.0) AS avg_k
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+
+register(
+    "customers_without_orders",
+    lambda spark, sf: analytics.customers_without_orders(
+        *_t(spark, sf, "customer", "orders")),
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+register(
+    "missing_order_days",
+    lambda spark, sf: analytics.missing_order_days(*_t(spark, sf, "orders")),
+    """
+    WITH bounds AS (
+      SELECT CAST(min(o_orderdate) AS DATE) AS d_min,
+             CAST(max(o_orderdate) AS DATE) AS d_max
+      FROM orders
+    ), calendar AS (
+      SELECT CAST(unnest(generate_series(d_min, d_max, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    )
+    SELECT d FROM calendar
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE CAST(o_orderdate AS DATE) = d
+    )
+    ORDER BY d
+    """,
+)

@@ -78,3 +78,12 @@ def test_parity_batch5(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+@pytest.mark.parametrize("name", ["event_props_stats",
+                                  "customers_without_orders",
+                                  "missing_order_days"])
+def test_parity_batch6(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
