@@ -1,0 +1,89 @@
+"""Property tests for the determinism-critical primitives
+(SURVEY §3): exact money arithmetic, truncation semantics, healer
+rule stability, and as-of join correctness against a reference
+implementation."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.plans import healer
+
+
+@given(st.integers(min_value=-10**12, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_cents_roundtrip_pure(c):
+    """For any integer cents value c, the double c/100 converts back
+    to exactly c via round(x*100) — the invariant money.cents relies
+    on (float error of 2-decimal values is ≪ 0.5 cents)."""
+    x = c / 100.0
+    assert round(x * 100) == c
+
+
+@given(st.floats(min_value=-1e9, max_value=1e9,
+                 allow_nan=False, allow_infinity=False))
+@settings(max_examples=300, deadline=None)
+def test_trunc_is_floor_pure(x):
+    """floor(x·1e4)/1e4 never exceeds x and differs < 1e-4 — the
+    truncation contract both engines satisfy identically."""
+    t = math.floor(x * 1e4) / 1e4
+    assert t <= x + 1e-12
+    assert x - t <= 1e-4 * (1 + 1e-9) + abs(x) * 1e-12
+
+
+@given(st.text(min_size=0, max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_healer_total_and_stable(log):
+    """analyze_error is total (never raises) and deterministic."""
+    f1 = healer.analyze_error(log)
+    f2 = healer.analyze_error(log)
+    assert f1.fix_type in ("CODE", "CONFIG", "RETRY", "MANUAL")
+    assert (f1.fix_type, f1.root_cause) == (f2.fix_type, f2.root_cause)
+
+
+def test_money_cents_batch(spark):
+    """Spark-side cents() recovers exact integers for a batch of
+    random 2-decimal money values (single job, not per-example)."""
+    from selfhealingdatapipeline_gcp_spark.functions import money
+    rng = random.Random(7)
+    cents_vals = [rng.randint(-10**10, 10**10) for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(c, c / 100.0) for c in cents_vals], "c long, x double")
+    bad = df.filter(money.cents(F.col("x")) != F.col("c")).count()
+    assert bad == 0
+
+
+def test_asof_join_matches_reference(spark):
+    """asof_join against a brute-force pandas reference on random
+    data: for every left row, the attached right row must be the
+    max right_ts strictly before left_ts within the key."""
+    import pandas as pd
+
+    from selfhealingdatapipeline_gcp_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    left = [(i, rng.randint(0, 20), rng.randint(0, 10**6))
+            for i in range(400)]
+    right = [(j, rng.randint(0, 20), rng.randint(0, 10**6))
+             for j in range(400)]
+    ldf = spark.createDataFrame(left, "lid long, k long, lts long")
+    rdf = spark.createDataFrame(right, "rid long, k long, rts long")
+    out = asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+                    right_cols=("rts", "rid"))
+    got = {r.lid: (r.asof_rts, r.asof_rid) for r in out.collect()}
+
+    rpd = pd.DataFrame(right, columns=["rid", "k", "rts"])
+    for lid, k, lts in left:
+        cand = rpd[(rpd.k == k) & (rpd.rts < lts)]
+        if cand.empty:
+            assert got[lid] == (None, None), lid
+        else:
+            best_ts = cand.rts.max()
+            assert got[lid][0] == best_ts, lid
+            # tie on rts: the carried rid is one of the max-ts rows
+            assert got[lid][1] in set(cand[cand.rts == best_ts].rid), lid
