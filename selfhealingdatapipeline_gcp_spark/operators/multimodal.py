@@ -94,3 +94,65 @@ def multimodal_framesample(documents: DataFrame,
             })
 
     return payloads.mapInPandas(sample, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, feature array<float>, feat_norm double"
+RESIZE_SCHEMA = ("doc_id bigint, width int, height int, out_width int, "
+                 "out_height int, n_bytes_out int")
+
+
+def multimodal_features(documents: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction plumbing: binary payload → fixed-dim float
+    vector, Arrow-batched. The embedding model is STUBBED with a
+    deterministic byte-histogram projection (no vision/audio models in
+    this environment); the schema, batching, and array<float> output
+    column are exactly what a real encoder drop-in needs."""
+    import numpy as np
+
+    payloads = with_payload(documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, norms = [], []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # deterministic fake: bucketed byte histogram, L2'd
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                nrm = float(np.sqrt((hist * hist).sum()))
+                vec = (hist / nrm if nrm > 0 else hist).astype("float32")
+                feats.append(vec.tolist())
+                norms.append(nrm)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "feature": feats,
+                "feat_norm": norms,
+            })
+
+    return payloads.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def multimodal_resize_plan(documents: DataFrame,
+                           target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize plumbing: per-asset source dims (fake header parse) →
+    target dims + projected output size. The actual pixel resample is
+    the stubbed decode path (decode_image); everything around it —
+    batch shape, dims metadata, size accounting — is real."""
+    payloads = with_payload(documents)
+    tw, th = target
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_dims)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": w,
+                "height": h,
+                "out_width": tw,
+                "out_height": th,
+                "n_bytes_out": pd.Series([tw * th * 3] * len(pdf),
+                                         dtype="int32"),
+            })
+
+    return payloads.mapInPandas(plan, RESIZE_SCHEMA)

@@ -459,3 +459,17 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+register(
+    "multimodal_features",
+    lambda spark, sf: multimodal.multimodal_features(
+        *_t(spark, sf, "documents")),
+    None,
+)
+
+register(
+    "multimodal_resize_plan",
+    lambda spark, sf: multimodal.multimodal_resize_plan(
+        *_t(spark, sf, "documents")),
+    None,
+)

@@ -171,3 +171,21 @@ def test_streaming_foreachbatch_sink(spark, tmp_path):
     total = last.agg(F.sum("n_events")).collect()[0][0]
     from selfhealingdatapipeline_gcp_spark import catalog
     assert total == catalog.load(spark, SF_ORACLE, "events").count()
+
+
+def test_multimodal_features(spark):
+    df = registry.queries()["multimodal_features"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows[:10]:
+        assert len(r.feature) == 16
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-3  # unit norm
+        assert r.feat_norm > 0
+
+
+def test_multimodal_resize_plan(spark):
+    df = registry.queries()["multimodal_resize_plan"](spark, SF_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r.out_width == 224 and r.n_bytes_out == 224 * 224 * 3
+               for r in rows[:10])
