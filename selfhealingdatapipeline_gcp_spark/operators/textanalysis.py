@@ -117,3 +117,48 @@ def doc_fingerprint(documents: DataFrame, n_shards: int = 64) -> DataFrame:
         fp.alias("fingerprint"),
         (fp % n_shards).alias("shard"),
     )
+
+
+def keyword_search_tfidf(documents: DataFrame,
+                         terms: tuple[str, ...] = ("spark", "query", "fast"),
+                         k: int = 20) -> DataFrame:
+    """TF-IDF keyword retrieval: score = Σ tf(t,d)·ln(N/df(t)) over the
+    query terms, top-k docs. Term filtering happens at the explode
+    (only query-term rows survive into the shuffle); df/N are tiny
+    broadcast scalars."""
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    ex = (
+        _spread(documents)
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+        .filter(F.array_contains(term_arr, F.col("w")))
+    )
+    tf = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("contrib",
+                    F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+        .groupBy("doc_id")
+        .agg((F.floor(F.sum("contrib") * 1e4) / 1e4).alias("score"))
+    )
+    return (
+        scored
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
+def ngram_frequencies(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level token frequencies, top-k (the vocabulary/frequency
+    table every text pipeline materializes). Map-side combine keeps
+    the shuffle at vocabulary size."""
+    return (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(k)
+    )

@@ -473,3 +473,40 @@ register(
         *_t(spark, sf, "documents")),
     None,
 )
+
+register(
+    "keyword_search_tfidf",
+    lambda spark, sf: textanalysis.keyword_search_tfidf(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+    ), fex AS (
+      SELECT doc_id, w FROM ex WHERE w IN ('spark', 'query', 'fast')
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM fex GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id,
+           (floor(sum(tf * ln(n_docs * 1.0 / df)) * 10000.0) / 10000.0)
+             AS score
+    FROM tf JOIN dfc USING (w), n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+
+register(
+    "ngram_frequencies",
+    lambda spark, sf: textanalysis.ngram_frequencies(
+        *_t(spark, sf, "documents")),
+    f"""
+    SELECT w, count(*) AS n
+    FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, w
+    LIMIT 50
+    """,
+)

@@ -189,3 +189,11 @@ def test_multimodal_resize_plan(spark):
     assert len(rows) == 500
     assert all(r.out_width == 224 and r.n_bytes_out == 224 * 224 * 3
                for r in rows[:10])
+
+
+@pytest.mark.parametrize("name", ["keyword_search_tfidf",
+                                  "ngram_frequencies"])
+def test_parity_search(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
