@@ -264,3 +264,67 @@ def dedup_lsh_verified(documents: DataFrame,
                 (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_clusters(documents: DataFrame,
+                   max_iterations: int = 15) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components
+    via min-label propagation, then keeper selection (lowest doc_id
+    per component) — what a dedup pipeline actually emits.
+
+    Iterative (non-SQL-expressible): each round joins current labels
+    across candidate edges and takes the min; converges in
+    O(log(diameter)) rounds. Each iteration is one shuffle on doc_id;
+    the edge set comes from LSH so it is bounded. The convergence
+    check is one tiny count per round (an action — the standard
+    driver-coordinated loop for iterative algorithms on Spark).
+    """
+    edges = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    # undirected edge list, both directions
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    adj = fwd.unionByName(rev)
+
+    nodes = (adj.select(F.col("src").alias("doc_id")).distinct())
+    labels = nodes.withColumn("label", F.col("doc_id"))
+
+    for _ in range(max_iterations):
+        # neighbor labels: for each node, the min label among neighbors
+        neighbor_min = (
+            adj.join(labels, adj["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")))
+                 .alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        # localCheckpoint truncates the growing lineage each round
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+
+    clusters = (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "cluster_size", "keeper_doc_id",
+        )
+        .orderBy("cluster_id")
+    )
+    return clusters

@@ -510,3 +510,10 @@ register(
     LIMIT 50
     """,
 )
+
+register(
+    "dedup_clusters",
+    # iterative label propagation — genuinely non-SQL-expressible
+    lambda spark, sf: dedup.dedup_clusters(*_t(spark, sf, "documents")),
+    None,
+)

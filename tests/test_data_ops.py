@@ -197,3 +197,32 @@ def test_parity_search(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every LSH pair must land in one cluster; keeper is the min id;
+    cluster sizes sum to the number of clustered docs."""
+    qs = registry.queries()
+    pairs = [(r.doc_a, r.doc_b)
+             for r in qs["dedup_minhash_lsh"](spark, SF_ORACLE).collect()]
+    clusters = qs["dedup_clusters"](spark, SF_ORACLE).collect()
+    # union-find reference on the same edges
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    ref = {}
+    for x in parent:
+        ref.setdefault(find(x), set()).add(x)
+    ref_clusters = {(min(v), len(v)) for v in ref.values() if len(v) > 1}
+    got = {(r.keeper_doc_id, r.cluster_size) for r in clusters}
+    assert got == ref_clusters
