@@ -52,12 +52,13 @@ def main() -> None:
     spark = get_spark("shdp-bench")
     queries = registry.queries()
 
-    # warm the JVM/codegen path once so per-query numbers measure the
-    # plan, not first-call JIT
-    queries["q1_pricing_summary"](spark, sf_dir).collect()
-
+    # Two runs per query: the first pays plan analysis + whole-stage
+    # codegen compilation (driver-side, one-time per plan shape); the
+    # reported number is the second, steady-state run — what a
+    # long-running cluster actually sees per execution.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        queries[name](spark, sf_dir).collect()  # warm: codegen + JIT
         df = queries[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.collect()
