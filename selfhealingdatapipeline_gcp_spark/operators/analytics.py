@@ -2,9 +2,9 @@
 and the SQL shapes inside monitoring/detectors/*).
 
 Every operator is a pure logical-plan builder: DataFrames in,
-DataFrame out, no actions. Aggregate doubles are rounded to 4 (money
-to 2) decimals so the DuckDB oracle hash can't drift on ulps; every
-computed column carries an explicit alias (SURVEY.md §3).
+DataFrame out, no actions. Money aggregates use exact integer-cents
+sums and ratios floor-truncate (SURVEY.md §3 parity rules); every
+computed column carries an explicit alias matching its oracle SQL.
 
 Scale notes (100 TB): nation/region are forced broadcast; orders ⋈
 lineitem is a shuffle join on the order key with AQE skew handling;

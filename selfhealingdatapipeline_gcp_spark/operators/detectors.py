@@ -13,8 +13,10 @@ date/timestamp of the table, computed as a 1-row aggregate and
 broadcast-cross-joined into the plan (SURVEY.md §3) — at 100 TB that
 is one extra scan-level max, not a driver round-trip per row.
 
-Determinism: double outputs rounded (4 places; money 2); z-scores
-guard std>0 exactly like revenue_detector.py:49.
+Determinism (SURVEY §3): money aggregates use exact integer-cents
+sums; baseline statistics derive from integer window sums; ratio
+outputs floor-truncate at 4 places; z-scores guard std>0 exactly
+like revenue_detector.py:49.
 """
 
 from __future__ import annotations
