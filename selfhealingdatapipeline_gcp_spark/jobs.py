@@ -72,3 +72,31 @@ def run_etl_job(spark: SparkSession, sf_dir: str, output_path: str,
         "alerts": results["monitoring"].result
         if results["monitoring"].status == "SUCCESS" else None,
     }
+
+
+def main() -> None:
+    """CLI mirror of the reference job submission
+    (scripts/transform_script:28-35 argparse → run_job): spark-submit
+    this module on a cluster, or run it directly in local mode."""
+    import argparse
+    import json
+
+    from selfhealingdatapipeline_gcp_spark.session import get_spark
+
+    parser = argparse.ArgumentParser(description="self-healing ETL job")
+    parser.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                        help="input table directory (parquet catalog)")
+    parser.add_argument("--output", required=True,
+                        help="output path for the enriched orders sink")
+    args = parser.parse_args()
+
+    spark = get_spark("shdp-etl-job")
+    result = run_etl_job(spark, args.sf_dir, args.output)
+    print(json.dumps({
+        "statuses": result["statuses"],
+        "n_alerts": len(result["alerts"] or []),
+    }))
+
+
+if __name__ == "__main__":
+    main()
