@@ -79,3 +79,82 @@ def collect_alerts(named_outputs: dict[str, DataFrame],
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(["detector", "alert_key"])
+
+
+# ---------------------------------------------------------------------------
+# Channel routing + time-window dedup (alert_manager.py:24-213)
+# ---------------------------------------------------------------------------
+
+def route_channels(severity: str) -> tuple[str, ...]:
+    """Severity → delivery channels (alert_manager.py:43-52:
+    CRITICAL → everything, HIGH → email+slack, MEDIUM → slack,
+    LOW/NONE → log only)."""
+    if severity == "CRITICAL":
+        return ("slack", "email", "log")
+    if severity == "HIGH":
+        return ("email", "slack")
+    if severity == "MEDIUM":
+        return ("slack",)
+    return ("log",)
+
+
+def with_routing(alerts: DataFrame) -> DataFrame:
+    """Attach the channel list to each alert row (codegen CASE, no
+    driver round-trips)."""
+    ch = (F.when(F.col("severity") == "CRITICAL",
+                 F.array(F.lit("slack"), F.lit("email"), F.lit("log")))
+           .when(F.col("severity") == "HIGH",
+                 F.array(F.lit("email"), F.lit("slack")))
+           .when(F.col("severity") == "MEDIUM", F.array(F.lit("slack")))
+           .otherwise(F.array(F.lit("log"))))
+    return alerts.withColumn("channels", ch)
+
+
+def dedup_against_history(alerts: DataFrame, history: DataFrame,
+                          now_ts, window_hours: int = 1) -> DataFrame:
+    """Suppress alerts already sent within the window
+    (alert_manager.py:199-208 ``_is_duplicate``, as a DataFrame
+    anti-join against the alert-history table instead of an in-memory
+    dict — survives restarts and scales to any alert volume).
+
+    history: (detector, alert_key, sent_ts). now_ts: Column/literal
+    timestamp for "now" (never wall-clock inside the plan)."""
+    recent = history.filter(
+        F.col("sent_ts") >= F.lit(now_ts) - F.expr(
+            f"INTERVAL {window_hours} HOURS")
+    ).select("detector", "alert_key")
+    return alerts.join(recent, ["detector", "alert_key"], "left_anti")
+
+
+class AlertSender:
+    """Pluggable delivery (alert_manager.py:103-197). Slack/email need
+    network credentials — unconfigured channels fall back to the log
+    channel exactly like the reference's "not configured" paths."""
+
+    def __init__(self, config: dict | None = None):
+        self.config = config or {}
+        self.sent: list[tuple[str, str]] = []  # (channel, alert_key) audit
+
+    def deliver(self, alerts: DataFrame) -> int:
+        routed = with_routing(alerts).collect()
+        for row in routed:
+            for channel in row.channels:
+                if channel == "slack" and not self.config.get("slack_webhook"):
+                    channel = "log"
+                if channel == "email" and not self.config.get("email"):
+                    channel = "log"
+                self._send(channel, row)
+        return len(routed)
+
+    def _send(self, channel: str, row) -> None:
+        if channel == "log":
+            print(f"[ALERT:{row.severity}] {row.detector} {row.alert_key}")
+        elif channel == "slack":
+            raise NotImplementedError(
+                "slack webhook delivery requires network access; "
+                "configure 'slack_webhook' on a real deployment")
+        elif channel == "email":
+            raise NotImplementedError(
+                "smtp delivery requires network access; configure "
+                "'email' on a real deployment")
+        self.sent.append((channel, f"{row.detector}:{row.alert_key}"))

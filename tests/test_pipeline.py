@@ -178,3 +178,32 @@ def test_llm_analyzer_hook():
     finally:
         healer.set_llm_analyzer(None)
     assert healer.analyze_error("mysterious failure xyz").fix_type == "RETRY"
+
+
+def test_alert_routing_and_history_dedup(spark):
+    import datetime
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+
+    assert alerts.route_channels("CRITICAL") == ("slack", "email", "log")
+    assert alerts.route_channels("HIGH") == ("email", "slack")
+    assert alerts.route_channels("MEDIUM") == ("slack",)
+    assert alerts.route_channels("LOW") == ("log",)
+
+    now = datetime.datetime(2024, 1, 30, 12, 0, 0)
+    cur = spark.createDataFrame(
+        [("revenue_anomaly", "2024-01-29", "HIGH", "{}"),
+         ("freshness_check", "error", "HIGH", "{}")],
+        "detector string, alert_key string, severity string, detail string")
+    hist = spark.createDataFrame(
+        [("revenue_anomaly", "2024-01-29",
+          now - datetime.timedelta(minutes=30)),   # suppressed (< 1h)
+         ("freshness_check", "error",
+          now - datetime.timedelta(hours=3))],     # expired → resend
+        "detector string, alert_key string, sent_ts timestamp")
+    out = alerts.dedup_against_history(cur, hist, now)
+    assert [r.detector for r in out.collect()] == ["freshness_check"]
+
+    sender = alerts.AlertSender()  # unconfigured → all channels log
+    n = sender.deliver(alerts.with_routing(cur).drop("channels"))
+    assert n == 2
+    assert all(ch == "log" for ch, _ in sender.sent)
