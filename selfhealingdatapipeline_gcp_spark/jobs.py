@@ -100,3 +100,49 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
+                         history=None) -> dict[str, Any]:
+    """The financial-monitoring DAG as one pipeline
+    (dag/financial_monitoring_dag.py:159-187: [feed check, revenue
+    check] → send alerts → daily report), widened to the full
+    detector suite and run through the self-healing runner."""
+    detector_names = (
+        "revenue_anomaly", "transaction_volume_anomaly",
+        "pattern_break_region", "pattern_break_product",
+        "reconciliation_orders_lineitem", "freshness_check",
+        "feed_status", "sla_processing_velocity",
+    )
+
+    def run_detectors(s: SparkSession, ctx: dict[str, Any]):
+        qs = registry.queries()
+        return {n: qs[n](s, sf_dir) for n in detector_names}
+
+    def send_alerts(s: SparkSession, ctx: dict[str, Any]):
+        outputs = {k: v for k, v in ctx["detectors"].items()
+                   if k in {r.detector for r in alerts.DEFAULT_RULES}}
+        stream = alerts.collect_alerts(outputs)
+        if history is not None:
+            anchor = catalog.load(s, sf_dir, "events").agg(
+                F.max("ts")).collect()[0][0]
+            stream = alerts.dedup_against_history(stream, history, anchor)
+        sender = alerts.AlertSender()
+        n_delivered = sender.deliver(stream)
+        return {"n_delivered": n_delivered, "audit": sender.sent}
+
+    def daily_report(s: SparkSession, ctx: dict[str, Any]):
+        return {name: df.count() for name, df in ctx["detectors"].items()}
+
+    pipe = Pipeline("financial_monitoring", [
+        Task("detectors", run_detectors),
+        Task("send_alerts", send_alerts, depends_on=("detectors",)),
+        Task("daily_report", daily_report,
+             depends_on=("detectors", "send_alerts")),
+    ])
+    results = pipe.run(spark)
+    return {
+        "statuses": {k: v.status for k, v in results.items()},
+        "report": results["daily_report"].result,
+        "alerts": results["send_alerts"].result,
+    }

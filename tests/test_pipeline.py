@@ -207,3 +207,13 @@ def test_alert_routing_and_history_dedup(spark):
     n = sender.deliver(alerts.with_routing(cur).drop("channels"))
     assert n == 2
     assert all(ch == "log" for ch, _ in sender.sent)
+
+
+def test_run_monitoring_sweep(spark):
+    from selfhealingdatapipeline_gcp_spark import jobs
+    out = jobs.run_monitoring_sweep(spark, "/root/testdata/sf0.01")
+    assert all(v == "SUCCESS" for v in out["statuses"].values())
+    assert out["report"]["feed_status"] == 5
+    assert out["alerts"]["n_delivered"] >= 1
+    # unconfigured sender logs everything
+    assert all(ch == "log" for ch, _ in out["alerts"]["audit"])
