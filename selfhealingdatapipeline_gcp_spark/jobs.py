@@ -113,6 +113,7 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
         "pattern_break_region", "pattern_break_product",
         "reconciliation_orders_lineitem", "freshness_check",
         "feed_status", "sla_processing_velocity",
+        "quality_null_trend", "quality_duplicate_trend",
     )
 
     def run_detectors(s: SparkSession, ctx: dict[str, Any]):
