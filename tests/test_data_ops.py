@@ -226,3 +226,20 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     ref_clusters = {(min(v), len(v)) for v in ref.values() if len(v) > 1}
     got = {(r.keeper_doc_id, r.cluster_size) for r in clusters}
     assert got == ref_clusters
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF prunes to 2 of ~5 cells — recall@10 must still be
+    substantial (clustered queries find most true neighbors in their
+    own + adjacent cell)."""
+    qs = registry.queries()
+    exact = {}
+    for r in qs["ann_bruteforce_topk"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in qs["ann_ivf_topk"](spark, SF_ORACLE).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.3, f"IVF mean recall@10 too low: {mean_recall}"
