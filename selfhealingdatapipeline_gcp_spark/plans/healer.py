@@ -119,6 +119,74 @@ def _fix_schema(m: re.Match[str]) -> Fix:
     )
 
 
+@_rule("disk_full", r"No space left on device|DiskBlockManager.*(?:error|failed)")
+def _fix_disk(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="scratch disk exhausted (shuffle/spill space)",
+        suggested_fix="reduce spill volume: lower input partition size, "
+                      "raise shuffle parallelism, or add scratch disks",
+        conf_changes={
+            "spark.sql.shuffle.partitions": "increase:2x",
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
+    )
+
+
+@_rule("kryo_buffer", r"KryoException.*Buffer overflow|spark\.kryoserializer\.buffer")
+def _fix_kryo(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="serializer buffer too small for a large record",
+        suggested_fix="raise spark.kryoserializer.buffer.max",
+        conf_changes={"spark.kryoserializer.buffer.max": "512m"},
+    )
+
+
+@_rule("corrupt_file", r"(?:Could not read footer|Corrupt|not a Parquet file|"
+       r"RuntimeException.*parquet.*(?:magic|footer))")
+def _fix_corrupt(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="corrupt/truncated input file in the scan",
+        suggested_fix="skip corrupt files and re-land the bad partition",
+        conf_changes={"spark.sql.files.ignoreCorruptFiles": "true"},
+    )
+
+
+@_rule("udf_serialization", r"PicklingError|not serializable|"
+       r"SerializationException|could not serialize")
+def _fix_serialization(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="closure captures an unserializable object",
+        suggested_fix="move the object construction inside the function / "
+                      "use a broadcast variable",
+        retryable=False,
+    )
+
+
+@_rule("python_worker", r"Python worker exited unexpectedly|"
+       r"py4j\.protocol\.Py4JNetworkError|socket\.timeout")
+def _fix_pyworker(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="RETRY",
+        root_cause="python worker / py4j bridge failure (transient)",
+        suggested_fix="retry; if persistent, check worker memory limits",
+    )
+
+
+@_rule("ansi_overflow", r"ARITHMETIC_OVERFLOW|CAST_OVERFLOW|long overflow")
+def _fix_overflow(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="integer overflow under ANSI mode",
+        suggested_fix="scale the accumulator (e.g. cents to whole units) or "
+                      "switch to DECIMAL; do NOT silence with ansi=false",
+        retryable=False,
+    )
+
+
 @_rule("permission", r"Permission denied|AccessDenied|403")
 def _fix_permission(m: re.Match[str]) -> Fix:
     return Fix(

@@ -217,3 +217,22 @@ def test_run_monitoring_sweep(spark):
     assert out["alerts"]["n_delivered"] >= 1
     # unconfigured sender logs everything
     assert all(ch == "log" for ch, _ in out["alerts"]["audit"])
+
+
+@pytest.mark.parametrize("log,expected_type,kw", [
+    ("java.io.IOException: No space left on device", "CONFIG", "disk"),
+    ("com.esotericsoftware.kryo.KryoException: Buffer overflow. Available: 0",
+     "CONFIG", "buffer"),
+    ("java.lang.RuntimeException: file:/x.parquet is not a Parquet file",
+     "CONFIG", "corrupt"),
+    ("_pickle.PicklingError: Could not serialize object", "MANUAL",
+     "unserializable"),
+    ("py4j.protocol.Py4JNetworkError: Answer from Java side is empty",
+     "RETRY", "transient"),
+    ("org.apache.spark.SparkArithmeticException: [ARITHMETIC_OVERFLOW] "
+     "long overflow", "MANUAL", "overflow"),
+])
+def test_analyze_error_extended_rules(log, expected_type, kw):
+    fix = healer.analyze_error(log)
+    assert fix.fix_type == expected_type
+    assert kw.lower() in (fix.root_cause + fix.suggested_fix).lower()
