@@ -85,3 +85,11 @@ def read_orc(spark: SparkSession, path: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_binary_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Multimodal ingest source: whole files as binary rows
+    (path, modificationTime, length, content) — the raw-asset scan
+    that feeds operators/multimodal.py. Spark parallelizes by file;
+    pair with maxBytesPerTrigger in streaming ingest."""
+    return spark.read.format("binaryFile").load(path_glob)

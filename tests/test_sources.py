@@ -47,3 +47,13 @@ def test_warehouse_connectors_stubbed(spark):
     with pytest.raises((NotImplementedError, ValueError)):
         readers.read_jdbc(spark, "jdbc:postgresql://nope/db", "t",
                           partition_column="id")
+
+
+def test_binary_file_source(spark):
+    df = readers.read_binary_files(spark, "/root/testdata/sf0.001/*.parquet")
+    rows = df.select("path", "length").collect()
+    assert len(rows) == 10
+    assert all(r.length > 0 for r in rows)
+    one = df.filter(df.path.endswith("nation.parquet")) \
+            .select("content").collect()[0]
+    assert bytes(one.content[:4]) == b"PAR1"  # parquet magic
