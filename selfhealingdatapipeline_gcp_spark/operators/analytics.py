@@ -618,3 +618,28 @@ def missing_order_days(orders: DataFrame) -> DataFrame:
         calendar.join(observed, "d", "left_anti")
         .orderBy("d")
     )
+
+
+def session_duration_stats(events: DataFrame,
+                           gap: str = "30 minutes") -> DataFrame:
+    """Session-level corpus stats: sessionize (built-in
+    session_window), then duration/size distribution — the engagement
+    summary every event pipeline reports."""
+    sess = (
+        events
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    dur = (F.unix_micros("s_end") - F.unix_micros("s_start")) / 1e6
+    return sess.select(dur.alias("dur_s"), "n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_singleton"),
+        F.percentile("dur_s", 0.5).alias("p50_duration_s"),
+        F.percentile("dur_s", 0.9).alias("p90_duration_s"),
+        F.max("dur_s").alias("max_duration_s"),
+        F.percentile("n_events", 0.9).alias("p90_events"),
+    )

@@ -396,3 +396,36 @@ register(
     ORDER BY d
     """,
 )
+
+register(
+    "session_duration_stats",
+    lambda spark, sf: analytics.session_duration_stats(
+        *_t(spark, sf, "events")),
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), y AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x
+    ), sess AS (
+      SELECT user_id, sid,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS dur_s,
+             count(*) AS n_events
+      FROM y GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_singleton,
+           quantile_cont(dur_s, 0.5) AS p50_duration_s,
+           quantile_cont(dur_s, 0.9) AS p90_duration_s,
+           max(dur_s) AS max_duration_s,
+           quantile_cont(n_events, 0.9) AS p90_events
+    FROM sess
+    """,
+)

@@ -87,3 +87,9 @@ def test_parity_batch6(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_parity_session_stats(spark, duck):
+    q = registry.queries()["session_duration_stats"]
+    sql = registry.oracle_sql()["session_duration_stats"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
