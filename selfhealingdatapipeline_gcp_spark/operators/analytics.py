@@ -643,3 +643,18 @@ def session_duration_stats(events: DataFrame,
         F.max("dur_s").alias("max_duration_s"),
         F.percentile("n_events", 0.9).alias("p90_events"),
     )
+
+
+def sliding_event_rate(events: DataFrame) -> DataFrame:
+    """Sliding-window event rate: 1-hour windows sliding every 15
+    minutes (each event lands in 4 windows). The batch form of the
+    streaming sliding aggregation — window() explodes memberships,
+    then one groupBy; windows align to the unix epoch."""
+    return (
+        events
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("window.start").alias("window_start"),
+                "n_events", "n_users")
+    )

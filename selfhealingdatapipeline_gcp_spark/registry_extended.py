@@ -429,3 +429,28 @@ register(
     FROM sess
     """,
 )
+
+register(
+    "sliding_event_rate",
+    lambda spark, sf: analytics.sliding_event_rate(*_t(spark, sf, "events")),
+    # epoch-aligned integer arithmetic reproduces Spark's window
+    # assignment exactly: base bucket minus i slides, kept while the
+    # event still falls inside the 1h window
+    """
+    WITH ex AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) - (epoch_us(ts) % 900000000) AS base_us
+      FROM events
+    ), w AS (
+      SELECT make_timestamp(base_us - i.i * 900000000) AS window_start,
+             us, user_id
+      FROM ex, (SELECT unnest(range(0, 4)) AS i) AS i
+      WHERE us >= base_us - i.i * 900000000
+        AND us <  base_us - i.i * 900000000 + 3600000000
+    )
+    SELECT window_start, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM w
+    GROUP BY 1
+    """,
+)

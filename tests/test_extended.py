@@ -93,3 +93,9 @@ def test_parity_session_stats(spark, duck):
     q = registry.queries()["session_duration_stats"]
     sql = registry.oracle_sql()["session_duration_stats"]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_parity_sliding_window(spark, duck):
+    q = registry.queries()["sliding_event_rate"]
+    sql = registry.oracle_sql()["sliding_event_rate"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
