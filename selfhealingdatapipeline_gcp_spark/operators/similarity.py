@@ -162,3 +162,50 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
+                     stride: int = 100) -> DataFrame:
+    """Deterministically-seeded Lloyd's k-means over the embedding
+    corpus: seeds = every ``stride``-th vector (same as the static IVF
+    grid), then ``n_iter`` assign/recompute rounds. Iterative
+    (driver-coordinated loop); each round is one broadcast join for
+    assignment + one posexplode mean for the update — the standard
+    Spark k-means shape without MLlib.
+
+    Returns (cent_id, dim_idx, c) long-format centroids."""
+    n = _with_norms(embeddings).localCheckpoint(eager=True)
+
+    # long-format current centroids from the seed vectors
+    cents_long = (
+        n.filter(F.col("vec_id") % stride == 0)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.posexplode("v").alias("dim_idx", "c"))
+    )
+    for _ in range(n_iter):
+        cvecs = (
+            cents_long.groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "c")))
+                  .alias("pairs"))
+            .select("cent_id",
+                    F.transform("pairs", lambda p: p["c"]).alias("cv"))
+            .withColumn("cnrm", F.sqrt(
+                F.aggregate(F.transform("cv", lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x)))
+        )
+        score = vectorfn.cosine(F.col("v"), F.col("cv"),
+                                F.col("nrm"), F.col("cnrm"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("score"), F.col("cent_id"))
+        assign = (
+            n.crossJoin(F.broadcast(cvecs))
+            .select("vec_id", "cent_id", "v", score.alias("score"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cents_long = (
+            assign.select("cent_id", F.posexplode("v").alias("dim_idx", "x"))
+            .groupBy("cent_id", "dim_idx")
+            .agg(F.avg("x").alias("c"))
+        ).localCheckpoint(eager=True)
+    return cents_long

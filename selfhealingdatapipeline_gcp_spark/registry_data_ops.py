@@ -517,3 +517,11 @@ register(
     lambda spark, sf: dedup.dedup_clusters(*_t(spark, sf, "documents")),
     None,
 )
+
+register(
+    "ann_kmeans_centroids",
+    # iterative Lloyd's refinement — non-SQL-expressible (rows-only)
+    lambda spark, sf: similarity.kmeans_centroids(
+        *_t(spark, sf, "embeddings")),
+    None,
+)

@@ -243,3 +243,32 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
                for q in exact]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.3, f"IVF mean recall@10 too low: {mean_recall}"
+
+
+def test_kmeans_centroids_improve_fit(spark):
+    """After Lloyd iterations, the mean distance of vectors to their
+    nearest centroid must not be worse than with the raw seed grid."""
+    import math
+    from selfhealingdatapipeline_gcp_spark import catalog
+
+    emb = {r.vec_id: list(r.embedding)
+           for r in catalog.load(spark, SF_ORACLE, "embeddings").collect()}
+    seeds = {i: emb[i] for i in emb if i % 100 == 0}
+    refined_rows = registry.queries()["ann_kmeans_centroids"](
+        spark, SF_ORACLE).collect()
+    refined = {}
+    for r in refined_rows:
+        refined.setdefault(r.cent_id, {})[r.dim_idx] = r.c
+    refined = {cid: [d[i] for i in sorted(d)] for cid, d in refined.items()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    def mean_best(cents):
+        return sum(max(cos(v, c) for c in cents.values())
+                   for v in emb.values()) / len(emb)
+
+    assert mean_best(refined) >= mean_best(seeds) - 1e-9
