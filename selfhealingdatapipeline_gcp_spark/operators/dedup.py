@@ -328,3 +328,62 @@ def dedup_clusters(documents: DataFrame,
         .orderBy("cluster_id")
     )
     return clusters
+
+
+def dedup_simhash_multitable(documents: DataFrame,
+                             max_hamming: int = 6,
+                             n_tables: int = 4) -> DataFrame:
+    """Multi-table SimHash: bucket each signature on ``n_tables``
+    byte-rotated 16-bit windows; a pair is a candidate if ANY window
+    matches exactly. Larger (16-bit) buckets bound the in-bucket
+    quadratic pairing that the single-table top-byte form suffers on
+    homogeneous corpora, while the rotations preserve recall for
+    hamming ≤ max_hamming pairs (a close pair almost always agrees on
+    at least one 16-bit window). Pure integer arithmetic — oracle-
+    exact across engines."""
+    ex = (
+        _spread(documents, "doc_id")
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+        .select("doc_id", textfn.md5int(F.col("w")).alias("x"))
+    )
+    bit_sums = [
+        F.sum((F.floor(F.col("x") / F.lit(float(2 ** k))).cast("bigint") % 2)
+              * 2 - 1).alias(f"b{k}")
+        for k in range(32)
+    ]
+    simhash = sum(
+        (F.when(F.col(f"b{k}") > 0, F.lit(2 ** k)).otherwise(F.lit(0))
+         for k in range(32)),
+        start=F.lit(0),
+    ).cast("bigint")
+    sigs = ex.groupBy("doc_id").agg(*bit_sums).select(
+        "doc_id", simhash.alias("simhash"))
+
+    # rotate by 8·t bits: ((sig · 2^(8t)) mod 2^32) + (sig div 2^(32-8t));
+    # bucket key embeds the table id
+    def bucket(t: int):
+        shift = 8 * t
+        rot = ((F.col("simhash") * (2 ** shift)) % (2 ** 32)
+               + F.floor(F.col("simhash") / F.lit(float(2 ** (32 - shift))))
+               .cast("bigint"))
+        return F.concat_ws("|", F.lit(str(t)),
+                           F.floor(rot / F.lit(float(2 ** 16)))
+                           .cast("bigint").cast("string"))
+
+    keys = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[bucket(t) for t in range(n_tables)])).alias("bk"))
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+             .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )

@@ -525,3 +525,33 @@ register(
         *_t(spark, sf, "embeddings")),
     None,
 )
+
+_ROT_BUCKETS = " || ',' || ".join(
+    f"('{t}|' || CAST(CAST(floor((((simhash * {2**(8*t)}) % {2**32}) + "
+    f"CAST(floor(simhash / {float(2**(32-8*t))}) AS BIGINT)) / 65536.0) "
+    f"AS BIGINT) AS VARCHAR))"
+    for t in range(4))
+register(
+    "dedup_simhash_multitable",
+    lambda spark, sf: dedup.dedup_simhash_multitable(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_TOKENS}, w -> {_md5int('w')}) AS xs
+      FROM documents
+    ), b AS (
+      SELECT doc_id, {_SIMHASH_BITS} AS bits FROM toks
+    ), s AS (
+      SELECT doc_id, {_SIMHASH} AS simhash FROM b
+    ), keys AS (
+      SELECT doc_id, simhash,
+             unnest(str_split({_ROT_BUCKETS}, ',')) AS bk
+      FROM s
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+)

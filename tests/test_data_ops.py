@@ -272,3 +272,9 @@ def test_kmeans_centroids_improve_fit(spark):
                    for v in emb.values()) / len(emb)
 
     assert mean_best(refined) >= mean_best(seeds) - 1e-9
+
+
+def test_parity_simhash_multitable(spark, duck):
+    q = registry.queries()["dedup_simhash_multitable"]
+    sql = registry.oracle_sql()["dedup_simhash_multitable"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
