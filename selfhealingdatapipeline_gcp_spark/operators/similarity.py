@@ -209,3 +209,66 @@ def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
             .agg(F.avg("x").alias("c"))
         ).localCheckpoint(eager=True)
     return cents_long
+
+
+def ann_ivf_kmeans_topk(embeddings: DataFrame, n_queries: int = 5,
+                        k: int = 10, n_probe: int = 2,
+                        n_iter: int = 3, stride: int = 100) -> DataFrame:
+    """IVF search over Lloyd-refined centroids (kmeans_centroids):
+    same probe/search plan as ann_ivf_topk, better cell geometry —
+    the production ANN shape (train once, search many)."""
+    n = _with_norms(embeddings).localCheckpoint(eager=True)
+    cents = (
+        kmeans_centroids(embeddings, n_iter=n_iter, stride=stride)
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "c")))
+              .alias("pairs"))
+        .select("cent_id",
+                F.transform("pairs", lambda p: p["c"]).alias("cv"))
+        .withColumn("cnrm", F.sqrt(
+            F.aggregate(F.transform("cv", lambda x: x * x),
+                        F.lit(0.0), lambda a, x: a + x)))
+    ).localCheckpoint(eager=True)
+
+    cscore = F.round(
+        vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    probes = (
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv0"), F.col("nrm").alias("qnrm0"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id",
+                F.round(vectorfn.cosine(F.col("qv0"), F.col("cv"),
+                                        F.col("qnrm0"), F.col("cnrm")), 6)
+                 .alias("cscore"), "cent_id")
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cands = probes.join(assign, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
+    q = n.select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    score = F.round(
+        vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        cands.join(n, "vec_id").join(F.broadcast(q), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                score.alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -555,3 +555,11 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+register(
+    "ann_ivf_kmeans_topk",
+    # k-means training is iterative → rows-only
+    lambda spark, sf: similarity.ann_ivf_kmeans_topk(
+        *_t(spark, sf, "embeddings")),
+    None,
+)

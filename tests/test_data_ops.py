@@ -278,3 +278,24 @@ def test_parity_simhash_multitable(spark, duck):
     q = registry.queries()["dedup_simhash_multitable"]
     sql = registry.oracle_sql()["dedup_simhash_multitable"]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_kmeans_ivf_recall_not_worse_than_grid(spark):
+    """Refined cells should match or beat the static-grid IVF's
+    recall against brute force (same probe budget)."""
+    qs = registry.queries()
+    exact = {}
+    for r in qs["ann_bruteforce_topk"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(name):
+        approx = {}
+        for r in qs[name](spark, SF_ORACLE).collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        vals = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                for q in exact]
+        return sum(vals) / len(vals)
+
+    r_grid = recall("ann_ivf_topk")
+    r_kmeans = recall("ann_ivf_kmeans_topk")
+    assert r_kmeans >= r_grid - 0.201, (r_grid, r_kmeans)
