@@ -33,9 +33,17 @@ def _spread(df: DataFrame, key: str | None = None) -> DataFrame:
     repartition cost is one shuffle of the raw rows, repaid 32× in
     the expensive stage. When ``key`` is given, hash-partition on it
     so the downstream window/agg on the same key REUSES this exchange
-    (one shuffle total instead of two)."""
+    (one shuffle total instead of two) — and note the shuffle moves
+    RAW rows, strictly smaller than the post-explode shuffle the
+    window would otherwise pay, so the keyed form is load-bearing at
+    any input partitioning. The unkeyed form is gated on the input's
+    partition count: a well-partitioned 100 TB input skips it."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, key) if key else df.repartition(n)
+    if key:
+        return df.repartition(n, key)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -119,18 +127,25 @@ def dedup_ngram_jaccard(documents: DataFrame,
     )
 
 
-def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+def dedup_minhash_lsh(documents: DataFrame,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs.
 
     Signature computation is per-row array math inside whole-stage
     codegen; the only shuffle is the equi-join on band keys. Banding
-    at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸)."""
+    at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸).
+
+    ``shingles`` lets a caller (dedup_lsh_verified) feed a shared —
+    typically persisted — shingle relation so the explode, the most
+    expensive stage of the corpus path, runs exactly once."""
     # shingle rows → scalar hash columns → 32 min() aggregates:
     # everything stays in whole-stage codegen (array-fold HOFs are
     # interpreted), and the groupBy gets map-side partial aggregation,
     # so the signature shuffle carries ~32 longs per doc. MinHash is
     # duplicate-insensitive (min over a multiset), so no distinct.
-    ex = _shingle_rows(documents).select(
+    if shingles is None:
+        shingles = _shingle_rows(documents)
+    ex = shingles.select(
         "doc_id", textfn.md5int(F.col("s")).alias("x"))
     n_perm = 32
     hashes = [
@@ -209,13 +224,65 @@ def dedup_simhash(documents: DataFrame,
 
 
 def dedup_embedding(embeddings: DataFrame,
-                    threshold: float = 0.35) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold (all-pairs with
-    precomputed norms — the exact verifier; scale path is
-    similarity.ann_ivf_topk's cell-pruned search)."""
+                    threshold: float = 0.35,
+                    candidates: DataFrame | None = None,
+                    allow_all_pairs: bool = False,
+                    centroid_stride: int = 100) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.
+
+    Three modes, safest first:
+    - ``candidates`` given: score ONLY those (vec_a, vec_b) pairs —
+      feed it LSH buckets / IVF probes / any bounded generator.
+    - default: derive candidates from IVF cell co-membership
+      (deterministic stride centroids, same grid as ann_ivf_topk) —
+      the pair join is an equi-join on cell id, never all-pairs.
+    - ``allow_all_pairs=True``: exact all-pairs verifier — explicit
+      escape for modest corpora; at 100 TB this is a corpus² join and
+      deliberately NOT the default (VERDICT r1 #5)."""
     v = vectorfn.to_double(F.col("embedding"))
     n = _spread(embeddings).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
+    if candidates is None and not allow_all_pairs:
+        cents = (
+            n.filter(F.col("vec_id") % centroid_stride == 0)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+        )
+        cscore = F.round(
+            vectorfn.cosine(F.col("v"), F.col("cv"),
+                            F.col("nrm"), F.col("cnrm")), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cscore"), F.col("cent_id"))
+        assign = (
+            n.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cent_id", cscore.alias("cscore"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+        ca = assign.select(F.col("vec_id").alias("vec_a"), "cent_id")
+        cb = assign.select(F.col("vec_id").alias("vec_b"), "cent_id")
+        candidates = (
+            ca.join(cb, "cent_id")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+    if candidates is not None:
+        av = n.select(F.col("vec_id").alias("vec_a"),
+                      F.col("v").alias("va"), F.col("nrm").alias("na"),
+                      F.col("label").alias("la"))
+        bv = n.select(F.col("vec_id").alias("vec_b"),
+                      F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                      F.col("label").alias("lb"))
+        cos = vectorfn.cosine(F.col("va"), F.col("vb"),
+                              F.col("na"), F.col("nb"))
+        return (
+            candidates.join(av, "vec_a").join(bv, "vec_b")
+            .filter(cos >= threshold)
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"),
+                    (F.col("la") == F.col("lb")).alias("same_label"))
+            .orderBy("vec_a", "vec_b")
+        )
     a, b = n.alias("a"), n.alias("b")
     cos = vectorfn.cosine(F.col("a.v"), F.col("b.v"),
                           F.col("a.nrm"), F.col("b.nrm"))
@@ -238,28 +305,35 @@ def dedup_lsh_verified(documents: DataFrame,
     candidates, exact Jaccard verifies ONLY those candidates.
 
     At 100 TB this is the whole point of LSH — the exact-verify join
-    fans out per candidate pair (× ~shingles-per-doc), never across
-    the corpus. Output = verified pairs with their exact Jaccard."""
-    cand = dedup_minhash_lsh(documents)
-    per_doc = _shingle_rows(documents).dropDuplicates(["doc_id", "s"])
-    counts = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = per_doc.select(F.col("doc_id").alias("doc_a"), "s")
-    b = per_doc.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cand
-        .join(a, "doc_a")          # fan out candidate pairs by doc_a's shingles
-        .join(b, ["doc_b", "s"])   # equi-join: matching shingle must exist in doc_b
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    fans out per candidate pair, never across the corpus. Output =
+    verified pairs with their exact Jaccard.
+
+    One SHARED shingle subtree feeds both the signature and verify
+    sides: identical plan subtrees collapse into a ReusedExchange, so
+    the shingle explode's map work runs once (measured: an explicit
+    persist is SLOWER than exchange reuse here — the memory-store
+    round-trip costs more than the post-exchange recompute). The
+    verify is per-doc sorted shingle SETS + array_intersect: one
+    groupBy on the already-doc_id-partitioned rows, then each LSH
+    candidate pair joins to exactly two arrays — O(|a|+|b|) per pair,
+    rows shuffled = pairs, not pair×shingle fan-out. Caveat: a
+    pathological mega-document makes a mega-array; the long-format
+    join handles that better, but LSH shingle sets are doc-length
+    bounded in practice."""
+    sh = _shingle_rows(documents)
+    cand = dedup_minhash_lsh(documents, shingles=sh)
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    j = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("sa", "sb")).alias("n_common"),
+                F.size("sa").alias("n_a"), F.size("sb").alias("n_b"))
     )
-    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= threshold)
+        j.filter(jac >= threshold)
         .select("doc_a", "doc_b",
                 (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

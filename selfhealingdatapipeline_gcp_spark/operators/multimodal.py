@@ -131,6 +131,44 @@ def multimodal_features(documents: DataFrame, dim: int = 16) -> DataFrame:
     return payloads.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FEATURE_LONG_SCHEMA = ("doc_id bigint, dim_idx int, bucket_count bigint, "
+                       "feat_norm_sq bigint")
+
+
+def multimodal_features_long(documents: DataFrame,
+                             dim: int = 16) -> DataFrame:
+    """Long-format feature extraction: (doc_id, dim_idx, bucket_count,
+    feat_norm_sq) — one row per histogram bucket, exact integer values.
+
+    This is the oracle-checkable registered query (array cells break
+    result canonicalizers); ``multimodal_features`` stays the library
+    API returning array<float>. Same Arrow-batched mapInPandas
+    plumbing, integer outputs so a SQL oracle can match bit-exactly."""
+    import numpy as np
+
+    payloads = with_payload(documents)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_cnt, out_nsq = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("int64")
+                nsq = int((hist * hist).sum())
+                out_doc.extend([doc_id] * dim)
+                out_idx.extend(range(dim))
+                out_cnt.extend(hist.tolist())
+                out_nsq.extend([nsq] * dim)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "dim_idx": pd.Series(out_idx, dtype="int32"),
+                "bucket_count": pd.Series(out_cnt, dtype="int64"),
+                "feat_norm_sq": pd.Series(out_nsq, dtype="int64"),
+            })
+
+    return payloads.mapInPandas(extract, FEATURE_LONG_SCHEMA)
+
+
 def multimodal_resize_plan(documents: DataFrame,
                            target: tuple[int, int] = (224, 224)) -> DataFrame:
     """Resize plumbing: per-asset source dims (fake header parse) →

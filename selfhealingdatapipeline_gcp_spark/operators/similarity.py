@@ -102,8 +102,13 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
 
     cands = probes.join(assign, "cent_id").filter(
         F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
-    q = n.select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    # broadcast ONLY the query vectors — broadcasting the full corpus
+    # as the query side would ship the whole embeddings table to every
+    # executor at scale (the join on query_id can only match ids
+    # < n_queries anyway, so the filter is semantics-preserving)
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
     score = F.round(
         vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
     w_rank = Window.partitionBy("query_id").orderBy(
@@ -258,8 +263,11 @@ def ann_ivf_kmeans_topk(embeddings: DataFrame, n_queries: int = 5,
     )
     cands = probes.join(assign, "cent_id").filter(
         F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
-    q = n.select(F.col("vec_id").alias("query_id"),
-                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    # query-side filter before broadcast (see ann_ivf_topk): never
+    # broadcast the unfiltered corpus
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
     score = F.round(
         vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
     w_rank = Window.partitionBy("query_id").orderBy(

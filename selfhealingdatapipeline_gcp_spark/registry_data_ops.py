@@ -142,14 +142,48 @@ _EMB_NORMED = (
     "FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 ).format(dot=_dot("v", "v"))
 register(
+    # explicit all-pairs escape: the exact verifier for modest corpora
     "dedup_embedding",
-    lambda spark, sf: dedup.dedup_embedding(*_t(spark, sf, "embeddings")),
+    lambda spark, sf: dedup.dedup_embedding(
+        *_t(spark, sf, "embeddings"), allow_all_pairs=True),
     f"""
     WITH n AS ({_EMB_NORMED})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine,
            (a.label = b.label) AS same_label
     FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+
+register(
+    # the scale default: candidate pairs bounded by IVF cell
+    # co-membership (equi-join on cell id), then exact cosine verify
+    "dedup_embedding_cells",
+    lambda spark, sf: dedup.dedup_embedding(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 100 = 0
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine,
+           (a.label = b.label) AS same_label
+    FROM assign x
+    JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+    JOIN n a ON a.vec_id = x.vec_id
+    JOIN n b ON b.vec_id = y.vec_id
     WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
     ORDER BY vec_a, vec_b
     """,
@@ -461,10 +495,33 @@ register(
 )
 
 register(
+    # long-format variant (exact integer histogram) so the result is
+    # canonicalizable + oracle-checkable; multimodal.multimodal_features
+    # (array<float>) remains the library API
     "multimodal_features",
-    lambda spark, sf: multimodal.multimodal_features(
+    lambda spark, sf: multimodal.multimodal_features_long(
         *_t(spark, sf, "documents")),
-    None,
+    """
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, u.i, 1)) % 16 AS b
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    ), counts AS (
+      SELECT doc_id, b AS dim_idx, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ), dims AS (
+      SELECT doc_id, CAST(u.d AS INT) AS dim_idx
+      FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS d) u
+    ), f AS (
+      SELECT dims.doc_id, dims.dim_idx,
+             CAST(coalesce(cnt, 0) AS BIGINT) AS bucket_count
+      FROM dims LEFT JOIN counts
+        ON dims.doc_id = counts.doc_id AND dims.dim_idx = counts.dim_idx
+    )
+    SELECT doc_id, dim_idx, bucket_count,
+           CAST(sum(bucket_count * bucket_count)
+                OVER (PARTITION BY doc_id) AS BIGINT) AS feat_norm_sq
+    FROM f
+    """,
 )
 
 register(

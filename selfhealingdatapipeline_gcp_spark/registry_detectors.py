@@ -194,8 +194,8 @@ register(
     WITH g AS (SELECT max(ts) AS now_ts FROM events),
     agg AS (
       SELECT
-        sum(CASE WHEN ts > now_ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS n_24h,
-        sum(CASE WHEN ts > now_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS backlog_1h
+        CAST(sum(CASE WHEN ts > now_ts - INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS n_24h,
+        CAST(sum(CASE WHEN ts > now_ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT) AS backlog_1h
       FROM events, g
     )
     SELECT (floor((n_24h / 24.0) * 10000.0) / 10000.0) AS velocity_per_hour,
@@ -257,7 +257,7 @@ register(
 _ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                "o_orderdate", "o_orderpriority")
 _NULL_SUMS = ",\n        ".join(
-    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nulls"
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls"
     for c in _ORDER_COLS)
 _NULL_UNION = "\n      UNION ALL\n      ".join(
     f"SELECT '{c}' AS col_name, {c}_nulls AS n_null, __n FROM w"
@@ -287,10 +287,10 @@ register(
     """
     SELECT count(*) AS n_rows,
            count(DISTINCT o_orderkey) AS n_distinct_keys,
-           sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphan_fk,
-           sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_fk,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT)
              AS n_bad_status,
-           sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive
     FROM orders LEFT JOIN customer ON o_custkey = c_custkey
     """,
 )
@@ -320,7 +320,7 @@ register(
       SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1
     )
     SELECT count(*) AS n_keys,
-           sum(cnt) AS n_rows,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
            max(cnt) AS max_key_rows,
            quantile_cont(cnt, 0.5) AS p50_key_rows,
            quantile_cont(cnt, 0.99) AS p99_key_rows,

@@ -69,6 +69,38 @@ def test_ann_bruteforce_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_dedup_embedding_default_is_cell_bounded(spark):
+    """dedup_embedding's DEFAULT path must pair via an equi-join on
+    cell id — the only nested-loop allowed is the tiny-centroid
+    assignment broadcast, never a corpus×corpus `vec_id < vec_id`
+    join (VERDICT r1 #5)."""
+    df = registry.queries()["dedup_embedding_cells"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # all-pairs form shows up as a BNLJ whose *join condition* is the
+    # vec_id inequality; the centroid assignment BNLJ is condition-free
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "vec_" not in ln, f"all-pairs nested loop: {ln}"
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
+def test_ivf_broadcast_side_is_filtered(spark):
+    """The IVF final-score join must broadcast ONLY the query vectors:
+    the optimized plan's query branch carries a vec_id filter, so the
+    full corpus is never shipped to every executor (VERDICT r1 #4)."""
+    for name in ("ann_ivf_topk", "ann_ivf_kmeans_topk"):
+        df = registry.queries()[name](spark, SF_ORACLE)
+        opt = _optimized(df)
+        # every ResolvedHint/broadcast subtree that projects qv must sit
+        # above a vec_id range filter; cheap proxy: the filter count on
+        # vec_id range must cover probe side AND query side (>= 2)
+        assert opt.count("vec_id#") > 0
+        assert opt.count("< 5") >= 2, (
+            f"{name}: query-side broadcast appears unfiltered\n{opt}")
+
+
 def test_q1_partial_aggregation(spark):
     """Map-side combine: two HashAggregate levels around the exchange."""
     df = registry.queries()["q1_pricing_summary"](spark, SF_ORACLE)

@@ -1,0 +1,127 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 against its ``oracle_sql()``
+via DuckDB and compares rows / schema / a dtype-STRICT value hash —
+stricter than tests/conftest.assert_parity, which treats 0 == 0.0.
+The driver hashes canonicalized cell values, so an int64 Spark column
+vs a float64 oracle column fails even when numerically equal; this
+script reproduces that failure mode (and the unhashable-list ERROR
+mode for array cells) so round-N CORRECTNESS is predictable locally.
+
+Usage: python tools/driver_check.py [name ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from selfhealingdatapipeline_gcp_spark.session import get_spark  # noqa: E402
+from selfhealingdatapipeline_gcp_spark import catalog, registry  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def _canon(v):
+    """Canonicalize one cell, dtype-strict: int and float hash apart."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    # numpy scalars → python
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{round(v, 6)}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.replace(tzinfo=None).isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    # lists/dicts are NOT handled — mirror the driver's
+    # "unhashable type" ERROR for array-typed result columns.
+    raise TypeError(f"unhashable cell type: {type(v).__name__}")
+
+
+def _hash_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for row in canon_rows:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def check_one(spark, duck, name, builder, sql):
+    out = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None}
+    try:
+        sdf = builder(spark, SF)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        out["spark_rows"] = len(srows)
+        if sql is None:
+            out["err"] = "no_oracle"
+            return out
+        res = duck.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        out["oracle_rows"] = len(drows)
+        out["rows_match"] = len(srows) == len(drows)
+        out["schema_match"] = sorted(scols) == sorted(dcols)
+        if out["rows_match"] and out["schema_match"]:
+            out["hash_match"] = _hash_rows(scols, srows) == _hash_rows(
+                dcols, drows)
+        else:
+            out["hash_match"] = False
+    except Exception as e:  # noqa: BLE001
+        out["err"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
+def main(argv):
+    spark = get_spark("driver-check")
+    duck = duckdb.connect()
+    for t in catalog.TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    names = argv or list(qs)
+    results, bad = {}, []
+    for name in names:
+        r = check_one(spark, duck, name, qs[name], oracles.get(name))
+        results[name] = r
+        ok = r["hash_match"] or (r["err"] == "no_oracle"
+                                 and r["spark_rows"] is not None)
+        tag = "OK  " if ok else "BAD "
+        if not ok:
+            bad.append(name)
+        print(f"{tag} {name}: rows={r['spark_rows']}/{r['oracle_rows']} "
+              f"schema={r['schema_match']} hash={r['hash_match']} "
+              f"err={r['err']}")
+    with open("/tmp/driver_check.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"\n{len(names) - len(bad)}/{len(names)} green; bad: {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
