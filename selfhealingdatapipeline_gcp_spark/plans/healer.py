@@ -252,17 +252,47 @@ def apply_conf_fix(spark, fix: Fix) -> dict[str, str]:
     return applied
 
 
-def apply_fix(fix: Fix, spark=None, source_text: str | None = None
-              ) -> dict[str, object]:
+def fix_script_file(path: str, fix: Fix) -> dict[str, object]:
+    """File/URI round-trip for CODE fixes (auto_healer.py:48-90
+    ``fix_gcs_file``/``fix_local_file``): read the job script, apply
+    the patch, write back only when something changed. Local paths and
+    ``file://`` URIs are handled natively; object-store URIs need a
+    cloud client that is not in this environment, so that branch is an
+    explicit gate with the same record contract."""
+    if path.startswith(("gs://", "s3://", "abfs://")):
+        raise NotImplementedError(
+            "object-store script patching needs the matching cloud "
+            "storage client (download → apply_code_fix → upload); "
+            "only local/file:// paths are supported here")
+    local = path[len("file://"):] if path.startswith("file://") else path
+    with open(local, encoding="utf-8") as f:
+        content = f.read()
+    fixed = apply_code_fix(content, fix)
+    changed = fixed != content
+    if changed:
+        with open(local, "w", encoding="utf-8") as f:
+            f.write(fixed)
+    return {"path": path, "applied": changed,
+            "n_bytes": len(fixed.encode("utf-8"))}
+
+
+def apply_fix(fix: Fix, spark=None, source_text: str | None = None,
+              script_path: str | None = None) -> dict[str, object]:
     """Dispatch on fix type (auto_healer.py:4-46). Returns an audit
-    record of what was done."""
+    record of what was done. ``script_path`` routes CODE fixes through
+    the file round-trip (fix_script_file); ``source_text`` keeps the
+    in-memory form for callers that manage their own I/O."""
     record: dict[str, object] = {
         "fix_type": fix.fix_type,
         "root_cause": fix.root_cause,
         "suggested_fix": fix.suggested_fix,
         "applied": False,
     }
-    if fix.fix_type == "CODE" and source_text is not None:
+    if fix.fix_type == "CODE" and script_path is not None:
+        file_record = fix_script_file(script_path, fix)
+        record["file_applied"] = file_record
+        record["applied"] = bool(file_record["applied"])
+    elif fix.fix_type == "CODE" and source_text is not None:
         fixed = apply_code_fix(source_text, fix)
         record["fixed_source"] = fixed
         record["applied"] = fixed != source_text

@@ -64,7 +64,7 @@ register(
       FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
       WHERE len({_SHINGLES}) > 0
     ), ex AS (
-      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+      SELECT doc_id, len(s) AS n, {_md5int('unnest(s)')} AS g FROM sh
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_common, max(a.n) AS n_a, max(b.n) AS n_b

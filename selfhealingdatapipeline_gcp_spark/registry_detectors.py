@@ -56,6 +56,93 @@ register(
 )
 
 register(
+    "revenue_forecast",
+    lambda spark, sf: detectors.revenue_forecast(*_t(spark, sf, "orders")),
+    """
+    WITH a AS (SELECT CAST(max(o_orderdate) AS DATE) AS anchor_day FROM orders),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders, a
+      WHERE CAST(o_orderdate AS DATE) >= anchor_day - INTERVAL 30 DAY
+      GROUP BY 1
+    ), r AS (
+      SELECT d, rev_c, row_number() OVER (ORDER BY d DESC) AS rn,
+             count(*) OVER () AS n_hist
+      FROM daily
+    ), t AS (
+      SELECT CAST(sum(rev_c) AS BIGINT) AS s,
+             CAST(max(n_hist) AS BIGINT) AS n_history_days
+      FROM r WHERE rn <= 7
+    )
+    SELECT (floor((s / 7.0 / 100.0) * 10000.0) / 10000.0) AS forecast_daily_avg,
+           CAST(7 AS BIGINT) AS forecast_days,
+           (floor(((s / 7.0 / 100.0) * 7.0) * 10000.0) / 10000.0) AS forecast_total,
+           n_history_days
+    FROM t WHERE n_history_days >= 7
+    """,
+)
+
+register(
+    "transaction_breakdown",
+    lambda spark, sf: detectors.transaction_breakdown(
+        *_t(spark, sf, "orders", "lineitem", "part", "customer",
+            "nation", "region")),
+    """
+    SELECT r_name AS region, p_brand AS category,
+           count(*) AS txn_count,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0) AS revenue
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 72 HOUR
+    GROUP BY 1, 2
+    ORDER BY txn_count DESC, region, category
+    LIMIT 10
+    """,
+)
+
+register(
+    "revenue_dow_context",
+    lambda spark, sf: detectors.revenue_dow_context(*_t(spark, sf, "orders")),
+    """
+    WITH a AS (SELECT CAST(max(o_orderdate) AS DATE) AS anchor_day FROM orders),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT d, dayname(d) AS day_of_week, revenue
+    FROM daily, a
+    WHERE dayofweek(d) = dayofweek(anchor_day)
+      AND d < anchor_day
+      AND d >= anchor_day - INTERVAL 90 DAY
+    ORDER BY d DESC LIMIT 12
+    """,
+)
+
+register(
+    "feed_historical_context",
+    lambda spark, sf: detectors.feed_historical_context(
+        *_t(spark, sf, "events")),
+    """
+    WITH g AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT event_type AS feed_id,
+           count(*) AS total_arrivals,
+           count(DISTINCT CAST(ts AS DATE)) AS days_arrived,
+           max(ts) AS last_seen,
+           (floor((avg(extract(hour FROM ts))) * 10000.0) / 10000.0)
+             AS avg_arrival_hour
+    FROM events, g
+    WHERE ts >= now_ts - INTERVAL 30 DAY
+    GROUP BY 1
+    """,
+)
+
+register(
     "transaction_volume_anomaly",
     lambda spark, sf: detectors.transaction_volume_anomaly(
         *_t(spark, sf, "events")),
@@ -145,6 +232,49 @@ register(
              AS discrepancy_pct,
            (n_source != coalesce(n_dest, 0)) AS is_mismatch
     FROM src LEFT JOIN m ON src.d = m.d
+    """,
+)
+
+register(
+    # source = all events; destination simulates partial load loss
+    # (rows with value < 10 dropped) so the hour-grain discrepancy
+    # localization actually exercises the FULL OUTER path on testdata;
+    # the operator itself is generic over any source/dest pair
+    "reconciliation_hourly_breakdown",
+    lambda spark, sf: detectors.reconciliation_hourly_breakdown(
+        catalog.load(spark, sf, "events"),
+        catalog.load(spark, sf, "events").filter("value >= 10")),
+    """
+    WITH a AS (SELECT CAST(max(ts) AS DATE) AS anchor_day FROM events),
+    s AS (
+      SELECT CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS c
+      FROM events, a WHERE CAST(ts AS DATE) = anchor_day GROUP BY 1
+    ), d AS (
+      SELECT CAST(extract(hour FROM ts) AS INT) AS hour, count(*) AS c
+      FROM events, a
+      WHERE CAST(ts AS DATE) = anchor_day AND value >= 10 GROUP BY 1
+    )
+    SELECT coalesce(s.hour, d.hour) AS hour,
+           CAST(coalesce(s.c, 0) AS BIGINT) AS source_count,
+           CAST(coalesce(d.c, 0) AS BIGINT) AS dest_count,
+           CAST(coalesce(s.c, 0) - coalesce(d.c, 0) AS BIGINT) AS discrepancy
+    FROM s FULL OUTER JOIN d ON s.hour = d.hour
+    WHERE coalesce(s.c, 0) - coalesce(d.c, 0) != 0
+    ORDER BY hour
+    """,
+)
+
+register(
+    "feed_trends",
+    lambda spark, sf: detectors.feed_trends(*_t(spark, sf, "events")),
+    """
+    WITH a AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT CAST(ts AS DATE) AS d,
+           count(DISTINCT event_type) AS feed_count,
+           count(*) AS total_arrivals
+    FROM events, a
+    WHERE ts >= now_ts - INTERVAL 30 DAY
+    GROUP BY 1
     """,
 )
 

@@ -23,6 +23,12 @@ DETECTORS = [
     "quality_duplicate_trend",
     "quality_null_profile",
     "quality_completeness",
+    "revenue_forecast",
+    "transaction_breakdown",
+    "reconciliation_hourly_breakdown",
+    "feed_trends",
+    "revenue_dow_context",
+    "feed_historical_context",
 ]
 
 
@@ -46,3 +52,23 @@ def test_parity_key_skew_profile(spark, duck):
     from conftest import SF_ORACLE as SF, assert_parity as ap
     q = registry.queries()["key_skew_profile"]
     ap(q(spark, SF), duck, registry.oracle_sql()["key_skew_profile"])
+
+
+def test_revenue_forecast_projection_is_consistent(spark):
+    r = registry.queries()["revenue_forecast"](spark, SF_ORACLE).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.forecast_days == 7
+    assert row.n_history_days >= 7
+    # total ≈ daily × days (both floor-truncated at 4 places)
+    assert abs(row.forecast_total - row.forecast_daily_avg * 7) < 1e-2
+
+
+def test_hourly_breakdown_localizes_loss(spark):
+    """dest drops value<10 rows, so every discrepancy is positive and
+    source_count >= dest_count on every emitted hour."""
+    rows = registry.queries()["reconciliation_hourly_breakdown"](
+        spark, SF_ORACLE).collect()
+    assert rows, "lossy dest must produce discrepancies"
+    for r in rows:
+        assert r.discrepancy == r.source_count - r.dest_count > 0

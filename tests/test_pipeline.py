@@ -42,6 +42,26 @@ def test_apply_code_fix_double_dot():
     assert ".." not in fixed
 
 
+def test_fix_script_file_roundtrip(tmp_path):
+    # file round-trip parity (auto_healer.py:76-90 fix_local_file):
+    # read → patch → write-back only when changed
+    script = tmp_path / "job.py"
+    script.write_text('df = spark.read.table("proj.selfhealing..t")\n')
+    fix = healer.analyze_error("Syntax error near 'selfhealing..t'")
+    rec = healer.apply_fix(fix, script_path=str(script))
+    assert rec["applied"] is True
+    assert ".." not in script.read_text()
+    # idempotent second pass: nothing to change, file untouched
+    rec2 = healer.apply_fix(fix, script_path=f"file://{script}")
+    assert rec2["applied"] is False
+
+
+def test_fix_script_file_object_store_is_gated(tmp_path):
+    fix = healer.analyze_error("Syntax error near 'a..b'")
+    with pytest.raises(NotImplementedError):
+        healer.fix_script_file("gs://bucket/job.py", fix)
+
+
 def test_apply_conf_fix_doubles_partitions(spark):
     before = int(spark.conf.get("spark.sql.shuffle.partitions"))
     fix = healer.analyze_error("java.lang.OutOfMemoryError: GC overhead")
