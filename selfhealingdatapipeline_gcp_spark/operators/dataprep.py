@@ -1,0 +1,246 @@
+"""Training-data preparation operators (build brief: the operations a
+large-scale LLM training-data pipeline needs beyond the reference's
+own surface).
+
+All per-row work is built-in string/array expressions or integer hash
+arithmetic (whole-stage codegen; no Python in the row path), and every
+decision is a DETERMINISTIC function of the row — no rand(): sampling,
+splits, and mixing must give byte-identical output on re-runs and
+retries at 100 TB, so they key off md5 of stable identifiers.
+
+Scale notes per operator are in the docstrings; the common theme:
+splits/samples/filters are scan-level (zero shuffle), contamination is
+one equi-join on a 48-bit shingle hash, mixing is a tiny per-source
+grain aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.functions import money, textfn
+from selfhealingdatapipeline_gcp_spark.operators.dedup import _shingle_rows
+from selfhealingdatapipeline_gcp_spark.operators.textanalysis import STOPWORDS
+
+
+def train_val_split(documents: DataFrame, val_pct: int = 10) -> DataFrame:
+    """Deterministic hash split: bucket = md5int(doc_id) mod 100,
+    split = 'val' iff bucket < val_pct. A pure scan-level projection —
+    no shuffle, stable under retries and re-ingestion (the split of a
+    document never depends on what else is in the corpus)."""
+    bucket = textfn.md5int(F.col("doc_id").cast("string")) % 100
+    return documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+         .alias("split"),
+    )
+
+
+def stratified_sample(documents: DataFrame, fraction: float = 0.2,
+                      strata: str = "source") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5int(strata|doc_id) mod 10000 < fraction·10000. Uniform within
+    every stratum by hash uniformity, reproducible, scan-level (the
+    filter pushes to the scan output; no shuffle, no rand())."""
+    h = textfn.md5int(
+        F.concat_ws("|", F.col(strata).cast("string"),
+                    F.col("doc_id").cast("string"))) % 10000
+    return (
+        documents
+        .filter(h < int(fraction * 10000))
+        .select("doc_id", F.col(strata).alias("stratum"))
+    )
+
+
+def source_mixing_plan(documents: DataFrame, target_total: int,
+                       strata: str = "source") -> DataFrame:
+    """Source-mixing plan for a uniform target mix: given a target
+    corpus size, how many docs each source should contribute and the
+    sampling rate to get there (rate capped at 1; a deficit flag marks
+    under-resourced sources — the upsampling decision is the caller's).
+    One tiny per-source aggregate; the plan relation is dim-sized."""
+    n_strata_w = Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing)
+    per = (
+        documents.groupBy(F.col(strata).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("n_strata", F.count(F.lit(1)).over(n_strata_w))
+    )
+    target = F.floor(F.lit(target_total) / F.col("n_strata")).cast("bigint")
+    rate = F.least(F.lit(1.0), target / F.col("n_docs"))
+    return per.select(
+        "stratum", "n_docs",
+        target.alias("target_docs"),
+        money.trunc(rate).alias("sample_rate"),
+        (F.col("n_docs") < target).alias("is_deficit"),
+    )
+
+
+def contamination_check(train: DataFrame, eval_: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """Train/eval contamination: for each eval document, the fraction
+    of its distinct 3-gram shingles that appear anywhere in the train
+    corpus (the standard n-gram-overlap decontamination check).
+
+    The train side collapses to DISTINCT shingle hashes (48-bit
+    md5int) — the join is an equi-join on an 8-byte key, fan-out
+    bounded by eval shingle counts, never corpus×corpus. At 100 TB the
+    train-distinct relation is the big side and shuffles once; a bloom
+    filter pushdown (AQE does this for selective joins) prunes most
+    eval probes."""
+    train_sh = (
+        _shingle_rows(train)
+        .select(textfn.md5int(F.col("s")).alias("h"))
+        .dropDuplicates(["h"])
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sh = (
+        _shingle_rows(eval_)
+        .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    rate = F.col("n_contaminated") / F.col("n_shingles")
+    return (
+        eval_sh.join(train_sh, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_contaminated",
+            (F.floor(rate * 1e6) / 1e6).alias("contamination_rate"),
+            (rate >= threshold).alias("is_contaminated"),
+        )
+    )
+
+
+def repetition_score(documents: DataFrame,
+                     max_ratio: float = 0.2) -> DataFrame:
+    """Per-document n-gram repetition (Gopher-style quality rule):
+    ratio = 1 − distinct/total 3-gram shingles; repetitive boilerplate
+    scores high. One doc_id-partitioned aggregate over the shingle
+    explode — reuses the same exchange every other shingle op uses."""
+    sh = _shingle_rows(documents).select(
+        "doc_id", textfn.md5int(F.col("s")).alias("h"))
+    agg = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    ratio = 1.0 - F.col("n_distinct") / F.col("n_shingles")
+    return agg.select(
+        "doc_id", "n_shingles", "n_distinct",
+        (F.floor(ratio * 1e6) / 1e6).alias("repetition_ratio"),
+        (ratio > max_ratio).alias("is_repetitive"),
+    )
+
+
+def quality_filter_pipeline(documents: DataFrame,
+                            min_tokens: int = 20,
+                            max_tokens: int = 100000,
+                            min_mean_len: float = 2.0,
+                            max_mean_len: float = 10.0,
+                            min_stop_ratio: float = 0.01,
+                            max_repetition: float = 0.2) -> DataFrame:
+    """C4/Gopher-style keep/drop decision with the FIRST failing rule
+    as the drop reason: token-count bounds, mean-word-length band,
+    stopword-ratio floor, repetition ceiling. Token metrics and the
+    repetition metric are two doc_id-grain aggregates joined on
+    doc_id — both sides arrive hash-partitioned on doc_id, so the
+    join adds no exchange."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ex = documents.select(
+        "doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    toks = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("w")).alias("__sum_len"),
+        F.sum(F.array_contains(stop_arr, F.col("w")).cast("bigint"))
+         .alias("__n_stop"),
+    )
+    rep = repetition_score(documents).select("doc_id", "repetition_ratio")
+    n = F.col("n_tokens")
+    mean_len = F.col("__sum_len") / n
+    stop_ratio = F.col("__n_stop") / n
+    # left join: documents too short to shingle (< 3 tokens) have no
+    # repetition row — they fail the token-count rule anyway
+    j = toks.join(rep, "doc_id", "left")
+    repetition = F.coalesce(F.col("repetition_ratio"), F.lit(0.0))
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when((mean_len < min_mean_len) | (mean_len > max_mean_len),
+              F.lit("word_length"))
+        .when(stop_ratio < min_stop_ratio, F.lit("low_stopwords"))
+        .when(repetition > max_repetition, F.lit("repetitive"))
+    )
+    return j.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        money.trunc(mean_len).alias("mean_token_len"),
+        money.trunc(stop_ratio).alias("stopword_ratio"),
+        money.trunc(repetition).alias("repetition_ratio"),
+        reason.isNull().alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+# conservative patterns that parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "card": r"[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}",
+}
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: replace email/phone/card-shaped spans with
+    typed placeholders, count replacements per kind. Pure
+    regexp_replace/regexp-count chain — codegen, no UDF; order is
+    card → phone → email so the longest patterns win overlaps.
+
+    Redaction counts are computed BEFORE any replacement (patterns
+    can overlap; counts reflect the original text)."""
+    text = F.col("text")
+    counts = {
+        kind: F.size(F.split(text, pat)) - 1
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = text
+    for kind in ("card", "phone", "email"):
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return documents.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["card"].alias("n_card"),
+        red.alias("redacted_text"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+def vector_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8 scalar quantization in long format:
+    scale = max |x| over the vector, q8 = floor(x/scale·127) — floor,
+    not round, so both engines truncate identically. Emits
+    (vec_id, dim_idx, q8, scale_e6); the reconstruction is
+    q8/127·scale. posexplode + a per-vector max — one pass, the
+    standard storage-shrink step before ANN indexing at scale."""
+    v = F.transform(F.col("embedding"),
+                    lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    ex = embeddings.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.posexplode(v).alias("dim_idx", "x"),
+    )
+    q8 = F.when(F.col("scale") > 0,
+                F.floor(F.col("x") / F.col("scale") * 127).cast("bigint")
+                ).otherwise(F.lit(0))
+    return ex.select(
+        "vec_id", "dim_idx",
+        q8.alias("q8"),
+        F.floor(F.col("scale") * 1e6).cast("bigint").alias("scale_e6"),
+    )

@@ -1,0 +1,221 @@
+"""Registry entries for the training-data-prep operators
+(operators/dataprep.py). Oracle SQL mirrors every hash, floor, and
+threshold — splits/samples are md5-deterministic so DuckDB reproduces
+them exactly."""
+
+from __future__ import annotations
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import dataprep
+from selfhealingdatapipeline_gcp_spark.registry import register
+from selfhealingdatapipeline_gcp_spark.registry_data_ops import (
+    _md5int, _SHINGLES, _STOPS, _TOKENS)
+
+
+def _t(spark, sf, *names):
+    return [catalog.load(spark, sf, n) for n in names]
+
+
+register(
+    "train_val_split",
+    lambda spark, sf: dataprep.train_val_split(*_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id,
+           ({_md5int('CAST(doc_id AS VARCHAR)')} % 100) AS bucket,
+           CASE WHEN {_md5int('CAST(doc_id AS VARCHAR)')} % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+
+register(
+    "stratified_sample",
+    lambda spark, sf: dataprep.stratified_sample(
+        *_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id, source AS stratum
+    FROM documents
+    WHERE {_md5int("source || '|' || CAST(doc_id AS VARCHAR)")} % 10000 < 2000
+    """,
+)
+
+register(
+    "source_mixing_plan",
+    lambda spark, sf: dataprep.source_mixing_plan(
+        *_t(spark, sf, "documents"), target_total=200),
+    """
+    WITH per AS (
+      SELECT source AS stratum, count(*) AS n_docs FROM documents GROUP BY 1
+    ), w AS (
+      SELECT stratum, n_docs, count(*) OVER () AS n_strata FROM per
+    )
+    SELECT stratum, n_docs,
+           CAST(floor(200 / n_strata) AS BIGINT) AS target_docs,
+           (floor((least(1.0, floor(200 / n_strata) / n_docs)) * 10000.0)
+            / 10000.0) AS sample_rate,
+           (n_docs < floor(200 / n_strata)) AS is_deficit
+    FROM w
+    """,
+)
+
+register(
+    # train = 90% of docs, eval = doc_id % 10 == 0 — the standard
+    # n-gram-overlap decontamination check over that split
+    "contamination_check",
+    lambda spark, sf: dataprep.contamination_check(
+        catalog.load(spark, sf, "documents").filter("doc_id % 10 != 0"),
+        catalog.load(spark, sf, "documents").filter("doc_id % 10 = 0")),
+    f"""
+    WITH tr AS (
+      SELECT DISTINCT {_md5int('unnest(s)')} AS h
+      FROM (
+        SELECT {_SHINGLES} AS s
+        FROM (SELECT {_TOKENS} AS t FROM documents WHERE doc_id % 10 != 0)
+        WHERE len({_SHINGLES}) > 0
+      )
+    ), ev AS (
+      SELECT DISTINCT doc_id, {_md5int('unnest(s)')} AS h
+      FROM (
+        SELECT doc_id, {_SHINGLES} AS s
+        FROM (SELECT doc_id, {_TOKENS} AS t FROM documents
+              WHERE doc_id % 10 = 0)
+        WHERE len({_SHINGLES}) > 0
+      )
+    ), agg AS (
+      SELECT ev.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM ev LEFT JOIN tr ON ev.h = tr.h
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           (floor((n_contaminated * 1.0 / n_shingles) * 1000000.0)
+            / 1000000.0) AS contamination_rate,
+           (n_contaminated * 1.0 / n_shingles >= 0.5) AS is_contaminated
+    FROM agg
+    """,
+)
+
+# NON-distinct shingle list (repetition needs duplicates)
+_SHINGLES_ALL = ("list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+                 "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])")
+
+register(
+    "repetition_score",
+    lambda spark, sf: dataprep.repetition_score(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_ALL} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES_ALL}) > 0
+    ), agg AS (
+      SELECT doc_id, len(s) AS n_shingles,
+             len(list_distinct(list_transform(s, g -> {_md5int('g')})))
+               AS n_distinct
+      FROM sh
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           (floor((1.0 - n_distinct * 1.0 / n_shingles) * 1000000.0)
+            / 1000000.0) AS repetition_ratio,
+           (1.0 - n_distinct * 1.0 / n_shingles > 0.2) AS is_repetitive
+    FROM agg
+    """,
+)
+
+register(
+    "quality_filter_pipeline",
+    lambda spark, sf: dataprep.quality_filter_pipeline(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             list_reduce([CAST(0 AS BIGINT)] ||
+                         list_transform(t, x -> length(x)::BIGINT),
+                         (a, x) -> a + x) AS sum_len,
+             len(list_filter(t, x -> list_contains({_STOPS}, x))) AS n_stop,
+             {_SHINGLES_ALL} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len(t) > 0
+    ), rep AS (
+      SELECT doc_id,
+             CASE WHEN len(s) > 0
+                  THEN 1.0 - len(list_distinct(list_transform(
+                         s, g -> {_md5int('g')}))) * 1.0 / len(s)
+                  ELSE 0.0 END AS repetition
+      FROM toks
+    ), j AS (
+      SELECT t.doc_id, t.n_tokens,
+             t.sum_len * 1.0 / t.n_tokens AS mean_len,
+             t.n_stop * 1.0 / t.n_tokens AS stop_ratio,
+             rep.repetition
+      FROM toks t JOIN rep ON t.doc_id = rep.doc_id
+    ), r AS (
+      SELECT doc_id, n_tokens, mean_len, stop_ratio, repetition,
+             CASE WHEN n_tokens < 20 THEN 'too_short'
+                  WHEN n_tokens > 100000 THEN 'too_long'
+                  WHEN mean_len < 2.0 OR mean_len > 10.0 THEN 'word_length'
+                  WHEN stop_ratio < 0.01 THEN 'low_stopwords'
+                  WHEN repetition > 0.2 THEN 'repetitive'
+             END AS drop_reason
+      FROM j
+    )
+    SELECT doc_id, n_tokens,
+           (floor(mean_len * 10000.0) / 10000.0) AS mean_token_len,
+           (floor(stop_ratio * 10000.0) / 10000.0) AS stopword_ratio,
+           (floor(repetition * 10000.0) / 10000.0) AS repetition_ratio,
+           (drop_reason IS NULL) AS keep,
+           drop_reason
+    FROM r
+    """,
+)
+
+register(
+    "pii_redact",
+    lambda spark, sf: dataprep.pii_redact(*_t(spark, sf, "documents")),
+    # same RE2-safe patterns; counts via split-length, global replace
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                AS INT) AS n_email,
+           CAST(len(regexp_split_to_array(text,
+                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) - 1 AS INT) AS n_phone,
+           CAST(len(regexp_split_to_array(text,
+                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}')) - 1
+                AS INT) AS n_card,
+           regexp_replace(regexp_replace(regexp_replace(text,
+                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
+                '<CARD>', 'g'),
+                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS redacted_text,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
+                '<CARD>', 'g'),
+                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+
+register(
+    "vector_quantize",
+    lambda spark, sf: dataprep.vector_quantize(*_t(spark, sf, "embeddings")),
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    )
+    SELECT vec_id, CAST(u.i - 1 AS INT) AS dim_idx,
+           CAST(CASE WHEN scale > 0 THEN floor(v[u.i] / scale * 127)
+                     ELSE 0 END AS BIGINT) AS q8,
+           CAST(floor(scale * 1000000.0) AS BIGINT) AS scale_e6
+    FROM s, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    """,
+)

@@ -174,8 +174,26 @@ def test_streaming_foreachbatch_sink(spark, tmp_path):
 
 
 def test_multimodal_features(spark):
+    # registered query is the long-format integer histogram (array
+    # cells break result canonicalizers); 16 rows per doc
     df = registry.queries()["multimodal_features"](spark, SF_ORACLE)
     rows = df.collect()
+    assert len(rows) == 500 * 16
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    sample = by_doc[rows[0].doc_id]
+    assert sorted(r.dim_idx for r in sample) == list(range(16))
+    assert all(r.feat_norm_sq == sample[0].feat_norm_sq for r in sample)
+    assert sum(r.bucket_count ** 2 for r in sample) == sample[0].feat_norm_sq
+
+
+def test_multimodal_features_array_api(spark):
+    # library API keeps the array<float> form with unit-norm vectors
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import multimodal
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = multimodal.multimodal_features(docs).collect()
     assert len(rows) == 500
     for r in rows[:10]:
         assert len(r.feature) == 16

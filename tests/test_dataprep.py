@@ -1,0 +1,113 @@
+"""Training-data-prep operator tests: DuckDB parity for all registry
+entries plus behavioral checks (injected-PII redaction, split
+determinism, quantization error bounds)."""
+
+from __future__ import annotations
+
+import pytest
+
+from selfhealingdatapipeline_gcp_spark import registry
+from selfhealingdatapipeline_gcp_spark.operators import dataprep
+
+from conftest import SF_ORACLE, assert_parity
+
+DATAPREP = [
+    "train_val_split",
+    "stratified_sample",
+    "source_mixing_plan",
+    "contamination_check",
+    "repetition_score",
+    "quality_filter_pipeline",
+    "pii_redact",
+    "vector_quantize",
+]
+
+
+@pytest.mark.parametrize("name", DATAPREP)
+def test_parity(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_split_deterministic_and_balanced(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    a = {r.doc_id: r.split for r in dataprep.train_val_split(docs).collect()}
+    b = {r.doc_id: r.split for r in dataprep.train_val_split(docs).collect()}
+    assert a == b  # byte-identical on re-run
+    n_val = sum(1 for s in a.values() if s == "val")
+    assert 0.04 < n_val / len(a) < 0.20  # ~10% ± hash noise at n=500
+
+
+def test_stratified_sample_covers_strata(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = dataprep.stratified_sample(docs).collect()
+    frac = len(rows) / docs.count()
+    assert 0.1 < frac < 0.3  # target 0.2
+    assert len({r.stratum for r in rows}) >= 15  # most of 20 sources hit
+
+
+def test_pii_redact_injected(spark):
+    rows = [
+        (1, "contact me at alice@example.com today"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "card 4111 1111 1111 1111 on file"),
+        (4, "no pii here at all"),
+        (5, "two mails a@b.io and c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dataprep.pii_redact(df).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].redacted_text
+    assert "alice@example.com" not in out[1].redacted_text
+    assert out[2].n_phone == 1 and "<PHONE>" in out[2].redacted_text
+    assert out[3].n_card == 1 and "<CARD>" in out[3].redacted_text
+    assert "4111" not in out[3].redacted_text
+    assert out[4].redacted_text == "no pii here at all"
+    assert out[5].n_email == 2
+
+
+def test_vector_quantize_error_bound(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    orig = {(r.vec_id, i): float(x)
+            for r in emb.select("vec_id", "embedding").limit(20).collect()
+            for i, x in enumerate(r.embedding)}
+    q = {(r.vec_id, r.dim_idx): r
+         for r in dataprep.vector_quantize(emb).collect()
+         if (r.vec_id, r.dim_idx) in orig}
+    assert q, "limit(20) vec_ids must appear"
+    for key, r in q.items():
+        assert -127 <= r.q8 <= 127
+        scale = r.scale_e6 / 1e6
+        recon = r.q8 / 127.0 * scale
+        # floor-quantization error is one step of scale/127 (+ the
+        # 1e-6 truncation of the stored scale)
+        assert abs(orig[key] - recon) <= scale / 127.0 + 1e-4
+
+
+def test_quality_filter_reasons_are_first_match(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = dataprep.quality_filter_pipeline(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.drop_reason is None)
+        if r.n_tokens < 20:
+            assert r.drop_reason == "too_short"
+
+
+def test_contamination_rates_bounded(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    out = dataprep.contamination_check(
+        docs.filter("doc_id % 10 != 0"), docs.filter("doc_id % 10 = 0"))
+    rows = out.collect()
+    assert len(rows) == docs.filter("doc_id % 10 = 0").count()
+    for r in rows:
+        assert 0.0 <= r.contamination_rate <= 1.0
+        assert r.n_contaminated <= r.n_shingles
+    # a train document evaluated against itself must be 100% contaminated
+    self_check = dataprep.contamination_check(docs, docs.limit(5)).collect()
+    assert all(r.contamination_rate >= 0.999999 for r in self_check)
