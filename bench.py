@@ -43,6 +43,13 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "dedup_lsh_verified",
     "embedding_centroids",
+    # r2 additions (baseline floor starts at BENCH_r02)
+    "dedup_embedding_cells",
+    "contamination_check",
+    "quality_filter_pipeline",
+    "vector_quantize",
+    "multimodal_features",
+    "revenue_forecast",
 ]
 
 

@@ -440,6 +440,27 @@ register(
 )
 
 register(
+    "streaming_dedup",
+    monitors.streaming_dedup,
+    """
+    SELECT event_type,
+           count(DISTINCT (user_id, event_type, value)) AS n_unique
+    FROM events GROUP BY 1
+    """,
+)
+
+register(
+    "streaming_feed_freshness",
+    monitors.streaming_feed_freshness,
+    """
+    SELECT event_type AS source,
+           max(ts) AS last_update,
+           count(*) AS n_arrivals
+    FROM events GROUP BY 1
+    """,
+)
+
+register(
     "embedding_centroids",
     lambda spark, sf: similarity.embedding_centroids(
         *_t(spark, sf, "embeddings")),

@@ -136,6 +136,35 @@ def streaming_stateful_volume_monitor(spark: SparkSession,
     return _run_to_memory(agg, "update")
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the natural key with state-store
+    backing: dropDuplicates inside a stream keeps per-key state so
+    replayed/duplicated events are emitted once. Output is the
+    per-type unique count — deterministic regardless of which
+    physical row the state keeps. On a live feed you'd bound the
+    state with ``withWatermark`` + ``dropDuplicatesWithinWatermark``
+    (same plan, state expires after the lateness horizon); with
+    availableNow the whole file set is one batch so the unbounded
+    form is oracle-exact."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream.dropDuplicates(["user_id", "event_type", "value"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique"))
+    return _run_to_memory(agg, "complete")
+
+
+def streaming_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of the freshness detector: running max(ts) +
+    arrival count per feed, updated every micro-batch — the state the
+    reference polls BigQuery for, maintained incrementally instead."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.col("event_type").alias("source")).agg(
+        F.max("ts").alias("last_update"),
+        F.count(F.lit(1)).alias("n_arrivals"),
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def streaming_to_parquet_sink(spark: SparkSession, sf_dir: str,
                               output_path: str) -> int:
     """Streaming → parquet via foreachBatch with epoch-keyed

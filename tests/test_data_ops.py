@@ -24,6 +24,10 @@ ORACLE_CHECKED = [
     "doc_fingerprint",
     "streaming_txn_volume",
     "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_feed_freshness",
+    "dedup_embedding_cells",
+    "multimodal_features",
 ]
 
 

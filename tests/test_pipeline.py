@@ -42,6 +42,28 @@ def test_apply_code_fix_double_dot():
     assert ".." not in fixed
 
 
+def test_extract_error_section_traceback():
+    log = ("INFO lots of noise\n" * 200
+           + "Traceback (most recent call last):\n"
+             '  File "job.py", line 3\nKeyError: boom\n'
+           + "INFO trailing\n" * 50)
+    out = healer.extract_error_section(log)
+    assert out.startswith("Traceback (most recent call last):")
+    assert "KeyError: boom" in out
+    # the extracted section classifies the same as the raw error
+    assert healer.analyze_error(out).fix_type == healer.analyze_error(
+        "KeyError: boom").fix_type
+
+
+def test_extract_error_section_head_tail():
+    log = "A" * 3000 + "B" * 3000
+    out = healer.extract_error_section(log)
+    assert out.startswith("=== START ===") and "=== END ===" in out
+    assert len(out) < len(log)
+    short = "tiny log, no traceback"
+    assert healer.extract_error_section(short) == short
+
+
 def test_fix_script_file_roundtrip(tmp_path):
     # file round-trip parity (auto_healer.py:76-90 fix_local_file):
     # read → patch → write-back only when changed
