@@ -214,3 +214,4 @@ def _ensure_loaded() -> None:
     from selfhealingdatapipeline_gcp_spark import registry_data_ops  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_extended  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_dataprep  # noqa: F401
+    from selfhealingdatapipeline_gcp_spark import registry_tpch  # noqa: F401

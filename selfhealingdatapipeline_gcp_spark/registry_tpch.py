@@ -1,0 +1,135 @@
+"""Registry entries for the extra TPC-H-shape analytics
+(operators/tpch_extra.py) with expression-exact DuckDB oracles."""
+
+from __future__ import annotations
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import tpch_extra
+from selfhealingdatapipeline_gcp_spark.registry import register
+
+
+def _t(spark, sf, *names):
+    return [catalog.load(spark, sf, n) for n in names]
+
+
+register(
+    "q9_profit_by_nation_year",
+    lambda spark, sf: tpch_extra.q9_profit_by_nation_year(
+        *_t(spark, sf, "lineitem", "part", "supplier", "orders", "nation")),
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT) * 50
+                  * CAST(round(l_quantity) AS BIGINT)) / 10000.0) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%ar%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+register(
+    "q11_important_parts",
+    lambda spark, sf: tpch_extra.q11_important_parts(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    WITH vals AS (
+      SELECT p_partkey,
+             sum(CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT)) AS value_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ), total AS (SELECT sum(value_c) AS total_c FROM vals)
+    SELECT p_partkey, (value_c / 100.0) AS value
+    FROM vals, total
+    WHERE value_c > total_c * 0.0007
+    ORDER BY value DESC, p_partkey
+    """,
+)
+
+register(
+    "q13_customer_distribution",
+    lambda spark, sf: tpch_extra.q13_customer_distribution(
+        *_t(spark, sf, "customer", "orders")),
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+register(
+    "q15_top_supplier",
+    lambda spark, sf: tpch_extra.q15_top_supplier(
+        *_t(spark, sf, "lineitem", "supplier")),
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, (rev_e4 / 10000.0) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+
+register(
+    "q19_bracket_revenue",
+    lambda spark, sf: tpch_extra.q19_bracket_revenue(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    SELECT (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+register(
+    "q22_dormant_customers",
+    lambda spark, sf: tpch_extra.q22_dormant_customers(
+        *_t(spark, sf, "customer", "orders")),
+    """
+    WITH a AS (
+      SELECT (sum(CAST(round(c_acctbal * 100) AS BIGINT))
+              / (100.0 * count(*))) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ), anc AS (SELECT max(o_orderdate) AS anchor FROM orders)
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_custs,
+           (sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0)
+             AS total_acctbal
+    FROM customer, a, anc
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate > anchor - INTERVAL 180 DAY)
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
