@@ -56,3 +56,63 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
         .filter(F.col("__kind") == 0)
         .drop("__kind", "__ts")
     )
+
+
+def range_join_purchase_context(events: DataFrame,
+                                window_hours: int = 1) -> DataFrame:
+    """Bucketed RANGE JOIN: for every purchase, count the same user's
+    view/click events in the trailing ``window_hours`` interval.
+
+    The scale trap this avoids: a naive interval join keyed only on
+    user_id fans out events-per-user² for hot users (and with no equi
+    key at all, Spark falls back to a nested-loop join). Here the
+    prior side buckets by hour and each purchase probes exactly the
+    two covering buckets (an exploded 2-element array), so the join
+    key is (user_id, hour_bucket) — fan-out is bounded per user-hour,
+    skew-resistant, and always a hash/sort-merge equi-join. The exact
+    interval predicate filters after the bucket join.
+    """
+    us = 3_600_000_000 * window_hours  # window in microseconds
+    purch = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .distinct()
+    )
+    prior = (
+        events.filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "user_id", "ts", "event_type",
+            F.floor(F.unix_micros("ts") / us).alias("bucket"))
+    )
+    # floor((t-w)/w) == floor(t/w) - 1 exactly (integer micros), so the
+    # two probe buckets are always distinct — no double-join of a
+    # prior event.
+    probes = purch.withColumn(
+        "bucket",
+        F.explode(F.array(
+            F.floor(F.unix_micros("p_ts") / us) - 1,
+            F.floor(F.unix_micros("p_ts") / us))),
+    )
+    in_window = (
+        (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_hours} HOURS"))
+        & (F.col("ts") < F.col("p_ts"))
+    )
+    agg = (
+        probes.join(prior, ["user_id", "bucket"])
+        .filter(in_window)
+        .groupBy("user_id", "p_ts")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("bigint"))
+             .alias("n_views"),
+            F.sum((F.col("event_type") == "click").cast("bigint"))
+             .alias("n_clicks"),
+        )
+    )
+    return (
+        purch.join(agg, ["user_id", "p_ts"], "left")
+        .select(
+            "user_id", "p_ts",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )

@@ -454,3 +454,33 @@ register(
     GROUP BY 1
     """,
 )
+
+
+register(
+    "range_join_purchase_context",
+    lambda spark, sf: asof.range_join_purchase_context(
+        *_t(spark, sf, "events")),
+    """
+    WITH purch AS (
+      SELECT DISTINCT user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ), prior AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), agg AS (
+      SELECT p.user_id, p.p_ts,
+             CAST(sum(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_views,
+             CAST(sum(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks
+      FROM purch p JOIN prior e ON p.user_id = e.user_id
+        AND e.ts >= p.p_ts - INTERVAL 1 HOUR AND e.ts < p.p_ts
+      GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.p_ts,
+           coalesce(a.n_views, 0) AS n_views,
+           coalesce(a.n_clicks, 0) AS n_clicks
+    FROM purch p LEFT JOIN agg a
+      ON p.user_id = a.user_id AND p.p_ts = a.p_ts
+    """,
+)

@@ -101,6 +101,18 @@ def test_ivf_broadcast_side_is_filtered(spark):
             f"{name}: query-side broadcast appears unfiltered\n{opt}")
 
 
+def test_range_join_is_bucketed_equijoin(spark):
+    """The interval join must run as a hash/sort-merge equi-join on
+    (user_id, bucket) — a nested-loop or cartesian here means the
+    bucketing broke and hot users would fan out quadratically."""
+    df = registry.queries()["range_join_purchase_context"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan)
+
+
 def test_q1_partial_aggregation(spark):
     """Map-side combine: two HashAggregate levels around the exchange."""
     df = registry.queries()["q1_pricing_summary"](spark, SF_ORACLE)
