@@ -658,3 +658,50 @@ def sliding_event_rate(events: DataFrame) -> DataFrame:
         .select(F.col("window.start").alias("window_start"),
                 "n_events", "n_users")
     )
+
+
+def hypertable_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style cascading time rollup (the continuous-
+    aggregate pattern): minute-grain partial aggregates computed from
+    raw events ONCE, hour aggregates re-aggregated from the minute
+    grain, day aggregates from the hour grain. At 100 TB only the
+    finest grain ever scans raw data — each coarser level reduces a
+    relation ~60× smaller than the one below it, and sum-of-sums /
+    min-of-mins / max-of-maxes compose exactly (integer cents, no
+    double drift). Output: one long relation tagged by grain.
+    """
+    minute = (
+        events
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money.cents(F.col("value"))).alias("sum_value_c"),
+            F.min(money.cents(F.col("value"))).alias("min_value_c"),
+            F.max(money.cents(F.col("value"))).alias("max_value_c"),
+        )
+    )
+    def cascade(finer: DataFrame, grain: str) -> DataFrame:
+        return (
+            finer
+            .groupBy(F.date_trunc(grain, F.col("bucket")).alias("bucket"))
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value_c").alias("sum_value_c"),
+                F.min("min_value_c").alias("min_value_c"),
+                F.max("max_value_c").alias("max_value_c"),
+            )
+        )
+    hour = cascade(minute, "hour")
+    day = cascade(hour, "day")
+    def tag(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"), "bucket", "n_events",
+            (F.col("sum_value_c") / 100.0).alias("sum_value"),
+            (F.col("min_value_c") / 100.0).alias("min_value"),
+            (F.col("max_value_c") / 100.0).alias("max_value"),
+        )
+    return (
+        tag(minute, "minute")
+        .unionByName(tag(hour, "hour"))
+        .unionByName(tag(day, "day"))
+    )

@@ -484,3 +484,39 @@ register(
       ON p.user_id = a.user_id AND p.p_ts = a.p_ts
     """,
 )
+
+
+register(
+    "hypertable_rollup",
+    lambda spark, sf: analytics.hypertable_rollup(*_t(spark, sf, "events")),
+    """
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket,
+             count(*) AS n_events,
+             sum(CAST(round(value * 100) AS BIGINT)) AS s,
+             min(CAST(round(value * 100) AS BIGINT)) AS mn,
+             max(CAST(round(value * 100) AS BIGINT)) AS mx
+      FROM events GROUP BY 1
+    ), hr AS (
+      SELECT date_trunc('hour', bucket) AS bucket,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(s) AS BIGINT) AS s, min(mn) AS mn, max(mx) AS mx
+      FROM minute GROUP BY 1
+    ), dy AS (
+      SELECT date_trunc('day', bucket) AS bucket,
+             CAST(sum(n_events) AS BIGINT) AS n_events,
+             CAST(sum(s) AS BIGINT) AS s, min(mn) AS mn, max(mx) AS mx
+      FROM hr GROUP BY 1
+    )
+    SELECT 'minute' AS grain, bucket, n_events,
+           (s / 100.0) AS sum_value, (mn / 100.0) AS min_value,
+           (mx / 100.0) AS max_value
+    FROM minute
+    UNION ALL
+    SELECT 'hour', bucket, n_events, (s / 100.0), (mn / 100.0), (mx / 100.0)
+    FROM hr
+    UNION ALL
+    SELECT 'day', bucket, n_events, (s / 100.0), (mn / 100.0), (mx / 100.0)
+    FROM dy
+    """,
+)

@@ -62,6 +62,23 @@ def test_q22_dormant_excludes_recent_buyers(spark):
     assert sum(r.n_custs for r in rows) < n_cust
 
 
+def test_hypertable_rollup_cascade_consistency(spark, duck):
+    assert_parity(
+        registry.queries()["hypertable_rollup"](spark, SF_ORACLE), duck,
+        registry.oracle_sql()["hypertable_rollup"])
+    rows = registry.queries()["hypertable_rollup"](
+        spark, SF_ORACLE).collect()
+    by_grain = {}
+    for r in rows:
+        g = by_grain.setdefault(r.grain, {"n": 0, "s": 0.0})
+        g["n"] += r.n_events
+        g["s"] += r.sum_value
+    # cascading re-aggregation must conserve totals exactly
+    assert (by_grain["minute"]["n"] == by_grain["hour"]["n"]
+            == by_grain["day"]["n"])
+    assert abs(by_grain["minute"]["s"] - by_grain["day"]["s"]) < 1e-6
+
+
 def test_q22_anti_join_plan(spark):
     df = registry.queries()["q22_dormant_customers"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
