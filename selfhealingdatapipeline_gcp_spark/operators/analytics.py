@@ -705,3 +705,36 @@ def hypertable_rollup(events: DataFrame) -> DataFrame:
         .unionByName(tag(hour, "hour"))
         .unionByName(tag(day, "day"))
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    distinct active users per (cohort, week offset), retention as a
+    share of cohort size. Three shrinking aggregations — (user, week)
+    distinct, per-user min, per-cohort counts — all keyed on user_id
+    until the final tiny cohort grain; the cohort-size join is
+    broadcast (one row per cohort week)."""
+    weeks = events.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("w"),
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    j = weeks.join(first, "user_id")
+    offset = (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("int")
+    per = (
+        j.groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    size = (
+        per.filter(F.col("week_offset") == 0)
+        .select("cohort_week", F.col("n_users").alias("cohort_size"))
+    )
+    return (
+        per.join(F.broadcast(size), "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_users", "cohort_size",
+            money.trunc(F.col("n_users") * 100.0 / F.col("cohort_size"))
+             .alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -520,3 +520,31 @@ register(
     FROM dy
     """,
 )
+
+
+register(
+    "cohort_retention",
+    lambda spark, sf: analytics.cohort_retention(*_t(spark, sf, "events")),
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    ), first AS (
+      SELECT user_id, min(w) AS cohort_week FROM weeks GROUP BY 1
+    ), per AS (
+      SELECT cohort_week,
+             CAST((w - cohort_week) / 7 AS INT) AS week_offset,
+             count(DISTINCT weeks.user_id) AS n_users
+      FROM weeks JOIN first ON weeks.user_id = first.user_id
+      GROUP BY 1, 2
+    ), size AS (
+      SELECT cohort_week, n_users AS cohort_size FROM per
+      WHERE week_offset = 0
+    )
+    SELECT per.cohort_week AS cohort_week, week_offset, n_users,
+           cohort_size,
+           (floor((n_users * 100.0 / cohort_size) * 10000.0) / 10000.0)
+             AS retention_pct
+    FROM per JOIN size ON per.cohort_week = size.cohort_week
+    ORDER BY per.cohort_week, week_offset
+    """,
+)

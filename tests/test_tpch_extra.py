@@ -79,6 +79,20 @@ def test_hypertable_rollup_cascade_consistency(spark, duck):
     assert abs(by_grain["minute"]["s"] - by_grain["day"]["s"]) < 1e-6
 
 
+def test_cohort_retention_invariants(spark, duck):
+    assert_parity(
+        registry.queries()["cohort_retention"](spark, SF_ORACLE), duck,
+        registry.oracle_sql()["cohort_retention"])
+    rows = registry.queries()["cohort_retention"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_users <= r.cohort_size
+        assert 0 < r.retention_pct <= 100.0
+        if r.week_offset == 0:
+            assert r.n_users == r.cohort_size  # offset-0 IS the cohort
+
+
 def test_q22_anti_join_plan(spark):
     df = registry.queries()["q22_dormant_customers"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
