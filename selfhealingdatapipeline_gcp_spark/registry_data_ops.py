@@ -379,9 +379,20 @@ register(
 # ---------------------------------------------------------------------------
 
 register(
+    # the deterministic fake decode is pure byte arithmetic on ASCII
+    # payloads, so the mapInPandas output IS SQL-expressible — the
+    # oracle replicates the fake, upgrading this from rows-only
     "multimodal_meta",
     lambda spark, sf: multimodal.multimodal_meta(*_t(spark, sf, "documents")),
-    None,
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(64 + ord(substr(text, 1, 1)) % 1920 AS INT) AS width,
+           CAST(64 + ord(substr(text, length(text), 1)) % 1080 AS INT)
+             AS height,
+           source AS media_format
+    FROM documents
+    """,
 )
 
 register(
@@ -546,10 +557,20 @@ register(
 )
 
 register(
+    # fake header parse is byte arithmetic → SQL-expressible oracle
     "multimodal_resize_plan",
     lambda spark, sf: multimodal.multimodal_resize_plan(
         *_t(spark, sf, "documents")),
-    None,
+    """
+    SELECT doc_id,
+           CAST(64 + ord(substr(text, 1, 1)) % 1920 AS INT) AS width,
+           CAST(64 + ord(substr(text, length(text), 1)) % 1080 AS INT)
+             AS height,
+           CAST(224 AS INT) AS out_width,
+           CAST(224 AS INT) AS out_height,
+           CAST(224 * 224 * 3 AS INT) AS n_bytes_out
+    FROM documents
+    """,
 )
 
 register(

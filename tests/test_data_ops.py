@@ -28,6 +28,8 @@ ORACLE_CHECKED = [
     "streaming_feed_freshness",
     "dedup_embedding_cells",
     "multimodal_features",
+    "multimodal_meta",
+    "multimodal_resize_plan",
 ]
 
 
