@@ -114,6 +114,11 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
         "reconciliation_orders_lineitem", "freshness_check",
         "feed_status", "sla_processing_velocity",
         "quality_null_trend", "quality_duplicate_trend",
+        # r2: forecasts, drill-downs and context relations the
+        # reference attaches to its alert text / daily report
+        "revenue_forecast", "revenue_dow_context",
+        "reconciliation_hourly_breakdown", "feed_trends",
+        "feed_historical_context", "transaction_breakdown",
     )
 
     def run_detectors(s: SparkSession, ctx: dict[str, Any]):

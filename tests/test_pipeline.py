@@ -259,6 +259,11 @@ def test_run_monitoring_sweep(spark):
     assert out["alerts"]["n_delivered"] >= 1
     # unconfigured sender logs everything
     assert all(ch == "log" for ch, _ in out["alerts"]["audit"])
+    # r2 drill-down/context relations ride along in the daily report
+    assert out["report"]["revenue_forecast"] == 1
+    assert out["report"]["feed_trends"] == 30
+    assert out["report"]["reconciliation_hourly_breakdown"] > 0
+    assert out["report"]["transaction_breakdown"] == 10
 
 
 @pytest.mark.parametrize("log,expected_type,kw", [
