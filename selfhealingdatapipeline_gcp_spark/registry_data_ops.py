@@ -461,6 +461,18 @@ register(
 )
 
 register(
+    "streaming_click_attribution",
+    monitors.streaming_click_attribution,
+    """
+    SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    """,
+)
+
+register(
     "streaming_feed_freshness",
     monitors.streaming_feed_freshness,
     """

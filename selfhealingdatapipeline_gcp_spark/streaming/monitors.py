@@ -165,6 +165,35 @@ def streaming_feed_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete")
 
 
+def streaming_click_attribution(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same
+    user's clicks in the trailing hour — the canonical streaming
+    attribution shape. Both sides carry watermarks so the state store
+    can expire buffered rows once the interval condition can no
+    longer match (without the time bound the join state grows
+    forever). Append mode: each matched pair emits exactly once."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("user_id", "p_ts", "c_ts")
+    return _run_to_memory(joined, "append")
+
+
 def streaming_to_parquet_sink(spark: SparkSession, sf_dir: str,
                               output_path: str) -> int:
     """Streaming → parquet via foreachBatch with epoch-keyed

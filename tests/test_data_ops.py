@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "streaming_sessionize",
     "streaming_dedup",
     "streaming_feed_freshness",
+    "streaming_click_attribution",
     "dedup_embedding_cells",
     "multimodal_features",
     "multimodal_meta",
