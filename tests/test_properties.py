@@ -87,3 +87,63 @@ def test_asof_join_matches_reference(spark):
             assert got[lid][0] == best_ts, lid
             # tie on rts: the carried rid is one of the max-ts rows
             assert got[lid][1] in set(cand[cand.rts == best_ts].rid), lid
+
+
+def test_split_and_sample_deterministic_batch(spark):
+    """Hash-split and stratified-sample decisions are pure functions
+    of the row: permuting input order never changes any assignment
+    (the retry-stability contract at 100 TB)."""
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    rng = random.Random(11)
+    rows = [(i, f"src{rng.randint(0, 5)}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    shuffled = spark.createDataFrame(
+        sorted(rows, key=lambda r: hash((r[0] * 7919) % 1001)),
+        "doc_id long, source string")
+    a = {r.doc_id: r.split for r in dataprep.train_val_split(df).collect()}
+    b = {r.doc_id: r.split
+         for r in dataprep.train_val_split(shuffled).collect()}
+    assert a == b
+    sa = {r.doc_id for r in dataprep.stratified_sample(df).collect()}
+    sb = {r.doc_id for r in dataprep.stratified_sample(shuffled).collect()}
+    assert sa == sb
+    # ~10% val / ~20% sample within hash-noise bounds at n=3000
+    n_val = sum(1 for s in a.values() if s == "val")
+    assert 0.07 < n_val / len(a) < 0.13
+    assert 0.16 < len(sa) / len(rows) < 0.24
+
+
+@given(st.lists(st.floats(min_value=-100.0, max_value=100.0,
+                          allow_nan=False, width=32),
+                min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_quantize_math_pure(vec):
+    """The int8 quantization arithmetic (pure twin of
+    dataprep.vector_quantize): |q8| <= 127 and reconstruction error
+    <= one quantization step for any vector."""
+    scale = max(abs(x) for x in vec)
+    for x in vec:
+        q = math.floor(x / scale * 127) if scale > 0 else 0
+        assert -128 <= q <= 127
+        if scale > 0:
+            assert abs(x - q / 127 * scale) <= scale / 127 * (1 + 1e-9)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_pii_placeholder_free_pure(text):
+    """No ASCII input can smuggle a pre-existing placeholder through
+    the redaction counts: the patterns never match the placeholder
+    tokens themselves (idempotence precondition)."""
+    import re
+    from selfhealingdatapipeline_gcp_spark.operators.dataprep import (
+        PII_PATTERNS)
+    red = text
+    for kind in ("card", "phone", "email"):
+        red = re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", red)
+    # second pass changes nothing: replacements are fixpoints
+    red2 = red
+    for kind in ("card", "phone", "email"):
+        red2 = re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", red2)
+    assert red == red2
