@@ -244,3 +244,22 @@ def vector_quantize(embeddings: DataFrame) -> DataFrame:
         q8.alias("q8"),
         F.floor(F.col("scale") * 1e6).cast("bigint").alias("scale_e6"),
     )
+
+
+def cap_per_source(documents: DataFrame, cap: int = 10,
+                   strata: str = "source") -> DataFrame:
+    """Cap documents per source (domain over-representation control):
+    keep at most ``cap`` docs per stratum, selected by deterministic
+    hash order — the same documents survive any re-run, any input
+    partitioning, any corpus growth that doesn't touch their hashes.
+    One ranking window per stratum key; rows shuffled once."""
+    h = textfn.md5int(
+        F.concat_ws("|", F.col(strata).cast("string"),
+                    F.col("doc_id").cast("string")))
+    w = Window.partitionBy(strata).orderBy(h.asc(), F.col("doc_id"))
+    return (
+        documents
+        .select("doc_id", F.col(strata).alias("stratum"),
+                F.row_number().over(w).alias("rank_in_stratum"))
+        .filter(F.col("rank_in_stratum") <= cap)
+    )

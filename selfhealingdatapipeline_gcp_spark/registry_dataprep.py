@@ -219,3 +219,19 @@ register(
     FROM s, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
     """,
 )
+
+
+register(
+    "cap_per_source",
+    lambda spark, sf: dataprep.cap_per_source(*_t(spark, sf, "documents")),
+    f"""
+    SELECT doc_id, stratum, rank_in_stratum FROM (
+      SELECT doc_id, source AS stratum,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_md5int("source || '|' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS INT) AS rank_in_stratum
+      FROM documents
+    ) WHERE rank_in_stratum <= 10
+    """,
+)

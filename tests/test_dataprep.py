@@ -20,6 +20,7 @@ DATAPREP = [
     "quality_filter_pipeline",
     "pii_redact",
     "vector_quantize",
+    "cap_per_source",
 ]
 
 
