@@ -473,6 +473,25 @@ register(
 )
 
 register(
+    "streaming_static_enrichment",
+    monitors.streaming_static_enrichment,
+    """
+    WITH base AS (
+      SELECT event_type AS bt,
+             (sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*)))
+               AS avg_value
+      FROM events GROUP BY 1
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN value > 2 * avg_value THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_2x
+    FROM events JOIN base ON event_type = bt
+    GROUP BY 1
+    """,
+)
+
+register(
     "streaming_feed_freshness",
     monitors.streaming_feed_freshness,
     """

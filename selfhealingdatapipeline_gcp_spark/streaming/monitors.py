@@ -194,6 +194,39 @@ def streaming_click_attribution(spark: SparkSession,
     return _run_to_memory(joined, "append")
 
 
+def streaming_static_enrichment(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a STATIC
+    per-type baseline relation (historical average value), flagging
+    events that exceed 2× their type's baseline. The static side is
+    computed once from batch data and broadcast into every
+    micro-batch — stateless, no watermark needed, the standard
+    dim-enrichment shape for streams. Output is an aggregate per
+    type (complete mode) so the result is deterministic and tiny."""
+    # exact integer-cents baseline per type from the batch view
+    from selfhealingdatapipeline_gcp_spark.functions import money
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    static_baseline = (
+        batch.groupBy(F.col("event_type").alias("bt"))
+        .agg((F.sum(money.cents(F.col("value")))
+              / (100.0 * F.count(F.lit(1)))).alias("avg_value"))
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(
+        F.broadcast(static_baseline),
+        stream["event_type"] == static_baseline["bt"])
+    agg = (
+        enriched
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("value") > 2 * F.col("avg_value")).cast("bigint"))
+             .alias("n_above_2x"),
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def streaming_to_parquet_sink(spark: SparkSession, sf_dir: str,
                               output_path: str) -> int:
     """Streaming → parquet via foreachBatch with epoch-keyed

@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "streaming_dedup",
     "streaming_feed_freshness",
     "streaming_click_attribution",
+    "streaming_static_enrichment",
     "dedup_embedding_cells",
     "multimodal_features",
     "multimodal_meta",
