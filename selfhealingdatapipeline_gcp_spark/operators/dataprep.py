@@ -198,19 +198,18 @@ PII_PATTERNS: dict[str, str] = {
 def pii_redact(documents: DataFrame) -> DataFrame:
     """PII scrubbing: replace email/phone/card-shaped spans with
     typed placeholders, count replacements per kind. Pure
-    regexp_replace/regexp-count chain — codegen, no UDF; order is
+    regexp_replace/split-count chain — codegen, no UDF; order is
     card → phone → email so the longest patterns win overlaps.
 
-    Redaction counts are computed BEFORE any replacement (patterns
-    can overlap; counts reflect the original text)."""
-    text = F.col("text")
-    counts = {
-        kind: F.size(F.split(text, pat)) - 1
-        for kind, pat in PII_PATTERNS.items()
-    }
-    red = text
+    Each count is taken on the text AFTER the previous kinds were
+    redacted, so counts equal the number of placeholders actually
+    inserted (a card number is never also counted as a phone)."""
+    red = F.col("text")
+    counts: dict[str, F.Column] = {}
     for kind in ("card", "phone", "email"):
-        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+        pat = PII_PATTERNS[kind]
+        counts[kind] = F.size(F.split(red, pat)) - 1
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
     return documents.select(
         "doc_id",
         counts["email"].alias("n_email"),

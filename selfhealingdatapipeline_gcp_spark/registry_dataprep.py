@@ -174,30 +174,38 @@ register(
 register(
     "pii_redact",
     lambda spark, sf: dataprep.pii_redact(*_t(spark, sf, "documents")),
-    # same RE2-safe patterns; counts via split-length, global replace
+    # same RE2-safe patterns; each kind counted on the text AFTER the
+    # previous kinds were redacted (counts == placeholders inserted)
     """
-    SELECT doc_id,
-           CAST(len(regexp_split_to_array(text,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
-                AS INT) AS n_email,
-           CAST(len(regexp_split_to_array(text,
-                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) - 1 AS INT) AS n_phone,
-           CAST(len(regexp_split_to_array(text,
-                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}')) - 1
-                AS INT) AS n_card,
-           regexp_replace(regexp_replace(regexp_replace(text,
-                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
-                '<CARD>', 'g'),
-                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                '<EMAIL>', 'g') AS redacted_text,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-                '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
-                '<CARD>', 'g'),
-                '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                '<EMAIL>', 'g')) AS redacted_md5
-    FROM documents
+    WITH s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}')) - 1
+                  AS INT) AS n_card,
+             regexp_replace(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
+                  '<CARD>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, n_card,
+             CAST(len(regexp_split_to_array(t1,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) - 1 AS INT) AS n_phone,
+             regexp_replace(t1, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]',
+                  '<PHONE>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, n_card, n_phone,
+             CAST(len(regexp_split_to_array(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                  AS INT) AS n_email,
+             regexp_replace(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, n_email, n_phone, n_card,
+           t3 AS redacted_text, md5(t3) AS redacted_md5
+    FROM s3
     """,
 )
 
