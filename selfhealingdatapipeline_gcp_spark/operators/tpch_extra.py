@@ -56,12 +56,17 @@ def q9_profit_by_nation_year(lineitem: DataFrame, part: DataFrame,
 
 
 def q11_important_parts(lineitem: DataFrame, part: DataFrame,
-                        fraction: float = 0.0007) -> DataFrame:
+                        mean_multiple: float = 1.5) -> DataFrame:
     """TPC-H Q11 shape: parts whose (lineitem-derived) inventory value
-    exceeds ``fraction`` of the corpus total. The global total is a
-    1-row aggregate broadcast into the per-part relation — the scalar-
-    subquery pattern without any driver round-trip. Exact integer
-    value units make the threshold comparison engine-stable."""
+    exceeds ``mean_multiple`` × the MEAN per-part value. TPC-H's own
+    threshold is SF-dependent (0.0001/SF) precisely because an
+    absolute share tightens as the corpus grows; thresholding against
+    the mean keeps the selectivity (~top 1–2% of parts) stable at any
+    scale. The global total+count is a 1-row aggregate broadcast into
+    the per-part relation — the scalar-subquery pattern without any
+    driver round-trip. The threshold double is derived identically
+    from exact integers on both engines, so the comparison cannot
+    drift."""
     vals = (
         lineitem
         .join(F.broadcast(part.select("p_partkey", "p_retailprice")),
@@ -71,10 +76,12 @@ def q11_important_parts(lineitem: DataFrame, part: DataFrame,
                    * F.round(F.col("l_quantity")).cast("bigint"))
               .alias("value_c"))
     )
-    total = vals.agg(F.sum("value_c").alias("total_c"))
+    total = vals.agg(F.sum("value_c").alias("total_c"),
+                     F.count(F.lit(1)).alias("n_parts"))
     return (
         vals.crossJoin(F.broadcast(total))
-        .filter(F.col("value_c") > F.col("total_c") * fraction)
+        .filter(F.col("value_c")
+                > F.col("total_c") / F.col("n_parts") * mean_multiple)
         .select("p_partkey", (F.col("value_c") / 100.0).alias("value"))
         .orderBy(F.desc("value"), "p_partkey")
     )

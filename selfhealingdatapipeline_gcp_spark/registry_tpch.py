@@ -44,10 +44,13 @@ register(
                  * CAST(round(l_quantity) AS BIGINT)) AS value_c
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY 1
-    ), total AS (SELECT sum(value_c) AS total_c FROM vals)
+    ), total AS (
+      SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+             count(*) AS n_parts FROM vals
+    )
     SELECT p_partkey, (value_c / 100.0) AS value
     FROM vals, total
-    WHERE value_c > total_c * 0.0007
+    WHERE value_c > total_c / n_parts * 1.5
     ORDER BY value DESC, p_partkey
     """,
 )
