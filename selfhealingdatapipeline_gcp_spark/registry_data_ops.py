@@ -165,8 +165,11 @@ register(
     f"""
     WITH n AS ({_EMB_NORMED}),
     cents AS (
+      -- fixed-K pick: K smallest md5int(vec_id), constant w.r.t. corpus
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-      WHERE vec_id % 100 = 0
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cents.cent_id,
@@ -220,8 +223,11 @@ register(
     f"""
     WITH n AS ({_EMB_NORMED}),
     cents AS (
+      -- fixed-K pick: K smallest md5int(vec_id), constant w.r.t. corpus
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-      WHERE vec_id % 100 = 0
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cents.cent_id,

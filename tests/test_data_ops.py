@@ -279,7 +279,13 @@ def test_kmeans_centroids_improve_fit(spark):
 
     emb = {r.vec_id: list(r.embedding)
            for r in catalog.load(spark, SF_ORACLE, "embeddings").collect()}
-    seeds = {i: emb[i] for i in emb if i % 100 == 0}
+    import hashlib
+
+    def _md5int(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    seed_ids = sorted(emb, key=lambda i: (_md5int(str(i)), i))[:16]
+    seeds = {i: emb[i] for i in seed_ids}
     refined_rows = registry.queries()["ann_kmeans_centroids"](
         spark, SF_ORACLE).collect()
     refined = {}

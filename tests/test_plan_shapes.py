@@ -101,6 +101,20 @@ def test_ivf_broadcast_side_is_filtered(spark):
             f"{name}: query-side broadcast appears unfiltered\n{opt}")
 
 
+def test_ivf_centroid_selection_is_fixed_k(spark):
+    """The centroid set broadcast to every executor must be a FIXED-K
+    relation (TakeOrderedAndProject with limit=K), never derived from
+    corpus size — the r2 stride rule grew the broadcast O(n/100) and
+    OOMs at 10^9 vectors (VERDICT r2 #1)."""
+    for name in ("ann_ivf_topk", "dedup_embedding_cells"):
+        df = registry.queries()[name](spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject(limit=16" in plan, (
+            f"{name}: centroid pick is not a fixed-K top-K\n{plan[:2000]}")
+        # and the O(n) stride filter must be gone
+        assert "% 100" not in plan, f"{name}: stride centroid filter survives"
+
+
 def test_range_join_is_bucketed_equijoin(spark):
     """The interval join must run as a hash/sort-merge equi-join on
     (user_id, bucket) — a nested-loop or cartesian here means the
