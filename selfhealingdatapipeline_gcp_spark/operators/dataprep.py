@@ -246,19 +246,39 @@ def vector_quantize(embeddings: DataFrame) -> DataFrame:
 
 
 def cap_per_source(documents: DataFrame, cap: int = 10,
-                   strata: str = "source") -> DataFrame:
+                   strata: str = "source", n_salt: int = 32) -> DataFrame:
     """Cap documents per source (domain over-representation control):
     keep at most ``cap`` docs per stratum, selected by deterministic
     hash order — the same documents survive any re-run, any input
     partitioning, any corpus growth that doesn't touch their hashes.
-    One ranking window per stratum key; rows shuffled once."""
+
+    Two-phase ranking (VERDICT r2 #2): a single per-stratum window
+    would send EVERY doc of a hot domain to one task — a billion-doc
+    domain becomes one straggler. Phase 1 ranks within (stratum,
+    salt = hash % n_salt) and keeps ≤ cap per slice, so the hot
+    domain's scan+rank spreads over ``n_salt`` parallel tasks; phase 2
+    runs the exact per-stratum rank over ≤ n_salt·cap survivors —
+    bounded rows per stratum forever. Exact, not approximate: each of
+    a stratum's true top-``cap`` rows (by hash, doc_id order) is also
+    top-``cap`` within its own salt slice, so phase 1 can never drop a
+    survivor and the result is identical to the one-window form."""
     h = textfn.md5int(
         F.concat_ws("|", F.col(strata).cast("string"),
                     F.col("doc_id").cast("string")))
-    w = Window.partitionBy(strata).orderBy(h.asc(), F.col("doc_id"))
+    pre = documents.select(
+        "doc_id", F.col(strata).alias("stratum"), h.alias("__h"),
+        F.pmod(h, F.lit(n_salt)).alias("__salt"))
+    w1 = Window.partitionBy("stratum", "__salt").orderBy(
+        F.col("__h").asc(), F.col("doc_id"))
+    survivors = (
+        pre.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= cap)
+    )
+    w2 = Window.partitionBy("stratum").orderBy(
+        F.col("__h").asc(), F.col("doc_id"))
     return (
-        documents
-        .select("doc_id", F.col(strata).alias("stratum"),
-                F.row_number().over(w).alias("rank_in_stratum"))
+        survivors
+        .select("doc_id", "stratum",
+                F.row_number().over(w2).alias("rank_in_stratum"))
         .filter(F.col("rank_in_stratum") <= cap)
     )

@@ -115,6 +115,19 @@ def test_ivf_centroid_selection_is_fixed_k(spark):
         assert "% 100" not in plan, f"{name}: stride centroid filter survives"
 
 
+def test_cap_per_source_prefilters_before_stratum_window(spark):
+    """The exact per-stratum rank must sit above a salted partial rank
+    (partition by stratum AND salt) that bounds each task to <= cap
+    rows per slice — one window per raw stratum would pin a hot domain
+    to a single task (VERDICT r2 #2)."""
+    df = registry.queries()["cap_per_source"](spark, SF_ORACLE)
+    plan = _plan(df)
+    windows = [ln for ln in plan.splitlines() if "Window " in ln or
+               ln.strip().startswith("Window")]
+    assert len(windows) >= 2, f"expected two-phase ranking\n{plan[:2000]}"
+    assert "__salt" in plan, "salted prefilter window missing"
+
+
 def test_range_join_is_bucketed_equijoin(spark):
     """The interval join must run as a hash/sort-merge equi-join on
     (user_id, bucket) — a nested-loop or cartesian here means the
