@@ -535,6 +535,9 @@ def feed_status(events: DataFrame, cutoff_hour: int = 17) -> DataFrame:
             F.col("last_arrival"),
             F.coalesce("n_arrivals", F.lit(0)).alias("n_arrivals"),
             F.col("last_arrival").isNotNull().alias("arrived"),
+            # firing flag for the alert rule (feed_detector.py:215
+            # create_feed_alert consumes missing feeds)
+            F.col("last_arrival").isNull().alias("is_missing"),
         )
     )
 
@@ -605,6 +608,7 @@ def quality_null_trend(events: DataFrame,
     wide = a.agg(*aggs)
     stack_expr = ", ".join(
         f"'{c}', `{c}__today`, `{c}__base`" for c in columns)
+    delta = money.trunc(F.col("today_null_pct") - F.col("baseline_null_pct"))
     return (
         wide.selectExpr(
             f"stack({len(columns)}, {stack_expr}) AS (col_name, today_null_pct, baseline_null_pct)")
@@ -612,8 +616,10 @@ def quality_null_trend(events: DataFrame,
             "col_name",
             money.trunc(F.col("today_null_pct")).alias("today_null_pct"),
             money.trunc(F.col("baseline_null_pct")).alias("baseline_null_pct"),
-            money.trunc(F.col("today_null_pct") - F.col("baseline_null_pct"))
-             .alias("delta_pct"),
+            delta.alias("delta_pct"),
+            # firing threshold per quality_detector.py:96
+            # (WHERE increase > 1.0)
+            F.coalesce(delta > 1.0, F.lit(False)).alias("is_degraded"),
         )
     )
 
@@ -621,14 +627,19 @@ def quality_null_trend(events: DataFrame,
 def quality_duplicate_trend(events: DataFrame, window_days: int = 14) -> DataFrame:
     """Per-day duplicate rate on the natural key (user_id, event_type,
     value) over the trailing window (quality_detector.py:118-168
-    ``_check_duplicate_trends``)."""
+    ``_check_duplicate_trends``), each day compared to its trailing
+    30-day baseline; fires when the rate rose > 0.5 pct points
+    (quality_detector.py:148 ``WHERE ... increase > 0.5``).
+
+    Rates are integer e4 units inside the window sum so the baseline
+    average is bit-identical across engines."""
     w = (
         _with_anchor(events, "ts")
         .filter(F.to_date("ts")
                 > F.to_date(F.col("anchor") - F.expr(f"INTERVAL {window_days} DAYS")))
         .select(F.to_date("ts").alias("d"), "user_id", "event_type", "value")
     )
-    return (
+    day = (
         w.groupBy("d")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -638,7 +649,21 @@ def quality_duplicate_trend(events: DataFrame, window_days: int = 14) -> DataFra
             "d",
             "n_rows",
             (F.col("n_rows") - F.col("n_distinct")).alias("n_dup"),
-            money.trunc((F.col("n_rows") - F.col("n_distinct")) * 100.0
-                        / F.col("n_rows")).alias("dup_pct"),
+            F.floor((F.col("n_rows") - F.col("n_distinct")) * 1000000.0
+                    / F.col("n_rows")).cast("bigint").alias("__dup_e4"),
         )
+    )
+    # unpartitioned day-grain window: O(days) rows forever — bounded,
+    # deliberately single-partition (not a scale risk)
+    base_w = Window.orderBy("d").rowsBetween(-30, -1)
+    base_e4 = F.sum("__dup_e4").over(base_w) / F.count("__dup_e4").over(base_w)
+    return day.select(
+        "d",
+        "n_rows",
+        "n_dup",
+        (F.col("__dup_e4") / 1e4).alias("dup_pct"),
+        (F.floor(base_e4) / 1e4).alias("baseline_dup_pct"),
+        (F.floor(F.col("__dup_e4") - base_e4) / 1e4).alias("increase_pct"),
+        F.coalesce((F.col("__dup_e4") - base_e4) > 5000.0, F.lit(False))
+         .alias("is_degraded"),
     )

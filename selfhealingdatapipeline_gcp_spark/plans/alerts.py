@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SEVERITIES = ("NONE", "LOW", "MEDIUM", "HIGH", "CRITICAL")
@@ -28,12 +28,40 @@ def severity_from_deviation(deviation_pct_col) -> object:
              .otherwise("LOW"))
 
 
+def feed_missing_severity() -> object:
+    """feed_detector.py:182-193 ``_calculate_severity``: severity from
+    the missing/total feed ratio — ≥50% CRITICAL, ≥30% HIGH, ≥10%
+    MEDIUM, else LOW. The ratio spans the WHOLE detector output, so it
+    is a window over the full relation — O(feeds) rows, bounded."""
+    w = Window.partitionBy(F.lit(1))
+    pct = (F.sum(F.col("is_missing").cast("int")).over(w) * 100.0
+           / F.count(F.lit(1)).over(w))
+    return (F.when(pct >= 50, "CRITICAL")
+             .when(pct >= 30, "HIGH")
+             .when(pct >= 10, "MEDIUM")
+             .otherwise("LOW"))
+
+
+def quality_increase_severity(increase_column: str):
+    """quality_detector.py:225-236 ``_calculate_severity``'s
+    single-degradation branch: increase > 5 pct points → HIGH, else
+    MEDIUM (the ≥2/≥3 degradation-count rungs are emergent here —
+    each degraded row is its own alert row)."""
+    def factory() -> object:
+        return (F.when(F.col(increase_column) > 5, "HIGH")
+                 .otherwise("MEDIUM"))
+    return factory
+
+
 @dataclass(frozen=True)
 class AlertRule:
     detector: str                      # registry query name
     flag_column: str                   # boolean column marking a firing row
     deviation_column: str | None = None  # drives severity when present
     key_columns: tuple[str, ...] = ()  # identity for dedup
+    # lazily-built Column overriding the deviation ladder (lazy so the
+    # module imports without an active SparkSession)
+    severity_factory: object | None = None
 
 
 DEFAULT_RULES = (
@@ -45,18 +73,32 @@ DEFAULT_RULES = (
               "discrepancy_pct", ("d",)),
     AlertRule("freshness_check", "is_stale", None, ("source",)),
     AlertRule("sla_processing_velocity", "sla_breach", None, ()),
+    AlertRule("feed_status", "is_missing", None, ("feed_id",),
+              severity_factory=feed_missing_severity),
+    AlertRule("quality_null_trend", "is_degraded", None, ("col_name",),
+              severity_factory=quality_increase_severity("delta_pct")),
+    AlertRule("quality_duplicate_trend", "is_degraded", None, ("d",),
+              severity_factory=quality_increase_severity("increase_pct")),
 )
 
 
 def alerts_from(detector_name: str, df: DataFrame, rule: AlertRule) -> DataFrame:
     """Project a detector output into the uniform alert schema:
     (detector, alert_key, severity, detail). Only firing rows."""
+    detail_cols = list(df.columns)
+    if rule.severity_factory is not None:
+        # computed BEFORE the firing filter: ratio ladders (feed
+        # missing pct) span the whole detector output
+        df = df.withColumn("__severity", rule.severity_factory())
+        severity = F.col("__severity")
+    elif rule.deviation_column:
+        severity = severity_from_deviation(F.col(rule.deviation_column) * 10)
+    else:
+        severity = F.lit("HIGH")
     fired = df.filter(F.col(rule.flag_column))
     key = (F.concat_ws("|", *[F.col(c).cast("string") for c in rule.key_columns])
            if rule.key_columns else F.lit(""))
-    severity = (severity_from_deviation(F.col(rule.deviation_column) * 10)
-                if rule.deviation_column else F.lit("HIGH"))
-    detail = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    detail = F.to_json(F.struct(*[F.col(c) for c in detail_cols]))
     return fired.select(
         F.lit(detector_name).alias("detector"),
         key.alias("alert_key"),

@@ -311,7 +311,8 @@ register(
     )
     SELECT e.feed_id, t.last_arrival,
            coalesce(t.n_arrivals, 0) AS n_arrivals,
-           t.last_arrival IS NOT NULL AS arrived
+           t.last_arrival IS NOT NULL AS arrived,
+           t.last_arrival IS NULL AS is_missing
     FROM expected e LEFT JOIN today t ON e.feed_id = t.feed_id
     """,
 )
@@ -363,7 +364,9 @@ register(
     SELECT col_name,
            (floor((t) * 10000.0) / 10000.0) AS today_null_pct,
            (floor((b) * 10000.0) / 10000.0) AS baseline_null_pct,
-           (floor((t - b) * 10000.0) / 10000.0) AS delta_pct
+           (floor((t - b) * 10000.0) / 10000.0) AS delta_pct,
+           coalesce((floor((t - b) * 10000.0) / 10000.0) > 1.0, FALSE)
+             AS is_degraded
     FROM long
     """,
 )
@@ -373,14 +376,28 @@ register(
     lambda spark, sf: detectors.quality_duplicate_trend(
         *_t(spark, sf, "events")),
     """
-    SELECT CAST(ts AS DATE) AS d,
-           count(*) AS n_rows,
-           count(*) - count(DISTINCT (user_id, event_type, value)) AS n_dup,
-           (floor(((count(*) - count(DISTINCT (user_id, event_type, value))) * 100.0 / count(*)) * 10000.0) / 10000.0) AS dup_pct
-    FROM events
-    WHERE CAST(ts AS DATE) >
-          CAST((SELECT max(ts) FROM events) - INTERVAL 14 DAY AS DATE)
-    GROUP BY 1
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS d,
+             count(*) AS n_rows,
+             count(*) - count(DISTINCT (user_id, event_type, value)) AS n_dup,
+             CAST(floor((count(*) - count(DISTINCT (user_id, event_type, value))) * 1000000.0 / count(*)) AS BIGINT) AS dup_e4
+      FROM events
+      WHERE CAST(ts AS DATE) >
+            CAST((SELECT max(ts) FROM events) - INTERVAL 14 DAY AS DATE)
+      GROUP BY 1
+    ), win AS (
+      SELECT d, n_rows, n_dup, dup_e4,
+             CAST(sum(dup_e4) OVER w AS DOUBLE)
+               / CAST(count(dup_e4) OVER w AS DOUBLE) AS base_e4
+      FROM day
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, n_rows, n_dup,
+           (dup_e4 / 10000.0) AS dup_pct,
+           (floor(base_e4) / 10000.0) AS baseline_dup_pct,
+           (floor(dup_e4 - base_e4) / 10000.0) AS increase_pct,
+           coalesce((dup_e4 - base_e4) > 5000.0, FALSE) AS is_degraded
+    FROM win
     """,
 )
 

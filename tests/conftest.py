@@ -78,9 +78,16 @@ def assert_parity(spark_df, duck_con, sql, float_places=6):
 
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    def _key(t):
+        # None-safe total order: NULLs sort together regardless of the
+        # column's type in the other rows
+        return tuple((v is None, str(type(v)), str(v)) for v in t)
+
     s_set = sorted(
-        tuple(_norm(r[i], float_places) for i in s_order) for r in spark_rows)
+        (tuple(_norm(r[i], float_places) for i in s_order)
+         for r in spark_rows), key=_key)
     d_set = sorted(
-        tuple(_norm(r[i], float_places) for i in d_order) for r in duck_rows)
+        (tuple(_norm(r[i], float_places) for i in d_order)
+         for r in duck_rows), key=_key)
     for i, (a, b) in enumerate(zip(s_set, d_set)):
         assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"

@@ -266,6 +266,80 @@ def test_run_monitoring_sweep(spark):
     assert out["report"]["transaction_breakdown"] == 10
 
 
+def test_feed_alert_severity_ladder(spark):
+    """Mirror of feed_detector.py:182-193 _calculate_severity: the
+    missing/total ratio drives severity; rule fires one alert per
+    missing feed through the standard pipeline."""
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+
+    def status_df(n_missing, n_total):
+        rows = [(f"f{i}", i >= n_total - n_missing) for i in range(n_total)]
+        return spark.createDataFrame(rows, "feed_id string, is_missing boolean")
+
+    rule = next(r for r in alerts.DEFAULT_RULES if r.detector == "feed_status")
+    for n_missing, n_total, want in [
+            (5, 10, "CRITICAL"), (3, 10, "HIGH"), (1, 10, "MEDIUM"),
+            (1, 20, "LOW")]:
+        out = alerts.alerts_from(
+            "feed_status", status_df(n_missing, n_total), rule).collect()
+        assert len(out) == n_missing
+        assert all(r.severity == want for r in out), (n_missing, n_total, want)
+    # nothing missing → no alert rows at all
+    assert not alerts.alerts_from(
+        "feed_status", status_df(0, 10), rule).collect()
+
+
+def test_quality_alert_rules_fire(spark):
+    """quality_detector.py:225-236: degradation rows become MEDIUM
+    alerts, severe (>5 pct point) increases become HIGH."""
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+
+    null_df = spark.createDataFrame(
+        [("value", 9.0, 2.0, 7.0, True),    # > 5 → HIGH
+         ("props", 3.5, 2.0, 1.5, True),    # <= 5 → MEDIUM
+         ("other", 2.0, 2.0, 0.0, False)],  # not degraded → no alert
+        "col_name string, today_null_pct double, baseline_null_pct double, "
+        "delta_pct double, is_degraded boolean")
+    rule = next(r for r in alerts.DEFAULT_RULES
+                if r.detector == "quality_null_trend")
+    got = {r.alert_key: r.severity
+           for r in alerts.alerts_from("quality_null_trend", null_df, rule)
+           .collect()}
+    assert got == {"value": "HIGH", "props": "MEDIUM"}
+
+    dup_rule = next(r for r in alerts.DEFAULT_RULES
+                    if r.detector == "quality_duplicate_trend")
+    dup_df = spark.createDataFrame(
+        [("2024-01-02", 100, 9, 9.0, 1.0, 8.0, True),
+         ("2024-01-03", 100, 2, 2.0, 1.5, 0.5, False)],
+        "d string, n_rows bigint, n_dup bigint, dup_pct double, "
+        "baseline_dup_pct double, increase_pct double, is_degraded boolean")
+    got = {r.alert_key: r.severity
+           for r in alerts.alerts_from(
+               "quality_duplicate_trend", dup_df, dup_rule).collect()}
+    assert got == {"2024-01-02": "HIGH"}
+
+
+def test_sweep_routes_feed_and_quality_alerts(spark):
+    """The sweep's detector outputs must be routable through the
+    feed/quality rules end-to-end (r2 gap: those detectors ran in the
+    sweep but could never fire an alert)."""
+    from selfhealingdatapipeline_gcp_spark import registry
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+    from conftest import SF_ORACLE
+
+    covered = {r.detector for r in alerts.DEFAULT_RULES}
+    assert {"feed_status", "quality_null_trend",
+            "quality_duplicate_trend"} <= covered
+    qs = registry.queries()
+    outputs = {n: qs[n](spark, SF_ORACLE)
+               for n in ("feed_status", "quality_null_trend",
+                         "quality_duplicate_trend")}
+    out = alerts.collect_alerts(outputs)  # plan builds + executes clean
+    assert set(out.columns) == {"detector", "alert_key", "severity", "detail"}
+    assert all(r.severity in alerts.SEVERITIES for r in out.collect())
+
+
 @pytest.mark.parametrize("log,expected_type,kw", [
     ("java.io.IOException: No space left on device", "CONFIG", "disk"),
     ("com.esotericsoftware.kryo.KryoException: Buffer overflow. Available: 0",
