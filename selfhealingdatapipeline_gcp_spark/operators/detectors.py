@@ -567,7 +567,13 @@ def sla_processing_velocity(events: DataFrame,
     """Processing velocity + SLA-breach projection
     (sla_detector.py:20-124: records/hour over a trailing window,
     projected completion vs the SLA). Velocity = trailing 24 h rate;
-    backlog = trailing 1 h arrivals. Single-pass conditional agg."""
+    backlog = trailing 1 h arrivals. Single-pass conditional agg.
+
+    Emits the reference's scaling recommendation
+    (sla_detector.py:113-124 ``_calculate_required_scaling``):
+    required_rate = backlog / sla_hours, scaling_factor =
+    required/current (0 when idle), recommended_workers =
+    int(scaling_factor) + 1 — the payload its SLA alert attaches."""
     with_anchor = _with_anchor(events, "ts", "now_ts")
     in_24h = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 24 HOURS")
     in_1h = F.col("ts") > F.col("now_ts") - F.expr("INTERVAL 1 HOURS")
@@ -577,11 +583,16 @@ def sla_processing_velocity(events: DataFrame,
     )
     velocity = F.col("n_24h") / 24.0
     projected = F.when(velocity > 0, F.col("backlog_1h") / velocity).otherwise(F.lit(0.0))
+    required = F.col("backlog_1h") / F.lit(sla_hours)
+    scaling = F.when(velocity > 0, required / velocity).otherwise(F.lit(0.0))
     return agg.select(
         money.trunc(velocity).alias("velocity_per_hour"),
         F.col("backlog_1h"),
         money.trunc(projected).alias("projected_hours"),
         (projected > sla_hours).alias("sla_breach"),
+        money.trunc(required).alias("required_rate"),
+        money.trunc(scaling).alias("scaling_factor"),
+        (F.floor(scaling) + 1).cast("int").alias("recommended_workers"),
     )
 
 

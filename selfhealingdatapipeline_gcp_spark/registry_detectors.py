@@ -335,7 +335,14 @@ register(
              AS projected_hours,
            (CASE WHEN n_24h / 24.0 > 0
                  THEN backlog_1h / (n_24h / 24.0) ELSE 0.0 END > 4.0)
-             AS sla_breach
+             AS sla_breach,
+           (floor((backlog_1h / 4.0) * 10000.0) / 10000.0) AS required_rate,
+           (floor((CASE WHEN n_24h / 24.0 > 0
+                        THEN (backlog_1h / 4.0) / (n_24h / 24.0)
+                        ELSE 0.0 END) * 10000.0) / 10000.0) AS scaling_factor,
+           CAST(floor(CASE WHEN n_24h / 24.0 > 0
+                           THEN (backlog_1h / 4.0) / (n_24h / 24.0)
+                           ELSE 0.0 END) + 1 AS INT) AS recommended_workers
     FROM agg
     """,
 )

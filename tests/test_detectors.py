@@ -72,3 +72,21 @@ def test_hourly_breakdown_localizes_loss(spark):
     assert rows, "lossy dest must produce discrepancies"
     for r in rows:
         assert r.discrepancy == r.source_count - r.dest_count > 0
+
+
+def test_sla_scaling_recommendation_matches_reference(spark):
+    """Mirror of sla_detector.py:113-124 _calculate_required_scaling:
+    required_rate = remaining/sla_hours, scaling_factor =
+    required/current (0 when idle), recommended_workers =
+    int(scaling_factor) + 1."""
+    import math
+
+    row = registry.queries()["sla_processing_velocity"](
+        spark, SF_ORACLE).collect()[0]
+    remaining, sla_hours = row.backlog_1h, 4.0
+    current = row.velocity_per_hour
+    required = remaining / sla_hours
+    scaling = required / current if current > 0 else 0.0
+    assert row.required_rate == math.floor(required * 1e4) / 1e4
+    assert abs(row.scaling_factor - math.floor(scaling * 1e4) / 1e4) < 1e-3
+    assert row.recommended_workers == int(scaling) + 1
