@@ -53,6 +53,81 @@ HEADLINE = [
 ]
 
 
+def _time_min2(run) -> float:
+    """Warm once, then min of two measured runs (GC-noise protocol,
+    BASELINE.md)."""
+    run()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def bench_bucketed_fact_join(spark, sf_dir: str) -> dict[str, float]:
+    """The 100 TB fact⋈fact pattern: bucket orders/lineitem on the
+    join key ONCE (write cost amortized over every later join), then
+    the same join-agg runs with ZERO Exchange — vs the raw-parquet
+    sort-merge join that shuffles both sides. Broadcast joins are
+    disabled so the parquet side shows its true shuffle cost (at real
+    scale neither fact table is broadcastable). The bucketed plan is
+    asserted Exchange-free — if the co-location breaks, the bench
+    fails loudly rather than quietly re-shuffling."""
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.sources import writers
+
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bench_orders_bkt", "bench_lineitem_bkt"):
+        # the in-memory catalog is per-process but the warehouse dir is
+        # not: drop the table AND its leftover location from prior runs
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    writers.write_bucketed_table(catalog.load(spark, sf_dir, "orders"),
+                                 "bench_orders_bkt", "o_orderkey",
+                                 sort_col="o_orderkey")
+    writers.write_bucketed_table(catalog.load(spark, sf_dir, "lineitem"),
+                                 "bench_lineitem_bkt", "l_orderkey",
+                                 sort_col="l_orderkey")
+
+    def fact_join(orders, lineitem):
+        rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        return (
+            lineitem.join(orders,
+                          F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(F.sum(rev).alias("order_revenue"),
+                 F.max("o_totalprice").alias("o_totalprice"))
+            # small result set so the measured cost is the join+agg,
+            # not the driver collect
+            .filter(F.col("order_revenue") > 350000.0)
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        parquet_df = fact_join(catalog.load(spark, sf_dir, "orders"),
+                               catalog.load(spark, sf_dir, "lineitem"))
+        bucketed_df = fact_join(spark.table("bench_orders_bkt"),
+                                spark.table("bench_lineitem_bkt"))
+        plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (
+            f"bucketed fact join re-shuffled:\n{plan[:2000]}")
+        assert "SortMergeJoin" in plan
+        return {
+            "fact_join_parquet": _time_min2(parquet_df.collect),
+            "fact_join_bucketed": _time_min2(bucketed_df.collect),
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -76,6 +151,8 @@ def main() -> None:
             df.collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings.update(bench_bucketed_fact_join(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
