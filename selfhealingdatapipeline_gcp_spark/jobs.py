@@ -103,11 +103,20 @@ if __name__ == "__main__":
 
 
 def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
-                         history=None) -> dict[str, Any]:
+                         history=None,
+                         state_root: str | None = None) -> dict[str, Any]:
     """The financial-monitoring DAG as one pipeline
     (dag/financial_monitoring_dag.py:159-187: [feed check, revenue
     check] → send alerts → daily report), widened to the full
-    detector suite and run through the self-healing runner."""
+    detector suite and run through the self-healing runner.
+
+    ``state_root`` persists monitoring state between sweeps, mirroring
+    monitoring/setup_bigquery.sql:45-70: delivered alerts append to
+    the monitoring_alerts parquet (so the NEXT sweep reads last-run
+    history from disk and suppresses repeats — no caller-supplied
+    history DataFrame needed), and the daily-revenue baseline snapshot
+    appends to baseline_metrics. ``history`` (an explicit DataFrame)
+    still wins when both are given."""
     detector_names = (
         "revenue_anomaly", "transaction_volume_anomaly",
         "pattern_break_region", "pattern_break_product",
@@ -126,15 +135,33 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
         return {n: qs[n](s, sf_dir) for n in detector_names}
 
     def send_alerts(s: SparkSession, ctx: dict[str, Any]):
+        from selfhealingdatapipeline_gcp_spark.plans import history as hist
+
         outputs = {k: v for k, v in ctx["detectors"].items()
                    if k in {r.detector for r in alerts.DEFAULT_RULES}}
         stream = alerts.collect_alerts(outputs)
-        if history is not None:
+        past = history
+        if past is None and state_root is not None:
+            past = hist.read_alert_history(s, state_root)
+        anchor = None
+        if past is not None or state_root is not None:
             anchor = catalog.load(s, sf_dir, "events").agg(
                 F.max("ts")).collect()[0][0]
-            stream = alerts.dedup_against_history(stream, history, anchor)
+        if past is not None:
+            stream = alerts.dedup_against_history(stream, past, anchor)
         sender = alerts.AlertSender()
+        if state_root is not None:
+            # materialize once: the same rows are delivered AND
+            # appended to the audit sink
+            stream = stream.localCheckpoint(eager=True)
         n_delivered = sender.deliver(stream)
+        if state_root is not None:
+            hist.write_alert_history(stream, state_root, anchor)
+            hist.write_baseline_metrics(
+                hist.baseline_metrics_from(ctx["detectors"]["revenue_anomaly"]
+                                           .select("d", "revenue"),
+                                           anchor),
+                state_root)
         return {"n_delivered": n_delivered, "audit": sender.sent}
 
     def daily_report(s: SparkSession, ctx: dict[str, Any]):

@@ -340,6 +340,44 @@ def test_sweep_routes_feed_and_quality_alerts(spark):
     assert all(r.severity in alerts.SEVERITIES for r in out.collect())
 
 
+def test_sweep_persists_history_and_suppresses_repeats(spark, tmp_path):
+    """E2E round-trip of the persisted monitoring state
+    (monitoring/setup_bigquery.sql:45-70): sweep 1 delivers alerts and
+    appends them to the monitoring_alerts sink; sweep 2 reads that
+    history from disk and suppresses every repeat. Baseline snapshot
+    lands in baseline_metrics."""
+    from selfhealingdatapipeline_gcp_spark import jobs
+    from selfhealingdatapipeline_gcp_spark.plans import history as hist
+
+    root = str(tmp_path / "state")
+    out1 = jobs.run_monitoring_sweep(spark, "/root/testdata/sf0.001",
+                                     state_root=root)
+    assert all(v == "SUCCESS" for v in out1["statuses"].values())
+    n1 = out1["alerts"]["n_delivered"]
+    assert n1 >= 1
+    persisted = hist.read_alert_history(spark, root)
+    assert persisted.count() == n1
+    assert set(persisted.columns) == {"detector", "alert_key", "sent_ts"}
+
+    out2 = jobs.run_monitoring_sweep(spark, "/root/testdata/sf0.001",
+                                     state_root=root)
+    assert out2["alerts"]["n_delivered"] == 0          # all suppressed
+    assert hist.read_alert_history(spark, root).count() == n1  # no growth
+
+    base = hist.read_baseline_metrics(spark, root)
+    rows = base.filter(F.col("metric_name") == "daily_revenue").collect()
+    assert len(rows) == 2                              # one snapshot per sweep
+    r = rows[0]
+    assert r.sample_size > 0 and r.min_value <= r.baseline_value <= r.max_value
+
+
+def test_read_alert_history_empty_when_absent(spark, tmp_path):
+    from selfhealingdatapipeline_gcp_spark.plans import history as hist
+    df = hist.read_alert_history(spark, str(tmp_path / "nowhere"))
+    assert df.count() == 0
+    assert set(df.columns) == {"detector", "alert_key", "sent_ts"}
+
+
 @pytest.mark.parametrize("log,expected_type,kw", [
     ("java.io.IOException: No space left on device", "CONFIG", "disk"),
     ("com.esotericsoftware.kryo.KryoException: Buffer overflow. Available: 0",
