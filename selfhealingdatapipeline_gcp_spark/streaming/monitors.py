@@ -136,18 +136,30 @@ def streaming_stateful_volume_monitor(spark: SparkSession,
     return _run_to_memory(agg, "update")
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup(spark: SparkSession, sf_dir: str,
+                    bounded_state: bool = True) -> DataFrame:
     """Streaming exact dedup on the natural key with state-store
-    backing: dropDuplicates inside a stream keeps per-key state so
-    replayed/duplicated events are emitted once. Output is the
-    per-type unique count — deterministic regardless of which
-    physical row the state keeps. On a live feed you'd bound the
-    state with ``withWatermark`` + ``dropDuplicatesWithinWatermark``
-    (same plan, state expires after the lateness horizon); with
-    availableNow the whole file set is one batch so the unbounded
-    form is oracle-exact."""
+    backing: duplicated/replayed events are emitted once. Output is
+    the per-type unique count — deterministic regardless of which
+    physical row the state keeps.
+
+    DEFAULT is the watermark-bounded form (VERDICT r2 #7):
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` expires
+    dedup state once rows age past the lateness horizon — on an
+    unbounded feed the plain ``dropDuplicates`` state store grows
+    forever and eventually OOMs the cluster. The unbounded escape
+    (``bounded_state=False``) remains for replaying bounded archives
+    where duplicates can be arbitrarily far apart. With availableNow
+    the file set is one micro-batch (state never expires mid-batch),
+    so both forms are oracle-exact here."""
     stream = _events_stream(spark, sf_dir)
-    deduped = stream.dropDuplicates(["user_id", "event_type", "value"])
+    if bounded_state:
+        deduped = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "value"])
+        )
+    else:
+        deduped = stream.dropDuplicates(["user_id", "event_type", "value"])
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique"))
     return _run_to_memory(agg, "complete")
