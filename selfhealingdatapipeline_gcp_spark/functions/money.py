@@ -13,14 +13,44 @@ the shortest-decimal repr via BigDecimal, DuckDB rounds the binary
 value); floor of bit-identical doubles can never disagree.
 
 Headroom: cents·e2 (the revenue e4 path) bounds at ~9e14 dollars per
-group sum in int64; the e6 charge path at ~9e12. Beyond that, switch
-the accumulator to DECIMAL(38,x) — same plan shape.
+group sum in int64; the e6 charge path at ~9e12. Beyond that, flip
+``set_decimal_mode(True)`` — the accumulator becomes DECIMAL(38,0)
+(~1e34 dollars of headroom), same plan shape, same results below the
+boundary.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# When True, integer-unit accumulators are widened to DECIMAL(38,0)
+# BEFORE the sum. int64 is the default: a long adder inside
+# whole-stage codegen beats Decimal128 by ~30% on the scan-agg path,
+# and the e4 path only overflows past ~9e14 dollars PER GROUP
+# (≈ TPC-H sf50k for q1's biggest group) — flip this when group sums
+# approach that boundary. Results are bit-identical below it (integer
+# sums are exact in both representations; the final /scale division
+# happens in double either way).
+_DECIMAL_MODE = False
+
+
+def set_decimal_mode(enabled: bool) -> None:
+    """Widen money accumulators to DECIMAL(38,0) (see _DECIMAL_MODE).
+    Affects sum_money / sum_revenue_e4 / sum_charge_e6 globally —
+    set once at session start, not per-query."""
+    global _DECIMAL_MODE
+    _DECIMAL_MODE = bool(enabled)
+
+
+def decimal_mode() -> bool:
+    return _DECIMAL_MODE
+
+
+def _acc(col: Column) -> Column:
+    """Accumulator widening point: every money sum funnels its per-row
+    integer term through here."""
+    return col.cast("decimal(38,0)") if _DECIMAL_MODE else col
 
 
 def cents(col: Column) -> Column:
@@ -32,7 +62,7 @@ def cents(col: Column) -> Column:
 def sum_money(col: Column) -> Column:
     """Exact sum of a 2-decimal money column, as dollars (double).
     DuckDB twin: sum(CAST(round(x*100) AS BIGINT)) / 100.0"""
-    return F.sum(cents(col)) / 100.0
+    return (F.sum(_acc(cents(col))) / 100.0).cast("double")
 
 
 def sum_revenue_e4(price: Column, discount: Column) -> Column:
@@ -41,14 +71,15 @@ def sum_revenue_e4(price: Column, discount: Column) -> Column:
     e4-scaled integer. DuckDB twin:
     sum(CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS BIGINT))) / 10000.0
     """
-    return F.sum(cents(price) * (100 - cents(discount))) / 10000.0
+    return (F.sum(_acc(cents(price) * (100 - cents(discount))))
+            / 10000.0).cast("double")
 
 
 def sum_charge_e6(price: Column, discount: Column, tax: Column) -> Column:
     """Exact sum of price·(1-discount)·(1+tax), as dollars (e6 ints).
     DuckDB twin: sum(... * (100 - ...) * (100 + ...)) / 1000000.0"""
-    return F.sum(cents(price) * (100 - cents(discount))
-                 * (100 + cents(tax))) / 1e6
+    return (F.sum(_acc(cents(price) * (100 - cents(discount))
+                       * (100 + cents(tax)))) / 1e6).cast("double")
 
 
 def trunc(col: Column, places: int = 4) -> Column:
