@@ -321,6 +321,9 @@ def revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(money.sum_money(F.col("o_totalprice")).alias("revenue"))
     )
+    # unpartitioned day-grain windows — O(days) rows forever; trailing
+    # frames need consecutive days, so partitioning would be wrong
+    # (see detectors.revenue_anomaly)
     w_ma = Window.orderBy("d").rowsBetween(-(window_days - 1), 0)
     w_lag = Window.orderBy("d")
     prev = F.lag("revenue", window_days).over(w_lag)

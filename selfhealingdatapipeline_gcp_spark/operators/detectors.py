@@ -76,6 +76,10 @@ def revenue_anomaly(orders: DataFrame,
             ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(100))) / 100)
             .cast("bigint"))
     )
+    # unpartitioned day-grain window: the input is ALREADY collapsed to
+    # O(days) rows (bounded forever), and the trailing-30-day frame must
+    # see consecutive days — partitioning (e.g. by year) would corrupt
+    # frames at boundaries. Single-partition here is deliberate.
     w = Window.orderBy("d").rowsBetween(-30, -1)
     base = (
         daily
@@ -127,6 +131,8 @@ def revenue_forecast(orders: DataFrame, days_ahead: int = 7,
         .groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
     )
+    # unpartitioned day-grain window — O(days) rows, deliberate (see
+    # revenue_anomaly)
     w = Window.orderBy(F.desc("d"))
     top = (
         daily.withColumn("rn", F.row_number().over(w))

@@ -56,4 +56,16 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # Day-grain detectors deliberately use single-partition windows
+        # over O(days) relations (annotated at each site); WindowExec's
+        # "No Partition Defined" warning would fire on every run and
+        # bury real regressions in the bench tail — silence just that
+        # logger, nothing else.
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR)
+    except Exception:
+        pass  # non-log4j2 deployments keep the warning — cosmetic only
     return spark
