@@ -50,6 +50,8 @@ HEADLINE = [
     "vector_quantize",
     "multimodal_features",
     "revenue_forecast",
+    # r3 additions (floor starts at BENCH_r03)
+    "ann_pq_topk",
 ]
 
 

@@ -28,6 +28,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential fold (same determinism
+    contract as ``dot``). DuckDB twin:
+    list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1,
+    len(a)+1), i -> (a[i]-b[i])*(a[i]-b[i])), (acc, x) -> acc + x)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

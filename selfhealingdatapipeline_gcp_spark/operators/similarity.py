@@ -148,6 +148,76 @@ def ann_ivf_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def ann_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+                n_sub: int = 8, n_codes: int = 16) -> DataFrame:
+    """Product-quantization ANN (asymmetric-distance scan): each
+    vector is compressed to ``n_sub`` codebook ids; search scans the
+    COMPRESSED corpus, summing per-subspace distance-table lookups.
+
+    The 100 TB story is memory, not candidate pruning: a 10^9-vector
+    float corpus at dim 64 is ~256 GB, the PQ codes are ~8 GB — the
+    index fits in cluster RAM, raw vectors are read once at encode
+    time and never touched by queries. The query side is a 640-row
+    distance table broadcast into an equi-join on (subspace, code) +
+    one integer-unit sum — partial-agg friendly, no corpus shuffle of
+    vectors. Compose with IVF cells (ann_ivf_topk) for IVF-PQ when
+    compute, not memory, is the bound.
+
+    Codebooks = the subvectors of the fixed-K hash-picked centroid
+    vectors (deterministic, oracle-checkable); swap per-subspace
+    k-means in without touching the plan. Distances accumulate in e6
+    integer units so the subspace sum is order-independent across
+    engines."""
+    n = _with_norms(embeddings)
+    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    cb = fixed_k_centroids(n, n_codes)
+
+    def sub(col: str, m: int):
+        return F.slice(F.col(col), m * dsub + 1, dsub)
+
+    # encode: nearest codeword per (vector, subspace); min(struct) is
+    # the deterministic argmin (ties break on cent_id)
+    enc = n.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cent_id",
+        *[vectorfn.l2sq(sub("v", m), sub("cv", m)).alias(f"d{m}")
+          for m in range(n_sub)])
+    codes = enc.groupBy("vec_id").agg(
+        *[F.min(F.struct(F.col(f"d{m}").alias("d"),
+                         F.col("cent_id").alias("c")))
+           .getField("c").alias(f"code_{m}") for m in range(n_sub)])
+    codes_long = codes.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(n_sub)]))
+         .alias("m", "code"))
+
+    # per-query distance tables: n_queries × n_codes × n_sub rows
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")))
+    qt = q.crossJoin(F.broadcast(cb)).select(
+        "query_id", F.col("cent_id").alias("code"),
+        F.posexplode(F.array(*[
+            F.floor(vectorfn.l2sq(sub("qv", m), sub("cv", m)) * 1e6)
+             .cast("bigint") for m in range(n_sub)])).alias("m", "qd_u"))
+
+    w = Window.partitionBy("query_id").orderBy("adist_u", "neighbor_id")
+    return (
+        codes_long.join(F.broadcast(qt), ["m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd_u").alias("adist_u"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "adist_u")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                (F.col("adist_u") / 1e6).alias("approx_dist"), "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label corpus stats (vector aggregates over the scan)."""
     n = _with_norms(embeddings)

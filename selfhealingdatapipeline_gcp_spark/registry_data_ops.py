@@ -267,6 +267,65 @@ register(
     """,
 )
 
+# squared-L2 sequential fold (vectorfn.l2sq twin)
+def _l2sq(a: str, b: str) -> str:
+    return (f"list_reduce([CAST(0.0 AS DOUBLE)] || "
+            f"list_transform(range(1, len({a}) + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), "
+            f"(acc, x) -> acc + x)")
+
+
+_PQ_CENTS = """
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
+"""
+
+register(
+    # PQ/ADC search: codes = deterministic argmin per (vector,
+    # subspace); approx distance = integer-unit sum of per-subspace
+    # table lookups. dsub = 8 (dim 64 / n_sub 8) mirrored literally.
+    "ann_pq_topk",
+    lambda spark, sf: similarity.ann_pq_topk(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS ({_PQ_CENTS}),
+    subm AS (SELECT unnest(range(0, 8)) AS m),
+    enc AS (
+      SELECT n.vec_id, cents.cent_id, subm.m,
+             {_l2sq('(n.v[(subm.m*8+1):(subm.m*8+8)])',
+                    '(cents.cv[(subm.m*8+1):(subm.m*8+8)])')} AS d
+      FROM n, cents, subm
+    ), codes AS (
+      SELECT vec_id, m, (min({{'d': d, 'c': cent_id}})).c AS code
+      FROM enc GROUP BY vec_id, m
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM n WHERE vec_id < 5
+    ), qt AS (
+      SELECT query_id, cents.cent_id AS code, subm.m,
+             CAST(floor({_l2sq('(q.qv[(subm.m*8+1):(subm.m*8+8)])',
+                               '(cents.cv[(subm.m*8+1):(subm.m*8+8)])')}
+                        * 1000000.0) AS BIGINT) AS qd_u
+      FROM q, cents, subm
+    ), scored AS (
+      SELECT qt.query_id, codes.vec_id,
+             CAST(sum(qd_u) AS BIGINT) AS adist_u
+      FROM codes JOIN qt ON codes.m = qt.m AND codes.code = qt.code
+      WHERE codes.vec_id != qt.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           (adist_u / 1000000.0) AS approx_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist_u, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+
 register(
     "embedding_stats",
     lambda spark, sf: similarity.embedding_stats(*_t(spark, sf, "embeddings")),

@@ -32,6 +32,7 @@ ORACLE_CHECKED = [
     "multimodal_features",
     "multimodal_meta",
     "multimodal_resize_plan",
+    "ann_pq_topk",
 ]
 
 
@@ -304,6 +305,47 @@ def test_kmeans_centroids_improve_fit(spark):
                    for v in emb.values()) / len(emb)
 
     assert mean_best(refined) >= mean_best(seeds) - 1e-9
+
+
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ is a lossy 8-codes-per-vector compression with a tiny
+    hash-picked codebook — recall@10 against exact cosine top-10 must
+    still be non-trivial (compressed geometry preserves neighborhood
+    structure)."""
+    qs = registry.queries()
+    exact = {}
+    for r in qs["ann_bruteforce_topk"](spark, SF_ORACLE).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in qs["ann_pq_topk"](spark, SF_ORACLE).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"PQ mean recall@10 too low: {mean_recall}"
+
+
+def test_ann_pq_codes_are_deterministic(spark):
+    """Two independent builds produce identical rankings (no
+    nondeterministic argmin tie-breaks anywhere)."""
+    qs = registry.queries()
+    a = [tuple(r) for r in qs["ann_pq_topk"](spark, SF_ORACLE).collect()]
+    b = [tuple(r) for r in qs["ann_pq_topk"](spark, SF_ORACLE).collect()]
+    assert a == b
+
+
+def test_dedup_embedding_all_pairs_guard(spark):
+    """The quadratic escape must refuse oversized corpora loudly
+    (VERDICT r2 #3) instead of launching a corpus-squared join."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(ValueError, match="corpus-squared"):
+        dedup.dedup_embedding(emb, allow_all_pairs=True,
+                              max_all_pairs_rows=100)
+    # under the limit the escape still works
+    assert dedup.dedup_embedding(emb, allow_all_pairs=True).count() > 0
 
 
 def test_parity_simhash_multitable(spark, duck):
