@@ -44,8 +44,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_staged_dir(path))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (with local tz); session tz is
+        # pinned UTC above so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
