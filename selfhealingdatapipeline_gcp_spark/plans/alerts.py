@@ -171,25 +171,36 @@ def dedup_against_history(alerts: DataFrame, history: DataFrame,
 class AlertSender:
     """Pluggable delivery (alert_manager.py:103-197). Slack/email need
     network credentials — unconfigured channels fall back to the log
-    channel exactly like the reference's "not configured" paths."""
+    channel exactly like the reference's "not configured" paths.
 
-    def __init__(self, config: dict | None = None):
+    ``transports`` maps channel name → callable(channel, row); a
+    configured transport overrides the built-in behavior, which is how
+    a real webhook/SMTP sender plugs in without touching this class
+    (and how FileAlertSender implements file delivery)."""
+
+    def __init__(self, config: dict | None = None,
+                 transports: dict | None = None):
         self.config = config or {}
+        self.transports = transports or {}
         self.sent: list[tuple[str, str]] = []  # (channel, alert_key) audit
 
     def deliver(self, alerts: DataFrame) -> int:
         routed = with_routing(alerts).collect()
         for row in routed:
             for channel in row.channels:
-                if channel == "slack" and not self.config.get("slack_webhook"):
-                    channel = "log"
-                if channel == "email" and not self.config.get("email"):
-                    channel = "log"
+                if channel not in self.transports:
+                    if channel == "slack" and not self.config.get("slack_webhook"):
+                        channel = "log"
+                    if channel == "email" and not self.config.get("email"):
+                        channel = "log"
                 self._send(channel, row)
         return len(routed)
 
     def _send(self, channel: str, row) -> None:
-        if channel == "log":
+        transport = self.transports.get(channel)
+        if transport is not None:
+            transport(channel, row)
+        elif channel == "log":
             print(f"[ALERT:{row.severity}] {row.detector} {row.alert_key}")
         elif channel == "slack":
             raise NotImplementedError(
@@ -200,3 +211,47 @@ class AlertSender:
                 "smtp delivery requires network access; configure "
                 "'email' on a real deployment")
         self.sent.append((channel, f"{row.detector}:{row.alert_key}"))
+
+
+class FileAlertSender(AlertSender):
+    """End-to-end alert delivery to an inspectable sink
+    (alert_manager.py:103-180 minus the network): every routed channel
+    lands as one JSON line in ``<out_dir>/<channel>.jsonl``. The
+    severity→channel routing, "not configured" fallbacks, and the
+    audit trail are all inherited from AlertSender — this class only
+    supplies a transport for every channel, so nothing falls back and
+    nothing raises. A real deployment swaps individual transports
+    (e.g. a webhook poster for "slack") and keeps file delivery for
+    the rest."""
+
+    def __init__(self, out_dir: str):
+        import os
+        os.makedirs(out_dir, exist_ok=True)
+        self.out_dir = out_dir
+        super().__init__(
+            # mark slack/email configured so routing does NOT fall
+            # back to log — each channel lands in its own file
+            config={"slack_webhook": "file", "email": "file"},
+            transports={c: self._append for c in ("slack", "email", "log")},
+        )
+
+    def _append(self, channel: str, row) -> None:
+        import json
+        import os
+        with open(os.path.join(self.out_dir, f"{channel}.jsonl"),
+                  "a", encoding="utf-8") as f:
+            f.write(json.dumps({
+                "detector": row.detector,
+                "alert_key": row.alert_key,
+                "severity": row.severity,
+                "detail": row.detail,
+            }) + "\n")
+
+    def read_back(self, channel: str) -> list[dict]:
+        import json
+        import os
+        path = os.path.join(self.out_dir, f"{channel}.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]

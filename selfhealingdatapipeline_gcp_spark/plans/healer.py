@@ -268,25 +268,37 @@ def apply_conf_fix(spark, fix: Fix) -> dict[str, str]:
     return applied
 
 
-def fix_script_file(path: str, fix: Fix) -> dict[str, object]:
+def fix_script_file(path: str, fix: Fix,
+                    opener=None) -> dict[str, object]:
     """File/URI round-trip for CODE fixes (auto_healer.py:48-90
     ``fix_gcs_file``/``fix_local_file``): read the job script, apply
-    the patch, write back only when something changed. Local paths and
-    ``file://`` URIs are handled natively; object-store URIs need a
-    cloud client that is not in this environment, so that branch is an
-    explicit gate with the same record contract."""
-    if path.startswith(("gs://", "s3://", "abfs://")):
-        raise NotImplementedError(
-            "object-store script patching needs the matching cloud "
-            "storage client (download → apply_code_fix → upload); "
-            "only local/file:// paths are supported here")
-    local = path[len("file://"):] if path.startswith("file://") else path
-    with open(local, encoding="utf-8") as f:
+    the patch, write back only when something changed.
+
+    ``opener`` is an fsspec-style hook — ``opener(path, mode)``
+    returning a context-managed text file — that makes the reference's
+    object-store scenario (fix_gcs_file patching a script in cloud
+    storage) portable: pass ``fsspec.open`` (or any fake) and gs://
+    s3:// abfs:// URIs heal through it with the same audit-record
+    contract. Without an opener, local paths and ``file://`` URIs are
+    handled natively and object-store URIs raise loudly (the matching
+    cloud client is not in this environment)."""
+    if opener is None:
+        if path.startswith(("gs://", "s3://", "abfs://")):
+            raise NotImplementedError(
+                "object-store script patching needs an opener hook "
+                "(e.g. fsspec.open) or the matching cloud storage "
+                "client; only local/file:// paths are native")
+        local = path[len("file://"):] if path.startswith("file://") else path
+        def opener(p, mode):
+            return open(p, mode, encoding="utf-8")
+    else:
+        local = path
+    with opener(local, "r") as f:
         content = f.read()
     fixed = apply_code_fix(content, fix)
     changed = fixed != content
     if changed:
-        with open(local, "w", encoding="utf-8") as f:
+        with opener(local, "w") as f:
             f.write(fixed)
     return {"path": path, "applied": changed,
             "n_bytes": len(fixed.encode("utf-8"))}

@@ -63,8 +63,15 @@ register(
       SELECT doc_id, {_SHINGLES} AS s
       FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
       WHERE len({_SHINGLES}) > 0
+    ), ex0 AS (
+      SELECT doc_id, {_md5int('unnest(s)')} AS g FROM sh
+    ), keep AS (
+      -- df ceiling twin (max_df = 10000): shingles in this many docs
+      -- or more carry no near-dup signal and explode the self-join
+      SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 10000
     ), ex AS (
-      SELECT doc_id, len(s) AS n, {_md5int('unnest(s)')} AS g FROM sh
+      SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, g
+      FROM ex0 WHERE g IN (SELECT g FROM keep)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              count(*) AS n_common, max(a.n) AS n_a, max(b.n) AS n_b

@@ -48,8 +48,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif ts_type == "timestamp_ntz":
-        # withWatermark requires TIMESTAMP (with local tz); session tz is
-        # pinned UTC above so the cast is value-preserving.
+        # Normalize NTZ to the session-tz TIMESTAMP type for consistency
+        # with the bigint branch and catalog.load (Spark >= 3.4 accepts
+        # NTZ event time; the cast is value-preserving under pinned UTC).
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 

@@ -1,0 +1,142 @@
+"""Round-4 regression tests: catalog timestamp normalization across
+testdata vintages, and the dedup fan-out guards (VERDICT r3 #2/#4/#5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark import catalog
+from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+from conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# catalog.load must yield TIMESTAMP for every parquet vintage the
+# driver has shipped: TIMESTAMP(NANOS) (read as bigint under
+# nanosAsLong) and TIMESTAMP(MICROS) isAdjustedToUTC=false (read as
+# TIMESTAMP_NTZ by Spark 4). The testdata changed shape twice between
+# rounds; don't get caught a third time.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("vintage", ["nanos", "ntz_micros", "micros_utc"])
+def test_catalog_load_ts_is_timestamp_for_any_vintage(spark, tmp_path, vintage):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    if vintage == "nanos":
+        arr = pa.array([m * 1000 for m in micros],
+                       type=pa.timestamp("ns"))
+    elif vintage == "ntz_micros":
+        arr = pa.array(micros, type=pa.timestamp("us"))
+    else:
+        arr = pa.array(micros, type=pa.timestamp("us", tz="UTC"))
+    table = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": arr,
+    })
+    pq.write_table(table, os.path.join(tmp_path, "events.parquet"))
+
+    df = catalog.load(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        f"vintage={vintage}: expected timestamp, got {dict(df.dtypes)['ts']}")
+    got = [r.ts.isoformat() for r in
+           df.orderBy("event_id").select("ts").collect()]
+    # value-preserving under the pinned UTC session tz (nanos floor to
+    # micros exactly like DuckDB's TIMESTAMP_NS -> TIMESTAMP cast)
+    assert got == ["2023-11-14T22:13:20", "2023-11-14T22:15:23.456789"]
+
+
+def test_catalog_load_real_testdata_ts_is_timestamp(spark):
+    df = catalog.load(spark, SF_ORACLE, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard df ceiling: a corpus-common trigram must not
+# drive a quadratic self-join fan-out.
+# ---------------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in rows])
+
+
+def test_ngram_jaccard_df_ceiling_drops_ubiquitous_shingle(spark):
+    # 40 documents all sharing one ubiquitous trigram, otherwise
+    # unique; plus one genuine near-dup pair (docs 100/101).
+    common = "terms of service"
+    rows = [(i, f"{common} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    docs = _docs(spark, rows)
+
+    out = dedup.dedup_ngram_jaccard(docs, threshold=0.5, max_df=5)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    # the near-dup pair survives (its shingles are rare) ...
+    assert (100, 101) in pairs
+    # ... and no pair exists only via the ubiquitous trigram
+    assert all(a >= 100 for a, _ in pairs), pairs
+
+    # the ubiquitous shingle must be FILTERED before the self-join:
+    # count the join-input rows contributed per shingle hash
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    sh = (
+        dedup._shingle_rows(docs)
+        .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .groupBy("h").count()
+    )
+    assert sh.agg(F.max("count")).first()[0] == 40  # skew exists pre-filter
+
+
+def test_ngram_jaccard_unfiltered_mode_still_available(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+    ]
+    out = dedup.dedup_ngram_jaccard(_docs(spark, rows), max_df=None)
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} == {(1, 2)}
+
+
+def test_ngram_jaccard_default_ceiling_inert_on_driver_tables(spark, duck):
+    """max_df=10000 never fires at driver scale (<= 5000 docs), so the
+    guarded default stays oracle-exact (the oracle mirrors the filter
+    anyway; this asserts the guarded and unfiltered plans agree)."""
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    guarded = dedup.dedup_ngram_jaccard(docs).collect()
+    exact = dedup.dedup_ngram_jaccard(docs, max_df=None).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, exact))
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash bucket cap: a skewed corpus fails loudly instead of
+# launching a quadratic in-bucket join.
+# ---------------------------------------------------------------------------
+
+def test_simhash_guard_raises_on_skewed_corpus(spark):
+    # 30 near-identical docs -> one simhash bucket; cap at 10
+    rows = [(i, f"lorem ipsum dolor sit amet consectetur adipiscing v{i % 2}")
+            for i in range(30)]
+    out = dedup.dedup_simhash(_docs(spark, rows), max_bucket_rows=10)
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        out.collect()
+
+
+def test_simhash_guard_inert_below_cap(spark):
+    rows = [(1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma zeta"),
+            (3, "totally different words here now")]
+    docs = _docs(spark, rows)
+    guarded = dedup.dedup_simhash(docs).collect()
+    unguarded = dedup.dedup_simhash(docs, max_bucket_rows=None).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
