@@ -52,6 +52,10 @@ HEADLINE = [
     "revenue_forecast",
     # r3 additions (floor starts at BENCH_r03)
     "ann_pq_topk",
+    # r4 additions (floor starts at BENCH_r04)
+    "ann_rp_lsh_topk",
+    "text_token_estimate",
+    "dedup_prefix_hash",
 ]
 
 

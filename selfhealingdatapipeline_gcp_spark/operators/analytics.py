@@ -741,3 +741,59 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def customer_rfm(orders: DataFrame) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary) with
+    quartile scores from EXACT percentile boundaries instead of a
+    global ntile window — ntile would single-partition-sort every
+    customer (a scale-killer at 10^9 customers); three 1-row percentile
+    aggregates broadcast back over the scan instead (same Spark
+    percentile ↔ DuckDB quantile_cont bit-parity as
+    event_value_percentiles). Money in exact integer cents."""
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_order"),
+             F.count(F.lit(1)).alias("frequency"),
+             F.sum(money.cents(F.col("o_totalprice"))).alias("mon_c"))
+        .crossJoin(F.broadcast(anchor))
+        .select("o_custkey",
+                F.datediff("anchor", "last_order").alias("recency_days"),
+                "frequency",
+                (F.col("mon_c") / 100.0).alias("monetary"))
+    )
+    bounds = per_cust.agg(
+        F.percentile("recency_days", 0.25).alias("r25"),
+        F.percentile("recency_days", 0.5).alias("r50"),
+        F.percentile("recency_days", 0.75).alias("r75"),
+        F.percentile("frequency", 0.25).alias("f25"),
+        F.percentile("frequency", 0.5).alias("f50"),
+        F.percentile("frequency", 0.75).alias("f75"),
+        F.percentile("monetary", 0.25).alias("m25"),
+        F.percentile("monetary", 0.5).alias("m50"),
+        F.percentile("monetary", 0.75).alias("m75"),
+    )
+
+    def low_good(c, lo, mid, hi):  # recency: smaller is better
+        return (F.when(F.col(c) <= F.col(lo), 4)
+                 .when(F.col(c) <= F.col(mid), 3)
+                 .when(F.col(c) <= F.col(hi), 2).otherwise(1))
+
+    def high_good(c, lo, mid, hi):
+        return (F.when(F.col(c) <= F.col(lo), 1)
+                 .when(F.col(c) <= F.col(mid), 2)
+                 .when(F.col(c) <= F.col(hi), 3).otherwise(4))
+
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            low_good("recency_days", "r25", "r50", "r75").alias("r_score"),
+            high_good("frequency", "f25", "f50", "f75").alias("f_score"),
+            high_good("monetary", "m25", "m50", "m75").alias("m_score"),
+        )
+        .withColumn("rfm",
+                    F.concat_ws("", "r_score", "f_score", "m_score"))
+        .orderBy("o_custkey")
+    )

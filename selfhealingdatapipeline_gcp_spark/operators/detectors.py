@@ -684,3 +684,37 @@ def quality_duplicate_trend(events: DataFrame, window_days: int = 14) -> DataFra
         F.coalesce((F.col("__dup_e4") - base_e4) > 5000.0, F.lit(False))
          .alias("is_degraded"),
     )
+
+
+def event_anomaly_mad(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Daily event-value totals flagged by median absolute deviation —
+    the robust sibling of the z-score detectors (revenue_anomaly):
+    one extreme day cannot drag a median baseline the way it drags a
+    mean/stddev, so MAD keeps flagging when the corpus itself is
+    dirty. Daily sums accumulate in integer micro-units
+    (order-independent across engines); the median and MAD are two
+    1-row aggregates over the O(days) grain relation, broadcast back
+    over it — no wide shuffle anywhere."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
+              .alias("tot_u"))
+    )
+    med = daily.agg(F.percentile("tot_u", 0.5).alias("med_u"))
+    dev = (
+        daily.crossJoin(F.broadcast(med))
+        .withColumn("abs_dev_u", F.abs(F.col("tot_u") - F.col("med_u")))
+    )
+    mad = dev.agg(F.percentile("abs_dev_u", 0.5).alias("mad_u"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            (F.col("tot_u") / 1e6).alias("total_value"),
+            (F.col("med_u") / 1e6).alias("median_value"),
+            (F.col("mad_u") / 1e6).alias("mad_value"),
+            (F.col("abs_dev_u") > F.lit(k) * 1.4826 * F.col("mad_u"))
+             .alias("is_outlier"),
+        )
+        .orderBy("d")
+    )

@@ -373,3 +373,79 @@ def ann_ivf_kmeans_topk(embeddings: DataFrame, n_queries: int = 5,
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def rp_sign(table: int, plane: int, dim_idx: int) -> int:
+    """Deterministic ±1 hyperplane component from md5 — the Python
+    twin of textfn.md5int's hex-prefix hash, reproducible in any
+    engine (and in the DuckDB oracle, which inlines the same values
+    as literals)."""
+    import hashlib
+    h = hashlib.md5(f"rp|{table}|{plane}|{dim_idx}".encode()).hexdigest()
+    return 1 if int(h[:12], 16) % 2 else -1
+
+
+def ann_rp_lsh_topk(embeddings: DataFrame, n_queries: int = 5,
+                    k: int = 10, n_planes: int = 4,
+                    n_tables: int = 4) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH ANN: each vector
+    hashes to one bucket per table via the signs of ``n_planes``
+    signed projections; a corpus vector is a candidate for a query iff
+    they share a bucket in ANY table. Exact cosine then ranks only the
+    candidates.
+
+    The 100 TB shape: bucketing is a pure per-row projection against
+    CONSTANT ±1 plane vectors (baked into the plan as literals — zero
+    broadcast, zero shuffle, and the signed sums are plain scalar
+    add/subtract chains inside whole-stage codegen, cheaper than any
+    centroid-assignment join). The only shuffle is the (table, bucket)
+    equi-join, bounded by bucket occupancy — multi-table probing
+    recovers the recall a single 2^n_planes partition loses. This is
+    the LSH counterpart of ann_ivf_topk: no training step at all,
+    which is what you want when the corpus distribution drifts faster
+    than you can re-train centroids.
+
+    Deterministic end-to-end: planes from md5 (rp_sign), dots as
+    ±element sums evaluated left-to-right (bit-identical to the
+    oracle's inlined expression), cosine rounded at 6."""
+    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    n = _with_norms(embeddings)
+
+    def signed_sum(t: int, j: int):
+        # v[1]*s1 + v[2]*s2 + ... evaluated left-to-right: same IEEE
+        # result as the oracle's literal +/- chain (0.0 + x == x)
+        expr = None
+        for d in range(dim):
+            term = F.element_at(F.col("v"), d + 1)
+            term = term if rp_sign(t, j, d) > 0 else -term
+            expr = term if expr is None else expr + term
+        return expr
+
+    def bucket(t: int):
+        b = F.lit(0)
+        for j in range(n_planes):
+            b = b + F.when(signed_sum(t, j) > 0, F.lit(2 ** j)).otherwise(0)
+        return b
+
+    keys = n.select(
+        "vec_id", "v", "nrm",
+        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)]))
+         .alias("t", "bucket"))
+    qk = (keys.filter(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+                  "t", "bucket"))
+    score = F.round(
+        vectorfn.cosine(F.col("v"), F.col("qv"), F.col("nrm"), F.col("qnrm")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        keys.join(F.broadcast(qk), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                score.alias("score"))
+        .distinct()  # a pair can collide in several tables
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

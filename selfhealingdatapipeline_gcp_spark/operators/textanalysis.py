@@ -162,3 +162,39 @@ def ngram_frequencies(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n"), "w")
         .limit(k)
     )
+
+
+def text_token_estimate(documents: DataFrame) -> DataFrame:
+    """BPE-ish token estimate per document (the cost model every
+    training-data pipeline needs before the real tokenizer runs):
+    pre-tokenize with a GPT-2-style regex (letter runs | single
+    digits | punctuation), then estimate subword count as
+    ceil(len/4) per pre-token (~4 chars/BPE-token on English text).
+
+    Codegen end-to-end: regexp_extract_all → explode → count/sum
+    (map-side partial agg; the shuffle carries per-doc aggregates).
+    The regex sticks to explicit ASCII classes so Java regex (Spark)
+    and RE2 (DuckDB oracle) agree symbol-for-symbol."""
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    ex = (
+        _spread(documents)
+        .select("doc_id", "n_chars",
+                F.explode_outer(
+                    F.regexp_extract_all("text", F.lit(pat), 0))
+                 .alias("tok"))
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count("tok").alias("n_pretokens"),
+            F.coalesce(F.sum(F.floor((F.length("tok") + 3) / 4)),
+                       F.lit(0)).cast("bigint").alias("est_bpe_tokens"),
+            F.max("n_chars").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.when(F.col("est_bpe_tokens") > 0,
+                   F.floor(F.col("n_chars") * 1e4 / F.col("est_bpe_tokens"))
+                   / 1e4).otherwise(F.lit(0.0)))
+        .orderBy("doc_id")
+    )

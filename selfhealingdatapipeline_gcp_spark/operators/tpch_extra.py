@@ -18,7 +18,7 @@ joins shuffle on their keys only after scan-level filters.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.functions import money
@@ -189,4 +189,39 @@ def q22_dormant_customers(customer: DataFrame, orders: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_custs"),
              money.sum_money(F.col("c_acctbal")).alias("total_acctbal"))
         .orderBy("segment")
+    )
+
+
+def q2_cheapest_supplier(lineitem: DataFrame, part: DataFrame,
+                         supplier: DataFrame, k: int = 100) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part (argmin join
+    with deterministic tie-break). The dataset has no partsupp table,
+    so the offer price proxies supply cost: the cheapest observed
+    lineitem extendedprice per (part, supplier).
+
+    Scale shape: one groupBy shuffle on (partkey, suppkey) with
+    map-side partial min, then a window argmin partitioned on the
+    SAME leading key (no second shuffle of the big relation under
+    AQE's partial-clustering reuse), then two broadcast dim joins.
+    Integer-cents min (double min would tie-break engine-fragile)."""
+    offer = (
+        lineitem
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(money.cents(F.col("l_extendedprice"))).alias("offer_e2"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("offer_e2", "l_suppkey")
+    best = (
+        offer.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        best
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "p_type", "s_suppkey", "s_name",
+                (F.col("offer_e2") / 100.0).alias("best_price"))
+        .orderBy("p_partkey")
+        .limit(k)
     )

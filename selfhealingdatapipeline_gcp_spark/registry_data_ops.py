@@ -765,3 +765,97 @@ register(
         *_t(spark, sf, "embeddings")),
     None,
 )
+
+
+# ---------------------------------------------------------------------------
+# r4 additions: prefix dedup, BPE-ish token estimate, RP-LSH ANN
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_prefix_hash",
+    lambda spark, sf: dedup.dedup_prefix_hash(*_t(spark, sf, "documents")),
+    f"""
+    SELECT min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           (count(*) > 1) AS had_duplicates
+    FROM (
+      SELECT doc_id, md5(array_to_string(t[1:20], ' ')) AS ph
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+    )
+    GROUP BY ph
+    """,
+)
+
+register(
+    "text_token_estimate",
+    lambda spark, sf: textanalysis.text_token_estimate(
+        *_t(spark, sf, "documents")),
+    """
+    WITH a AS (
+      SELECT doc_id, n_chars,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]') AS arr
+      FROM documents
+    ), agg AS (
+      SELECT doc_id,
+             CAST(len(arr) AS BIGINT) AS n_pretokens,
+             CAST(list_reduce(
+               [CAST(0 AS BIGINT)] || list_transform(arr,
+                 tk -> CAST(floor((length(tk) + 3) / 4) AS BIGINT)),
+               (acc, x) -> acc + x) AS BIGINT) AS est_bpe_tokens,
+             n_chars
+      FROM a
+    )
+    SELECT doc_id, n_pretokens, est_bpe_tokens, n_chars,
+           CASE WHEN est_bpe_tokens > 0
+                THEN floor(n_chars * 1e4 / est_bpe_tokens) / 1e4
+                ELSE 0.0 END AS chars_per_token
+    FROM agg ORDER BY doc_id
+    """,
+)
+
+
+def _rp_signed_sum(t: int, j: int, dim: int = 64) -> str:
+    """DuckDB twin of similarity.ann_rp_lsh_topk's signed projection:
+    same rp_sign values, same left-to-right +/- chain."""
+    parts = []
+    for d in range(dim):
+        s = similarity.rp_sign(t, j, d)
+        if d == 0:
+            parts.append(f"v[1]" if s > 0 else f"(- v[1])")
+        else:
+            parts.append(f"{'+' if s > 0 else '-'} v[{d + 1}]")
+    return " ".join(parts)
+
+
+def _rp_bucket(t: int, n_planes: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({_rp_signed_sum(t, j)}) > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(n_planes))
+
+
+_RP_KEYS = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, v, nrm, {t} AS t, ({_rp_bucket(t)}) AS bucket FROM n"
+    for t in range(4))
+register(
+    "ann_rp_lsh_topk",
+    lambda spark, sf: similarity.ann_rp_lsh_topk(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    keys AS (
+{_RP_KEYS}
+    ), p AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS score
+      FROM keys q JOIN keys c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    ), r AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      FROM p
+    )
+    SELECT query_id, neighbor_id, score, rank FROM r
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)

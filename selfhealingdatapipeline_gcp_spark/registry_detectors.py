@@ -483,3 +483,30 @@ register(
     FROM counts
     """,
 )
+
+
+register(
+    "event_anomaly_mad",
+    lambda spark, sf: detectors.event_anomaly_mad(*_t(spark, sf, "events")),
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             sum(CAST(floor(value * 1e6) AS BIGINT)) AS tot_u
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(tot_u, 0.5) AS med_u FROM daily
+    ), dev AS (
+      SELECT d, tot_u, med_u, abs(tot_u - med_u) AS abs_dev_u
+      FROM daily, med
+    ), mad AS (
+      SELECT quantile_cont(abs_dev_u, 0.5) AS mad_u FROM dev
+    )
+    SELECT d,
+           (tot_u / 1e6) AS total_value,
+           (med_u / 1e6) AS median_value,
+           (mad_u / 1e6) AS mad_value,
+           (abs_dev_u > 3.0 * 1.4826 * mad_u) AS is_outlier
+    FROM dev, mad
+    ORDER BY d
+    """,
+)

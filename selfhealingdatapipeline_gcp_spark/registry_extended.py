@@ -548,3 +548,52 @@ register(
     ORDER BY per.cohort_week, week_offset
     """,
 )
+
+
+register(
+    "customer_rfm",
+    lambda spark, sf: analytics.customer_rfm(*_t(spark, sf, "orders")),
+    """
+    WITH anc AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+    ), pc AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)), anchor)
+               AS recency_days,
+             count(*) AS frequency,
+             (sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0)
+               AS monetary
+      FROM orders, anc
+      GROUP BY o_custkey, anchor
+    ), b AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.5)  AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.5)  AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary, 0.25) AS m25,
+             quantile_cont(monetary, 0.5)  AS m50,
+             quantile_cont(monetary, 0.75) AS m75
+      FROM pc
+    ), scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CASE WHEN recency_days <= r25 THEN 4
+                  WHEN recency_days <= r50 THEN 3
+                  WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency <= f25 THEN 1
+                  WHEN frequency <= f50 THEN 2
+                  WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+             CASE WHEN monetary <= m25 THEN 1
+                  WHEN monetary <= m50 THEN 2
+                  WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+      FROM pc, b
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           (CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+            || CAST(m_score AS VARCHAR)) AS rfm
+    FROM scored
+    ORDER BY o_custkey
+    """,
+)

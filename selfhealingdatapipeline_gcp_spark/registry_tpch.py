@@ -136,3 +136,31 @@ register(
     ORDER BY segment
     """,
 )
+
+
+register(
+    "q2_cheapest_supplier",
+    lambda spark, sf: tpch_extra.q2_cheapest_supplier(
+        *_t(spark, sf, "lineitem", "part", "supplier")),
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS offer_e2
+      FROM lineitem GROUP BY 1, 2
+    ), best AS (
+      SELECT * FROM (
+        SELECT l_partkey, l_suppkey, offer_e2,
+               row_number() OVER (PARTITION BY l_partkey
+                    ORDER BY offer_e2, l_suppkey) AS rn
+        FROM offer
+      ) WHERE rn = 1
+    )
+    SELECT p_partkey, p_brand, p_type, s_suppkey, s_name,
+           (offer_e2 / 100.0) AS best_price
+    FROM best
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY p_partkey
+    LIMIT 100
+    """,
+)

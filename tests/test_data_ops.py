@@ -373,3 +373,39 @@ def test_kmeans_ivf_recall_not_worse_than_grid(spark):
     r_grid = recall("ann_ivf_topk")
     r_kmeans = recall("ann_ivf_kmeans_topk")
     assert r_kmeans >= r_grid - 0.201, (r_grid, r_kmeans)
+
+
+R4_ORACLE_CHECKED = [
+    "dedup_prefix_hash",
+    "text_token_estimate",
+    "ann_rp_lsh_topk",
+]
+
+
+@pytest.mark.parametrize("name", R4_ORACLE_CHECKED)
+def test_parity_r4(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_rp_lsh_recall_vs_bruteforce(spark):
+    """RP-LSH candidates should recover a decent share of the exact
+    top-10 (4 tables x 4 planes on a 500-vector corpus)."""
+    qs = registry.queries()
+    exact = {(r.query_id, r.neighbor_id)
+             for r in qs["ann_bruteforce_topk"](spark, SF_ORACLE).collect()}
+    lsh = {(r.query_id, r.neighbor_id)
+           for r in qs["ann_rp_lsh_topk"](spark, SF_ORACLE).collect()}
+    assert exact
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.3, f"RP-LSH recall vs brute force too low: {recall}"
+
+
+def test_token_estimate_sane(spark):
+    rows = (registry.queries()["text_token_estimate"](spark, SF_ORACLE)
+            .collect())
+    assert len(rows) == 500
+    for r in rows[:50]:
+        # BPE estimate is bounded by pretokens below and chars above
+        assert r.n_pretokens <= r.est_bpe_tokens <= r.n_chars + 4

@@ -29,6 +29,7 @@ DETECTORS = [
     "feed_trends",
     "revenue_dow_context",
     "feed_historical_context",
+    "event_anomaly_mad",
 ]
 
 

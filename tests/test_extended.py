@@ -17,6 +17,7 @@ EXTENDED = [
     "revenue_moving_avg",
     "user_activity_summary",
     "asof_purchase_attribution",
+    "customer_rfm",
 ]
 
 

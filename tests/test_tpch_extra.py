@@ -17,6 +17,7 @@ TPCH_EXTRA = [
     "q15_top_supplier",
     "q19_bracket_revenue",
     "q22_dormant_customers",
+    "q2_cheapest_supplier",
 ]
 
 
