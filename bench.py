@@ -60,11 +60,11 @@ HEADLINE = [
 
 
 def _time_min2(run) -> float:
-    """Warm once, then min of two measured runs (GC-noise protocol,
-    BASELINE.md)."""
+    """Warm once, then min of three measured runs (host-noise
+    protocol, BASELINE.md)."""
     run()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
@@ -156,7 +156,12 @@ def main() -> None:
         try:
             queries[name](spark, sf_dir).collect()  # warm: codegen + JIT
             best = float("inf")
-            for _ in range(2):
+            # min of THREE measured runs (was two): the shared host
+            # shows 1-10x swings on identical plans (noisy-neighbor
+            # CPU steal, not GC — observed after the 48g heap bump);
+            # a third sample sharply cuts the odds that every sample
+            # of a query lands in a noise window.
+            for _ in range(3):
                 df = queries[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.collect()

@@ -272,3 +272,57 @@ def streaming_to_parquet_sink(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return len(epochs)
+
+
+def streaming_alert_delivery(spark: SparkSession, sf_dir: str,
+                             alert_dir: str,
+                             threshold: int = 100) -> dict:
+    """Streaming detector → alert routing → file delivery, end to end
+    (the streaming form of the reference's detect→alert loop:
+    monitoring detectors feeding alert_manager.py's severity routing
+    and senders). Hourly event volumes stream in; each micro-batch's
+    over-threshold windows become alert rows (severity from how far
+    past the threshold the hour ran) and are delivered through
+    FileAlertSender inside foreachBatch — per-channel jsonl files, so
+    a replayed epoch appends the same alerts deterministically and
+    downstream dedup (dedup_against_history) can suppress them.
+
+    Returns {"n_epochs", "n_delivered"}."""
+    from selfhealingdatapipeline_gcp_spark.plans import alerts as alerts_mod
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n_events")
+    )
+    sender = alerts_mod.FileAlertSender(alert_dir)
+    counts = {"n_epochs": 0, "n_delivered": 0}
+
+    def deliver_epoch(batch_df, epoch_id: int) -> None:
+        fired = (
+            batch_df.filter(F.col("n_events") > threshold)
+            .select(
+                F.lit("streaming_txn_volume").alias("detector"),
+                F.concat_ws(
+                    "|", F.col("window_start").cast("string"),
+                    F.col("event_type")).alias("alert_key"),
+                # severity ladder on overshoot ratio, mirroring
+                # severity_from_deviation's 10/20/30 rungs
+                (F.when(F.col("n_events") > 3 * threshold, "CRITICAL")
+                  .when(F.col("n_events") > 2 * threshold, "HIGH")
+                  .otherwise("MEDIUM")).alias("severity"),
+                F.to_json(F.struct("window_start", "event_type",
+                                   "n_events")).alias("detail"),
+            )
+        )
+        counts["n_delivered"] += sender.deliver(fired)
+        counts["n_epochs"] += 1
+
+    q = (agg.writeStream.outputMode("complete")
+         .foreachBatch(deliver_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return counts

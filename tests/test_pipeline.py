@@ -468,3 +468,24 @@ def test_fix_script_file_object_store_via_opener_hook():
     rec2 = healer.fix_script_file("gs://bucket/job.py", fix,
                                   opener=fake_fs_open)
     assert rec2["applied"] is False
+
+
+def test_streaming_alert_delivery_end_to_end(spark, tmp_path):
+    """Streaming detector -> severity routing -> per-channel files:
+    the full detect-to-deliver loop in streaming form."""
+    import json
+    import os
+
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    out = monitors.streaming_alert_delivery(
+        spark, "/root/testdata/sf0.01", str(tmp_path / "sa"), threshold=4)
+    assert out["n_epochs"] >= 1
+    assert out["n_delivered"] >= 1
+    rows = []
+    for fn in os.listdir(tmp_path / "sa"):
+        with open(tmp_path / "sa" / fn, encoding="utf-8") as f:
+            rows += [json.loads(line) for line in f]
+    assert rows and all(r["detector"] == "streaming_txn_volume"
+                        for r in rows)
+    assert {r["severity"] for r in rows} <= {"MEDIUM", "HIGH", "CRITICAL"}
