@@ -797,3 +797,48 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
                     F.concat_ws("", "r_score", "f_score", "m_score"))
         .orderBy("o_custkey")
     )
+
+
+def event_transition_matrix(events: DataFrame, k: int = 50) -> DataFrame:
+    """Top event-type transition pairs per user journey (the bigram
+    matrix behind funnel design: which step actually follows which).
+    One window shuffle on user_id — the same key the sessionizers
+    use — with a (ts, event_id) tiebreak so the sequence is total and
+    engine-independent; the transition counts partial-aggregate
+    map-side. Top-k via TakeOrderedAndProject, no global sort."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events
+        .select("user_id", "ts", "event_id", "event_type",
+                F.lead("event_type", 1).over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+    )
+    return (
+        pairs.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "event_type", "next_type")
+        .limit(k)
+    )
+
+
+def source_token_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile (docs, token and char volume, average
+    doc length) — the table a source_mixing_plan reads when deciding
+    sampling rates. One groupBy on source; token counts are
+    size(tokens) at scan grain, so the shuffle carries one row per
+    source."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    toks = F.size(textfn.tokens("text"))
+    return (
+        documents
+        .select("source", toks.alias("n_tokens"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.floor(F.sum("n_tokens") * 1e4 / F.count(F.lit(1))) / 1e4)
+             .alias("avg_tokens_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -597,3 +597,47 @@ register(
     ORDER BY o_custkey
     """,
 )
+
+
+register(
+    "event_transition_matrix",
+    lambda spark, sf: analytics.event_transition_matrix(
+        *_t(spark, sf, "events")),
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY n_transitions DESC, event_type, next_type
+    LIMIT 50
+    """,
+)
+
+register(
+    "source_token_stats",
+    lambda spark, sf: analytics.source_token_stats(
+        *_t(spark, sf, "documents")),
+    """
+    WITH d AS (
+      SELECT source,
+             len(list_filter(str_split(text, ' '), x -> x != ''))
+               AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           (floor(sum(n_tokens) * 1e4 / count(*)) / 1e4)
+             AS avg_tokens_per_doc
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+)

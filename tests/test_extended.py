@@ -18,6 +18,8 @@ EXTENDED = [
     "user_activity_summary",
     "asof_purchase_attribution",
     "customer_rfm",
+    "event_transition_matrix",
+    "source_token_stats",
 ]
 
 
