@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_rp_lsh_topk",
     "text_token_estimate",
     "dedup_prefix_hash",
+    "ann_ivf_pq_topk",
 ]
 
 

@@ -465,3 +465,102 @@ def ann_rp_lsh_topk(embeddings: DataFrame, n_queries: int = 5,
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
+                    k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                    n_sub: int = 8, n_codes: int = 16) -> DataFrame:
+    """IVF-PQ (the production ANN composition): coarse IVF cells prune
+    the candidate set, then an asymmetric-distance PQ scan ranks only
+    the RESIDUALS of vectors in probed cells — compute bounded by
+    n_probe/n_cells, memory bounded by 8 codes/vector. This is the
+    FAISS IVFADC layout re-expressed as DataFrame plans.
+
+    All small relations (centroids, codebook, query distance tables)
+    broadcast; the corpus shuffles once to encode (groupBy vec_id) and
+    the search touches only (cell, code) rows of probed cells.
+    Distances accumulate in e6 integer units (order-independent
+    across engines); centroid assignment and codeword argmin both
+    tie-break deterministically — oracle-exact end to end.
+
+    Residual encoding: r = v - cell_centroid, per-subspace codeword =
+    argmin L2²(r_sub, codeword_sub); query distance tables are built
+    per (query, probed cell) against the same codebook, so the scan is
+    one equi-join on (cell, subspace, code) + an integer sum."""
+    n = _with_norms(embeddings)
+    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    cents = fixed_k_centroids(n, n_cells)
+    cb = fixed_k_centroids(n, n_codes).select(
+        F.col("cent_id").alias("code"), F.col("cv").alias("cbv"))
+
+    # coarse assignment (same argmin as ann_ivf_topk)
+    cscore = F.round(
+        vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cent_id", "cv", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id",
+                F.zip_with("v", "cv", lambda x, c: x - c).alias("r"))
+    )
+
+    def sub(col: str, m: int):
+        return F.slice(F.col(col), m * dsub + 1, dsub)
+
+    # residual PQ encode: nearest codeword per (vector, subspace)
+    enc = assign.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cent_id", "code",
+        *[vectorfn.l2sq(sub("r", m), sub("cbv", m)).alias(f"d{m}")
+          for m in range(n_sub)])
+    codes = enc.groupBy("vec_id", "cent_id").agg(
+        *[F.min(F.struct(F.col(f"d{m}").alias("d"),
+                         F.col("code").alias("c")))
+           .getField("c").alias(f"code_{m}") for m in range(n_sub)])
+    codes_long = codes.select(
+        "vec_id", "cent_id",
+        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(n_sub)]))
+         .alias("m", "code"))
+
+    # query side: probe cells, then per-(query, cell) distance tables
+    # over the query RESIDUAL vs every codeword
+    q = (n.filter(F.col("vec_id") < n_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", "cv",
+                F.round(vectorfn.cosine(F.col("qv"), F.col("cv"),
+                                        F.col("qnrm"), F.col("cnrm")), 6)
+                 .alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id",
+                F.zip_with("qv", "cv", lambda x, c: x - c).alias("qr"))
+    )
+    qt = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id", "cent_id", "code",
+        F.posexplode(F.array(*[
+            F.floor(vectorfn.l2sq(sub("qr", m), sub("cbv", m)) * 1e6)
+             .cast("bigint") for m in range(n_sub)])).alias("m", "qd_u"))
+
+    w = Window.partitionBy("query_id").orderBy("adist_u", "neighbor_id")
+    return (
+        codes_long.join(F.broadcast(qt), ["cent_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd_u").alias("adist_u"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adist_u")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id",
+                (F.col("adist_u") / 1e6).alias("approx_dist"), "rank")
+        .orderBy("query_id", "rank")
+    )

