@@ -198,3 +198,39 @@ def text_token_estimate(documents: DataFrame) -> DataFrame:
                    / 1e4).otherwise(F.lit(0.0)))
         .orderBy("doc_id")
     )
+
+
+def text_unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc average unigram
+    negative log-probability under the corpus's own unigram model
+    (the cheap stand-in for model-based perplexity filtering — wildly
+    out-of-distribution docs score high, boilerplate scores low).
+
+    Scale shape: vocabulary = one token-grain groupBy (map-side
+    combined, shuffle carries (token, count)); docs then join their
+    token rows to the vocab on the token key — the join is the only
+    corpus-sized shuffle and it carries 8-byte hashes + counts, not
+    text. ln() of identical doubles agrees across engines (same
+    libm contract as keyword_search_tfidf); the per-doc mean is
+    floor-truncated at 1e4 like every ratio in the repo."""
+    toks = (
+        _spread(documents)
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id",
+                (-F.log(F.col("tf") / F.col("n_total"))).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.floor(F.sum("nll") / F.count(F.lit(1)) * 1e4) / 1e4)
+             .alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

