@@ -410,7 +410,8 @@ def dedup_lsh_verified(documents: DataFrame,
 
 
 def dedup_clusters(documents: DataFrame,
-                   max_iterations: int = 15) -> DataFrame:
+                   max_iterations: int = 15,
+                   edges: DataFrame | None = None) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: connected components
     via min-label propagation, then keeper selection (lowest doc_id
     per component) — what a dedup pipeline actually emits.
@@ -421,8 +422,14 @@ def dedup_clusters(documents: DataFrame,
     the edge set comes from LSH so it is bounded. The convergence
     check is one tiny count per round (an action — the standard
     driver-coordinated loop for iterative algorithms on Spark).
-    """
-    edges = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+
+    ``edges`` accepts any (doc_a, doc_b) candidate relation —
+    dedup_lsh_verified pairs, simhash candidates, embedding-cell
+    pairs — so one clustering implementation serves every candidate
+    generator; default is MinHash-LSH over ``documents``."""
+    if edges is None:
+        edges = dedup_minhash_lsh(documents)
+    edges = edges.select("doc_a", "doc_b")
     # undirected edge list, both directions
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))

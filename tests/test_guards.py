@@ -140,3 +140,16 @@ def test_simhash_guard_inert_below_cap(spark):
     guarded = dedup.dedup_simhash(docs).collect()
     unguarded = dedup.dedup_simhash(docs, max_bucket_rows=None).collect()
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+
+
+def test_dedup_clusters_accepts_external_edges(spark):
+    """dedup_clusters composes with any candidate generator: feeding
+    an explicit edge list produces the expected components."""
+    from pyspark.sql import Row
+    edges = spark.createDataFrame([
+        Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3),   # {1,2,3}
+        Row(doc_a=10, doc_b=11),                        # {10,11}
+    ])
+    out = dedup.dedup_clusters(None, edges=edges).collect()
+    got = {(r.cluster_id, r.cluster_size, r.keeper_doc_id) for r in out}
+    assert got == {(1, 3, 1), (10, 2, 10)}
