@@ -718,3 +718,62 @@ def event_anomaly_mad(events: DataFrame, k: float = 3.0) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+def value_outlier_iqr(events: DataFrame) -> DataFrame:
+    """Per-event-type IQR outlier profile (Tukey fences): exact
+    quartiles over each type, then a second scan counts values
+    outside [q1 - 1.5·IQR, q3 + 1.5·IQR]. The quartile relation is
+    O(types) rows broadcast back over the scan — same two-pass shape
+    as customer_rfm, no wide shuffle. Complements the z-score
+    (revenue_anomaly) and MAD (event_anomaly_mad) detectors with the
+    boxplot family."""
+    bounds = (
+        events.groupBy("event_type")
+        .agg(F.percentile("value", 0.25).alias("q1"),
+             F.percentile("value", 0.75).alias("q3"))
+        .select("event_type", "q1", "q3",
+                (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")))
+                 .alias("lo_fence"),
+                (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+                 .alias("hi_fence"))
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(((F.col("value") < F.col("lo_fence"))
+                   | (F.col("value") > F.col("hi_fence"))).cast("bigint"))
+             .alias("n_outliers"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.max("lo_fence").alias("lo_fence"),
+            F.max("hi_fence").alias("hi_fence"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def orders_backlog_aging(orders: DataFrame) -> DataFrame:
+    """Open-order backlog aging (the SLA drill-down sibling of
+    sla_processing_velocity): non-final orders bucketed by age since
+    order date, with exact integer-cents value per bucket. Anchor =
+    max(o_orderdate) computed inside the plan (never wall-clock);
+    one groupBy on the derived bucket label — O(buckets) output."""
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    age = F.datediff("anchor", F.to_date("o_orderdate"))
+    bucket = (F.when(age <= 30, "00-030d")
+               .when(age <= 90, "031-090d")
+               .when(age <= 365, "091-365d")
+               .otherwise("365d+"))
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(anchor))
+        .select(bucket.alias("age_bucket"),
+                money.cents(F.col("o_totalprice")).alias("cents"))
+        .groupBy("age_bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             (F.sum("cents") / 100.0).alias("backlog_value"))
+        .orderBy("age_bucket")
+    )

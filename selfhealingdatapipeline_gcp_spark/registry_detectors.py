@@ -510,3 +510,60 @@ register(
     ORDER BY d
     """,
 )
+
+
+register(
+    "value_outlier_iqr",
+    lambda spark, sf: detectors.value_outlier_iqr(*_t(spark, sf, "events")),
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    ), f AS (
+      SELECT event_type, q1, q3,
+             (q1 - 1.5 * (q3 - q1)) AS lo_fence,
+             (q3 + 1.5 * (q3 - q1)) AS hi_fence
+      FROM b
+    )
+    SELECT events.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN value < lo_fence OR value > hi_fence
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(q1) AS q1, max(q3) AS q3,
+           max(lo_fence) AS lo_fence, max(hi_fence) AS hi_fence
+    FROM events JOIN f ON events.event_type = f.event_type
+    GROUP BY events.event_type
+    ORDER BY events.event_type
+    """,
+)
+
+register(
+    "orders_backlog_aging",
+    lambda spark, sf: detectors.orders_backlog_aging(
+        *_t(spark, sf, "orders")),
+    """
+    WITH anc AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+    ), aged AS (
+      SELECT CASE
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) <= 30
+                 THEN '00-030d'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) <= 90
+                 THEN '031-090d'
+               WHEN date_diff('day', CAST(o_orderdate AS DATE), anchor) <= 365
+                 THEN '091-365d'
+               ELSE '365d+' END AS age_bucket,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders, anc
+      WHERE o_orderstatus != 'F'
+    )
+    SELECT age_bucket,
+           count(*) AS n_orders,
+           (sum(cents) / 100.0) AS backlog_value
+    FROM aged
+    GROUP BY age_bucket
+    ORDER BY age_bucket
+    """,
+)

@@ -30,6 +30,8 @@ DETECTORS = [
     "revenue_dow_context",
     "feed_historical_context",
     "event_anomaly_mad",
+    "value_outlier_iqr",
+    "orders_backlog_aging",
 ]
 
 
