@@ -842,3 +842,84 @@ def source_token_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def brand_price_trend(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Per-brand monthly revenue trend as an OLS slope computed from
+    EXACT integer sums: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    with x = months since the corpus's first ship month (small ints)
+    and y = monthly revenue in whole dollars (int64-safe products).
+    Keeping every accumulator integral makes the slope bit-identical
+    across engines — engine-native regr_slope() accumulates doubles
+    in engine order and drifts. Two grain-reducing aggregations
+    (month, then brand) + a 1-row anchor broadcast; no wide state."""
+    m = (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+    monthly = (
+        lineitem
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), m.alias("am"))
+        .agg(F.floor(F.sum(money.cents(F.col("l_extendedprice"))) / 100)
+              .cast("bigint").alias("y"))
+    )
+    base = monthly.agg(F.min("am").alias("m0"))
+    pts = (monthly.crossJoin(F.broadcast(base))
+           .select("brand", (F.col("am") - F.col("m0")).alias("x"), "y"))
+    agg = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    den = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    return (
+        agg.select(
+            "brand",
+            F.col("n").alias("n_months"),
+            (F.col("sy") * 1.0 / F.col("n")).alias("avg_monthly_revenue"),
+            F.when(den != 0, F.floor(num * 1e4 / den) / 1e4)
+             .otherwise(F.lit(0.0)).alias("slope_dollars_per_month"),
+        )
+        .orderBy("brand")
+    )
+
+
+def supplier_concentration_hhi(lineitem: DataFrame,
+                               supplier: DataFrame,
+                               nation: DataFrame) -> DataFrame:
+    """Supplier-concentration Herfindahl index per nation: HHI =
+    Σ share² over each nation's suppliers. Revenue reduces to whole
+    dollars (int64-safe squares to ~sf100) at supplier grain, then
+    one more grain reduction to nations — HHI = Σd² / (Σd)² as a
+    single division of exact integers, floor-truncated at 1e6.
+    Flags nations where one supplier dominates the flow (the
+    concentration-risk counterpart of key_skew_profile)."""
+    per_supp = (
+        lineitem
+        .groupBy("l_suppkey")
+        .agg(F.floor(F.sum(money.cents(F.col("l_extendedprice"))) / 100)
+              .cast("bigint").alias("d"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        per_supp
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.sum("d").alias("total_d"),
+             F.sum(F.col("d") * F.col("d")).alias("sum_d2"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            (F.col("total_d") * 1.0).alias("total_dollars"),
+            F.when(F.col("total_d") > 0,
+                   F.floor(F.col("sum_d2") * 1e6
+                           / (F.col("total_d") * F.col("total_d"))) / 1e6)
+             .otherwise(F.lit(0.0)).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

@@ -641,3 +641,69 @@ register(
     ORDER BY source
     """,
 )
+
+
+register(
+    "brand_price_trend",
+    lambda spark, sf: analytics.brand_price_trend(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    WITH monthly AS (
+      SELECT p_brand AS brand,
+             (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS am,
+             CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / 100) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), base AS (SELECT min(am) AS m0 FROM monthly),
+    pts AS (
+      SELECT brand, (am - m0) AS x, y FROM monthly, base
+    ), agg AS (
+      SELECT brand,
+             count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY brand
+    )
+    SELECT brand,
+           n AS n_months,
+           (sy * 1.0 / n) AS avg_monthly_revenue,
+           CASE WHEN (n * sxx - sx * sx) != 0
+                THEN floor((n * sxy - sx * sy) * 1e4
+                           / (n * sxx - sx * sx)) / 1e4
+                ELSE 0.0 END AS slope_dollars_per_month
+    FROM agg
+    ORDER BY brand
+    """,
+)
+
+register(
+    "supplier_concentration_hhi",
+    lambda spark, sf: analytics.supplier_concentration_hhi(
+        *_t(spark, sf, "lineitem", "supplier", "nation")),
+    """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / 100) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1
+    ), per_nation AS (
+      SELECT s_nationkey,
+             count(*) AS n_suppliers,
+             CAST(sum(d) AS BIGINT) AS total_d,
+             CAST(sum(d * d) AS BIGINT) AS sum_d2
+      FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1
+    )
+    SELECT n_name AS nation,
+           n_suppliers,
+           CAST(total_d AS DOUBLE) AS total_dollars,
+           CASE WHEN total_d > 0
+                THEN floor(sum_d2 * 1e6 / (total_d * total_d)) / 1e6
+                ELSE 0.0 END AS hhi
+    FROM per_nation JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY nation
+    """,
+)

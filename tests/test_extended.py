@@ -20,6 +20,8 @@ EXTENDED = [
     "customer_rfm",
     "event_transition_matrix",
     "source_token_stats",
+    "brand_price_trend",
+    "supplier_concentration_hhi",
 ]
 
 
