@@ -923,3 +923,21 @@ def supplier_concentration_hhi(lineitem: DataFrame,
         )
         .orderBy("nation")
     )
+
+
+def event_hourly_heatmap(events: DataFrame) -> DataFrame:
+    """Day-of-week × hour activity heatmap (the ops-dashboard
+    staple): one grain-reducing groupBy with map-side combine; the
+    output is a constant 168 rows at any scale. dayofweek follows
+    the ANSI 1=Sunday convention in both engines."""
+    return (
+        events
+        .groupBy(F.dayofweek("ts").alias("dow"),
+                 F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1e6).cast("bigint"))
+              .alias("__v_u"))
+        .select("dow", "hour", "n_events",
+                (F.col("__v_u") / 1e6).alias("total_value"))
+        .orderBy("dow", "hour")
+    )

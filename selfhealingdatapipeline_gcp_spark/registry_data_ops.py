@@ -965,3 +965,15 @@ register(
     ORDER BY doc_id
     """,
 )
+
+
+register(
+    "dedup_verified_clusters",
+    # the full production dedup composition as one registered query:
+    # MinHash-LSH candidates -> exact-Jaccard verify -> connected
+    # components -> keeper per cluster (iterative -> rows-only)
+    lambda spark, sf: dedup.dedup_clusters(
+        None,
+        edges=dedup.dedup_lsh_verified(*_t(spark, sf, "documents"))),
+    None,
+)

@@ -707,3 +707,19 @@ register(
     ORDER BY nation
     """,
 )
+
+
+register(
+    "event_hourly_heatmap",
+    lambda spark, sf: analytics.event_hourly_heatmap(
+        *_t(spark, sf, "events")),
+    """
+    SELECT dayofweek(ts) + 1 AS dow,
+           hour(ts) AS hour,
+           count(*) AS n_events,
+           (sum(CAST(floor(value * 1e6) AS BIGINT)) / 1e6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+    """,
+)

@@ -104,3 +104,24 @@ def test_parity_sliding_window(spark, duck):
     q = registry.queries()["sliding_event_rate"]
     sql = registry.oracle_sql()["sliding_event_rate"]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_event_hourly_heatmap_parity(spark, duck):
+    q = registry.queries()["event_hourly_heatmap"]
+    sql = registry.oracle_sql()["event_hourly_heatmap"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_dedup_verified_clusters_consistent(spark):
+    """The registered LSH->verify->cluster composition must produce
+    clusters whose members all appear in verified pairs."""
+    qs = registry.queries()
+    clusters = qs["dedup_verified_clusters"](spark, SF_ORACLE).collect()
+    assert clusters
+    pair_docs = set()
+    for r in qs["dedup_lsh_verified"](spark, SF_ORACLE).collect():
+        pair_docs.add(r.doc_a)
+        pair_docs.add(r.doc_b)
+    for c in clusters:
+        assert c.cluster_size >= 2
+        assert c.keeper_doc_id in pair_docs
