@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 META_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
                "media_format string")
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_crc bigint"
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_digest bigint"
 
 
 def decode_image(payload: bytes) -> object:
@@ -72,25 +72,33 @@ def multimodal_meta(documents: DataFrame) -> DataFrame:
 def multimodal_framesample(documents: DataFrame,
                            stride: int = 2) -> DataFrame:
     """Frame sampling plan: each asset yields every ``stride``-th
-    frame index with a per-frame checksum (deterministic fake for the
-    real frame grab). Output is long-format (doc_id, frame_idx, crc) —
-    the explode shape a video pipeline feeds to feature extraction."""
+    frame index with a per-frame digest (deterministic fake for the
+    real frame grab). Output is long-format (doc_id, frame_idx,
+    digest) — the explode shape a video pipeline feeds to feature
+    extraction.
+
+    The digest is the repo-standard md5-hex→int (functions/textfn.py
+    md5int) over ``payload + b'#' + str(frame_idx)`` so a SQL oracle
+    can reproduce it bit-exactly:
+    ('0x' || substr(md5(text || '#' || i), 1, 12))::BIGINT."""
     payloads = with_payload(documents)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import zlib
+        import hashlib
         for pdf in batches:
-            out_doc, out_idx, out_crc = [], [], []
+            out_doc, out_idx, out_dig = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 n_frames = 1 + (len(payload) % 10)
                 for i in range(0, n_frames, stride):
                     out_doc.append(doc_id)
                     out_idx.append(i)
-                    out_crc.append(zlib.crc32(payload + bytes([i])))
+                    frame = payload + b"#" + str(i).encode("ascii")
+                    out_dig.append(
+                        int(hashlib.md5(frame).hexdigest()[:12], 16))
             yield pd.DataFrame({
                 "doc_id": pd.Series(out_doc, dtype="int64"),
                 "frame_idx": pd.Series(out_idx, dtype="int32"),
-                "frame_crc": pd.Series(out_crc, dtype="int64"),
+                "frame_digest": pd.Series(out_dig, dtype="int64"),
             })
 
     return payloads.mapInPandas(sample, FRAME_SCHEMA)

@@ -211,8 +211,11 @@ def text_unigram_logprob(documents: DataFrame) -> DataFrame:
     token rows to the vocab on the token key — the join is the only
     corpus-sized shuffle and it carries 8-byte hashes + counts, not
     text. ln() of identical doubles agrees across engines (same
-    libm contract as keyword_search_tfidf); the per-doc mean is
-    floor-truncated at 1e4 like every ratio in the repo."""
+    libm contract as keyword_search_tfidf); each token's nll is then
+    floor-truncated to integer MICRO-units before summation so the
+    per-doc sum is a bigint — order-independent across Spark partial
+    aggregation, retries, and the DuckDB oracle (the same
+    integer-accumulator discipline as event_anomaly_mad)."""
     toks = (
         _spread(documents)
         .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
@@ -222,15 +225,18 @@ def text_unigram_logprob(documents: DataFrame) -> DataFrame:
     scored = (
         toks.join(vocab, "w")
         .crossJoin(F.broadcast(total))
-        .select("doc_id",
-                (-F.log(F.col("tf") / F.col("n_total"))).alias("nll"))
+        .select(
+            "doc_id",
+            F.floor(-F.log(F.col("tf") / F.col("n_total")) * 1e6)
+             .cast("bigint").alias("nll_micro"))
     )
     return (
         scored.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (F.floor(F.sum("nll") / F.count(F.lit(1)) * 1e4) / 1e4)
-             .alias("avg_neg_logprob"),
+            # sum of bigints is exact; one double divide at the end
+            (F.floor(F.sum("nll_micro") / (F.count(F.lit(1)) * 100.0))
+             / 1e4).alias("avg_neg_logprob"),
         )
         .orderBy("doc_id")
     )

@@ -468,10 +468,21 @@ register(
 )
 
 register(
+    # frame digest is the repo-standard md5-hex→int over
+    # payload + '#' + frame_idx, so the sampling plan is fully
+    # SQL-expressible (upgraded from rows-only in round 5)
     "multimodal_framesample",
     lambda spark, sf: multimodal.multimodal_framesample(
         *_t(spark, sf, "documents")),
-    None,
+    """
+    SELECT doc_id,
+           CAST(u.i AS INT) AS frame_idx,
+           CAST(('0x' || substr(md5(text || '#' || CAST(u.i AS VARCHAR)),
+                                1, 12)) AS BIGINT) AS frame_digest
+    FROM documents,
+         LATERAL (SELECT unnest(range(0,
+                    1 + octet_length(encode(text)) % 10, 2)) AS i) u
+    """,
 )
 
 # ---------------------------------------------------------------------------
@@ -954,12 +965,17 @@ register(
     ), total AS (
       SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab
     ), scored AS (
-      SELECT doc_id, -ln(tf / n_total) AS nll
+      -- per-token nll truncated to integer micro-units BEFORE the
+      -- sum, mirroring the Spark side: the bigint sum is exact and
+      -- order-independent across both engines
+      SELECT doc_id,
+             CAST(floor(-ln(tf / n_total) * 1e6) AS BIGINT) AS nll_micro
       FROM toks JOIN vocab USING (w), total
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           (floor(sum(nll) / count(*) * 1e4) / 1e4) AS avg_neg_logprob
+           (floor(sum(nll_micro) / (count(*) * 100.0)) / 1e4)
+             AS avg_neg_logprob
     FROM scored
     GROUP BY doc_id
     ORDER BY doc_id

@@ -68,7 +68,7 @@ def test_multimodal_framesample(spark):
     df = registry.queries()["multimodal_framesample"](spark, SF_ORACLE)
     rows = df.collect()
     assert len(rows) >= 500
-    assert {"doc_id", "frame_idx", "frame_crc"} == set(df.columns)
+    assert {"doc_id", "frame_idx", "frame_digest"} == set(df.columns)
 
 
 def test_multimodal_decode_is_stubbed():
