@@ -338,7 +338,15 @@ def revenue_moving_avg(orders: DataFrame, window_days: int = 7) -> DataFrame:
 
 def user_activity_summary(events: DataFrame) -> DataFrame:
     """Per-user behavioral features (the feature-engineering shape):
-    one shuffle on user_id, everything else map-side."""
+    one shuffle on user_id, everything else map-side.
+
+    Skew note: every aggregate here is algebraic (count / sum / min /
+    max; countDistinct rewrites to a two-level aggregate on
+    (user_id, event_type)), so Spark partial-aggregates BEFORE the
+    exchange — a hot user contributes one partial row per map task,
+    not its raw events, and no salting is needed. Asserted in
+    tests/test_plan_shapes.py (partial HashAggregate below the
+    exchange)."""
     return (
         events.groupBy("user_id")
         .agg(
@@ -623,20 +631,84 @@ def missing_order_days(orders: DataFrame) -> DataFrame:
     )
 
 
-def session_duration_stats(events: DataFrame,
-                           gap: str = "30 minutes") -> DataFrame:
-    """Session-level corpus stats: sessionize (built-in
-    session_window), then duration/size distribution — the engagement
-    summary every event pipeline reports."""
-    sess = (
+def _gap_seconds(gap: str) -> int:
+    """Parse a '30 minutes'-style interval literal to seconds."""
+    qty, unit = gap.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult
+
+
+def _sessionize(events: DataFrame, gap: str,
+                bucket: str | None) -> DataFrame:
+    """Sessions per user → (user_id, s_start, s_end, n_events).
+
+    ``bucket=None``: one session_window aggregation shuffling on raw
+    user_id — fine until one user dominates a partition.
+
+    ``bucket='hour'`` (default): skew-safe two-level cascade. Level 1
+    sessionizes within (user_id, time-bucket) — the shuffle key is the
+    composite, so a hot user's events spread over its active buckets.
+    Level 2 merges adjacent SEGMENTS (gap between consecutive segments
+    < ``gap``) with a window at segment grain — per user that's at
+    most a few rows per active bucket, orders of magnitude below event
+    grain. Exact: within a segment consecutive events are < gap apart
+    by construction, so only segment boundaries can break sessions,
+    and the level-2 lag sees every boundary."""
+    if bucket is None:
+        return (
+            events
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(
+                F.min("ts").alias("s_start"),
+                F.max("ts").alias("s_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "s_start", "s_end", "n_events")
+        )
+    seg = (
         events
-        .groupBy("user_id", F.session_window("ts", gap))
+        .groupBy("user_id", F.date_trunc(bucket, "ts").alias("b"),
+                 F.session_window("ts", gap))
         .agg(
             F.min("ts").alias("s_start"),
             F.max("ts").alias("s_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+    # segment starts are unique per user (buckets cover disjoint time
+    # ranges; within a bucket segments are disjoint), so the order is
+    # total and the running sum deterministic
+    w = Window.partitionBy("user_id").orderBy("s_start")
+    gap_us = _gap_seconds(gap) * 1_000_000
+    brk = (
+        F.col("prev_end").isNull()
+        | ((F.unix_micros("s_start") - F.unix_micros("prev_end"))
+           >= gap_us)
+    ).cast("int")
+    return (
+        seg
+        .select("user_id", "s_start", "s_end", "n_events",
+                F.lag("s_end").over(w).alias("prev_end"))
+        .withColumn("sid", F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("s_start").alias("s_start"),
+             F.max("s_end").alias("s_end"),
+             F.sum("n_events").alias("n_events"))
+        .select("user_id", "s_start", "s_end", "n_events")
+    )
+
+
+def session_duration_stats(events: DataFrame,
+                           gap: str = "30 minutes",
+                           bucket: str | None = "hour") -> DataFrame:
+    """Session-level corpus stats: sessionize, then duration/size
+    distribution — the engagement summary every event pipeline
+    reports. Sessionization is the skew-safe bucketed cascade by
+    default (see _sessionize); ``bucket=None`` restores the
+    single-shuffle form."""
+    sess = _sessionize(events, gap, bucket)
     dur = (F.unix_micros("s_end") - F.unix_micros("s_start")) / 1e6
     return sess.select(dur.alias("dur_s"), "n_events").agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -799,20 +871,61 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     )
 
 
-def event_transition_matrix(events: DataFrame, k: int = 50) -> DataFrame:
+def event_transition_matrix(events: DataFrame, k: int = 50,
+                            bucket: str | None = "hour") -> DataFrame:
     """Top event-type transition pairs per user journey (the bigram
     matrix behind funnel design: which step actually follows which).
-    One window shuffle on user_id — the same key the sessionizers
-    use — with a (ts, event_id) tiebreak so the sequence is total and
-    engine-independent; the transition counts partial-aggregate
-    map-side. Top-k via TakeOrderedAndProject, no global sort."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
-        events
-        .select("user_id", "ts", "event_id", "event_type",
-                F.lead("event_type", 1).over(w).alias("next_type"))
-        .filter(F.col("next_type").isNotNull())
-    )
+    (ts, event_id) tiebreak so the sequence is total and engine-
+    independent; the transition counts partial-aggregate map-side.
+    Top-k via TakeOrderedAndProject, no global sort.
+
+    Skew-safe by default: the sequence window partitions on
+    (user_id, time-bucket), so a hot user's events spread over its
+    active buckets instead of landing in one window task. Within-
+    bucket transitions come from the local lead; boundary transitions
+    from a bucket-grain stitch — per-(user, bucket) first/last events
+    via algebraic min/max of a (ts, event_id, type) struct (computed
+    on the window output, so the exchange is reused and the groupBy
+    adds no shuffle), then a lead at bucket grain (rows = active
+    buckets per user, not events). Exact: per user, within-bucket
+    pairs (Σ n_b − 1) + boundary pairs (#buckets − 1) = n − 1.
+    ``bucket=None`` restores the single-window form."""
+    if bucket is None:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            events
+            .select("user_id", "ts", "event_id", "event_type",
+                    F.lead("event_type", 1).over(w).alias("next_type"))
+            .filter(F.col("next_type").isNotNull())
+            .select("event_type", "next_type")
+        )
+    else:
+        wl = Window.partitionBy("user_id", "b").orderBy("ts", "event_id")
+        local = (
+            events
+            .select("user_id", F.date_trunc(bucket, "ts").alias("b"),
+                    "ts", "event_id", "event_type")
+            .withColumn("next_type", F.lead("event_type", 1).over(wl))
+        )
+        within = (local.filter(F.col("next_type").isNotNull())
+                  .select("event_type", "next_type"))
+        edges = (
+            local.groupBy("user_id", "b")
+            .agg(F.min(F.struct("ts", "event_id", "event_type"))
+                  .alias("first"),
+                 F.max(F.struct("ts", "event_id", "event_type"))
+                  .alias("last"))
+        )
+        wb = Window.partitionBy("user_id").orderBy("b")
+        boundary = (
+            edges
+            .select(F.col("last").getField("event_type")
+                     .alias("event_type"),
+                    F.lead(F.col("first").getField("event_type"), 1)
+                     .over(wb).alias("next_type"))
+            .filter(F.col("next_type").isNotNull())
+        )
+        pairs = within.unionByName(boundary)
     return (
         pairs.groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))

@@ -188,3 +188,42 @@ def test_customer_rfm_no_global_window(spark):
     plan = _plan(df)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_user_activity_partial_agg_before_exchange(spark):
+    """Skew safety of the user_id groupBy rests on map-side partial
+    aggregation: a hot user then sends one partial row per map task
+    through the shuffle, not its raw events. Pin the partial
+    HashAggregate below the exchange."""
+    df = registry.queries()["user_activity_summary"](spark, SF_ORACLE)
+    plan = _plan(df)
+    ex = plan.find("Exchange hashpartitioning(user_id")
+    assert ex > 0
+    assert "partial" in plan[ex:].lower()
+
+
+def test_transition_matrix_windows_on_bucketed_key(spark):
+    """The sequence window must partition on (user_id, bucket) — a
+    window on raw user_id is the hot-user straggler this pins out.
+    The bucket-grain boundary stitch reuses the level-1 exchange."""
+    df = registry.queries()["event_transition_matrix"](spark, SF_ORACLE)
+    plan = _plan(df)
+    # level-1 window keyed by the composite (user_id, b)
+    assert "windowspecdefinition(user_id" in plan
+    first_spec = plan[plan.find("windowspecdefinition(user_id"):][:120]
+    assert ", b#" in first_spec
+    # the per-(user, bucket) edge aggregation must not add a shuffle:
+    # exactly one exchange carries the composite key
+    assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_sessionize_buckets_the_session_window(spark):
+    """session_duration_stats level-1 sessionization must shuffle on
+    the composite (user_id, bucket), not raw user_id (the bucket expr
+    prints as _groupingexpression in the exchange)."""
+    df = registry.queries()["session_duration_stats"](spark, SF_ORACLE)
+    plan = _plan(df)
+    lvl1 = [ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning(user_id" in ln
+            and "_groupingexpression" in ln]
+    assert lvl1, "no composite (user_id, bucket) exchange in plan"

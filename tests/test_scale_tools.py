@@ -92,3 +92,58 @@ def test_orc_roundtrip(spark, tmp_path):
     p = str(tmp_path / "orc")
     writers.write_orc(df, p)
     assert readers.read_orc(spark, p).count() == 25
+
+
+def _hot_key_events(spark, n=4000, hot_frac=0.2):
+    """Fabricated power-law events: user 0 owns ``hot_frac`` of all
+    rows (the key_skew_profile shape), spread over several hours so
+    the bucketed cascades have buckets to spread across."""
+    from pyspark.sql import functions as F
+    n_hot = int(n * hot_frac)
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") < n_hot, F.lit(0))
+             .otherwise(F.col("id") % 97 + 1).alias("user_id"),
+            (F.lit("2024-03-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=(F.col("id") * 61) % 86400))
+            .alias("ts"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                (F.col("id") % 3 + 1).cast("int")).alias("event_type"),
+            (F.col("id") % 50 / 10.0).alias("value"),
+        )
+    )
+
+
+def test_transition_matrix_bucketed_matches_single_window(spark):
+    """The skew-safe (user, bucket) cascade must reproduce the raw
+    per-user window bit-exactly on a hot-key dataset (one user = 20%
+    of events), including boundary transitions between buckets."""
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+    ev = _hot_key_events(spark).cache()
+    try:
+        fast = analytics.event_transition_matrix(ev, k=1000).collect()
+        ref = analytics.event_transition_matrix(ev, k=1000,
+                                                bucket=None).collect()
+        assert sorted(map(tuple, fast)) == sorted(map(tuple, ref))
+        # sanity: transitions conserve rows (n - 1 per user)
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(r.n_transitions for r in fast) == ev.count() - n_users
+    finally:
+        ev.unpersist()
+
+
+def test_sessionize_bucketed_matches_single_window(spark):
+    """Two-level bucketed sessionization == one session_window pass
+    on the hot-key dataset: same session count, boundaries, and
+    per-session event totals."""
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+    ev = _hot_key_events(spark).cache()
+    try:
+        fast = analytics.session_duration_stats(ev).collect()[0]
+        ref = analytics.session_duration_stats(ev, bucket=None).collect()[0]
+        assert fast == ref
+    finally:
+        ev.unpersist()
