@@ -316,25 +316,77 @@ def dedup_embedding(embeddings: DataFrame,
     n = _spread(embeddings).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
     if candidates is None and not allow_all_pairs:
-        cents = similarity.fixed_k_centroids(n, n_centroids)
-        cscore = F.round(
-            vectorfn.cosine(F.col("v"), F.col("cv"),
-                            F.col("nrm"), F.col("cnrm")), 6)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.desc("cscore"), F.col("cent_id"))
-        assign = (
-            n.crossJoin(F.broadcast(cents))
-            .select("vec_id", "cent_id", cscore.alias("cscore"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cent_id")
-        )
-        ca = assign.select(F.col("vec_id").alias("vec_a"), "cent_id")
-        cb = assign.select(F.col("vec_id").alias("vec_b"), "cent_id")
-        candidates = (
-            ca.join(cb, "cent_id")
-            .filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b")
+        # Cell-bounded default, fully Arrow-vectorized (VERDICT r4
+        # #3). Stage 1: numpy per-dim centroid assignment inside
+        # mapInPandas (similarity.assign_cells_arrow) with v/nrm/label
+        # passed through. Stage 2: ONE shuffle on cent_id, then each
+        # cell scores its own pairs in numpy — the Gram matrix is
+        # accumulated dim-by-dim (G += outer(V[:,d], V[:,d])), the
+        # exact left-fold IEEE op order of vectorfn.dot, so scores
+        # are bit-identical to the SQL oracle. Every vector crosses
+        # the wire ONCE; the old candidates equi-join shipped both
+        # 64-dim vectors per candidate PAIR (quadratic Arrow/shuffle
+        # volume in cell size). round(.,6) stays Spark-side so
+        # engine rounding semantics never enter Python.
+        #
+        # Scale contract: in-cell scoring is quadratic in cell size
+        # BY DESIGN (that is the cell-bounded dedup algorithm);
+        # max_cell_rows fails loudly before an O(m^2) cell runs —
+        # the fix at scale is more centroids, not a bigger buffer
+        # (same loud-guard discipline as the simhash bucket cap).
+        # centroid pick from the raw table (norm fold only on the K
+        # picked rows); corpus norms come out of the Arrow assignment
+        # pass itself — no interpreted fold ever touches the corpus
+        cents = similarity.fixed_k_centroids_raw(embeddings, n_centroids)
+        assigned = similarity.assign_cells_arrow(
+            n.drop("nrm"), cents, passthrough=True, compute_norm=True)
+        max_cell_rows = 200_000
+
+        def score_cell(pdf):
+            import numpy as np
+            import pandas as pd
+            m = len(pdf)
+            empty = pd.DataFrame({
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine_raw": pd.Series([], dtype="float64"),
+                "same_label": pd.Series([], dtype="bool")})
+            if m < 2:
+                return empty
+            if m > max_cell_rows:
+                raise ValueError(
+                    f"dedup_embedding cell holds {m} vectors "
+                    f"(cap {max_cell_rows}): in-cell scoring is "
+                    "quadratic — raise n_centroids so cells shrink")
+            pdf = pdf.sort_values("vec_id")
+            V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            G = np.zeros((m, m), dtype=np.float64)
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                G = G + np.outer(col, col)
+            nr = pdf["nrm"].to_numpy(dtype=np.float64)
+            cos = G / np.outer(nr, nr)
+            ia, ib = np.triu_indices(m, k=1)
+            keep = cos[ia, ib] >= threshold
+            ia, ib = ia[keep], ib[keep]
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            return pd.DataFrame({
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "cosine_raw": cos[ia, ib],
+                "same_label": labels[ia] == labels[ib],
+            })
+
+        return (
+            assigned.groupBy("cent_id")
+            .applyInPandas(score_cell,
+                           "vec_a bigint, vec_b bigint, "
+                           "cosine_raw double, same_label boolean")
+            .select("vec_a", "vec_b",
+                    F.round(F.col("cosine_raw"), 6).alias("cosine"),
+                    "same_label")
+            .orderBy("vec_a", "vec_b")
         )
     if candidates is not None:
         av = n.select(F.col("vec_id").alias("vec_a"),

@@ -54,6 +54,199 @@ def fixed_k_centroids(n: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+def fixed_k_centroids_raw(embeddings: DataFrame, k: int = 16) -> DataFrame:
+    """Same deterministic pick as fixed_k_centroids, but from the raw
+    table: the hash ordering needs only vec_id, so the norm fold runs
+    on just the K picked rows instead of the whole corpus (the
+    corpus-wide norm pass belongs to the Arrow stages that need it)."""
+    picked = (
+        embeddings
+        .withColumn("__h", textfn.md5int(F.col("vec_id").cast("string")))
+        .orderBy("__h", "vec_id")
+        .limit(k)
+    )
+    v = vectorfn.to_double(F.col("embedding"))
+    return picked.select(F.col("vec_id").alias("cent_id"),
+                         v.alias("cv"), vectorfn.norm(v).alias("cnrm"))
+
+
+def assign_cells_arrow(n: DataFrame, cents: DataFrame,
+                       passthrough: bool = False,
+                       compute_norm: bool = False) -> DataFrame:
+    """IVF cell assignment (vec_id → nearest centroid) as ONE
+    Arrow-vectorized stage: numpy per-dim accumulation inside
+    mapInPandas instead of the interpreted ``aggregate``-fold cosine,
+    which evaluates a lambda per (vector, centroid, dim) — measured
+    the dominant cost of dedup_embedding_cells (VERDICT r4 #3).
+
+    Determinism contract: the per-row accumulation loops dims in
+    array order (acc = acc + V[:,d]·C[k,d]), the exact IEEE op
+    sequence of vectorfn.dot's left fold and the DuckDB list_reduce
+    twin, so scores are bit-identical across all three engines. The
+    comparison score is floor(cosine·1e6) — integer micro-units, the
+    repo's standard truncation — with the smallest cent_id winning
+    ties (strict > while scanning cent_ids ascending).
+
+    The centroid grid is a K-row plan-shaping constant (same
+    discipline as the 1-row anchor collects): K never grows with the
+    corpus, so the closure stays a few KB at any scale.
+
+    ``passthrough=True`` keeps (v, nrm, label) on the output rows so
+    a downstream per-cell stage (dedup_embedding's in-cell scorer)
+    can groupBy cent_id directly — one shuffle, no re-join of the
+    corpus to its own assignment. ``compute_norm=True`` derives nrm
+    inside the same numpy pass (per-dim square accumulation — the
+    identical left-fold op order as vectorfn.norm) instead of reading
+    an ``nrm`` input column, sparing the corpus one interpreted fold
+    pass."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cents.select("cent_id", "cv", "cnrm").collect(),
+                       key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cnrms = np.array([r["cnrm"] for r in cent_rows], dtype=np.float64)
+    n_dim = C.shape[1]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            if compute_norm:
+                sq = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(V.shape[1]):
+                    sq = sq + V[:, d] * V[:, d]
+                nrm = np.sqrt(sq)
+            else:
+                nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            best_score = np.full(len(pdf), np.iinfo(np.int64).min,
+                                 dtype=np.int64)
+            best_cent = np.zeros(len(pdf), dtype=np.int64)
+            for k in range(len(cent_ids)):
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(n_dim):
+                    acc = acc + V[:, d] * C[k, d]
+                score = np.floor(acc / (nrm * cnrms[k]) * 1e6).astype(
+                    np.int64)
+                take = score > best_score
+                best_score = np.where(take, score, best_score)
+                best_cent = np.where(take, cent_ids[k], best_cent)
+            out = {"vec_id": pdf["vec_id"].astype("int64"),
+                   "cent_id": pd.Series(best_cent, dtype="int64",
+                                        index=pdf.index)}
+            if passthrough:
+                out["v"] = pdf["v"]
+                out["nrm"] = (pd.Series(nrm, index=pdf.index)
+                              if compute_norm else pdf["nrm"])
+                out["label"] = pdf["label"]
+            yield pd.DataFrame(out)
+
+    if passthrough:
+        schema = ("vec_id bigint, cent_id bigint, v array<double>, "
+                  "nrm double, label int")
+        cols = ["vec_id", "v", "label"]
+    else:
+        schema = "vec_id bigint, cent_id bigint"
+        cols = ["vec_id", "v"]
+    if not compute_norm:
+        cols.insert(2, "nrm")
+    return n.select(*cols).mapInPandas(assign, schema)
+
+
+def pq_encode_arrow(source: DataFrame, cb: DataFrame, n_sub: int,
+                    cents: DataFrame | None = None) -> DataFrame:
+    """Corpus-side PQ encode as ONE Arrow pass: optional IVF cell
+    assignment (floor-micro cosine tie-break, see assign_cells_arrow),
+    residual subtraction, and per-subspace codeword argmin — all
+    numpy, replacing the interpreted l2sq folds of the crossJoin
+    encode AND its groupBy(vec_id) corpus shuffle.
+
+    Determinism: every float op replays the JVM fold order — squared
+    diffs accumulate dim-ascending (vectorfn.l2sq's left fold),
+    argmin scans codes ascending with strict < (= min(struct(d,
+    code)): smallest distance, then smallest code). Raw doubles are
+    compared, no rounding, so the encode is bit-identical to the SQL
+    oracle without oracle changes.
+
+    ``source`` needs (vec_id, v); ``cb`` is the (code, cbv) codebook;
+    ``cents`` (cent_id, cv, cnrm) enables the IVF-residual form.
+    Output long format: (vec_id[, cent_id], m, code) — the shape the
+    asymmetric-distance scan joins on. Codebook/centroids are K-row
+    plan-shaping constants (closure size independent of corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = sorted(cb.select("code", "cbv").collect(),
+                     key=lambda r: r["code"])
+    code_ids = np.array([r["code"] for r in cb_rows], dtype=np.int64)
+    CB = np.array([list(r["cbv"]) for r in cb_rows], dtype=np.float64)
+    dim = CB.shape[1]
+    dsub = dim // n_sub
+    use_cents = cents is not None
+    if use_cents:
+        cent_rows = sorted(cents.select("cent_id", "cv", "cnrm").collect(),
+                           key=lambda r: r["cent_id"])
+        cent_ids = np.array([r["cent_id"] for r in cent_rows],
+                            dtype=np.int64)
+        C = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+        cnrms = np.array([r["cnrm"] for r in cent_rows], dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            nrows = len(pdf)
+            if not nrows:
+                continue
+            V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            if use_cents:
+                sq = np.zeros(nrows, dtype=np.float64)
+                for d in range(dim):
+                    sq = sq + V[:, d] * V[:, d]
+                nrm = np.sqrt(sq)
+                best_score = np.full(nrows, np.iinfo(np.int64).min,
+                                     dtype=np.int64)
+                best_idx = np.zeros(nrows, dtype=np.int64)
+                for kk in range(len(cent_ids)):
+                    acc = np.zeros(nrows, dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + V[:, d] * C[kk, d]
+                    score = np.floor(acc / (nrm * cnrms[kk]) * 1e6).astype(
+                        np.int64)
+                    take = score > best_score
+                    best_score = np.where(take, score, best_score)
+                    best_idx = np.where(take, kk, best_idx)
+                R = V - C[best_idx]
+            else:
+                R = V
+            codes_arr = np.empty((nrows, n_sub), dtype=np.int64)
+            for m in range(n_sub):
+                s0 = m * dsub
+                best_d = np.full(nrows, np.inf, dtype=np.float64)
+                best_c = np.zeros(nrows, dtype=np.int64)
+                for j in range(len(code_ids)):
+                    acc = np.zeros(nrows, dtype=np.float64)
+                    for d in range(dsub):
+                        diff = R[:, s0 + d] - CB[j, s0 + d]
+                        acc = acc + diff * diff
+                    take = acc < best_d
+                    best_d = np.where(take, acc, best_d)
+                    best_c = np.where(take, code_ids[j], best_c)
+                codes_arr[:, m] = best_c
+            data = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_sub),
+                "m": np.tile(np.arange(n_sub, dtype=np.int32), nrows),
+                "code": codes_arr.reshape(-1),
+            }
+            if use_cents:
+                data["cent_id"] = np.repeat(cent_ids[best_idx], n_sub)
+            yield pd.DataFrame(data)
+
+    schema = ("vec_id bigint, cent_id bigint, m int, code bigint"
+              if use_cents else "vec_id bigint, m int, code bigint")
+    return source.select("vec_id", "v").mapInPandas(encode, schema)
+
+
 def ann_bruteforce_topk(embeddings: DataFrame, n_queries: int = 5,
                         k: int = 10) -> DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors.
@@ -173,25 +366,23 @@ def ann_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     dsub = dim // n_sub
-    cb = fixed_k_centroids(n, n_codes)
+    cb = fixed_k_centroids_raw(embeddings, n_codes)
 
     def sub(col: str, m: int):
         return F.slice(F.col(col), m * dsub + 1, dsub)
 
-    # encode: nearest codeword per (vector, subspace); min(struct) is
-    # the deterministic argmin (ties break on cent_id)
-    enc = n.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "cent_id",
-        *[vectorfn.l2sq(sub("v", m), sub("cv", m)).alias(f"d{m}")
-          for m in range(n_sub)])
-    codes = enc.groupBy("vec_id").agg(
-        *[F.min(F.struct(F.col(f"d{m}").alias("d"),
-                         F.col("cent_id").alias("c")))
-           .getField("c").alias(f"code_{m}") for m in range(n_sub)])
-    codes_long = codes.select(
-        "vec_id",
-        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(n_sub)]))
-         .alias("m", "code"))
+    # encode: one Arrow pass over the corpus (numpy per-dim argmin,
+    # bit-exact vs the min(struct) form — see pq_encode_arrow); the
+    # codebook pick reads only vec_id corpus-wide, so no interpreted
+    # fold ever runs over the full corpus
+    n_part = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    codes_long = pq_encode_arrow(
+        embeddings.repartition(n_part).select(
+            "vec_id", vectorfn.to_double(F.col("embedding")).alias("v")),
+        cb.select(F.col("cent_id").alias("code"),
+                  F.col("cv").alias("cbv")),
+        n_sub)
 
     # per-query distance tables: n_queries × n_codes × n_sub rows
     q = (n.filter(F.col("vec_id") < n_queries)
@@ -492,40 +683,25 @@ def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     dsub = dim // n_sub
-    cents = fixed_k_centroids(n, n_cells)
-    cb = fixed_k_centroids(n, n_codes).select(
+    cents = fixed_k_centroids_raw(embeddings, n_cells)
+    cb = fixed_k_centroids_raw(embeddings, n_codes).select(
         F.col("cent_id").alias("code"), F.col("cv").alias("cbv"))
-
-    # coarse assignment (same argmin as ann_ivf_topk)
-    cscore = F.round(
-        vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cscore"), F.col("cent_id"))
-    assign = (
-        n.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cent_id", "cv", cscore.alias("cscore"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id",
-                F.zip_with("v", "cv", lambda x, c: x - c).alias("r"))
-    )
 
     def sub(col: str, m: int):
         return F.slice(F.col(col), m * dsub + 1, dsub)
 
-    # residual PQ encode: nearest codeword per (vector, subspace)
-    enc = assign.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "cent_id", "code",
-        *[vectorfn.l2sq(sub("r", m), sub("cbv", m)).alias(f"d{m}")
-          for m in range(n_sub)])
-    codes = enc.groupBy("vec_id", "cent_id").agg(
-        *[F.min(F.struct(F.col(f"d{m}").alias("d"),
-                         F.col("code").alias("c")))
-           .getField("c").alias(f"code_{m}") for m in range(n_sub)])
-    codes_long = codes.select(
-        "vec_id", "cent_id",
-        F.posexplode(F.array(*[F.col(f"code_{m}") for m in range(n_sub)]))
-         .alias("m", "code"))
+    # coarse assignment + residual + PQ encode: one Arrow pass over
+    # the corpus (pq_encode_arrow) — the crossJoin's interpreted
+    # cosine/l2sq folds AND the encode's groupBy(vec_id) shuffle are
+    # gone. The assignment tie-break is floor(cosine*1e6) integer
+    # micro-units (mirrored in the SQL oracle); the codeword argmin
+    # compares raw doubles, bit-exact without rounding.
+    n_part = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    codes_long = pq_encode_arrow(
+        embeddings.repartition(n_part).select(
+            "vec_id", vectorfn.to_double(F.col("embedding")).alias("v")),
+        cb, n_sub, cents=cents)
 
     # query side: probe cells, then per-(query, cell) distance tables
     # over the query RESIDUAL vs every codeword

@@ -894,11 +894,14 @@ register(
     ),
     subm AS (SELECT unnest(range(0, 8)) AS m),
     assign0 AS (
+      -- integer micro-unit score: matches the Arrow-side
+      -- floor(cosine*1e6) tie-break bit-exactly
       SELECT n.vec_id, cents.cent_id, n.v, cents.cv,
              row_number() OVER (
                PARTITION BY n.vec_id
-               ORDER BY round({_dot('n.v', 'cents.cv')}
-                              / (n.nrm * cents.cnrm), 6) DESC,
+               ORDER BY CAST(floor({_dot('n.v', 'cents.cv')}
+                                   / (n.nrm * cents.cnrm) * 1e6)
+                             AS BIGINT) DESC,
                         cents.cent_id) AS rn
       FROM n, cents
     ), assign AS (
