@@ -465,15 +465,22 @@ def dedup_clusters(documents: DataFrame,
                    max_iterations: int = 15,
                    edges: DataFrame | None = None) -> DataFrame:
     """Duplicate CLUSTERS from near-dup pairs: connected components
-    via min-label propagation, then keeper selection (lowest doc_id
-    per component) — what a dedup pipeline actually emits.
+    via min-label propagation + pointer doubling, then keeper
+    selection (lowest doc_id per component) — what a dedup pipeline
+    actually emits.
 
-    Iterative (non-SQL-expressible): each round joins current labels
-    across candidate edges and takes the min; converges in
-    O(log(diameter)) rounds. Each iteration is one shuffle on doc_id;
-    the edge set comes from LSH so it is bounded. The convergence
-    check is one tiny count per round (an action — the standard
-    driver-coordinated loop for iterative algorithms on Spark).
+    Iterative (non-SQL-expressible): each round (a) joins current
+    labels across candidate edges and takes the neighbor min, then
+    (b) shortcuts label := label(label) — pointer doubling, so the
+    min label hops 2^round edges per round and a DIAMETER-d chain
+    (serial boilerplate dedup, the pathological shape for plain
+    propagation) converges in O(log d) rounds, not O(d). Each
+    iteration is two bounded shuffles on doc_id; the edge set comes
+    from LSH so it is bounded. The convergence check is one tiny
+    count per round (an action — the standard driver-coordinated
+    loop for iterative algorithms on Spark). If the loop exhausts
+    ``max_iterations`` without converging it raises loudly instead
+    of silently emitting partial components (VERDICT r4 #8).
 
     ``edges`` accepts any (doc_a, doc_b) candidate relation —
     dedup_lsh_verified pairs, simhash candidates, embedding-cell
@@ -490,6 +497,7 @@ def dedup_clusters(documents: DataFrame,
     nodes = (adj.select(F.col("src").alias("doc_id")).distinct())
     labels = nodes.withColumn("label", F.col("doc_id"))
 
+    converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
@@ -498,12 +506,28 @@ def dedup_clusters(documents: DataFrame,
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("src", "doc_id")
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label")))
+                 .alias("label"),
+            )
+        )
+        # pointer doubling: label := label(label). Labels only ever
+        # decrease and every label value is itself a node id, so the
+        # self-join always resolves; this is what turns a diameter-d
+        # chain from d rounds into log2(d).
+        lbl_map = propagated.select(F.col("doc_id").alias("l_doc"),
+                                    F.col("label").alias("l_lbl"))
+        new_labels = (
+            propagated.join(lbl_map,
+                            propagated["label"] == lbl_map["l_doc"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("l_lbl"), F.col("label")))
                  .alias("label"),
             )
         )
@@ -516,7 +540,14 @@ def dedup_clusters(documents: DataFrame,
         # localCheckpoint truncates the growing lineage each round
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "rounds — the candidate graph has a larger diameter than "
+            "expected (pointer doubling covers 2^rounds hops); raise "
+            "max_iterations rather than trusting partial components")
 
     clusters = (
         labels.groupBy("label")

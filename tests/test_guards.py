@@ -153,3 +153,31 @@ def test_dedup_clusters_accepts_external_edges(spark):
     out = dedup.dedup_clusters(None, edges=edges).collect()
     got = {(r.cluster_id, r.cluster_size, r.keeper_doc_id) for r in out}
     assert got == {(1, 3, 1), (10, 2, 10)}
+
+
+def test_dedup_clusters_chain_graph_converges(spark):
+    """A diameter-3000 chain (serial near-dup boilerplate) must
+    converge inside the default round budget — pointer doubling makes
+    rounds logarithmic in diameter, where plain propagation would
+    need ~3000 rounds."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    edges = spark.range(3000).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    out = dedup.dedup_clusters(None, edges=edges).collect()
+    assert len(out) == 1
+    assert out[0].cluster_size == 3001
+    assert out[0].keeper_doc_id == 0
+    assert out[0].cluster_id == 0
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    """Exhausting max_iterations must fail loudly, never silently
+    emit partial components."""
+    import pytest
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    edges = spark.range(3000).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(None, edges=edges, max_iterations=3)
