@@ -489,3 +489,50 @@ def test_streaming_alert_delivery_end_to_end(spark, tmp_path):
     assert rows and all(r["detector"] == "streaming_txn_volume"
                         for r in rows)
     assert {r["severity"] for r in rows} <= {"MEDIUM", "HIGH", "CRITICAL"}
+
+
+def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """The self-healing scenario the epoch-idempotent sink exists for:
+    a query dies AFTER writing a micro-batch but BEFORE committing its
+    offsets, restarts from the same checkpoint, replays that epoch
+    (overwriting the same epoch directory), and finishes — the final
+    sink holds every input row exactly once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    (spark.range(400)
+     .select(F.col("id").alias("event_id"),
+             (F.col("id") % 7).alias("user_id"))
+     .repartition(4).write.parquet(src))
+    schema = spark.read.parquet(src).schema
+    seen = {"n": 0}
+
+    def start(fail_after):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+
+        def write_epoch(batch_df, epoch_id):
+            (batch_df.write.mode("overwrite")
+             .parquet(f"{out}/epoch={epoch_id}"))
+            seen["n"] += 1
+            if fail_after is not None and seen["n"] >= fail_after:
+                raise RuntimeError("injected crash between write and commit")
+
+        return (stream.writeStream.foreachBatch(write_epoch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start())
+
+    q = start(fail_after=2)
+    with pytest.raises(Exception, match="injected crash|Writing job aborted|STREAM"):
+        q.awaitTermination()
+    assert seen["n"] == 2  # two epochs written, second uncommitted
+
+    q2 = start(fail_after=None)
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out).select("event_id")
+    assert got.count() == 400          # no duplicated epoch rows
+    assert got.distinct().count() == 400
