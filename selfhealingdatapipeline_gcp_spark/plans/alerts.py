@@ -213,6 +213,43 @@ class AlertSender:
         self.sent.append((channel, f"{row.detector}:{row.alert_key}"))
 
 
+class WebhookAlertSender(AlertSender):
+    """Webhook delivery for the slack channel (the reference's
+    Slack-webhook shape, alert_manager.py:103-137): each routed alert
+    POSTs one JSON payload (``{"text": ..., "severity": ...,
+    "detector": ..., "alert_key": ..., "detail": ...}``) to ``url``
+    via urllib — no extra dependencies. Non-2xx responses raise, so a
+    dead webhook fails the delivery step loudly (the pipeline's retry
+    policy owns re-sends); email/log keep AlertSender's defaults."""
+
+    def __init__(self, url: str, timeout_s: float = 5.0):
+        self.url = url
+        self.timeout_s = timeout_s
+        super().__init__(
+            config={"slack_webhook": url},
+            transports={"slack": self._post},
+        )
+
+    def _post(self, channel: str, row) -> None:
+        import json
+        import urllib.request
+
+        payload = json.dumps({
+            "text": f"[{row.severity}] {row.detector}: {row.alert_key}",
+            "severity": row.severity,
+            "detector": row.detector,
+            "alert_key": row.alert_key,
+            "detail": row.detail,
+        }).encode("utf-8")
+        req = urllib.request.Request(
+            self.url, data=payload,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            if not 200 <= resp.status < 300:
+                raise RuntimeError(
+                    f"webhook delivery failed: HTTP {resp.status}")
+
+
 class FileAlertSender(AlertSender):
     """End-to-end alert delivery to an inspectable sink
     (alert_manager.py:103-180 minus the network): every routed channel

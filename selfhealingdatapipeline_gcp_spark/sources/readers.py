@@ -58,10 +58,17 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as e:  # driver jar absent in this environment
-        raise NotImplementedError(
-            "JDBC driver not on classpath in this environment; "
-            "add the driver jar via spark.jars on a real cluster") from e
+    except Exception as e:
+        # only translate the missing-driver failure; real SQL errors
+        # (bad table, auth) must surface as themselves — the embedded
+        # Derby tests exercise this path for real
+        if ("No suitable driver" in str(e)
+                or "ClassNotFoundException" in str(e)):
+            raise NotImplementedError(
+                "JDBC driver not on classpath in this environment; "
+                "add the driver jar via spark.jars on a real cluster"
+            ) from e
+        raise
 
 
 def read_bigquery(spark: SparkSession, table: str, **options: str) -> DataFrame:

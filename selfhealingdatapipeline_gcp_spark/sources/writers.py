@@ -59,6 +59,32 @@ def write_bigquery(df: DataFrame, table: str, mode: str = "overwrite",
             "--jars gs://spark-lib/bigquery/spark-bigquery-latest.jar") from e
 
 
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "overwrite",
+               num_partitions: int | None = 8,
+               **options: str) -> None:
+    """JDBC sink. Every write partition opens its own database
+    connection, so ``num_partitions`` caps the fan-in (32 tasks
+    hammering one warehouse endpoint is an outage, not parallelism);
+    pass None to keep the DataFrame's own partitioning."""
+    out = (df.coalesce(num_partitions)
+           if num_partitions is not None else df)
+    writer = (out.write.format("jdbc")
+              .option("url", url).option("dbtable", table).mode(mode))
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as e:
+        if ("No suitable driver" in str(e)
+                or "ClassNotFoundException" in str(e)):
+            raise NotImplementedError(
+                "JDBC driver not on classpath in this environment; "
+                "add the driver jar via spark.jars on a real cluster"
+            ) from e
+        raise
+
+
 def write_bucketed_table(df: DataFrame, table_name: str, bucket_col: str,
                          n_buckets: int = 32, mode: str = "overwrite",
                          sort_col: str | None = None) -> None:

@@ -536,3 +536,55 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out).select("event_id")
     assert got.count() == 400          # no duplicated epoch rows
     assert got.distinct().count() == 400
+
+
+def test_webhook_alert_sender_posts_routed_alerts(spark):
+    """WebhookAlertSender delivers each slack-routed alert as one
+    JSON POST (reference parity: alert_manager's Slack webhook); a
+    non-2xx response raises instead of dropping the alert."""
+    import http.server
+    import json
+    import threading
+
+    import pytest
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.plans import alerts as A
+
+    received = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            received.append(json.loads(body))
+            code = 500 if self.server.fail else 200
+            self.send_response(code)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    srv.fail = False
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/hook"
+        fired = spark.createDataFrame(
+            [("revenue_anomaly", "2024-03-01", "HIGH", "{}"),
+             ("freshness_check", "events", "CRITICAL", "{}")],
+            "detector string, alert_key string, severity string, "
+            "detail string")
+        sender = A.WebhookAlertSender(url)
+        n = sender.deliver(fired)
+        assert n == 2
+        texts = {r["text"] for r in received}
+        assert "[HIGH] revenue_anomaly: 2024-03-01" in texts
+        assert any(r["severity"] == "CRITICAL" for r in received)
+        # slack was actually used, not the log fallback
+        assert {"slack"} <= {c for c, _ in sender.sent}
+
+        srv.fail = True
+        with pytest.raises(Exception):
+            A.WebhookAlertSender(url).deliver(fired)
+    finally:
+        srv.shutdown()

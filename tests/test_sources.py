@@ -57,3 +57,43 @@ def test_binary_file_source(spark):
     one = df.filter(df.path.endswith("nation.parquet")) \
             .select("content").collect()[0]
     assert bytes(one.content[:4]) == b"PAR1"  # parquet magic
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """Real execution of the JDBC read/write paths against embedded
+    Derby (on Spark's own classpath) — the connector layer is code
+    that runs, not a stub: plain write+read plus the range-partitioned
+    parallel read branch."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.sources import readers, writers
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    df = spark.range(100).select(
+        F.col("id").cast("bigint").alias("k"),
+        (F.col("id") % 5).cast("int").alias("grp"))
+    writers.write_jdbc(df, url, "t_roundtrip", **driver)
+
+    back = readers.read_jdbc(spark, url, "t_roundtrip", **driver)
+    assert back.count() == 100
+    assert {r.k for r in back.collect()} == set(range(100))
+
+    ranged = readers.read_jdbc(
+        spark, url, "t_roundtrip", partition_column="k",
+        num_partitions=4, lower_bound=0, upper_bound=100, **driver)
+    assert ranged.rdd.getNumPartitions() == 4
+    assert ranged.count() == 100
+
+
+def test_jdbc_real_errors_not_mislabeled(spark, tmp_path):
+    """A missing TABLE must surface as the database's own error, not
+    the 'driver not on classpath' NotImplementedError."""
+    import pytest
+    from selfhealingdatapipeline_gcp_spark.sources import readers
+
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    with pytest.raises(Exception) as ei:
+        readers.read_jdbc(
+            spark, url, "no_such_table",
+            driver="org.apache.derby.iapi.jdbc.AutoloadedDriver").count()
+    assert not isinstance(ei.value, NotImplementedError)
