@@ -60,7 +60,7 @@ HEADLINE = [
 ]
 
 
-def _time_min2(run) -> float:
+def _time_min3(run) -> float:
     """Warm once, then min of three measured runs (host-noise
     protocol, BASELINE.md)."""
     run()
@@ -127,27 +127,33 @@ def bench_bucketed_fact_join(spark, sf_dir: str) -> dict[str, float]:
             f"bucketed fact join re-shuffled:\n{plan[:2000]}")
         assert "SortMergeJoin" in plan
         return {
-            "fact_join_parquet": _time_min2(parquet_df.collect),
-            "fact_join_bucketed": _time_min2(bucketed_df.collect),
+            "fact_join_parquet": _time_min3(parquet_df.collect),
+            "fact_join_bucketed": _time_min3(bucketed_df.collect),
         }
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
+    """The full bench harness as a callable: warm + ``n_runs``
+    measured runs per headline query plus the bucketed fact-join
+    pair. Returns the result dict (and is what ``main`` prints).
+    ``n_runs=1`` with sf0.001 is the CI smoke shape
+    (tests/test_bench_smoke.py): a harness or query regression goes
+    red in pytest BEFORE it can reach the driver's per-round bench
+    (BENCH_r03 shipped broken because nothing cheap exercised this
+    exact code path)."""
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("shdp-bench")
     queries = registry.queries()
 
     # One warm run (plan analysis + whole-stage codegen compilation,
-    # driver-side one-time cost), then TWO measured runs reporting the
-    # MINIMUM: identical plans on identical data swing several × on
-    # this shared heap when a GC pause lands mid-query (measured,
-    # BASELINE.md), so a single sample can fake a regression. The min
-    # of two steady-state runs is what a long-running cluster actually
-    # sees per execution.
+    # driver-side one-time cost), then THREE measured runs reporting
+    # the MINIMUM: identical plans on identical data swing several ×
+    # on this shared heap when a GC pause or noisy-neighbor CPU steal
+    # lands mid-query (measured, BASELINE.md), so a single sample can
+    # fake a regression. The min of steady-state runs is what a
+    # long-running cluster actually sees per execution.
     # Each query is isolated in try/except: one red query must report
     # and skip, not kill the whole run (BENCH_r03 lost 26 of 27
     # measurements to a single AnalysisException).
@@ -162,7 +168,7 @@ def main() -> None:
             # CPU steal, not GC — observed after the 48g heap bump);
             # a third sample sharply cuts the odds that every sample
             # of a query lands in a noise window.
-            for _ in range(3):
+            for _ in range(n_runs):
                 df = queries[name](spark, sf_dir)
                 t0 = time.perf_counter()
                 df.collect()
@@ -186,7 +192,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("shdp-bench")
+    print(json.dumps(run_bench(spark, sf_dir)))
 
 
 if __name__ == "__main__":

@@ -850,12 +850,21 @@ def _rp_bucket(t: int, n_planes: int = 4) -> str:
 _RP_KEYS = "\n      UNION ALL\n".join(
     f"      SELECT vec_id, v, nrm, {t} AS t, ({_rp_bucket(t)}) AS bucket FROM n"
     for t in range(4))
+# The rp oracle unrolls dim=64 into literal SQL terms while the Spark
+# side derives dim from the data — if the embeddings testdata ever
+# changes dimension, fail loudly instead of silently hashing over
+# missing/partial indices (ADVICE r4).
+_EMB_NORMED_DIM64 = (
+    f"SELECT * FROM ({_EMB_NORMED}) WHERE CASE WHEN len(v) = 64 THEN TRUE "
+    "ELSE error('embeddings dim != 64: ann_rp_lsh_topk oracle unrolls "
+    "exactly 64 projection terms; regenerate the oracle') END"
+)
 register(
     "ann_rp_lsh_topk",
     lambda spark, sf: similarity.ann_rp_lsh_topk(
         *_t(spark, sf, "embeddings")),
     f"""
-    WITH n AS ({_EMB_NORMED}),
+    WITH n AS ({_EMB_NORMED_DIM64}),
     keys AS (
 {_RP_KEYS}
     ), p AS (

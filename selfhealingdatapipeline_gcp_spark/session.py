@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Pick the local-mode driver heap from the machine, not from one
+    benchmark host. In local mode every executor thread shares the
+    driver JVM heap, so a bigger heap keeps GC pauses out of the
+    measurement (16g showed multi-second swings on the 128 GiB bench
+    box) — but hardcoding 48g would invite swap/OOM-kill on smaller
+    machines. Rule: ~3/8 of physical RAM, clamped to [4g, 48g];
+    $SPARK_GRAFT_DRIVER_MEM overrides. Real clusters size executors
+    instead and never hit this path."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                total_gib = 16.0
+    except OSError:
+        total_gib = 16.0
+    return f"{max(4, min(48, int(total_gib * 3 // 8)))}g"
+
+
 def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -52,12 +74,9 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         # the catalog (micros, floor — same as DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        # Local mode runs every executor thread in the driver JVM, so
-        # the whole shuffle working set lives in ONE heap: 16g measured
-        # multi-second GC-pause swings (same query 1.3s ↔ 13.5s across
-        # bench runs); 48g on the 128 GiB box keeps steady-state GC out
-        # of the measurement. Real clusters size executors instead.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               _default_driver_mem()))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -420,17 +420,58 @@ def test_ivf_pq_parity(spark, duck):
 def test_ivf_pq_candidates_within_probed_cells(spark):
     """IVF-PQ neighbors must be a subset of plain-PQ's universe
     restricted by cell probing: every returned neighbor shares a
-    probed cell with its query (the pruning is real, not cosmetic)."""
+    probed cell with its query (the pruning is real, not cosmetic).
+    Recomputes the probed-cell sets and each neighbor's assigned cell
+    with the operator's own building blocks and asserts membership;
+    also checks rank contiguity 1..k per query."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.functions import vectorfn
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
     qs = registry.queries()
     ivfpq = qs["ann_ivf_pq_topk"](spark, SF_ORACLE).collect()
     assert len(ivfpq) == 50
-    # per-query neighbor sets are ranked contiguously 1..k
-    from collections import defaultdict
     ranks = defaultdict(list)
     for r in ivfpq:
         ranks[r.query_id].append(r.rank)
     for qid, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    n = similarity._with_norms(emb)
+    cents = similarity.fixed_k_centroids_raw(emb, 16)
+    # corpus cell assignment: the exact Arrow path the operator uses
+    cell_of = {r.vec_id: r.cent_id
+               for r in similarity.assign_cells_arrow(n, cents).collect()}
+    # probed cells per query: same probe plan as ann_ivf_pq_topk
+    # (round(cosine, 6) desc, cent_id tie-break, top n_probe=4)
+    q = (n.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id",
+                F.round(vectorfn.cosine(F.col("qv"), F.col("cv"),
+                                        F.col("qnrm"), F.col("cnrm")), 6)
+                 .alias("cscore"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect())
+    probed = defaultdict(set)
+    for r in probes:
+        probed[r.query_id].add(r.cent_id)
+    for r in ivfpq:
+        assert cell_of[r.neighbor_id] in probed[r.query_id], (
+            f"neighbor {r.neighbor_id} (cell {cell_of[r.neighbor_id]}) "
+            f"not in query {r.query_id}'s probed cells "
+            f"{sorted(probed[r.query_id])}")
 
 
 def test_unigram_logprob_parity(spark, duck):
