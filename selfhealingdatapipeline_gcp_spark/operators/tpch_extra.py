@@ -225,3 +225,147 @@ def q2_cheapest_supplier(lineitem: DataFrame, part: DataFrame,
         .orderBy("p_partkey")
         .limit(k)
     )
+
+
+def q12_ship_delay_priority(lineitem: DataFrame, orders: DataFrame,
+                            year: int = 1997) -> DataFrame:
+    """TPC-H Q12 shape: line counts split into priority classes per
+    shipping bucket. The dataset has no l_shipmode/l_receiptdate, so
+    the ship DELAY bucket (days from order date to ship date: 0-29,
+    30-59, 60+) plays the shipmode role — same join + CASE-sum
+    conditional aggregation plan.
+
+    Scale shape: fact⋈fact on the order key (neither side
+    broadcastable at real SF; the year filter prunes lineitem at scan
+    level first), then a 3-group aggregate — map-side partial sums,
+    3-row result."""
+    li = lineitem.filter(F.year("l_shipdate") == year) \
+                 .select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(delay < 30, "0-29")
+               .when(delay < 60, "30-59")
+               .otherwise("60+"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate",
+                              "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("delay_bucket")
+    )
+
+
+def q16_part_supplier_variety(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame,
+                              exclude_brand: str = "Brand#5",
+                              exclude_type_prefix: str = "PROMO") -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size), excluding one brand, one type family, and
+    suppliers with "complaints". No partsupp table: the part-supplier
+    relation is the DISTINCT (l_partkey, l_suppkey) pairs observed in
+    lineitem; the complaint flag is a negative supplier balance.
+
+    Scale shape: the distinct-pairs reduction shuffles the fact once
+    on the pair key (map-side partial distinct); the exclusion is a
+    broadcast anti-join (supplier is a dim); part prunes brand/type
+    BEFORE its broadcast; countDistinct re-shuffles only the already-
+    distinct pair relation."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    complained = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = (part.filter((F.col("p_brand") != exclude_brand)
+                     & ~F.col("p_type").startswith(exclude_type_prefix))
+             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (
+        pairs
+        .join(F.broadcast(complained),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_part_volume_suppliers(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame,
+                              name_like: str = "red%",
+                              year: int = 1997,
+                              share_pct: int = 30) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who move a dominant share of a
+    promoted part family's annual volume. No partsupp availqty: a
+    supplier qualifies when its shipped quantity of a matching part
+    in ``year`` exceeds ``share_pct``% of that part's total annual
+    volume (the original's "availqty > half of shipped" threshold
+    re-anchored to observable data).
+
+    Scale shape: matching part keys broadcast into the fact scan
+    (semi-join prune), ONE groupBy(part, supplier) shuffle with
+    map-side partials; the per-part total is a rollup of that small
+    aggregate; the share test compares exact integers
+    (qty·100 > total·share_pct — no float drift)."""
+    pk = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    per_ps = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"),
+              "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"))
+    return (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("supp_qty") * 100 > F.col("part_qty") * share_pct)
+        .select("l_suppkey").distinct()
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, late_days: int = 60,
+                          k: int = 100) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who single-handedly kept a
+    multi-supplier order waiting — re-expressed as ONE aggregation
+    instead of the classical EXISTS/NOT-EXISTS triple self-join: for
+    finalized ('F') orders, profile each order with conditional
+    distinct counts (suppliers, late suppliers, the late supplier id
+    when unique) and keep orders where >1 suppliers participated but
+    exactly ONE shipped late (ship > order date + ``late_days``).
+    "Late" anchors to the order date since the dataset has no
+    commit/receipt dates.
+
+    Scale shape: the fact shuffles ONCE on the order key (the triple
+    self-join form shuffles it three times); per-order state is three
+    counters; the final per-supplier count aggregates a relation
+    bounded by |orders|. max(CASE WHEN late THEN suppkey END) is the
+    unique late supplier exactly because n_late_supp = 1."""
+    base = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders.filter(F.col("o_orderstatus") == "F")
+                    .select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    late = (F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS"))
+    prof = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey")))
+         .alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        prof.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(k)
+    )

@@ -164,3 +164,103 @@ register(
     LIMIT 100
     """,
 )
+
+
+register(
+    "q12_ship_delay_priority",
+    lambda spark, sf: tpch_extra.q12_ship_delay_priority(
+        *_t(spark, sf, "lineitem", "orders")),
+    """
+    SELECT CASE
+             WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) < 30
+               THEN '0-29'
+             WHEN date_diff('day', o_orderdate::DATE, l_shipdate::DATE) < 60
+               THEN '30-59'
+             ELSE '60+'
+           END AS delay_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY 1 ORDER BY delay_bucket
+    """,
+)
+
+
+register(
+    "q16_part_supplier_variety",
+    lambda spark, sf: tpch_extra.q16_part_supplier_variety(
+        *_t(spark, sf, "lineitem", "part", "supplier")),
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand != 'Brand#5'
+      AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+
+register(
+    "q20_part_volume_suppliers",
+    lambda spark, sf: tpch_extra.q20_part_volume_suppliers(
+        *_t(spark, sf, "lineitem", "part", "supplier")),
+    """
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS supp_qty
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+      GROUP BY 1, 2
+    ), per_p AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM per_ps GROUP BY 1
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM per_ps
+    JOIN per_p USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE supp_qty * 100 > part_qty * 30
+    ORDER BY s_suppkey
+    """,
+)
+
+
+register(
+    "q21_waiting_suppliers",
+    lambda spark, sf: tpch_extra.q21_waiting_suppliers(
+        *_t(spark, sf, "lineitem", "orders", "supplier")),
+    """
+    WITH prof AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN l_shipdate
+                                      > o_orderdate + INTERVAL 60 DAY
+                                 THEN l_suppkey END) AS n_late_supp,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN l_suppkey END) AS late_supp
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM prof JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp > 1 AND n_late_supp = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 100
+    """,
+)

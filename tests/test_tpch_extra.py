@@ -18,6 +18,10 @@ TPCH_EXTRA = [
     "q19_bracket_revenue",
     "q22_dormant_customers",
     "q2_cheapest_supplier",
+    "q12_ship_delay_priority",
+    "q16_part_supplier_variety",
+    "q20_part_volume_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
@@ -99,3 +103,63 @@ def test_q22_anti_join_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_matches_exists_formulation(spark, duck):
+    """The single-aggregation q21 must equal the classical
+    EXISTS/NOT-EXISTS triple-join formulation (counting distinct
+    waiting orders per supplier) — the semantics, independently
+    derived."""
+    rows = registry.queries()["q21_waiting_suppliers"](
+        spark, SF_ORACLE).collect()
+    got = {(r.s_suppkey, r.numwait) for r in rows}
+    classical = duck.execute("""
+        SELECT l1.l_suppkey AS s_suppkey,
+               count(DISTINCT l1.l_orderkey) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey != l1.l_suppkey
+              AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 100
+    """).fetchall()
+    assert got == {(s, n) for s, n in classical}
+
+
+def test_q16_exclusions_hold(spark):
+    rows = registry.queries()["q16_part_supplier_variety"](
+        spark, SF_ORACLE).collect()
+    assert rows, "q16 returned nothing"
+    for r in rows:
+        assert r.p_brand != "Brand#5"
+        assert not r.p_type.startswith("PROMO")
+        assert r.supplier_cnt >= 1
+
+
+def test_q20_share_threshold_holds(spark, duck):
+    """Every returned supplier really moves >30% of some matching
+    part's 1997 volume (recomputed independently)."""
+    rows = registry.queries()["q20_part_volume_suppliers"](
+        spark, SF_ORACLE).collect()
+    assert rows, "q20 returned nothing"
+    ok = {r[0] for r in duck.execute("""
+        WITH per_ps AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS sq
+          FROM lineitem
+          WHERE year(l_shipdate) = 1997
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY 1, 2)
+        SELECT DISTINCT l_suppkey FROM per_ps a
+        WHERE sq * 100 > (SELECT sum(sq) FROM per_ps b
+                          WHERE b.l_partkey = a.l_partkey) * 30
+    """).fetchall()}
+    assert {r.s_suppkey for r in rows} == ok
