@@ -282,3 +282,123 @@ def cap_per_source(documents: DataFrame, cap: int = 10,
                 F.row_number().over(w2).alias("rank_in_stratum"))
         .filter(F.col("rank_in_stratum") <= cap)
     )
+
+
+def seq_pack_plan(documents: DataFrame, budget_tokens: int = 2048,
+                  n_streams: int = 8) -> DataFrame:
+    """Sequence-packing plan: assign documents to fixed-token-budget
+    packs for training-batch assembly. Token cost is the scan-level
+    ~4-chars/token estimate (floor((n_chars+3)/4), min 1 — the real
+    tokenizer runs later; the plan just needs a stable cost model).
+
+    Packing semantics: documents are ordered deterministically
+    (md5 hash, doc_id) and chunked contiguously — a document joins
+    pack floor(cum_tokens_before / budget) of its stream. Streaming-
+    chunk packing, not bin-packing: a straddling document stays with
+    its running pack, so a pack can overshoot the budget by at most
+    one document (training loaders truncate/continue; what matters is
+    determinism and near-budget fill).
+
+    Scale shape: packing is inherently sequential in its order, so a
+    per-source window would serialize a hot source into one task.
+    Instead each source hash-splits into ``n_streams`` independent
+    packing streams (stream = md5 % n_streams) — each stream packs
+    independently in parallel, and a pack never mixes sources. One
+    shuffle on (source, stream); window cumsum inside."""
+    est = F.greatest(F.floor((F.col("n_chars") + 3) / 4).cast("bigint"),
+                     F.lit(1))
+    h = textfn.md5int(F.concat_ws("|", F.lit("pack"),
+                                  F.col("doc_id").cast("string")))
+    pre = documents.select(
+        "doc_id", "source", est.alias("est_tokens"), h.alias("__h"),
+        F.pmod(h, F.lit(n_streams)).alias("stream"))
+    w = (Window.partitionBy("source", "stream")
+         .orderBy("__h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("est_tokens").over(w)
+    return (
+        pre.select(
+            "doc_id", "source", "stream", "est_tokens",
+            F.floor((cum - F.col("est_tokens")) / budget_tokens)
+             .cast("bigint").alias("pack_id"),
+            (cum - F.col("est_tokens")).alias("tokens_before"))
+        .orderBy("source", "stream", "tokens_before", "doc_id")
+    )
+
+
+def token_histogram(documents: DataFrame) -> DataFrame:
+    """Corpus token-length histogram in power-of-two buckets — the
+    distribution every context-length / packing decision reads first.
+    Buckets by bit length (length(bin(est)) - 1 = floor(log2(est)),
+    integer-exact in any engine — floor(log2(double)) can flip at
+    power-of-two boundaries across libm implementations).
+
+    Scale: scan-level estimate, one tiny groupBy (≤ ~40 buckets),
+    share in floor-e6 integer parts."""
+    est = F.greatest(F.floor((F.col("n_chars") + 3) / 4).cast("bigint"),
+                     F.lit(1))
+    bucket = (F.length(F.bin(est)) - 1).cast("int")
+    agg = (
+        documents.select(est.alias("est"), bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("est").alias("total_tokens"))
+    )
+    total = agg.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(1, log2_bucket)").cast("bigint")
+             .alias("bucket_lo"),
+            "n_docs", "total_tokens",
+            F.floor(F.col("n_docs") * 1e6 / F.col("n_total"))
+             .cast("bigint").alias("share_e6"))
+        .orderBy("log2_bucket")
+    )
+
+
+def temperature_mixing_weights(documents: DataFrame,
+                               strata: str = "source") -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multidomain
+    LLM sampling scheme): sampling weight ∝ share^(1/T), flattening
+    the natural distribution toward uniform. Registered with T = 2 —
+    share^(1/2) = sqrt, which IEEE-754 rounds identically in every
+    engine, so the plan is bit-reproducible (general T needs pow(),
+    whose last-ULP varies across libm; run it knowing the weights may
+    differ in the 15th digit).
+
+    Output per stratum: natural share (floor e6), tempered sampling
+    probability (floor e6), and the up/down-sampling factor vs
+    natural (floor e4). Scale: one tiny per-stratum aggregate; the
+    normalizing sum broadcasts as a 1-row scalar.
+
+    Determinism: the normalizer Σ sqrt(n_j) is summed as floor-e9
+    INTEGERS (sqrt is correctly-rounded IEEE, so floor(sqrt(n)·1e9)
+    is engine-identical; integer sums are order-independent across
+    partial-agg schedules — a raw double sum here would drift with
+    partition order, the exact trap ADVICE r4 flagged for nll).
+    Ratios then divide through doubles with explicit casts mirrored
+    in the oracle."""
+    per = (documents.groupBy(F.col(strata).alias("stratum"))
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    # sqrt(share_i)/Σ sqrt(share_j) = sqrt(n_i)/Σ sqrt(n_j): the
+    # 1/sqrt(n_total) factor cancels — stay in sqrt(counts).
+    u = F.floor(F.sqrt(F.col("n_docs")) * 1e9).cast("bigint")
+    per = per.withColumn("sqrt_e9", u)
+    tot = per.agg(F.sum("n_docs").alias("n_total"),
+                  F.sum("sqrt_e9").alias("sum_sqrt_e9"))
+    ud = F.col("sqrt_e9").cast("double")
+    sd = F.col("sum_sqrt_e9").cast("double")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum", "n_docs",
+            F.floor(F.col("n_docs") * 1e6 / F.col("n_total"))
+             .cast("bigint").alias("share_e6"),
+            F.floor(ud * 1e6 / sd).cast("bigint").alias("tempered_e6"),
+            F.floor(ud * F.col("n_total").cast("double") * 1e4
+                    / (sd * F.col("n_docs").cast("double")))
+             .cast("bigint").alias("boost_e4"))
+        .orderBy("stratum")
+    )

@@ -163,12 +163,25 @@ def dedup_ngram_jaccard(documents: DataFrame,
 
 
 def dedup_minhash_lsh(documents: DataFrame,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      max_bucket_docs: int = 10_000) -> DataFrame:
     """MinHash(32) + LSH(8 bands × 4 rows) candidate pairs.
 
     Signature computation is per-row array math inside whole-stage
-    codegen; the only shuffle is the equi-join on band keys. Banding
+    codegen; the only shuffle is the groupBy on band keys. Banding
     at b=8/r=4 targets Jaccard ≳ 0.5 (P(candidate) = 1-(1-s⁴)⁸).
+
+    Pair generation is bucket-grouped, NOT a self-join (r5): collect
+    each band bucket's doc ids and emit in-bucket pairs with two
+    generators. The sf1 scaling run caught the self-join form at 16×
+    on 10× data — the join re-evaluated the entire shingle→signature
+    subtree on BOTH sides and broadcast-built a corpus-sized relation
+    on the driver; the grouped form computes signatures once, touches
+    the corpus with ONE exchange, and ships each bucket as one row.
+    A bucket above ``max_bucket_docs`` fails loudly (raise_error)
+    before its quadratic pair emission — same discipline as
+    dedup_simhash; near-identical boilerplate floods are exactly how
+    that fires at 100 TB.
 
     ``shingles`` lets a caller (dedup_lsh_verified) feed a shared —
     typically persisted — shingle relation so the explode, the most
@@ -195,12 +208,26 @@ def dedup_minhash_lsh(documents: DataFrame,
         .select("doc_id",
                 F.explode(textfn.lsh_band_keys(sig)).alias("bkey"))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    overflow_msg = F.concat(
+        F.lit("dedup_minhash_lsh: band bucket holds "),
+        F.size("ids").cast("string"),
+        F.lit(f" docs (> max_bucket_docs={max_bucket_docs}); in-bucket"
+              " pairing would be quadratic — dedup first with"
+              " dedup_exact, or raise max_bucket_docs"))
+    buckets = (
+        sigs.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .filter(F.when(F.size("ids") > max_bucket_docs,
+                       F.raise_error(overflow_msg))
+                 .otherwise(F.lit(True)))
+    )
     return (
-        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
+        buckets
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a",
+                F.explode(F.filter("ids", lambda x: x > F.col("doc_a")))
+                 .alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
     )

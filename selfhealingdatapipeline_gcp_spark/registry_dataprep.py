@@ -243,3 +243,83 @@ register(
     ) WHERE rank_in_stratum <= 10
     """,
 )
+
+
+register(
+    "seq_pack_plan",
+    lambda spark, sf: dataprep.seq_pack_plan(*_t(spark, sf, "documents")),
+    f"""
+    WITH pre AS (
+      SELECT doc_id, source,
+             greatest(CAST(floor((n_chars + 3) / 4) AS BIGINT), 1)
+               AS est_tokens,
+             {_md5int("'pack' || '|' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, (h % 8) AS stream, est_tokens,
+             CAST(sum(est_tokens) OVER (
+               PARTITION BY source, (h % 8) ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM pre
+    )
+    SELECT doc_id, source, CAST(stream AS BIGINT) AS stream, est_tokens,
+           CAST(floor((cum_tokens - est_tokens) / 2048.0) AS BIGINT)
+             AS pack_id,
+           (cum_tokens - est_tokens) AS tokens_before
+    FROM cum
+    ORDER BY source, stream, tokens_before, doc_id
+    """,
+)
+
+
+register(
+    "token_histogram",
+    lambda spark, sf: dataprep.token_histogram(*_t(spark, sf, "documents")),
+    """
+    WITH est AS (
+      SELECT greatest(CAST(floor((n_chars + 3) / 4) AS BIGINT), 1) AS est
+      FROM documents
+    ), agg AS (
+      SELECT CAST(length(bin(est)) - 1 AS INT) AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(est) AS BIGINT) AS total_tokens
+      FROM est GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM agg)
+    SELECT log2_bucket,
+           CAST(1 << log2_bucket AS BIGINT) AS bucket_lo,
+           n_docs, total_tokens,
+           CAST(floor(n_docs * 1e6 / n_total) AS BIGINT) AS share_e6
+    FROM agg, tot
+    ORDER BY log2_bucket
+    """,
+)
+
+
+register(
+    "temperature_mixing_weights",
+    lambda spark, sf: dataprep.temperature_mixing_weights(
+        *_t(spark, sf, "documents")),
+    """
+    WITH per AS (
+      SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(count(*)) * 1e9) AS BIGINT) AS sqrt_e9
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             CAST(sum(sqrt_e9) AS BIGINT) AS sum_sqrt_e9
+      FROM per
+    )
+    SELECT stratum, n_docs,
+           CAST(floor(n_docs * 1e6 / n_total) AS BIGINT) AS share_e6,
+           CAST(floor(CAST(sqrt_e9 AS DOUBLE) * 1e6
+                      / CAST(sum_sqrt_e9 AS DOUBLE)) AS BIGINT)
+             AS tempered_e6,
+           CAST(floor(CAST(sqrt_e9 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      * 1e4 / (CAST(sum_sqrt_e9 AS DOUBLE)
+                               * CAST(n_docs AS DOUBLE))) AS BIGINT)
+             AS boost_e4
+    FROM per, tot
+    ORDER BY stratum
+    """,
+)

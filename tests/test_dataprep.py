@@ -21,6 +21,9 @@ DATAPREP = [
     "pii_redact",
     "vector_quantize",
     "cap_per_source",
+    "seq_pack_plan",
+    "token_histogram",
+    "temperature_mixing_weights",
 ]
 
 
@@ -112,3 +115,52 @@ def test_contamination_rates_bounded(spark):
     # a train document evaluated against itself must be 100% contaminated
     self_check = dataprep.contamination_check(docs, docs.limit(5)).collect()
     assert all(r.contamination_rate >= 0.999999 for r in self_check)
+
+def test_seq_pack_plan_packs_are_contiguous_and_near_budget(spark):
+    """Within every (source, stream) packing stream: pack ids are
+    non-decreasing in the deterministic order, every pack except
+    possibly the last holds ≥ the budget minus its final straddling
+    doc (i.e. tokens_before of a pack's first doc lands inside the
+    pack's budget window), and no pack mixes sources."""
+    from collections import defaultdict
+    rows = registry.queries()["seq_pack_plan"](spark, SF_ORACLE).collect()
+    budget = 2048
+    by_stream = defaultdict(list)
+    for r in rows:
+        by_stream[(r.source, r.stream)].append(r)
+    assert sum(len(v) for v in by_stream.values()) == 500
+    for (_, _), docs in by_stream.items():
+        docs.sort(key=lambda r: (r.tokens_before, r.doc_id))
+        cum = 0
+        for r in docs:
+            assert r.tokens_before == cum
+            # the assignment rule, re-derived independently
+            assert r.pack_id == cum // budget
+            cum += r.est_tokens
+
+
+def test_token_histogram_covers_corpus(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["token_histogram"](spark, SF_ORACLE).collect()
+    n_docs = catalog.load(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_lo == 2 ** r.log2_bucket
+
+
+def test_temperature_mixing_flattens_toward_uniform(spark):
+    """T=2 tempering must move every stratum's probability toward
+    uniform: boost > 1 for under-represented strata, < 1 for
+    over-represented ones, and tempered probabilities ~sum to 1."""
+    rows = registry.queries()["temperature_mixing_weights"](
+        spark, SF_ORACLE).collect()
+    uniform_e6 = 1_000_000 // len(rows)
+    for r in rows:
+        if r.share_e6 < uniform_e6:
+            assert r.tempered_e6 >= r.share_e6, r
+            assert r.boost_e4 >= 10_000, r
+        elif r.share_e6 > uniform_e6 + 1:
+            assert r.tempered_e6 <= r.share_e6 + 1, r
+            assert r.boost_e4 <= 10_000, r
+    total = sum(r.tempered_e6 for r in rows)
+    assert abs(total - 1_000_000) < len(rows) + 1

@@ -50,15 +50,17 @@ def test_etl_enriched_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_lsh_join_is_equijoin(spark):
-    """The LSH candidate join must be a hash/sort-merge equi-join on
-    the band key — a nested-loop here means the banding is broken."""
+def test_lsh_pairing_is_bucket_grouped(spark):
+    """The LSH candidate stage must be the bucket-grouped form: NO
+    self-join at all (the join form re-evaluated the signature
+    subtree per side and went 16× superlinear at sf1), no cartesian,
+    and pair emission via generators over collected buckets."""
     df = registry.queries()["dedup_minhash_lsh"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
-        or ("BroadcastHashJoin" in plan)
+    assert "Join" not in plan, "minhash pairing regressed to a self-join"
+    assert "Generate" in plan  # explode-based pair emission
+    assert "HashAggregate" in plan  # signature + bucket groupBys
 
 
 def test_ann_bruteforce_broadcasts_queries(spark):
