@@ -173,7 +173,15 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
         return {"n_delivered": n_delivered, "audit": sender.sent}
 
     def daily_report(s: SparkSession, ctx: dict[str, Any]):
-        return {name: df.count() for name, df in ctx["detectors"].items()}
+        # ONE action for all detector counts: a per-detector .count()
+        # loop is N sequential job submissions — harmless locally,
+        # N× the scheduling latency on a real cluster (VERDICT r4).
+        counts = None
+        for name, df in ctx["detectors"].items():
+            c = df.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("detector"), "n")
+            counts = c if counts is None else counts.unionByName(c)
+        return {r.detector: r.n for r in counts.collect()}
 
     pipe = Pipeline("financial_monitoring", [
         Task("detectors", run_detectors),
