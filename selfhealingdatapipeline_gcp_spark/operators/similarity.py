@@ -740,3 +740,88 @@ def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
                 (F.col("adist_u") / 1e6).alias("approx_dist"), "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def knn_graph_cells(embeddings: DataFrame, k: int = 5,
+                    n_centroids: int = 16,
+                    max_cell_rows: int = 200_000) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the corpus, cell-bounded: each
+    vector's exact top-k cosine neighbors WITHIN its IVF cell — the
+    building block for cluster analysis, label propagation, and
+    graph-based near-dup mining (dedup_clusters accepts these edges
+    directly via its ``edges`` parameter).
+
+    Same scale contract as dedup_embedding's cell mode: fixed-K
+    centroid grid (broadcast never grows), ONE shuffle on cent_id,
+    in-cell scoring quadratic in cell size BY DESIGN with a loud cap
+    (the fix at scale is more centroids). The Gram matrix accumulates
+    dim-by-dim in numpy — the exact left-fold IEEE op order of
+    vectorfn.dot and the DuckDB list_reduce twin — so scores and
+    ranks are bit-identical to the SQL oracle; ranking is raw-double
+    cosine DESC with neighbor_id ascending tie-break, the repo's
+    deterministic argsort (np.lexsort mirrors row_number ORDER BY)."""
+    import pandas as pd
+
+    n_part = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    v = vectorfn.to_double(F.col("embedding"))
+    n = embeddings.repartition(n_part).select(
+        "vec_id", "label", v.alias("v"))
+    cents = fixed_k_centroids_raw(embeddings, n_centroids)
+    assigned = assign_cells_arrow(n, cents, passthrough=True,
+                                  compute_norm=True)
+
+    def topk_cell(pdf):
+        import numpy as np
+        empty = pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cosine_raw": pd.Series([], dtype="float64"),
+            "rank": pd.Series([], dtype="int32")})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        if m > max_cell_rows:
+            raise ValueError(
+                f"knn_graph_cells cell holds {m} vectors "
+                f"(cap {max_cell_rows}): in-cell scoring is quadratic "
+                "— raise n_centroids so cells shrink")
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+        G = np.zeros((m, m), dtype=np.float64)
+        for d in range(V.shape[1]):
+            col = V[:, d]
+            G = G + np.outer(col, col)
+        nr = pdf["nrm"].to_numpy(dtype=np.float64)
+        cos = G / np.outer(nr, nr)
+        out_v, out_n, out_c, out_r = [], [], [], []
+        kk = min(k, m - 1)
+        for i in range(m):
+            row = cos[i].copy()
+            # exclude self, then (cosine desc, neighbor_id asc):
+            # lexsort's LAST key is primary
+            mask = np.ones(m, dtype=bool)
+            mask[i] = False
+            cand_ids = ids[mask]
+            cand_cos = row[mask]
+            order = np.lexsort((cand_ids, -cand_cos))[:kk]
+            out_v.extend([ids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_c.extend(cand_cos[order])
+            out_r.extend(range(1, len(order) + 1))
+        return pd.DataFrame({
+            "vec_id": pd.Series(out_v, dtype="int64"),
+            "neighbor_id": pd.Series(out_n, dtype="int64"),
+            "cosine_raw": pd.Series(out_c, dtype="float64"),
+            "rank": pd.Series(out_r, dtype="int32")})
+
+    return (
+        assigned.groupBy("cent_id")
+        .applyInPandas(topk_cell,
+                       "vec_id bigint, neighbor_id bigint, "
+                       "cosine_raw double, rank int")
+        .select("vec_id", "neighbor_id",
+                F.round(F.col("cosine_raw"), 6).alias("cosine"), "rank")
+        .orderBy("vec_id", "rank")
+    )

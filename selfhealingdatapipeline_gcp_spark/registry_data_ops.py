@@ -1005,3 +1005,43 @@ register(
         edges=dedup.dedup_lsh_verified(*_t(spark, sf, "documents"))),
     None,
 )
+
+
+register(
+    "knn_graph_cells",
+    lambda spark, sf: similarity.knn_graph_cells(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id,
+             {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_raw
+      FROM assign x
+      JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id != y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n b ON b.vec_id = y.vec_id
+    ), r AS (
+      SELECT vec_id, neighbor_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY vec_id
+                  ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
+    FROM r WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """,
+)

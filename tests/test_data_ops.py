@@ -379,6 +379,7 @@ R4_ORACLE_CHECKED = [
     "dedup_prefix_hash",
     "text_token_estimate",
     "ann_rp_lsh_topk",
+    "knn_graph_cells",
 ]
 
 
@@ -487,3 +488,48 @@ def test_unigram_logprob_orders_rarity(spark):
         spark, SF_ORACLE).collect()
     assert len(rows) == 500
     assert all(r.avg_neg_logprob > 0 for r in rows)
+
+
+def test_knn_graph_feeds_dedup_clusters(spark):
+    """The knn graph's edges drop straight into dedup_clusters (the
+    advertised composition): clustering over high-cosine knn edges
+    produces valid components — every member's component keeper is
+    the minimum doc id of its component."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import (
+        dedup, similarity)
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    knn = similarity.knn_graph_cells(emb)
+    edges = (knn.filter(F.col("cosine") >= 0.35)
+             .select(F.col("vec_id").alias("doc_a"),
+                     F.col("neighbor_id").alias("doc_b")))
+    assert edges.count() > 0
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    clusters = dedup.dedup_clusters(docs, edges=edges).collect()
+    assert clusters
+    # independently recompute components over the same edge set
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges.collect():
+        ra, rb = find(e.doc_a), find(e.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = defaultdict(set)
+    for x in list(parent):
+        comp[find(x)].add(x)
+    expected = {(min(m), len(m)) for m in comp.values() if len(m) > 1}
+    got = {(r.keeper_doc_id, r.cluster_size) for r in clusters}
+    assert got == expected
+    for r in clusters:
+        assert r.cluster_id == r.keeper_doc_id  # min-label == keeper
