@@ -57,6 +57,12 @@ HEADLINE = [
     "text_token_estimate",
     "dedup_prefix_hash",
     "ann_ivf_pq_topk",
+    # r5 additions (floor starts at BENCH_r05)
+    "q12_ship_delay_priority",
+    "q16_part_supplier_variety",
+    "q21_waiting_suppliers",
+    "seq_pack_plan",
+    "knn_graph_cells",
 ]
 
 

@@ -431,18 +431,88 @@ def dedup_embedding(embeddings: DataFrame,
                     (F.col("la") == F.col("lb")).alias("same_label"))
             .orderBy("vec_a", "vec_b")
         )
-    a, b = n.alias("a"), n.alias("b")
-    cos = vectorfn.cosine(F.col("a.v"), F.col("b.v"),
-                          F.col("a.nrm"), F.col("b.nrm"))
+    # All-pairs escape, blocked-Arrow form (r5): the inequality
+    # self-join evaluated the interpreted cosine fold per PAIR —
+    # measured 124 s on just 20k vectors at sf1. Blocked Gram instead:
+    # vectors hash into n_blocks row blocks, each of the
+    # n_blocks·(n_blocks+1)/2 block PAIRS cogroups into one Arrow
+    # task that matmuls its two blocks (accumulated dim-ascending —
+    # vectorfn.dot's left-fold IEEE order, so scores stay bit-exact
+    # against the SQL oracle). Shuffle volume = corpus × n_blocks
+    # (linear), compute = the same O(n²·d) the escape explicitly
+    # opted into, now vectorized. Same guard, same results.
+    n_blocks = 8
+    base = n.select(
+        "vec_id", "v", "label",
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int").alias("__b"))
+    grid = F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
+    left = (base.select("vec_id", "v", "label",
+                        F.col("__b").alias("bi"), grid.alias("bj"))
+            .filter(F.col("bj") >= F.col("bi")))
+    # fresh aliases on the right: a self-cogroup whose sides share
+    # attribute ids gets its right side pruned down to the grouping
+    # keys by the optimizer (observed: pb arrives with only bi/bj) —
+    # distinct names force distinct expression ids
+    right = (base.select(F.col("vec_id").alias("r_vec_id"),
+                         F.col("v").alias("r_v"),
+                         F.col("label").alias("r_label"),
+                         grid.alias("bi"), F.col("__b").alias("bj"))
+             .filter(F.col("bj") >= F.col("bi")))
+
+    def score_blocks(key, pa, pb):
+        import numpy as np
+        import pandas as pd
+        empty = pd.DataFrame({
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cosine_raw": pd.Series([], dtype="float64"),
+            "same_label": pd.Series([], dtype="bool")})
+        if not len(pa) or not len(pb):
+            return empty
+        bi, bj = key
+        pa = pa.sort_values("vec_id")
+        pb = pb.sort_values("r_vec_id")
+        VA = np.array([list(v) for v in pa["v"]], dtype=np.float64)
+        VB = np.array([list(v) for v in pb["r_v"]], dtype=np.float64)
+        dim = VA.shape[1]
+        sqa = np.zeros(len(pa)); sqb = np.zeros(len(pb))
+        G = np.zeros((len(pa), len(pb)), dtype=np.float64)
+        for d in range(dim):
+            ca, cb = VA[:, d], VB[:, d]
+            sqa = sqa + ca * ca
+            sqb = sqb + cb * cb
+            G = G + np.outer(ca, cb)
+        cos = G / np.outer(np.sqrt(sqa), np.sqrt(sqb))
+        ia, ib = np.nonzero(cos >= threshold)
+        ids_a = pa["vec_id"].to_numpy(dtype=np.int64)[ia]
+        ids_b = pb["r_vec_id"].to_numpy(dtype=np.int64)[ib]
+        la = pa["label"].to_numpy()[ia]
+        lb = pb["r_label"].to_numpy()[ib]
+        c = cos[ia, ib]
+        if bi == bj:
+            keep = ids_a < ids_b
+            va, vb_ = ids_a[keep], ids_b[keep]
+            la, lb, c = la[keep], lb[keep], c[keep]
+        else:
+            # disjoint blocks: every cross pair lands here exactly
+            # once; normalize to (min, max)
+            va = np.minimum(ids_a, ids_b)
+            vb_ = np.maximum(ids_a, ids_b)
+        return pd.DataFrame({
+            "vec_a": pd.Series(va, dtype="int64"),
+            "vec_b": pd.Series(vb_, dtype="int64"),
+            "cosine_raw": pd.Series(c, dtype="float64"),
+            "same_label": pd.Series(la == lb, dtype="bool")})
+
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .filter(cos >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cosine"),
-            (F.col("a.label") == F.col("b.label")).alias("same_label"),
-        )
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(score_blocks,
+                       "vec_a bigint, vec_b bigint, "
+                       "cosine_raw double, same_label boolean")
+        .select("vec_a", "vec_b",
+                F.round(F.col("cosine_raw"), 6).alias("cosine"),
+                "same_label")
         .orderBy("vec_a", "vec_b")
     )
 
