@@ -65,6 +65,13 @@ HEADLINE = [
     "knn_graph_cells",
 ]
 
+# Queries whose result set is corpus-sized (hundreds of thousands of
+# rows at sf0.1): drive them with count() so the measurement is the
+# PLAN, not driver-side row materialization (VERDICT r4 minor #2).
+# Aggregate-shaped queries keep collect() — their outputs are tiny
+# and collect matches how a user actually consumes them.
+LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan"}
+
 
 def _time_min3(run) -> float:
     """Warm once, then min of three measured runs (host-noise
@@ -166,8 +173,10 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        action = "count" if name in LARGE_OUTPUT else "collect"
         try:
-            queries[name](spark, sf_dir).collect()  # warm: codegen + JIT
+            # warm: codegen + JIT
+            getattr(queries[name](spark, sf_dir), action)()
             best = float("inf")
             # min of THREE measured runs (was two): the shared host
             # shows 1-10x swings on identical plans (noisy-neighbor
@@ -177,7 +186,7 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
             for _ in range(n_runs):
                 df = queries[name](spark, sf_dir)
                 t0 = time.perf_counter()
-                df.collect()
+                getattr(df, action)()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — report, don't die

@@ -83,3 +83,40 @@ def latest_snapshot(history: DataFrame, key: str, ts_col: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def latest_snapshot_det(history: DataFrame, key: str, ts_col: str,
+                        tiebreak: str) -> DataFrame:
+    """latest_snapshot with an explicit unique tie-break column: two
+    change rows can share a timestamp (same-micro batch loads), and a
+    window top-1 on ts alone picks whichever row the shuffle happened
+    to order first — a nondeterministic snapshot that breaks
+    retry-stability. The tie-break makes the pick a pure function of
+    the data."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts_col), F.desc(tiebreak))
+    return (
+        history.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_from_log(log: DataFrame, key: str, ts_col: str,
+                  tiebreak: str, value_cols: tuple[str, ...]) -> DataFrame:
+    """Build an SCD2 dimension history directly from an append-only
+    change log: each change row becomes a version effective from its
+    own timestamp until the key's NEXT change (lead window), with the
+    open-ended row flagged current. The write-side scd2_apply merges
+    a batch into an existing dimension; this is the from-scratch
+    backfill of that same shape — one shuffle on the key, the
+    standard lead() plan.
+
+    Tie-break column keeps version order deterministic when change
+    timestamps collide (same discipline as latest_snapshot_det)."""
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    return (
+        log.select(key, *value_cols,
+                   F.col(ts_col).alias("effective_from"),
+                   F.lead(ts_col).over(w).alias("effective_to"))
+        .withColumn("is_current", F.col("effective_to").isNull())
+    )

@@ -723,3 +723,37 @@ register(
     ORDER BY dow, hour
     """,
 )
+
+
+from selfhealingdatapipeline_gcp_spark.operators import cdc  # noqa: E402
+
+
+register(
+    "cdc_latest_snapshot",
+    lambda spark, sf: cdc.latest_snapshot_det(
+        *_t(spark, sf, "events"), "user_id", "ts", "event_id"),
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+register(
+    "cdc_scd2_from_log",
+    lambda spark, sf: cdc.scd2_from_log(
+        _t(spark, sf, "events")[0].filter(
+            F.col("event_type") == "purchase"),
+        "user_id", "ts", "event_id", ("value",)),
+    """
+    SELECT user_id, value, ts AS effective_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS effective_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)

@@ -147,3 +147,32 @@ def test_sessionize_bucketed_matches_single_window(spark):
         assert fast == ref
     finally:
         ev.unpersist()
+
+
+def test_cdc_registered_queries_parity(spark, duck):
+    from conftest import SF_ORACLE, assert_parity
+    from selfhealingdatapipeline_gcp_spark import registry
+    for name in ("cdc_latest_snapshot", "cdc_scd2_from_log"):
+        assert_parity(registry.queries()[name](spark, SF_ORACLE), duck,
+                      registry.oracle_sql()[name])
+
+
+def test_scd2_from_log_versions_chain(spark):
+    """Version ranges per key must chain: sorted effective_from ==
+    previous effective_to, exactly one current row per key."""
+    from collections import defaultdict
+
+    from conftest import SF_ORACLE
+    from selfhealingdatapipeline_gcp_spark import registry
+
+    rows = registry.queries()["cdc_scd2_from_log"](
+        spark, SF_ORACLE).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r.user_id].append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r.effective_from)
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].effective_to is None
+        for prev, nxt in zip(vs, vs[1:]):
+            assert prev.effective_to == nxt.effective_from
