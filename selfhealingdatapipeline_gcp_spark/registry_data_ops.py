@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from selfhealingdatapipeline_gcp_spark import catalog
 from selfhealingdatapipeline_gcp_spark.operators import (
-    dedup, multimodal, similarity, textanalysis)
+    dedup, graph, multimodal, similarity, textanalysis)
 from selfhealingdatapipeline_gcp_spark.registry import register
 from selfhealingdatapipeline_gcp_spark.streaming import monitors
 
@@ -1007,12 +1007,8 @@ register(
 )
 
 
-register(
-    "knn_graph_cells",
-    lambda spark, sf: similarity.knn_graph_cells(
-        *_t(spark, sf, "embeddings")),
-    f"""
-    WITH n AS ({_EMB_NORMED}),
+# knn-graph CTE chain, shared by knn_graph_cells and pagerank_knn
+_KNN_CTES = f"""n AS ({_EMB_NORMED}),
     cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
@@ -1039,9 +1035,54 @@ register(
              CAST(row_number() OVER (PARTITION BY vec_id
                   ORDER BY cos_raw DESC, neighbor_id) AS INT) AS rank
       FROM pairs
-    )
+    )"""
+
+register(
+    "knn_graph_cells",
+    lambda spark, sf: similarity.knn_graph_cells(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_KNN_CTES}
     SELECT vec_id, neighbor_id, round(cos_raw, 6) AS cosine, rank
     FROM r WHERE rank <= 5
     ORDER BY vec_id, rank
+    """,
+)
+
+
+def _pr_round(prev: str, cur: str) -> str:
+    """One unrolled PageRank round: integer e6 mass, floor per-edge
+    contribution, BIGINT-cast sums (DuckDB sums to HUGEINT
+    otherwise)."""
+    return f"""{cur} AS (
+      SELECT nodes.node,
+             CAST(150000 + coalesce(inc.in_mass, 0) AS BIGINT) AS mass
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(sum(CAST(floor(m.mass * 85 / (d.out_deg * 100))
+                             AS BIGINT)) AS BIGINT) AS in_mass
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN {prev} m ON e.src = m.node
+        GROUP BY 1) inc ON nodes.node = inc.node
+    )"""
+
+
+register(
+    "pagerank_knn",
+    lambda spark, sf: graph.pagerank_knn(*_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_KNN_CTES},
+    edges AS (
+      SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rank <= 5
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+            FROM edges GROUP BY 1),
+    nodes AS (SELECT vec_id AS node FROM embeddings),
+    m0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM nodes),
+    {_pr_round('m0', 'm1')},
+    {_pr_round('m1', 'm2')},
+    {_pr_round('m2', 'm3')}
+    SELECT node AS vec_id, mass AS pagerank_e6 FROM m3 ORDER BY vec_id
     """,
 )

@@ -380,6 +380,7 @@ R4_ORACLE_CHECKED = [
     "text_token_estimate",
     "ann_rp_lsh_topk",
     "knn_graph_cells",
+    "pagerank_knn",
 ]
 
 
@@ -533,3 +534,28 @@ def test_knn_graph_feeds_dedup_clusters(spark):
     assert got == expected
     for r in clusters:
         assert r.cluster_id == r.keeper_doc_id  # min-label == keeper
+
+
+def test_pagerank_mass_properties(spark):
+    """Integer-unit PageRank invariants: every node keeps at least the
+    base (1-d) mass; total mass never exceeds the initial corpus mass
+    (floor + dangling nodes only ever LOSE mass); well-linked nodes
+    outrank isolated ones."""
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import (
+        graph, similarity)
+
+    rows = registry.queries()["pagerank_knn"](spark, SF_ORACLE).collect()
+    n = len(rows)
+    assert n == 500
+    assert all(r.pagerank_e6 >= 150_000 for r in rows)
+    assert sum(r.pagerank_e6 for r in rows) <= n * 1_000_000
+    # nodes with zero in-links must sit exactly at base mass
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    indeg = {r.neighbor_id
+             for r in similarity.knn_graph_cells(emb).collect()}
+    for r in rows:
+        if r.vec_id not in indeg:
+            assert r.pagerank_e6 == 150_000, r
