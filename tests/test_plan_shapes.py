@@ -72,20 +72,19 @@ def test_ann_bruteforce_broadcasts_queries(spark):
 
 
 def test_dedup_embedding_default_is_cell_bounded(spark):
-    """dedup_embedding's DEFAULT path must pair via an equi-join on
-    cell id — the only nested-loop allowed is the tiny-centroid
-    assignment broadcast, never a corpus×corpus `vec_id < vec_id`
-    join (VERDICT r1 #5)."""
+    """dedup_embedding's DEFAULT path must pair inside cells, never
+    corpus×corpus (VERDICT r1 #5). Since the r5 Arrow rewrite the
+    plan has NO joins at all: a mapInPandas centroid assignment, ONE
+    exchange on cent_id, and a per-cell FlatMapGroupsInPandas scorer.
+    Any join node in this plan is a regression toward the quadratic
+    form."""
     df = registry.queries()["dedup_embedding_cells"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    # all-pairs form shows up as a BNLJ whose *join condition* is the
-    # vec_id inequality; the centroid assignment BNLJ is condition-free
-    for ln in plan.splitlines():
-        if "BroadcastNestedLoopJoin" in ln:
-            assert "vec_" not in ln, f"all-pairs nested loop: {ln}"
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
-        or ("BroadcastHashJoin" in plan)
+    assert "Join" not in plan, f"cells path regressed to a join\n{plan[:1500]}"
+    assert "FlatMapGroupsInPandas" in plan  # per-cell Arrow scorer
+    assert "MapInPandas" in plan            # Arrow cell assignment
+    assert "hashpartitioning(cent_id" in plan  # the single cell shuffle
 
 
 def test_ivf_broadcast_side_is_filtered(spark):
@@ -104,17 +103,33 @@ def test_ivf_broadcast_side_is_filtered(spark):
 
 
 def test_ivf_centroid_selection_is_fixed_k(spark):
-    """The centroid set broadcast to every executor must be a FIXED-K
+    """The centroid set shipped to every executor must be a FIXED-K
     relation (TakeOrderedAndProject with limit=K), never derived from
     corpus size — the r2 stride rule grew the broadcast O(n/100) and
-    OOMs at 10^9 vectors (VERDICT r2 #1)."""
-    for name in ("ann_ivf_topk", "dedup_embedding_cells"):
-        df = registry.queries()[name](spark, SF_ORACLE)
-        plan = _plan(df)
-        assert "TakeOrderedAndProject(limit=16" in plan, (
-            f"{name}: centroid pick is not a fixed-K top-K\n{plan[:2000]}")
-        # and the O(n) stride filter must be gone
-        assert "% 100" not in plan, f"{name}: stride centroid filter survives"
+    OOMs at 10^9 vectors (VERDICT r2 #1).
+
+    ann_ivf_topk keeps the pick in its own plan; the Arrow cells path
+    (dedup_embedding_cells) collects the pick as a K-row plan-shaping
+    constant inside assign_cells_arrow, so the fixed-K property is
+    asserted on the pick plan itself."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
+    df = registry.queries()["ann_ivf_topk"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject(limit=16" in plan, (
+        f"ann_ivf_topk: centroid pick is not a fixed-K top-K\n{plan[:2000]}")
+    assert "% 100" not in plan, "stride centroid filter survives"
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    pick_plan = _plan(similarity.fixed_k_centroids_raw(emb, 16))
+    assert "TakeOrderedAndProject(limit=16" in pick_plan, (
+        f"fixed_k_centroids_raw is not a fixed-K top-K\n{pick_plan[:2000]}")
+    assert "% 100" not in pick_plan
+    # the cells-path main plan must not smuggle the stride rule back
+    cells_plan = _plan(
+        registry.queries()["dedup_embedding_cells"](spark, SF_ORACLE))
+    assert "% 100" not in cells_plan
 
 
 def test_cap_per_source_prefilters_before_stratum_window(spark):
