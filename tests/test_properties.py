@@ -147,3 +147,74 @@ def test_pii_placeholder_free_pure(text):
     for kind in ("card", "phone", "email"):
         red2 = re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", red2)
     assert red == red2
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_pagerank_reference_pure(edge_list):
+    """Pure-python integer power iteration must equal the DataFrame
+    plan's arithmetic contract: floor per-edge contribution, base
+    150000, 3 rounds — verified here against random graphs with
+    self-loops/duplicates allowed (the operator's semantics, not a
+    float approximation)."""
+    edges = [(a, b) for a, b in edge_list]
+    nodes = sorted({x for e in edges for x in e} | set(range(3)))
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    mass = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for a, b in edges:
+            inc[b] += (mass[a] * 85) // (out_deg[a] * 100)
+        mass = {n: 150_000 + inc[n] for n in nodes}
+    # invariants the Spark/SQL forms rely on
+    assert all(m >= 150_000 for m in mass.values())
+    assert sum(mass.values()) <= len(nodes) * 1_000_000 + 1
+
+
+def test_pagerank_edges_matches_pure_reference(spark):
+    """The Spark pagerank_edges plan equals the integer reference on a
+    random graph (single job, not per-example)."""
+    from selfhealingdatapipeline_gcp_spark.operators import graph
+
+    rng = random.Random(11)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    nodes = list(range(n))
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    mass = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        inc = {v: 0 for v in nodes}
+        for a, b in edges:
+            inc[b] += (mass[a] * 85) // (out_deg[a] * 100)
+        mass = {v: 150_000 + inc[v] for v in nodes}
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pagerank_e6
+           for r in graph.pagerank_edges(ndf, edf).collect()}
+    assert got == mass
+
+
+@given(st.lists(st.integers(1, 5000), min_size=1, max_size=80))
+@settings(max_examples=100, deadline=None)
+def test_seq_pack_rule_pure(token_counts):
+    """The packing rule (pack = cum_before // budget): ids start at 0
+    and never decrease; an id can only JUMP when the previous doc
+    spanned multiple budget windows (jump ≤ its window count); and a
+    doc's pack is a pure function of the tokens before it — the
+    loader-facing contract. (Contiguity deliberately NOT claimed: an
+    oversize doc legitimately skips pack ids.)"""
+    budget = 2048
+    cum = 0
+    packs = []
+    for t in token_counts:
+        packs.append(cum // budget)
+        cum += t
+    assert packs[0] == 0
+    assert packs == sorted(packs)
+    for (p1, t1), p2 in zip(zip(packs, token_counts), packs[1:]):
+        assert p2 - p1 <= t1 // budget + 1
