@@ -238,9 +238,15 @@ def q12_ship_delay_priority(lineitem: DataFrame, orders: DataFrame,
     Scale shape: fact⋈fact on the order key (neither side
     broadcastable at real SF; the year filter prunes lineitem at scan
     level first), then a 3-group aggregate — map-side partial sums,
-    3-row result."""
-    li = lineitem.filter(F.year("l_shipdate") == year) \
-                 .select("l_orderkey", "l_shipdate")
+    3-row result. The year filter is a RANGE literal, not
+    year(l_shipdate) == N: a function over the column defeats parquet
+    predicate pushdown and min/max row-group skipping; the range
+    reaches the scan (PushedFilters)."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01")
+            .cast("timestamp"))) \
+        .select("l_orderkey", "l_shipdate")
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     bucket = (F.when(delay < 30, "0-29")
                .when(delay < 60, "30-59")
@@ -308,7 +314,12 @@ def q20_part_volume_suppliers(lineitem: DataFrame, part: DataFrame,
     pk = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
     qty = F.round(F.col("l_quantity")).cast("bigint")
     per_ps = (
-        lineitem.filter(F.year("l_shipdate") == year)
+        # range literal, not year(): pushdown + row-group skipping
+        lineitem.filter(
+            (F.col("l_shipdate")
+             >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit(f"{year + 1}-01-01").cast("timestamp")))
         .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"),
               "left_semi")
         .groupBy("l_partkey", "l_suppkey")
