@@ -88,3 +88,66 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         (F.floor(F.col("max_key_rows") * 1e6 / F.col("n_rows")) / 1e6)
         .alias("top_key_share"),
     )
+
+
+def drift_tv(events: DataFrame, n_bins: int = 10,
+             threshold_e6: int = 200_000) -> DataFrame:
+    """Distribution-drift detector: total-variation distance between
+    the value distributions of each event type's FIRST and SECOND
+    time halves (split at the midpoint of its observed ts range),
+    binned into ``n_bins`` equal-width bins over the type's observed
+    value range.
+
+    TV instead of PSI/KL deliberately: PSI needs ln(), and libm ln is
+    not correctly-rounded — the same counts can floor to different e6
+    values on different engines. TV is pure counting:
+    TV = Σ|p_i − q_i|/2 computed as integer cross-products
+    Σ|cnt_i·Q − dnt_i·P| / (2·P·Q), so the sum is order-independent
+    and the whole statistic is engine-exact. int64 bound: the
+    cross-product needs P·Q ≲ 9e18, i.e. ~3e9 rows per (type, half)
+    — beyond that, pre-aggregate to a coarser grain or widen to
+    decimal (functions/money.py discipline).
+
+    Scale shape: one pass for per-type bounds (broadcast, K rows),
+    one pass binning + counting (map-side partials), a 2·n_bins-row
+    join per type. Nothing driver-side."""
+    bounds = (
+        events.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"),
+             F.min(F.unix_micros("ts")).alias("t0"),
+             F.max(F.unix_micros("ts")).alias("t1"))
+        .withColumn("mid_us", F.floor((F.col("t0") + F.col("t1")) / 2)
+                     .cast("bigint"))
+    )
+    bin_ = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(n_bins - 1),
+                F.floor((F.col("value") - F.col("mn")) * n_bins
+                        / (F.col("mx") - F.col("mn"))).cast("int")))
+    binned = (
+        events.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type", bin_.alias("bin"),
+            (F.unix_micros("ts") < F.col("mid_us")).alias("is_first"))
+    )
+    per_bin = (
+        binned.groupBy("event_type", "bin")
+        .agg(F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("cnt"),
+             F.sum(F.when(F.col("is_first"), 0).otherwise(1)).alias("dnt"))
+    )
+    totals = per_bin.groupBy("event_type").agg(
+        F.sum("cnt").alias("p_total"), F.sum("dnt").alias("q_total"))
+    return (
+        per_bin.join(totals, "event_type")
+        .groupBy("event_type", "p_total", "q_total")
+        .agg(F.sum(F.abs(F.col("cnt") * F.col("q_total")
+                         - F.col("dnt") * F.col("p_total"))).alias("num"))
+        .select(
+            "event_type",
+            F.col("p_total").alias("n_first"),
+            F.col("q_total").alias("n_second"),
+            F.floor(F.col("num").cast("double") * 1e6
+                    / (2.0 * F.col("p_total") * F.col("q_total")))
+             .cast("bigint").alias("tv_e6"))
+        .withColumn("drifted", F.col("tv_e6") > threshold_e6)
+        .orderBy("event_type")
+    )

@@ -567,3 +567,47 @@ register(
     ORDER BY age_bucket
     """,
 )
+
+
+register(
+    "quality_drift_tv",
+    lambda spark, sf: quality.drift_tv(_t(spark, sf, "events")[0]),
+    """
+    WITH bounds AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx,
+             CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2)
+                  AS BIGINT) AS mid_us
+      FROM events GROUP BY 1
+    ), binned AS (
+      SELECT e.event_type,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least(9, CAST(floor((e.value - b.mn) * 10
+                                           / (b.mx - b.mn)) AS INT))
+             END AS bin,
+             (epoch_us(e.ts) < b.mid_us) AS is_first
+      FROM events e JOIN bounds b USING (event_type)
+    ), per_bin AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+               AS cnt,
+             CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT)
+               AS dnt
+      FROM binned GROUP BY 1, 2
+    ), totals AS (
+      SELECT event_type, CAST(sum(cnt) AS BIGINT) AS p_total,
+             CAST(sum(dnt) AS BIGINT) AS q_total
+      FROM per_bin GROUP BY 1
+    )
+    SELECT p.event_type, t.p_total AS n_first, t.q_total AS n_second,
+           CAST(floor(CAST(sum(abs(p.cnt * t.q_total - p.dnt * t.p_total))
+                           AS DOUBLE) * 1e6
+                      / (2.0 * t.p_total * t.q_total)) AS BIGINT) AS tv_e6,
+           (CAST(floor(CAST(sum(abs(p.cnt * t.q_total - p.dnt * t.p_total))
+                            AS DOUBLE) * 1e6
+                       / (2.0 * t.p_total * t.q_total)) AS BIGINT)
+            > 200000) AS drifted
+    FROM per_bin p JOIN totals t USING (event_type)
+    GROUP BY 1, t.p_total, t.q_total
+    ORDER BY event_type
+    """,
+)

@@ -93,3 +93,34 @@ def test_sla_scaling_recommendation_matches_reference(spark):
     assert row.required_rate == math.floor(required * 1e4) / 1e4
     assert abs(row.scaling_factor - math.floor(scaling * 1e4) / 1e4) < 1e-3
     assert row.recommended_workers == int(scaling) + 1
+
+
+def test_drift_tv_parity(spark, duck):
+    from conftest import SF_ORACLE, assert_parity
+
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(registry.queries()["quality_drift_tv"](spark, SF_ORACLE),
+                  duck, registry.oracle_sql()["quality_drift_tv"])
+
+
+def test_drift_tv_detects_injected_shift(spark):
+    """A distribution that jumps between halves must read as drifted;
+    a stationary one must not."""
+    import datetime as dt
+
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    base = dt.datetime(2020, 1, 1)
+    rows = []
+    for i in range(2000):
+        ts = base + dt.timedelta(minutes=i)
+        # 'shift': values 0-10 in the first half, 90-100 in the second
+        rows.append((ts, "shift",
+                     float(i % 10) if i < 1000 else 90.0 + i % 10))
+        # 'flat': same uniform 0-10 in both halves
+        rows.append((ts, "flat", float(i % 10)))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                                     "value double")
+    out = {r.event_type: r for r in quality.drift_tv(df).collect()}
+    assert out["shift"].drifted and out["shift"].tv_e6 > 900_000
+    assert not out["flat"].drifted and out["flat"].tv_e6 < 50_000
