@@ -326,3 +326,65 @@ def streaming_alert_delivery(spark: SparkSession, sf_dir: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return counts
+
+
+def streaming_live_alert_loop(spark: SparkSession, alert_dir: str,
+                              rows_per_second: int = 500,
+                              threshold: int = 100,
+                              run_seconds: float = 15.0) -> dict:
+    """The detect→alert loop on a GENUINELY unbounded source: the
+    built-in rate stream plays the feed (availableNow file stages — a
+    bounded replay — are what every other streaming op here uses;
+    this one runs with a processing-time trigger and is STOPPED
+    mid-flight, which is the actual production shape: the query never
+    ends, monitoring is continuous, shutdown is external).
+
+    Per-second tumbling volumes; over-threshold windows become alert
+    rows delivered through FileAlertSender inside foreachBatch — the
+    identical severity ladder and sink as the bounded
+    streaming_alert_delivery, so swapping the rate source for a Kafka
+    feed (sources.read_stream_kafka) changes one line.
+
+    Returns {"n_epochs", "n_delivered", "stopped_clean"}."""
+    import time as _time
+
+    from selfhealingdatapipeline_gcp_spark.plans import alerts as alerts_mod
+
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", str(rows_per_second))
+              .option("numPartitions", "2").load())
+    agg = (
+        stream.withWatermark("timestamp", "5 seconds")
+        .groupBy(F.window("timestamp", "1 second"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    sender = alerts_mod.FileAlertSender(alert_dir)
+    counts = {"n_epochs": 0, "n_delivered": 0}
+
+    def deliver_epoch(batch_df, epoch_id: int) -> None:
+        fired = (
+            batch_df.filter(F.col("n_events") > threshold)
+            .select(
+                F.lit("streaming_rate_volume").alias("detector"),
+                F.col("window_start").cast("string").alias("alert_key"),
+                (F.when(F.col("n_events") > 3 * threshold, "CRITICAL")
+                  .when(F.col("n_events") > 2 * threshold, "HIGH")
+                  .otherwise("MEDIUM")).alias("severity"),
+                F.to_json(F.struct("window_start", "n_events"))
+                 .alias("detail"),
+            )
+        )
+        counts["n_delivered"] += sender.deliver(fired)
+        counts["n_epochs"] += 1
+
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(deliver_epoch)
+         .trigger(processingTime="2 seconds").start())
+    deadline = _time.time() + run_seconds
+    # stop as soon as something was delivered (bounded test time), or
+    # at the deadline
+    while _time.time() < deadline and counts["n_delivered"] == 0:
+        _time.sleep(0.5)
+    q.stop()
+    return {**counts, "stopped_clean": not q.isActive}

@@ -57,3 +57,30 @@ def test_rate_source_is_unbounded(spark):
 def test_kafka_source_raises_clear_setup_error(spark):
     with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
         readers.read_stream_kafka(spark, "localhost:9092", "events")
+
+
+def test_live_alert_loop_fires_and_stops(spark, tmp_path):
+    """Unbounded detect→alert loop: alerts must actually fire from the
+    live rate stream (500 rows/s over a 100/s threshold) and the query
+    must stop cleanly mid-flight."""
+    import json
+    import pathlib
+
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    out = monitors.streaming_live_alert_loop(
+        spark, str(tmp_path / "alerts"), run_seconds=45.0)
+    assert out["stopped_clean"]
+    assert out["n_epochs"] >= 1
+    assert out["n_delivered"] >= 1, out
+    files = list(pathlib.Path(tmp_path / "alerts").rglob("*.jsonl"))
+    assert files
+    rows = [json.loads(ln) for f in files
+            for ln in f.read_text().splitlines()]
+    # an epoch can complete between reading the counter and q.stop(),
+    # so the file may hold MORE deliveries than the returned counter —
+    # never fewer
+    assert len(rows) >= out["n_delivered"]
+    for r in rows:
+        assert r["detector"] == "streaming_rate_volume"
+        assert r["severity"] in ("MEDIUM", "HIGH", "CRITICAL")
