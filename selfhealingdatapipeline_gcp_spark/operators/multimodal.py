@@ -202,3 +202,22 @@ def multimodal_resize_plan(documents: DataFrame,
             })
 
     return payloads.mapInPandas(plan, RESIZE_SCHEMA)
+
+
+def multimodal_dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact payload-level dedup for media assets: group by md5 of the
+    BINARY payload (not any text field — re-encoded or re-ingested
+    assets share bytes, not names). The scale shape of dedup_exact
+    applied to the multimodal ingest: the shuffle key is a 32-char
+    digest, never the payload itself, so asset size doesn't touch the
+    exchange. JVM-side md5 over binary — no Python in the path."""
+    payloads = with_payload(documents)
+    return (
+        payloads
+        .groupBy(F.md5(F.col("payload")).alias("payload_md5"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"),
+             (F.count(F.lit(1)) > 1).alias("had_duplicates"))
+        .select("keeper_doc_id", "n_copies", "had_duplicates")
+        .orderBy("keeper_doc_id")
+    )

@@ -1086,3 +1086,18 @@ register(
     SELECT node AS vec_id, mass AS pagerank_e6 FROM m3 ORDER BY vec_id
     """,
 )
+
+
+register(
+    "multimodal_dedup_exact",
+    lambda spark, sf: multimodal.multimodal_dedup_exact(
+        *_t(spark, sf, "documents")),
+    """
+    SELECT min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           (count(*) > 1) AS had_duplicates
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY keeper_doc_id
+    """,
+)
