@@ -197,6 +197,79 @@ def _fix_permission(m: re.Match[str]) -> Fix:
     )
 
 
+# ---------------------------------------------------------------------------
+# The engine's OWN loud scale guards (r5): every quadratic-blowup
+# guard in the dedup/similarity operators raises with a distinctive
+# message so this rule engine can close the loop — the self-healing
+# pipeline catches the guard, reports the documented remediation, and
+# (where it is a safe parameter change) retries with it. Guard text ↔
+# rule pattern pairs are pinned by tests.
+# ---------------------------------------------------------------------------
+
+@_rule("lsh_bucket_overflow", r"dedup_minhash_lsh: band bucket holds")
+def _fix_lsh_bucket(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="an LSH band bucket exceeds max_bucket_docs "
+                   "(near-identical boilerplate flood)",
+        suggested_fix="dedup_exact the corpus first (identical docs "
+                      "collapse to one bucket member), or raise "
+                      "max_bucket_docs deliberately",
+        retryable=False,
+    )
+
+
+@_rule("simhash_bucket_overflow", r"dedup_simhash: bucket .* holds")
+def _fix_simhash_bucket(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="a SimHash bucket exceeds max_bucket_rows "
+                   "(homogeneous token distribution)",
+        suggested_fix="use dedup_simhash_multitable (rotated bit "
+                      "windows spread the skew) or raise "
+                      "max_bucket_rows deliberately",
+        retryable=False,
+    )
+
+
+@_rule("cell_overflow", r"(?:dedup_embedding|knn_graph_cells) cell holds")
+def _fix_cell_overflow(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="an IVF cell exceeds max_cell_rows (in-cell scoring "
+                   "is quadratic by design)",
+        suggested_fix="raise n_centroids so cells shrink — the fix at "
+                      "scale is more cells, not a bigger buffer",
+        retryable=False,
+    )
+
+
+@_rule("allpairs_guard", r"all-pairs dedup_embedding over \d+ vectors")
+def _fix_allpairs(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="all-pairs escape requested over a corpus above "
+                   "max_all_pairs_rows",
+        suggested_fix="use the cell-bounded default or pass bounded "
+                      "candidates; raise max_all_pairs_rows only for "
+                      "a deliberate exact verification run",
+        retryable=False,
+    )
+
+
+@_rule("cc_no_convergence", r"dedup_clusters did not converge")
+def _fix_cc_convergence(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="CONFIG",
+        root_cause="connected components hit max_iterations (graph "
+                   "diameter larger than 2^rounds)",
+        suggested_fix="raise max_iterations (pointer doubling covers "
+                      "2^rounds hops, so +4 rounds covers 16x the "
+                      "diameter)",
+        retryable=False,
+    )
+
+
 # optional LLM analyzer hook (reference uses Gemini; stubbed here)
 _llm_analyzer: Callable[[str], Fix | None] | None = None
 

@@ -588,3 +588,42 @@ def test_webhook_alert_sender_posts_routed_alerts(spark):
             A.WebhookAlertSender(url).deliver(fired)
     finally:
         srv.shutdown()
+
+
+def test_healer_catches_own_scale_guards(spark):
+    """The loop that makes the guards self-healing: each quadratic
+    guard's REAL raised text (not a hand-typed copy) must classify to
+    its documented remediation rule."""
+    import pytest
+
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.plans import healer
+
+    # minhash band-bucket overflow: identical docs share every band
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)],
+        "doc_id long, text string")
+    with pytest.raises(Exception) as e1:
+        dedup.dedup_minhash_lsh(docs, max_bucket_docs=3).collect()
+    fix = healer.analyze_error(str(e1.value))
+    assert "max_bucket_docs" in fix.root_cause
+    assert "dedup_exact" in fix.suggested_fix
+
+    # all-pairs escape over the guard limit
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(5)],
+        "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError) as e2:
+        dedup.dedup_embedding(emb, allow_all_pairs=True,
+                              max_all_pairs_rows=2)
+    fix = healer.analyze_error(str(e2.value))
+    assert "max_all_pairs_rows" in fix.root_cause
+
+    # connected components non-convergence
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError) as e3:
+        dedup.dedup_clusters(docs, max_iterations=1, edges=edges)
+    fix = healer.analyze_error(str(e3.value))
+    assert "max_iterations" in fix.root_cause
+    assert fix.fix_type == "CONFIG"
