@@ -116,41 +116,62 @@ def dedup_ngram_jaccard(documents: DataFrame,
     it stays a true Jaccard of the filtered sets. ``max_df=None``
     restores the exact unfiltered semantics.
 
-    Guard plan shape: the over-limit shingles are found with one
-    partial-agg groupBy (the shuffle carries (h, count) pairs, not
-    rows) and removed with a BROADCAST anti-join — the main shingle
-    relation is never re-shuffled or window-sorted for the guard (a
-    df-window on h measured 3.6× slower end-to-end at sf0.1). The
-    broadcast is bounded by total_shingle_rows / max_df — shingles
-    exceeding a 10k doc-frequency are stopword-grade and rare by
-    construction."""
+    Pairing is bucket-grouped, not a self-join (r5): group the
+    distinct (doc, shingle) rows by shingle, keep buckets whose size
+    is within the df ceiling (the ceiling becomes a size filter on
+    the SAME aggregation — the old broadcast-anti-join df pass is
+    gone), and emit in-bucket pairs with two generators. The sf10
+    scaling probe caught the self-join form at 20× on 10× data —
+    both aliases re-evaluated the whole shingle subtree and the join
+    probed a corpus-sized hash relation; the grouped form computes
+    the shingle relation once and touches it with one exchange.
+    Σ df² pair emission within the ceiling is the exact-Jaccard
+    semantics itself — the ceiling is what bounds it, and
+    dedup_lsh_verified remains the production path when even that is
+    too much. Per-doc sizes (the Jaccard denominator over the
+    df-filtered universe) come from re-aggregating the KEPT buckets,
+    so df-dropped shingles leave both sides of the ratio
+    consistently."""
     distinct_sh = (
         _shingle_rows(documents)
         .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
         .dropDuplicates(["doc_id", "h"])
     )
+    kept = distinct_sh.groupBy("h").agg(
+        F.collect_list("doc_id").alias("ids"))
     if max_df is not None:
-        hot = (
-            distinct_sh.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("h")
-        )
-        distinct_sh = distinct_sh.join(F.broadcast(hot), "h", "left_anti")
-    n_win = Window.partitionBy("doc_id")
-    ex = distinct_sh.select(
-        "doc_id", F.count(F.lit(1)).over(n_win).alias("n"), "h")
-    a, b = ex.alias("a"), ex.alias("b")
+        kept = kept.filter(F.size("ids") <= max_df)
+    # per-doc filtered sizes computed IN the pipeline (window on the
+    # exploded kept rows) and carried inside the bucket structs — no
+    # denominator joins at all. An earlier join-back form let the
+    # static planner broadcast-BUILD the candidate-pair relation
+    # (post-agg, no stats → wildly under-estimated): a >1 GiB driver
+    # collect that tripped maxResultSize at sf10. No joins, no
+    # broadcast hazard at any scale.
+    exn = (
+        kept.select("h", F.explode("ids").alias("doc_id"))
+        .withColumn("n",
+                    F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    buckets = (
+        exn.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n")))
+              .alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
     pairs = (
-        a.join(b, (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.max("a.n").alias("n_a"),
-            F.max("b.n").alias("n_b"),
-        )
+        buckets
+        .select(F.explode("mem").alias("a"), "mem")
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.n").alias("n_a"), "mem")
+        .select("doc_a", "n_a",
+                F.explode(F.filter(
+                    "mem", lambda m: m["doc_id"] > F.col("doc_a")))
+                 .alias("b"))
+        .groupBy("doc_a", F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"),
+             F.max("n_a").alias("n_a"),
+             F.max(F.col("b.n")).alias("n_b"))
     )
     jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
