@@ -333,8 +333,9 @@ def dedup_embedding(embeddings: DataFrame,
                     threshold: float = 0.35,
                     candidates: DataFrame | None = None,
                     allow_all_pairs: bool = False,
-                    n_centroids: int = 16,
-                    max_all_pairs_rows: int = 100_000) -> DataFrame:
+                    n_centroids: int | str = "auto",
+                    max_all_pairs_rows: int = 100_000,
+                    target_cell_rows: int = 4_000) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold.
 
     Three modes, safest first:
@@ -384,7 +385,15 @@ def dedup_embedding(embeddings: DataFrame,
         # (same loud-guard discipline as the simhash bucket cap).
         # centroid pick from the raw table (norm fold only on the K
         # picked rows); corpus norms come out of the Arrow assignment
-        # pass itself — no interpreted fold ever touches the corpus
+        # pass itself — no interpreted fold ever touches the corpus.
+        # "auto" grows the grid with the corpus (cells stay near
+        # target_cell_rows; quadratic in-cell work demands it) and
+        # resolves to exactly 16 below 16·target rows, so the
+        # 16-pinning DuckDB oracle stays valid at every oracle SF.
+        if n_centroids == "auto":
+            import math
+            n_centroids = max(16, math.ceil(embeddings.count()
+                                            / target_cell_rows))
         cents = similarity.fixed_k_centroids_raw(embeddings, n_centroids)
         assigned = similarity.assign_cells_arrow(
             n.drop("nrm"), cents, passthrough=True, compute_norm=True)
@@ -408,10 +417,16 @@ def dedup_embedding(embeddings: DataFrame,
                     "quadratic — raise n_centroids so cells shrink")
             pdf = pdf.sort_values("vec_id")
             V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+            # in-place accumulation (same adds, same order): the
+            # `G = G + outer(...)` form allocated two fresh m×m
+            # temporaries per dim — pure memory-bandwidth burn on
+            # large cells
             G = np.zeros((m, m), dtype=np.float64)
+            tmp = np.empty((m, m), dtype=np.float64)
             for d in range(V.shape[1]):
                 col = V[:, d]
-                G = G + np.outer(col, col)
+                np.outer(col, col, out=tmp)
+                G += tmp
             nr = pdf["nrm"].to_numpy(dtype=np.float64)
             cos = G / np.outer(nr, nr)
             ia, ib = np.triu_indices(m, k=1)
@@ -498,11 +513,13 @@ def dedup_embedding(embeddings: DataFrame,
         dim = VA.shape[1]
         sqa = np.zeros(len(pa)); sqb = np.zeros(len(pb))
         G = np.zeros((len(pa), len(pb)), dtype=np.float64)
+        tmp = np.empty((len(pa), len(pb)), dtype=np.float64)
         for d in range(dim):
             ca, cb = VA[:, d], VB[:, d]
             sqa = sqa + ca * ca
             sqb = sqb + cb * cb
-            G = G + np.outer(ca, cb)
+            np.outer(ca, cb, out=tmp)
+            G += tmp
         cos = G / np.outer(np.sqrt(sqa), np.sqrt(sqb))
         ia, ib = np.nonzero(cos >= threshold)
         ids_a = pa["vec_id"].to_numpy(dtype=np.int64)[ia]

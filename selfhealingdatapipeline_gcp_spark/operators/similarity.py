@@ -743,8 +743,9 @@ def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
 
 
 def knn_graph_cells(embeddings: DataFrame, k: int = 5,
-                    n_centroids: int = 16,
-                    max_cell_rows: int = 200_000) -> DataFrame:
+                    n_centroids: int | str = "auto",
+                    max_cell_rows: int = 200_000,
+                    target_cell_rows: int = 4_000) -> DataFrame:
     """k-nearest-neighbor GRAPH over the corpus, cell-bounded: each
     vector's exact top-k cosine neighbors WITHIN its IVF cell — the
     building block for cluster analysis, label propagation, and
@@ -759,7 +760,25 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     vectorfn.dot and the DuckDB list_reduce twin — so scores and
     ranks are bit-identical to the SQL oracle; ranking is raw-double
     cosine DESC with neighbor_id ascending tie-break, the repo's
-    deterministic argsort (np.lexsort mirrors row_number ORDER BY)."""
+    deterministic argsort (np.lexsort mirrors row_number ORDER BY).
+
+    ``n_centroids="auto"`` (the default) sizes the grid to the corpus
+    (ceil(n / target_cell_rows), min 16): in-cell work is quadratic,
+    so the grid must GROW with the corpus — the sf10 probe measured
+    fixed-16 cells (12.5k vectors each) at 337 s where ~4k-vector
+    cells take seconds. Below 16·target corpus rows auto resolves to
+    exactly 16, so the DuckDB oracles (which pin 16) stay valid at
+    every oracle SF. The extra count() is one scan — the standard
+    plan-shaping-constant discipline.
+
+    Top-k selection inside a cell is argpartition-vectorized for
+    large cells (exact: a per-row fallback to the full lexsort fires
+    whenever the k-th pick ties the partition boundary, where a
+    same-cosine smaller-id candidate could sit outside the subset) —
+    the naive per-row full lexsort was O(m² log m) per cell and
+    dominated the sf10 wall time."""
+    import math
+
     import pandas as pd
 
     n_part = int(embeddings.sparkSession.conf.get(
@@ -767,6 +786,9 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     v = vectorfn.to_double(F.col("embedding"))
     n = embeddings.repartition(n_part).select(
         "vec_id", "label", v.alias("v"))
+    if n_centroids == "auto":
+        n_centroids = max(16, math.ceil(embeddings.count()
+                                        / target_cell_rows))
     cents = fixed_k_centroids_raw(embeddings, n_centroids)
     assigned = assign_cells_arrow(n, cents, passthrough=True,
                                   compute_norm=True)
@@ -789,27 +811,54 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+        # dim-ascending accumulation (the exact IEEE fold order of
+        # vectorfn.dot) with in-place ops: `G = G + outer(...)`
+        # allocated TWO fresh m×m arrays per dim — 64 dims × 1.25 GB
+        # temporaries on a 12.5k cell was pure memory-bandwidth burn
         G = np.zeros((m, m), dtype=np.float64)
+        tmp = np.empty((m, m), dtype=np.float64)
         for d in range(V.shape[1]):
             col = V[:, d]
-            G = G + np.outer(col, col)
+            np.outer(col, col, out=tmp)
+            G += tmp
         nr = pdf["nrm"].to_numpy(dtype=np.float64)
         cos = G / np.outer(nr, nr)
         out_v, out_n, out_c, out_r = [], [], [], []
         kk = min(k, m - 1)
-        for i in range(m):
-            row = cos[i].copy()
-            # exclude self, then (cosine desc, neighbor_id asc):
-            # lexsort's LAST key is primary
-            mask = np.ones(m, dtype=bool)
-            mask[i] = False
-            cand_ids = ids[mask]
-            cand_cos = row[mask]
-            order = np.lexsort((cand_ids, -cand_cos))[:kk]
-            out_v.extend([ids[i]] * len(order))
-            out_n.extend(cand_ids[order])
-            out_c.extend(cand_cos[order])
-            out_r.extend(range(1, len(order) + 1))
+        neg = -cos
+        np.fill_diagonal(neg, np.inf)  # self sorts last, never picked
+
+        def emit(i, cand_ids, cand_cos, order):
+            top = order[:kk]
+            out_v.extend([ids[i]] * len(top))
+            out_n.extend(cand_ids[top])
+            out_c.extend(cand_cos[top])
+            out_r.extend(range(1, len(top) + 1))
+
+        ss = kk + 32
+        if m - 1 <= ss or m <= 512:
+            # small cell: exact full sort per row is cheap
+            for i in range(m):
+                order = np.lexsort((ids, neg[i]))
+                emit(i, ids, cos[i], order)
+        else:
+            # large cell: O(m) argpartition narrows each row to the
+            # ss best by cosine VALUE; the tiny subset sorts exactly
+            # by (cosine desc, id asc). Exactness: only a candidate
+            # tied AT the partition boundary could be wrongly
+            # excluded (same cosine, smaller id, outside the subset)
+            # — detected per row and answered with the full lexsort.
+            part = np.argpartition(neg, ss - 1, axis=1)[:, :ss]
+            sel_neg = np.take_along_axis(neg, part, axis=1)
+            boundary = sel_neg.max(axis=1)
+            for i in range(m):
+                sub_ids = ids[part[i]]
+                order = np.lexsort((sub_ids, sel_neg[i]))
+                if sel_neg[i][order[kk - 1]] >= boundary[i]:
+                    order_full = np.lexsort((ids, neg[i]))
+                    emit(i, ids, cos[i], order_full)
+                else:
+                    emit(i, sub_ids, cos[i][part[i]], order)
         return pd.DataFrame({
             "vec_id": pd.Series(out_v, dtype="int64"),
             "neighbor_id": pd.Series(out_n, dtype="int64"),
