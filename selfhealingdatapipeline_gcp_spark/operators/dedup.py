@@ -183,6 +183,35 @@ def dedup_ngram_jaccard(documents: DataFrame,
     )
 
 
+def band_keys(documents: DataFrame,
+              shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, bkey) LSH band keys: shingle rows → scalar hash
+    columns → 32 min() aggregates — everything stays in whole-stage
+    codegen (array-fold HOFs are interpreted), and the groupBy gets
+    map-side partial aggregation, so the signature shuffle carries
+    ~32 longs per doc. MinHash is duplicate-insensitive (min over a
+    multiset), so no distinct. Shared by dedup_minhash_lsh (corpus
+    self-dedup) and dedup_incremental (new-batch vs corpus)."""
+    if shingles is None:
+        shingles = _shingle_rows(documents)
+    ex = shingles.select(
+        "doc_id", textfn.md5int(F.col("s")).alias("x"))
+    n_perm = 32
+    hashes = [
+        (((F.lit(17) + j * 13) * F.col("x") + j * 7919) % textfn.HASH_MOD)
+        .alias(f"h{j}") for j in range(1, n_perm + 1)
+    ]
+    sig = F.array(*[F.col(f"mh{j}") for j in range(1, n_perm + 1)])
+    return (
+        ex.select("doc_id", *hashes)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"h{j}").alias(f"mh{j}")
+               for j in range(1, n_perm + 1)])
+        .select("doc_id",
+                F.explode(textfn.lsh_band_keys(sig)).alias("bkey"))
+    )
+
+
 def dedup_minhash_lsh(documents: DataFrame,
                       shingles: DataFrame | None = None,
                       max_bucket_docs: int = 10_000) -> DataFrame:
@@ -207,28 +236,7 @@ def dedup_minhash_lsh(documents: DataFrame,
     ``shingles`` lets a caller (dedup_lsh_verified) feed a shared —
     typically persisted — shingle relation so the explode, the most
     expensive stage of the corpus path, runs exactly once."""
-    # shingle rows → scalar hash columns → 32 min() aggregates:
-    # everything stays in whole-stage codegen (array-fold HOFs are
-    # interpreted), and the groupBy gets map-side partial aggregation,
-    # so the signature shuffle carries ~32 longs per doc. MinHash is
-    # duplicate-insensitive (min over a multiset), so no distinct.
-    if shingles is None:
-        shingles = _shingle_rows(documents)
-    ex = shingles.select(
-        "doc_id", textfn.md5int(F.col("s")).alias("x"))
-    n_perm = 32
-    hashes = [
-        (((F.lit(17) + j * 13) * F.col("x") + j * 7919) % textfn.HASH_MOD)
-        .alias(f"h{j}") for j in range(1, n_perm + 1)
-    ]
-    sig = F.array(*[F.col(f"mh{j}") for j in range(1, n_perm + 1)])
-    sigs = (
-        ex.select("doc_id", *hashes)
-        .groupBy("doc_id")
-        .agg(*[F.min(f"h{j}").alias(f"mh{j}") for j in range(1, n_perm + 1)])
-        .select("doc_id",
-                F.explode(textfn.lsh_band_keys(sig)).alias("bkey"))
-    )
+    sigs = band_keys(documents, shingles)
     overflow_msg = F.concat(
         F.lit("dedup_minhash_lsh: band bucket holds "),
         F.size("ids").cast("string"),
@@ -251,6 +259,46 @@ def dedup_minhash_lsh(documents: DataFrame,
                  .alias("doc_b"))
         .distinct()
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
+                      max_bucket_docs: int = 10_000) -> DataFrame:
+    """Incremental-ingest near-dup check: which NEW documents LSH-
+    collide with the EXISTING corpus — the steady-state production
+    dedup shape (a pipeline rarely re-dedups the whole corpus; it
+    checks each incoming batch against what it already holds, the
+    same asymmetry as contamination_check for eval sets).
+
+    Scale shape: the corpus side groups its band keys into bucket
+    arrays ONCE (one exchange, cap-guarded like every bucket pairing
+    here — and at steady state a deployment persists that relation
+    per corpus version via the public band_keys), then the new
+    batch's keys equi-join the buckets — AQE broadcasts the batch
+    side when it is genuinely small, which is the whole point of
+    incremental ingest. Output: distinct (new_doc_id,
+    corpus_doc_id) candidate pairs; verify with dedup_embedding's
+    candidates mode or exact Jaccard as needed."""
+    nk = band_keys(new_docs).select(
+        F.col("doc_id").alias("new_doc_id"), "bkey")
+    overflow_msg = F.concat(
+        F.lit("dedup_incremental: corpus band bucket holds "),
+        F.size("ids").cast("string"),
+        F.lit(f" docs (> max_bucket_docs={max_bucket_docs});"
+              " dedup_exact the corpus first or raise the cap"))
+    cb = (
+        band_keys(corpus)
+        .groupBy("bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.when(F.size("ids") > max_bucket_docs,
+                       F.raise_error(overflow_msg))
+                 .otherwise(F.lit(True)))
+    )
+    return (
+        nk.join(cb, "bkey")
+        .select("new_doc_id", F.explode("ids").alias("corpus_doc_id"))
+        .distinct()
+        .orderBy("new_doc_id", "corpus_doc_id")
     )
 
 

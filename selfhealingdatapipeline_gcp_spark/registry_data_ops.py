@@ -1101,3 +1101,28 @@ register(
     ORDER BY keeper_doc_id
     """,
 )
+
+
+register(
+    "dedup_incremental",
+    lambda spark, sf: dedup.dedup_incremental(
+        _t(spark, sf, "documents")[0].filter("doc_id % 20 = 0"),
+        _t(spark, sf, "documents")[0].filter("doc_id % 20 != 0")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    )
+    SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+    FROM keys n JOIN keys c ON n.bkey = c.bkey
+    WHERE n.doc_id % 20 = 0 AND c.doc_id % 20 != 0
+    ORDER BY new_doc_id, corpus_doc_id
+    """,
+)

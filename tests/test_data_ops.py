@@ -559,3 +559,27 @@ def test_pagerank_mass_properties(spark):
     for r in rows:
         if r.vec_id not in indeg:
             assert r.pagerank_e6 == 150_000, r
+
+
+def test_dedup_incremental_parity(spark, duck):
+    assert_parity(registry.queries()["dedup_incremental"](spark, SF_ORACLE),
+                  duck, registry.oracle_sql()["dedup_incremental"])
+
+
+def test_dedup_incremental_consistent_with_full_lsh(spark):
+    """Every (new, corpus) collision found incrementally must also
+    appear in a full-corpus LSH run over the union (as an unordered
+    pair) — the incremental check can't invent pairs."""
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    inc = dedup.dedup_incremental(docs.filter("doc_id % 20 = 0"),
+                                  docs.filter("doc_id % 20 != 0"))
+    full = {(r.doc_a, r.doc_b)
+            for r in dedup.dedup_minhash_lsh(docs).collect()}
+    for r in inc.collect():
+        a, b = sorted((r.new_doc_id, r.corpus_doc_id))
+        assert (a, b) in full, (a, b)
