@@ -189,13 +189,18 @@ def test_q2_cheapest_supplier_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_guard_hot_set_is_broadcast(spark):
-    """The df-ceiling must remove hot shingles via broadcast anti-join
-    (LeftAnti BroadcastHashJoin) — re-shuffling or window-sorting the
-    full shingle relation for the guard is the regression this pins."""
+def test_ngram_pairing_is_join_free(spark):
+    """ngram-Jaccard must be the join-free bucket-grouped form (r5):
+    the df-ceiling is a size filter on the shingle-bucket aggregation
+    (no anti-join pass) and pairs/denominators emit via generators —
+    ANY join node is a regression toward the self-join that went 20×
+    superlinear at sf10, or the pairs-broadcast that tripped
+    maxResultSize."""
     df = registry.queries()["dedup_ngram_jaccard"](spark, SF_ORACLE)
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Join" not in plan, f"ngram pairing regressed to a join\n{plan[:1500]}"
+    assert "Generate" in plan
+    assert "size(" in plan  # the df-ceiling size filter
 
 
 def test_customer_rfm_no_global_window(spark):
