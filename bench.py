@@ -63,6 +63,10 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "seq_pack_plan",
     "knn_graph_cells",
+    "pagerank_knn",
+    "quality_drift_tv",
+    "dedup_incremental",
+    "cdc_scd2_from_log",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
