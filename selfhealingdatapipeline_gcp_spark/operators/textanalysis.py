@@ -240,3 +240,42 @@ def text_unigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def source_quality_report(documents: DataFrame) -> DataFrame:
+    """Per-source curation report — the table a data-mixing decision
+    actually reads: volume (docs, estimated tokens), exact-duplicate
+    rate, and quality-score distribution (mean + share ≥ 0.5) for
+    every source.
+
+    Scale shape: the per-doc quality pipeline (token explode + one
+    doc-grain aggregate) joins back to the doc row ONCE on doc_id,
+    then everything collapses to a |sources|-row aggregate with
+    map-side partials. All averages accumulate in integer units
+    (scores are exact 1e-4 multiples, so round(q·1e4) is lossless) —
+    order-independent across engines and retries."""
+    qs = text_quality_score(documents).select("doc_id", "quality_score")
+    est = F.greatest(F.floor((F.col("n_chars") + 3) / 4).cast("bigint"),
+                     F.lit(1))
+    base = documents.select("doc_id", "source", est.alias("est_tokens"),
+                            F.md5("text").alias("__h"))
+    q_e4 = F.round(F.col("quality_score") * 1e4).cast("bigint")
+    agg = (
+        base.join(qs, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("__h").alias("n_unique"),
+             F.sum("est_tokens").alias("total_est_tokens"),
+             F.sum(q_e4).alias("__sum_q"),
+             F.sum((q_e4 >= 5000).cast("bigint")).alias("__n_good"))
+    )
+    return agg.select(
+        "source", "n_docs", "n_unique",
+        F.floor((F.col("n_docs") - F.col("n_unique")) * 1e6
+                / F.col("n_docs")).cast("bigint").alias("dup_rate_e6"),
+        "total_est_tokens",
+        F.floor(F.col("__sum_q") / F.col("n_docs")).cast("bigint")
+         .alias("mean_quality_e4"),
+        F.floor(F.col("__n_good") * 1e6 / F.col("n_docs")).cast("bigint")
+         .alias("good_share_e6"),
+    ).orderBy("source")

@@ -1126,3 +1126,58 @@ register(
     ORDER BY new_doc_id, corpus_doc_id
     """,
 )
+
+
+register(
+    "source_quality_report",
+    lambda spark, sf: textanalysis.source_quality_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    f AS (
+      SELECT doc_id,
+             len(t) AS n,
+             list_reduce([CAST(0 AS BIGINT)] || list_transform(t, x -> length(x)::BIGINT),
+                         (acc, x) -> acc + x) AS sum_len,
+             len(list_filter(t, x -> list_contains({_STOPS}, x))) AS n_stop
+      FROM d
+    ), g AS (
+      SELECT doc_id, n,
+             sum_len / greatest(n, 1) AS mean_len,
+             n_stop / greatest(n, 1) AS stop_ratio,
+             least(n / 100.0, 1.0) AS len_score
+      FROM f
+    ), q AS (
+      SELECT doc_id,
+             CAST(round((floor((0.5 * len_score + 0.3 * stop_ratio
+                   + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
+                            THEN 1.0 ELSE 0.0 END)) * 10000.0) / 10000.0)
+                  * 10000.0) AS BIGINT) AS q_e4
+      FROM g
+    ), base AS (
+      SELECT doc_id, source,
+             greatest(CAST(floor((n_chars + 3) / 4) AS BIGINT), 1)
+               AS est_tokens,
+             md5(text) AS h
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+             CAST(sum(est_tokens) AS BIGINT) AS total_est_tokens,
+             CAST(sum(q_e4) AS BIGINT) AS sum_q,
+             CAST(sum(CASE WHEN q_e4 >= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good
+      FROM base JOIN q USING (doc_id)
+      GROUP BY 1
+    )
+    SELECT source, n_docs, n_unique,
+           CAST(floor((n_docs - n_unique) * 1e6 / n_docs) AS BIGINT)
+             AS dup_rate_e6,
+           total_est_tokens,
+           CAST(floor(sum_q / n_docs) AS BIGINT) AS mean_quality_e4,
+           CAST(floor(n_good * 1e6 / n_docs) AS BIGINT) AS good_share_e6
+    FROM agg
+    ORDER BY source
+    """,
+)

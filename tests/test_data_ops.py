@@ -583,3 +583,22 @@ def test_dedup_incremental_consistent_with_full_lsh(spark):
     for r in inc.collect():
         a, b = sorted((r.new_doc_id, r.corpus_doc_id))
         assert (a, b) in full, (a, b)
+
+
+def test_source_quality_report_parity(spark, duck):
+    assert_parity(
+        registry.queries()["source_quality_report"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["source_quality_report"])
+
+
+def test_source_quality_report_totals(spark):
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["source_quality_report"](
+        spark, SF_ORACLE).collect()
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 < r.n_unique <= r.n_docs
+        assert 0 <= r.dup_rate_e6 <= 1_000_000
+        assert 0 <= r.good_share_e6 <= 1_000_000
+        assert r.total_est_tokens > 0
