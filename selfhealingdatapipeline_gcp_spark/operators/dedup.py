@@ -671,7 +671,14 @@ def dedup_clusters(documents: DataFrame,
     generator; default is MinHash-LSH over ``documents``."""
     if edges is None:
         edges = dedup_minhash_lsh(documents)
-    edges = edges.select("doc_a", "doc_b")
+    # Materialize the edge relation ONCE before looping: the loop
+    # joins adj against labels twice per round, and without this the
+    # whole candidate-generation subtree (at worst the full
+    # LSH-verify pipeline) re-evaluates in EVERY round — measured as
+    # the dominant cost of dedup_verified_clusters at sf1 (~4 s of
+    # upstream × 2 joins × rounds). Edges are near-dup pairs —
+    # bounded, tiny next to the corpus — so the checkpoint is cheap.
+    edges = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
     # undirected edge list, both directions
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
