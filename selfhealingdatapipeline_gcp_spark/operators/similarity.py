@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
 
 
+def _dim_or_none(embeddings: DataFrame) -> int | None:
+    """Corpus dimensionality, or None for an EMPTY corpus. Callers
+    return a correctly-typed empty result instead of crashing on
+    ``first().d`` — an empty partition/batch is a normal pipeline
+    state, not an error."""
+    row = embeddings.select(F.size("embedding").alias("d")).first()
+    return None if row is None else int(row.d)
+
+
 def _with_norms(embeddings: DataFrame) -> DataFrame:
     # round-robin spread: a single-file corpus otherwise pins all the
     # per-pair dot products to one task (explicit N is AQE-stable)
@@ -102,8 +111,17 @@ def assign_cells_arrow(n: DataFrame, cents: DataFrame,
     import numpy as np
     import pandas as pd
 
+    if passthrough:
+        out_schema = ("vec_id bigint, cent_id bigint, v array<double>, "
+                      "nrm double, label int")
+    else:
+        out_schema = "vec_id bigint, cent_id bigint"
     cent_rows = sorted(cents.select("cent_id", "cv", "cnrm").collect(),
                        key=lambda r: r["cent_id"])
+    if not cent_rows:
+        # an empty grid only arises from an empty corpus: typed empty
+        # result instead of an IndexError on C.shape
+        return n.sparkSession.createDataFrame([], out_schema)
     cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     C = np.array([list(r["cv"]) for r in cent_rows], dtype=np.float64)
     cnrms = np.array([r["cnrm"] for r in cent_rows], dtype=np.float64)
@@ -143,16 +161,10 @@ def assign_cells_arrow(n: DataFrame, cents: DataFrame,
                 out["label"] = pdf["label"]
             yield pd.DataFrame(out)
 
-    if passthrough:
-        schema = ("vec_id bigint, cent_id bigint, v array<double>, "
-                  "nrm double, label int")
-        cols = ["vec_id", "v", "label"]
-    else:
-        schema = "vec_id bigint, cent_id bigint"
-        cols = ["vec_id", "v"]
+    cols = ["vec_id", "v", "label"] if passthrough else ["vec_id", "v"]
     if not compute_norm:
         cols.insert(2, "nrm")
-    return n.select(*cols).mapInPandas(assign, schema)
+    return n.select(*cols).mapInPandas(assign, out_schema)
 
 
 def pq_encode_arrow(source: DataFrame, cb: DataFrame, n_sub: int,
@@ -180,6 +192,12 @@ def pq_encode_arrow(source: DataFrame, cb: DataFrame, n_sub: int,
 
     cb_rows = sorted(cb.select("code", "cbv").collect(),
                      key=lambda r: r["code"])
+    if not cb_rows:
+        # empty codebook ⇒ empty corpus: typed empty result
+        schema = ("vec_id bigint, cent_id bigint, m int, code bigint"
+                  if cents is not None else
+                  "vec_id bigint, m int, code bigint")
+        return source.sparkSession.createDataFrame([], schema)
     code_ids = np.array([r["code"] for r in cb_rows], dtype=np.int64)
     CB = np.array([list(r["cbv"]) for r in cb_rows], dtype=np.float64)
     dim = CB.shape[1]
@@ -362,7 +380,11 @@ def ann_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     integer units so the subspace sum is order-independent across
     engines."""
     n = _with_norms(embeddings)
-    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    dim = _dim_or_none(embeddings)
+    if dim is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "approx_dist double, rank int")
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     dsub = dim // n_sub
@@ -603,7 +625,11 @@ def ann_rp_lsh_topk(embeddings: DataFrame, n_queries: int = 5,
 
     Deterministic end-to-end: planes from md5 (rp_sign), integer-unit
     projections, cosine rounded at 6."""
-    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    dim = _dim_or_none(embeddings)
+    if dim is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "score double, rank int")
     n = _with_norms(embeddings)
     tj = [(t, j) for t in range(n_tables) for j in range(n_planes)]
 
@@ -679,7 +705,11 @@ def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
     per (query, probed cell) against the same codebook, so the scan is
     one equi-join on (cell, subspace, code) + an integer sum."""
     n = _with_norms(embeddings)
-    dim = int(embeddings.select(F.size("embedding").alias("d")).first().d)
+    dim = _dim_or_none(embeddings)
+    if dim is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "approx_dist double, rank int")
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     dsub = dim // n_sub
