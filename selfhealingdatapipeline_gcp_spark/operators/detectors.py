@@ -616,11 +616,19 @@ def quality_null_trend(events: DataFrame,
     aggs = []
     for c in columns:
         isnull = F.col(c).isNull().cast("int")
+        # try_divide: a corpus whose history (or anchor day) is empty
+        # has an UNDEFINED rate, not a crash — NULL propagates through
+        # delta and coalesces to is_degraded=false. Real history keeps
+        # the plain-division arithmetic bit-for-bit (same operands).
         aggs += [
-            (F.sum(F.when(is_today, isnull).otherwise(0)) * 100.0
-             / F.sum(F.when(is_today, 1).otherwise(0))).alias(f"{c}__today"),
-            (F.sum(F.when(~is_today, isnull).otherwise(0)) * 100.0
-             / F.sum(F.when(~is_today, 1).otherwise(0))).alias(f"{c}__base"),
+            F.try_divide(
+                F.sum(F.when(is_today, isnull).otherwise(0)) * 100.0,
+                F.sum(F.when(is_today, 1).otherwise(0)))
+             .alias(f"{c}__today"),
+            F.try_divide(
+                F.sum(F.when(~is_today, isnull).otherwise(0)) * 100.0,
+                F.sum(F.when(~is_today, 1).otherwise(0)))
+             .alias(f"{c}__base"),
         ]
     wide = a.agg(*aggs)
     stack_expr = ", ".join(

@@ -28,3 +28,21 @@ def empty_dir(spark, tmp_path_factory):
 def test_runs_on_empty_catalog(name, spark, empty_dir):
     df = registry.queries()[name](spark, empty_dir)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_one")
+    for t in catalog.TABLES:
+        (catalog.load(spark, SRC, t).limit(1)
+         .write.mode("overwrite").parquet(f"{d}/{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_runs_on_one_row_catalog(name, spark, one_row_dir):
+    """Singleton tables exercise zero-variance / zero-history /
+    single-member-group paths (caught quality_null_trend's ANSI
+    divide-by-zero on an empty baseline)."""
+    df = registry.queries()[name](spark, one_row_dir)
+    assert df.count() >= 0
