@@ -34,7 +34,16 @@ def pagerank_edges(nodes: DataFrame, edges: DataFrame,
     relation covering every vertex (isolated vertices keep the base
     mass). Each round is one fact-shaped equi-join edges⋈mass plus a
     groupBy(dst) with map-side partial integer sums — 2 shuffles per
-    round, bounded by |edges| and |nodes|, nothing driver-side."""
+    round, bounded by |edges| and |nodes|.
+
+    The edge relation materializes ONCE up front (localCheckpoint):
+    the unrolled plan references edges in the degree count and in
+    every round's join, and without the checkpoint each reference
+    re-evaluates the whole edge-GENERATION subtree — for knn edges
+    that was six full knn computations per execution (caught by the
+    plan test counting FlatMapGroupsInPandas nodes). Edges are
+    O(k·|nodes|) slim rows — tiny next to regenerating them."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     base = (100 - damping_pct) * 10_000  # (1-d) of 1e6 mass units
     mass = nodes.select("node", F.lit(1_000_000).cast("bigint")

@@ -249,3 +249,54 @@ def test_sessionize_buckets_the_session_window(spark):
             if "Exchange hashpartitioning(user_id" in ln
             and "_groupingexpression" in ln]
     assert lvl1, "no composite (user_id, bucket) exchange in plan"
+
+
+def test_q21_single_fact_shuffle_no_self_join(spark):
+    """q21's claim: the fact shuffles ONCE on the order key (per-order
+    conditional-distinct profile), never the classical triple
+    self-join — at most 3 hash exchanges total (order profile,
+    supplier count, final sort prep) and no cartesian."""
+    df = registry.queries()["q21_waiting_suppliers"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    n_exchanges = sum(1 for ln in plan.splitlines()
+                      if "Exchange hashpartitioning" in ln)
+    assert n_exchanges <= 3, f"q21 shuffles grew: {n_exchanges}\n{plan[:1500]}"
+    # lineitem appears ONCE (no l1/l2/l3 triple scan)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    df = registry.queries()["q16_part_supplier_variety"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_part_prune_is_semi_join(spark):
+    df = registry.queries()["q20_part_volume_suppliers"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the year range must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), " in plan
+
+
+def test_pagerank_edges_materialize_once(spark):
+    """pagerank's unrolled plan references the edge relation in the
+    degree count and in every round's join; the edges must be
+    CHECKPOINTED so the edge-generation subtree (the whole knn
+    computation) appears ZERO times in the final plan — before the
+    fix it appeared six times, six knn runs per execution."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import graph
+
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    df = graph.pagerank_knn(emb)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 0, (
+        "knn subtree leaked into the pagerank plan (edges not "
+        "materialized)")
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan or \
+        "Scan ExistingRDD" in plan  # the checkpointed edge relation
