@@ -67,6 +67,10 @@ HEADLINE = [
     "quality_drift_tv",
     "dedup_incremental",
     "cdc_scd2_from_log",
+    "dedup_containment",
+    "cross_source_overlap",
+    "bm25_search",
+    "doc_chunk_plan",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

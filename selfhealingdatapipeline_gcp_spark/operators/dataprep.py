@@ -402,3 +402,42 @@ def temperature_mixing_weights(documents: DataFrame,
              .cast("bigint").alias("boost_e4"))
         .orderBy("stratum")
     )
+
+
+def doc_chunk_plan(documents: DataFrame, chunk_tokens: int = 64,
+                   overlap: int = 16) -> DataFrame:
+    """Fixed-size token-window chunking plan with overlap — the
+    RAG/context-window splitter every retrieval or packing pipeline
+    runs before embedding: chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride =
+    chunk_tokens − overlap; the last chunk clips to the doc length,
+    and every doc (even an empty one) emits at least one chunk row so
+    downstream joins never silently drop short docs.
+
+    Scale shape: pure scan-level integer arithmetic + one
+    sequence-explode — ZERO shuffle; the plan is a projection whose
+    output is ~n_tokens/stride rows per doc. All chunk bounds are
+    integer expressions (no floats anywhere), so the plan is
+    engine-exact and retry-stable by construction."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    nt = F.size(textfn.tokens("text")).cast("bigint")
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((nt - overlap + (stride - 1)) / F.lit(stride).cast("double"))
+         .cast("bigint"))
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk_tokens, F.col("n_tokens"))
+    return (
+        documents
+        .select("doc_id", nt.alias("n_tokens"), n_chunks.alias("__nc"))
+        .select("doc_id", "n_tokens",
+                F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                     F.col("__nc") - 1)).alias("chunk_idx"))
+        .select("doc_id", "n_tokens", "chunk_idx",
+                start.alias("start_token"), end.alias("end_token"),
+                F.greatest(end - start, F.lit(0).cast("bigint"))
+                 .alias("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    )

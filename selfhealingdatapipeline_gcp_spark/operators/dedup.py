@@ -62,8 +62,11 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_rows(documents: DataFrame) -> DataFrame:
-    """Long-format 3-gram shingles: (doc_id, s), duplicates included.
+def _shingle_rows(documents: DataFrame,
+                  carry: tuple[str, ...] = ()) -> DataFrame:
+    """Long-format 3-gram shingles: (doc_id, *carry, s), duplicates
+    included — ``carry`` rides extra doc-level columns (e.g. source)
+    through the explode so callers never join back to the doc table.
 
     Built with posexplode + windowed lead() instead of array
     expressions: higher-order array functions are interpreted
@@ -73,14 +76,14 @@ def _shingle_rows(documents: DataFrame) -> DataFrame:
     """
     toks = (
         _spread(documents, "doc_id")
-        .select("doc_id", F.posexplode(textfn.tokens("text"))
+        .select("doc_id", *carry, F.posexplode(textfn.tokens("text"))
                 .alias("pos", "w"))
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
     return (
         toks
         .select(
-            "doc_id",
+            "doc_id", *carry,
             F.concat_ws(" ", F.col("w"),
                         F.lead("w", 1).over(win),
                         F.lead("w", 2).over(win)).alias("s"),
@@ -132,6 +135,26 @@ def dedup_ngram_jaccard(documents: DataFrame,
     df-filtered universe) come from re-aggregating the KEPT buckets,
     so df-dropped shingles leave both sides of the ratio
     consistently."""
+    pairs = _shingle_pair_counts(documents, max_df)
+    jac = (F.col("n_common") * 1.0
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (
+        pairs
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b",
+                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _shingle_pair_counts(documents: DataFrame,
+                         max_df: int | None) -> DataFrame:
+    """Common-3-gram counts per candidate doc pair, bucket-grouped
+    (no self-join): (doc_a, doc_b, n_common, n_a, n_b) where n_a/n_b
+    are each doc's distinct-shingle count over the df-filtered
+    universe. Shared by dedup_ngram_jaccard (symmetric Jaccard) and
+    dedup_containment (asymmetric overlap); the scale/guard notes
+    live on dedup_ngram_jaccard's docstring."""
     distinct_sh = (
         _shingle_rows(documents)
         .select("doc_id", textfn.md5int(F.col("s")).alias("h"))
@@ -173,13 +196,90 @@ def dedup_ngram_jaccard(documents: DataFrame,
              F.max("n_a").alias("n_a"),
              F.max(F.col("b.n")).alias("n_b"))
     )
-    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return pairs
+
+
+def dedup_containment(documents: DataFrame,
+                      threshold: float = 0.7,
+                      max_df: int | None = 10_000) -> DataFrame:
+    """Asymmetric near-duplicate pairs by 3-gram CONTAINMENT:
+    |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    Jaccard misses the quote/boilerplate-inclusion case that matters
+    in web corpora: a short document wholly embedded in a much longer
+    one has tiny Jaccard (the union is dominated by the long doc) but
+    containment ≈ 1. This is the standard companion metric in
+    corpus-dedup pipelines (containment a.k.a. overlap coefficient).
+
+    Same plan shape and df-ceiling guard as dedup_ngram_jaccard —
+    one bucket-grouped pair emission, no self-join, no broadcast
+    hazard (see that docstring for the scale analysis). Output marks
+    which doc is the contained (smaller shingle-set) side, ties to
+    the lower doc_id."""
+    pairs = _shingle_pair_counts(documents, max_df)
+    cont = F.col("n_common") * 1.0 / F.least("n_a", "n_b")
     return (
         pairs
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b",
-                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
+        .filter(cont >= threshold)
+        .select(
+            "doc_a", "doc_b",
+            (F.floor(cont * 1e6) / 1e6).alias("containment"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+             .otherwise(F.col("doc_b")).alias("contained_doc"),
+        )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def cross_source_overlap(documents: DataFrame) -> DataFrame:
+    """3-gram vocabulary overlap between source PAIRS — the
+    crawl-vs-crawl diagnostic a corpus merge reads before mixing:
+    how much of dump B's n-gram vocabulary is already in dump A
+    decides dedup order and whether B adds signal at any weight.
+
+    Plan: one groupBy on the 48-bit shingle hash builds the per-hash
+    source set (the shuffle carries (hash, source), never text); the
+    buckets emit source pairs with the same two-generator pattern as
+    the shingle dedups (no self-join; a hash shared by k sources
+    emits C(k,2) ≤ C(|sources|,2) pairs — bounded by the source
+    count, not the corpus). Per-source distinct totals re-aggregate
+    the SAME bucket relation (reused exchange) and join back
+    broadcast (|sources| rows). Output per pair: shared distinct
+    shingles, each side's distinct total, Jaccard and containment
+    shares — all counts integer, shares floor-e6."""
+    sh = (
+        _shingle_rows(documents, carry=("source",))
+        .select("source", textfn.md5int(F.col("s")).alias("h"))
+    )
+    buckets = sh.groupBy("h").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs"))
+    per_src = (
+        buckets.select(F.explode("srcs").alias("source"))
+        .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    )
+    shared = (
+        buckets
+        .filter(F.size("srcs") >= 2)
+        .select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a",
+                F.explode(F.filter(
+                    "srcs", lambda s: s > F.col("src_a"))).alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    jac = (F.col("shared_shingles") * 1.0
+           / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")))
+    cont = F.col("shared_shingles") * 1.0 / F.least("n_a", "n_b")
+    return (
+        shared
+        .join(F.broadcast(per_src.withColumnRenamed("source", "src_a")
+                          .withColumnRenamed("n", "n_a")), "src_a")
+        .join(F.broadcast(per_src.withColumnRenamed("source", "src_b")
+                          .withColumnRenamed("n", "n_b")), "src_b")
+        .select("src_a", "src_b", "shared_shingles", "n_a", "n_b",
+                (F.floor(jac * 1e6) / 1e6).alias("overlap_jaccard"),
+                (F.floor(cont * 1e6) / 1e6).alias("containment"))
+        .orderBy("src_a", "src_b")
     )
 
 

@@ -279,3 +279,93 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
         F.floor(F.col("__n_good") * 1e6 / F.col("n_docs")).cast("bigint")
          .alias("good_share_e6"),
     ).orderBy("source")
+
+
+def bm25_search(documents: DataFrame,
+                terms: tuple[str, ...] = ("spark", "query", "fast"),
+                k: int = 20, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 keyword retrieval, top-k — the production ranking function
+    keyword_search_tfidf approximates: doc-length-normalized term
+    frequency saturation (k1) and length penalty (b), with the
+    standard Robertson idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Same scale shape as tfidf: only query-term token rows survive the
+    explode into any shuffle; df and the corpus length stats are tiny
+    broadcast scalars; the one corpus-sized aggregate is the per-doc
+    length relation (doc_id grain). Determinism: every per-(doc,term)
+    contribution is floor-truncated to an e6 INTEGER before the
+    per-doc sum (the text_unigram_logprob discipline — order-
+    independent across partial aggregation and engines); ln() of
+    identical doubles agrees across engines."""
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = (
+        _spread(documents)
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("sum_dl"),
+                   F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.filter(F.array_contains(term_arr, F.col("w")))
+        .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = (F.col("tf")
+             + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                            + F.lit(b) * F.col("dl") / avgdl))
+    contrib_e6 = F.floor(
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom * 1e6).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib_e6.alias("c_e6"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_terms"),
+             (F.floor(F.sum("c_e6") / 100.0) / 1e4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+
+
+def source_ngram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-source 3-gram novelty: the share of a source's distinct
+    shingles that appear in NO other source — the uniqueness signal a
+    mixing decision reads next to volume (source_token_stats) and
+    quality (source_quality_report): a source whose n-grams are
+    almost all shared adds little new signal at any mixing weight.
+
+    Join-free: one groupBy on the 48-bit shingle hash builds the
+    per-hash source set (collect_set dedups in-bucket — the shuffle
+    carries (hash, source), never text), explode + a |sources|-grain
+    aggregate reads novelty straight off the set size. Two exchanges
+    total, both on small keys; output is O(|sources|) rows."""
+    from selfhealingdatapipeline_gcp_spark.operators.dedup import _shingle_rows
+    sh = _shingle_rows(documents, carry=("source",))
+    buckets = (
+        sh.select("source", textfn.md5int(F.col("s")).alias("h"))
+        .groupBy("h")
+        .agg(F.collect_set("source").alias("srcs"))
+    )
+    per = (
+        buckets
+        .select(F.explode("srcs").alias("source"),
+                F.size("srcs").alias("k"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("distinct_shingles"),
+             F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+              .cast("bigint").alias("novel_shingles"))
+    )
+    return (
+        per.select(
+            "source", "distinct_shingles", "novel_shingles",
+            F.floor(F.col("novel_shingles") * 1e6
+                    / F.col("distinct_shingles"))
+             .cast("bigint").alias("novelty_e6"))
+        .orderBy("source")
+    )

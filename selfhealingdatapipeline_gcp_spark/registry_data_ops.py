@@ -1181,3 +1181,126 @@ register(
     ORDER BY source
     """,
 )
+
+
+register(
+    "dedup_containment",
+    lambda spark, sf: dedup.dedup_containment(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ex0 AS (
+      SELECT doc_id, {_md5int('unnest(s)')} AS g FROM sh
+    ), keep AS (
+      SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 10000
+    ), ex AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, g
+      FROM ex0 WHERE g IN (SELECT g FROM keep)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common, max(a.n) AS n_a, max(b.n) AS n_b
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           (floor((n_common * 1.0 / least(n_a, n_b)) * 1000000.0)
+            / 1000000.0) AS containment,
+           CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS contained_doc
+    FROM pairs
+    WHERE n_common * 1.0 / least(n_a, n_b) >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+)
+
+register(
+    "cross_source_overlap",
+    lambda spark, sf: dedup.cross_source_overlap(*_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SHINGLES} AS s
+      FROM (SELECT doc_id, source, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ex0 AS (
+      SELECT source, {_md5int('unnest(s)')} AS h FROM sh
+    ), ex AS (
+      SELECT DISTINCT source, h FROM ex0
+    ), per AS (
+      SELECT source, count(*) AS n FROM ex GROUP BY 1
+    ), pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS shared_shingles
+      FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared_shingles, pa.n AS n_a, pb.n AS n_b,
+           (floor((shared_shingles * 1.0 / (pa.n + pb.n - shared_shingles))
+                  * 1000000.0) / 1000000.0) AS overlap_jaccard,
+           (floor((shared_shingles * 1.0 / least(pa.n, pb.n))
+                  * 1000000.0) / 1000000.0) AS containment
+    FROM pairs
+    JOIN per pa ON pairs.src_a = pa.source
+    JOIN per pb ON pairs.src_b = pb.source
+    ORDER BY src_a, src_b
+    """,
+)
+
+register(
+    "bm25_search",
+    lambda spark, sf: textanalysis.bm25_search(*_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), st AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks
+      WHERE w IN ('spark', 'query', 'fast') GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(floor(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * l.dl / (st.sum_dl / st.n_docs)))
+                  * 1000000.0) AS BIGINT) AS c_e6
+      FROM tf t JOIN dfc d USING (w) JOIN dl l USING (doc_id), st
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+           (floor(sum(c_e6) / 100.0) / 10000.0) AS score
+    FROM sc GROUP BY 1
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+
+register(
+    "source_ngram_novelty",
+    lambda spark, sf: textanalysis.source_ngram_novelty(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_SHINGLES} AS s
+      FROM (SELECT doc_id, source, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ex0 AS (
+      SELECT source, {_md5int('unnest(s)')} AS h FROM sh
+    ), ex AS (
+      SELECT DISTINCT source, h FROM ex0
+    ), b AS (
+      SELECT h, count(*) AS k FROM ex GROUP BY 1
+    )
+    SELECT source, count(*) AS distinct_shingles,
+           CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_shingles,
+           CAST(floor(CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      * 1000000.0 / count(*)) AS BIGINT) AS novelty_e6
+    FROM ex JOIN b USING (h)
+    GROUP BY 1
+    ORDER BY source
+    """,
+)

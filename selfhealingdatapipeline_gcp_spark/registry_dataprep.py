@@ -323,3 +323,32 @@ register(
     ORDER BY stratum
     """,
 )
+
+
+register(
+    "doc_chunk_plan",
+    lambda spark, sf: dataprep.doc_chunk_plan(*_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(floor((n_tokens - 16 + 47) / 48.0) AS BIGINT))
+               AS n_chunks
+      FROM d
+    ), x AS (
+      SELECT doc_id, n_tokens,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, n_tokens, chunk_idx,
+           chunk_idx * 48 AS start_token,
+           least(chunk_idx * 48 + 64, n_tokens) AS end_token,
+           greatest(least(chunk_idx * 48 + 64, n_tokens) - chunk_idx * 48,
+                    CAST(0 AS BIGINT)) AS chunk_len
+    FROM x
+    ORDER BY doc_id, chunk_idx
+    """,
+)

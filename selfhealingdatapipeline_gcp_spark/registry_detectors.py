@@ -611,3 +611,33 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+register(
+    "benford_first_digit",
+    lambda spark, sf: detectors.benford_first_digit(*_t(spark, sf, "orders")),
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total FROM c
+    ), s AS (
+      SELECT digit, n,
+             CAST(floor(n * 1e6 / total) AS BIGINT) AS share_e6,
+             CAST(CASE digit
+                  WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                  WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                  WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757
+                  END AS BIGINT) AS benford_e6
+      FROM c, t
+    )
+    SELECT digit, n, share_e6, benford_e6,
+           abs(share_e6 - benford_e6) AS dev_e6,
+           (abs(share_e6 - benford_e6) > 15000) AS is_deviant
+    FROM s
+    ORDER BY digit
+    """,
+)

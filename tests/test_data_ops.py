@@ -602,3 +602,70 @@ def test_source_quality_report_totals(spark):
         assert 0 <= r.dup_rate_e6 <= 1_000_000
         assert 0 <= r.good_share_e6 <= 1_000_000
         assert r.total_est_tokens > 0
+
+
+R5B_ORACLE_CHECKED = [
+    "dedup_containment",
+    "cross_source_overlap",
+    "bm25_search",
+    "source_ngram_novelty",
+]
+
+
+@pytest.mark.parametrize("name", R5B_ORACLE_CHECKED)
+def test_parity_r5b(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_containment_at_least_jaccard(spark):
+    """For every pair both ops emit, containment >= jaccard (the
+    denominator min(|A|,|B|) <= |A∪B|), and contained_doc is one of
+    the pair."""
+    qs = registry.queries()
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in qs["dedup_ngram_jaccard"](spark, SF_ORACLE).collect()}
+    cont = qs["dedup_containment"](spark, SF_ORACLE).collect()
+    assert len(cont) > 0
+    for r in cont:
+        assert r.contained_doc in (r.doc_a, r.doc_b)
+        if (r.doc_a, r.doc_b) in jac:
+            assert r.containment >= jac[(r.doc_a, r.doc_b)] - 1e-6
+
+
+def test_cross_source_overlap_bounds(spark):
+    """Shares live in [0,1], shared <= min(n_a, n_b), and the pair
+    list is consistent with the per-source totals."""
+    rows = registry.queries()["cross_source_overlap"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.shared_shingles <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.overlap_jaccard <= r.containment <= 1.0
+
+
+def test_bm25_matches_contain_terms(spark):
+    """Every BM25 hit actually contains >= 1 query term; scores are
+    emitted in non-increasing order."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = {r.doc_id: r.text for r in catalog.load(
+        spark, SF_ORACLE, "documents").collect()}
+    rows = registry.queries()["bm25_search"](spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        toks = set(docs[r.doc_id].split())
+        assert toks & {"spark", "query", "fast"}
+        assert 1 <= r.matched_terms <= 3
+
+
+def test_source_ngram_novelty_bounds(spark):
+    rows = registry.queries()["source_ngram_novelty"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.novel_shingles <= r.distinct_shingles
+        assert 0 <= r.novelty_e6 <= 1_000_000

@@ -24,6 +24,7 @@ DATAPREP = [
     "seq_pack_plan",
     "token_histogram",
     "temperature_mixing_weights",
+    "doc_chunk_plan",
 ]
 
 
@@ -164,3 +165,40 @@ def test_temperature_mixing_flattens_toward_uniform(spark):
             assert r.boost_e4 <= 10_000, r
     total = sum(r.tempered_e6 for r in rows)
     assert abs(total - 1_000_000) < len(rows) + 1
+
+
+def test_doc_chunk_plan_tiles_documents(spark):
+    """Chunks tile each doc: first starts at 0, consecutive starts
+    step by the stride, the last chunk's end equals n_tokens (for
+    non-empty docs), and every doc emits >= 1 chunk."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = dataprep.doc_chunk_plan(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = docs.count()
+    assert len(by_doc) == n_docs
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert chunks[0].start_token == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_token - a.start_token == 48
+            assert a.end_token > b.start_token  # overlap is real
+        last = chunks[-1]
+        assert last.end_token == last.n_tokens or last.n_tokens == 0
+        for c in chunks:
+            assert c.chunk_len == c.end_token - c.start_token >= 0
+
+
+def test_benford_detector_shape(spark):
+    """Digits are 1-9, counts sum to the order count, shares sum to
+    ~1e6 (floor-truncation loses < 9 units)."""
+    from selfhealingdatapipeline_gcp_spark import catalog, registry
+    rows = registry.queries()["benford_first_digit"](
+        spark, SF_ORACLE).collect()
+    n_orders = catalog.load(spark, SF_ORACLE, "orders").count()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.n for r in rows) == n_orders
+    tot = sum(r.share_e6 for r in rows)
+    assert 1_000_000 - 9 <= tot <= 1_000_000

@@ -32,6 +32,7 @@ DETECTORS = [
     "event_anomaly_mad",
     "value_outlier_iqr",
     "orders_backlog_aging",
+    "benford_first_digit",
 ]
 
 
