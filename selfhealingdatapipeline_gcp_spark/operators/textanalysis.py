@@ -7,7 +7,7 @@ and a rolling-hash fingerprint. No Python UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.functions import money, textfn
@@ -367,5 +367,83 @@ def source_ngram_novelty(documents: DataFrame) -> DataFrame:
             F.floor(F.col("novel_shingles") * 1e6
                     / F.col("distinct_shingles"))
              .cast("bigint").alias("novelty_e6"))
+        .orderBy("source")
+    )
+
+
+def vocab_coverage(documents: DataFrame,
+                   ks: tuple[int, ...] = (10, 100, 1000)) -> DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES
+    the k most frequent token types cover, for each target k — the
+    number a tokenizer-vocab or stopword-list decision reads (if 1k
+    types cover 99%, a 50k-entry vocab is waste).
+
+    Scale shape: one token-grain groupBy (map-side combined; the
+    shuffle carries (token, count) — vocabulary-sized, not
+    corpus-sized), then rank + running-sum windows over the VOCAB
+    relation. The windows are global-ordered but their input is the
+    vocabulary, which is sublinear in corpus size (Heaps' law) and
+    fits one stage at any SF the token groupBy survives. Counts and
+    running sums are bigints (order-independent); coverage is
+    floor-e6. Ties rank deterministically (count desc, token asc).
+    Output is |ks| rows."""
+    vocab = (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy(F.desc("n"), "w")
+    ranked = vocab.select(
+        "n", F.row_number().over(win).alias("rank"),
+        F.sum("n").over(win.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("cum"))
+    total = vocab.agg(F.sum("n").alias("total"),
+                      F.count(F.lit(1)).alias("vocab_size"))
+    karr = F.array(*[F.lit(k) for k in sorted(ks)])
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        # a target k beyond the vocabulary clamps to the last rank
+        .filter(F.array_contains(karr, F.col("rank"))
+                | ((F.col("rank") == F.col("vocab_size"))
+                   & (F.col("vocab_size") < F.lit(max(ks)))))
+        .select(
+            F.least(F.col("rank"), F.col("vocab_size")).alias("k"),
+            F.col("cum").alias("covered_tokens"),
+            "total",
+            F.floor(F.col("cum") * 1e6 / F.col("total")).cast("bigint")
+             .alias("coverage_e6"))
+        .orderBy("k")
+    )
+
+
+def source_token_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution (nats) —
+    the diversity signal next to novelty and volume: near-zero
+    entropy means a source is template spam regardless of its size.
+
+    H = ln(N) − (Σ n_w·ln n_w)/N computed from per-(source, token)
+    counts; each n·ln(n) term floors to an e6 INTEGER before the
+    per-source sum (order-independent across engines and retries —
+    the unigram_logprob discipline), with one double ln(N) and one
+    division at the end, floor-e6. Shuffles carry (source, token,
+    count); output is O(|sources|) rows."""
+    stw = (
+        _spread(documents)
+        .select("source", F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = (
+        stw.groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"),
+             F.count(F.lit(1)).alias("vocab_size"),
+             F.sum(F.floor(F.col("n") * F.log("n") * 1e6).cast("bigint"))
+              .alias("nlogn_e6"))
+    )
+    ent = (F.log("n_tokens")
+           - F.col("nlogn_e6") / 1e6 / F.col("n_tokens"))
+    return (
+        per.select(
+            "source", "n_tokens", "vocab_size",
+            (F.floor(ent * 1e6) / 1e6).alias("entropy_nats"))
         .orderBy("source")
     )

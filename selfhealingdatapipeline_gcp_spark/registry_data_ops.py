@@ -1304,3 +1304,54 @@ register(
     ORDER BY source
     """,
 )
+
+
+register(
+    "vocab_coverage",
+    lambda spark, sf: textanalysis.vocab_coverage(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH vocab AS (
+      SELECT w, count(*) AS n
+      FROM (SELECT unnest({_TOKENS}) AS w FROM documents) GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS vocab_size
+      FROM vocab
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rank,
+             CAST(sum(n) OVER (ORDER BY n DESC, w
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vocab
+    )
+    SELECT least(rank, vocab_size) AS k, cum AS covered_tokens, total,
+           CAST(floor(cum * 1e6 / total) AS BIGINT) AS coverage_e6
+    FROM ranked, tot
+    WHERE rank IN (10, 100, 1000)
+       OR (rank = vocab_size AND vocab_size < 1000)
+    ORDER BY k
+    """,
+)
+
+register(
+    "source_token_entropy",
+    lambda spark, sf: textanalysis.source_token_entropy(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH stw AS (
+      SELECT source, w, count(*) AS n
+      FROM (SELECT source, unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+             count(*) AS vocab_size,
+             CAST(sum(CAST(floor(n * ln(n) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS nlogn_e6
+      FROM stw GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab_size,
+           (floor((ln(n_tokens) - nlogn_e6 / 1000000.0 / n_tokens)
+                  * 1000000.0) / 1000000.0) AS entropy_nats
+    FROM per ORDER BY source
+    """,
+)

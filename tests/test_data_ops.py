@@ -669,3 +669,35 @@ def test_source_ngram_novelty_bounds(spark):
     for r in rows:
         assert 0 <= r.novel_shingles <= r.distinct_shingles
         assert 0 <= r.novelty_e6 <= 1_000_000
+
+
+@pytest.mark.parametrize("name", ["vocab_coverage", "source_token_entropy"])
+def test_parity_vocab_metrics(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage is monotone in k, ends at 100% when the whole vocab
+    is reached, and covered counts never exceed the total."""
+    rows = registry.queries()["vocab_coverage"](spark, SF_ORACLE).collect()
+    assert rows
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks)
+    covs = [r.coverage_e6 for r in rows]
+    assert covs == sorted(covs)
+    for r in rows:
+        assert 0 < r.covered_tokens <= r.total
+    assert rows[-1].covered_tokens == rows[-1].total  # clamp row = full vocab
+    assert rows[-1].coverage_e6 == 1_000_000
+
+
+def test_source_token_entropy_bounds(spark):
+    """0 <= H <= ln(vocab_size) for every source (uniform bound)."""
+    import math
+    rows = registry.queries()["source_token_entropy"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r.entropy_nats <= math.log(r.vocab_size) + 1e-6
