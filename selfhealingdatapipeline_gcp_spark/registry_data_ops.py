@@ -1355,3 +1355,26 @@ register(
     FROM per ORDER BY source
     """,
 )
+
+
+register(
+    "streaming_lsh_ingest",
+    monitors.streaming_lsh_ingest,
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    )
+    SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+    FROM keys n JOIN keys c ON n.bkey = c.bkey
+    WHERE n.doc_id % 20 = 0 AND c.doc_id % 20 != 0
+    ORDER BY new_doc_id, corpus_doc_id
+    """,
+)

@@ -388,3 +388,58 @@ def streaming_live_alert_loop(spark: SparkSession, alert_dir: str,
         _time.sleep(0.5)
     q.stop()
     return {**counts, "stopped_clean": not q.isActive}
+
+
+def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest near-dup check — the streaming form of
+    dedup_incremental: each arriving micro-batch of documents is
+    LSH-checked against the STATIC existing corpus, the shape a
+    continuously-fed training-data pipeline actually runs (nobody
+    re-dedups 100 TB per batch; each batch probes the corpus's band
+    buckets).
+
+    foreachBatch runs the batch-exact ``dedup_incremental`` per
+    epoch and lands each epoch's candidate pairs in an epoch-keyed
+    parquet dir (the idempotent exactly-once sink pattern of
+    streaming_to_parquet_sink — a replayed epoch overwrites itself).
+    The union of per-epoch outputs equals the whole-batch result
+    because a new doc's collision set depends only on (doc, corpus),
+    never on its micro-batch peers — which is what makes the result
+    oracle-checkable regardless of how the stream was chopped. At
+    steady state the corpus bucket relation is persisted per corpus
+    version (see dedup_incremental's docstring); here it rebuilds
+    per run."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators.dedup import (
+        dedup_incremental)
+
+    corpus = catalog.load(spark, sf_dir, "documents").filter(
+        "doc_id % 20 != 0")
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(_staged_dir(path))
+        .filter("doc_id % 20 = 0")
+    )
+    out_dir = f"/tmp/shdp_stream/lsh_ingest_{next(_sink_counter)}"
+    epochs = []
+
+    def check_epoch(batch_df, epoch_id: int) -> None:
+        (dedup_incremental(batch_df, corpus)
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(check_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        # an empty source yields zero micro-batches (nothing ever
+        # creates out_dir) — totality on empty catalogs demands a
+        # well-typed empty result, not a missing-path error
+        return spark.createDataFrame(
+            [], "new_doc_id bigint, corpus_doc_id bigint")
+    return (
+        spark.read.parquet(out_dir)
+        .select("new_doc_id", "corpus_doc_id")
+        .orderBy("new_doc_id", "corpus_doc_id")
+    )

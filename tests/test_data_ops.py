@@ -701,3 +701,26 @@ def test_source_token_entropy_bounds(spark):
     assert len(rows) == 20
     for r in rows:
         assert 0.0 <= r.entropy_nats <= math.log(r.vocab_size) + 1e-6
+
+
+def test_streaming_lsh_ingest_parity(spark, duck):
+    assert_parity(registry.queries()["streaming_lsh_ingest"](
+        spark, SF_ORACLE), duck, registry.oracle_sql()["streaming_lsh_ingest"])
+
+
+def test_streaming_lsh_ingest_equals_batch(spark):
+    """The streamed epochs' union must equal the batch
+    dedup_incremental on the same new/corpus split — chop-invariance
+    is the property that makes the streaming form safe to deploy."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    batch = {(r.new_doc_id, r.corpus_doc_id)
+             for r in dedup.dedup_incremental(
+                 docs.filter("doc_id % 20 = 0"),
+                 docs.filter("doc_id % 20 != 0")).collect()}
+    streamed = {(r.new_doc_id, r.corpus_doc_id)
+                for r in monitors.streaming_lsh_ingest(
+                    spark, SF_ORACLE).collect()}
+    assert streamed == batch
