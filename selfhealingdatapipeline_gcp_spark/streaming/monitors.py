@@ -25,12 +25,25 @@ def _staged_dir(path: str) -> str:
     """Spark's file-stream source monitors a DIRECTORY; the test data
     is a single parquet file. Stage a symlink under scratch space —
     on a real deployment the source is already a directory/bucket
-    prefix (or Kafka) and this is a no-op."""
-    d = f"/tmp/shdp_stream/{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    prefix (or Kafka) and this is a no-op.
+
+    Directory-shaped parquet (a Spark-written table) must stage its
+    DATA FILES, not the directory: the file source does not descend
+    into a symlinked subdirectory, so a directory symlink silently
+    yields zero micro-batches (caught by the sf1-replica probe, where
+    streaming_lsh_ingest returned empty on a directory source)."""
+    d = f"/tmp/shdp_stream/{hashlib.md5(('v2|' + path).encode()).hexdigest()[:12]}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    if os.path.isdir(path):
+        for f in os.listdir(path):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                link = os.path.join(d, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(path, f), link)
+    else:
+        link = os.path.join(d, os.path.basename(path))
+        if not os.path.exists(link):
+            os.symlink(path, link)
     return d
 
 
