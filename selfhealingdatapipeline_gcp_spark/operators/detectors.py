@@ -832,3 +832,53 @@ def benford_first_digit(orders: DataFrame,
         )
         .orderBy("digit")
     )
+
+
+def event_rate_cusum(events: DataFrame, k: float = 0.5,
+                     h: float = 5.0) -> DataFrame:
+    """One-sided upper CUSUM change-point screen over daily event
+    value — the sustained-drift detector the z-score family cannot
+    provide (a +1σ shift never trips a z threshold but accumulates
+    in a CUSUM within days). Classic parameters: slack k·σ, alarm
+    at h·σ.
+
+    The textbook recursion S_t = max(0, S_{t-1} + x_t − µ − kσ) is
+    not a window function, but its closed form is: with
+    cum_t = Σ_{i≤t}(x_i − µ − kσ), S_t = cum_t − min_{j≤t} cum_j —
+    one cumulative-sum window plus one running-min window over the
+    O(days) grain relation, no recursion, no driver loop.
+
+    Determinism: daily totals are integer WHOLE units (sum² of the
+    micro-unit form would overflow int64 at ~sf10 — the documented
+    accumulator-scaling rule); µ+kσ and hσ are floor-truncated to
+    integers ONCE (1-row broadcast), after which every windowed term
+    is a bigint — order-independent across engines and retries."""
+    daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.sum(F.floor("value").cast("bigint")).alias("x"))
+    )
+    stats = daily.agg(
+        F.sum("x").alias("s1"), F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.count(F.lit(1)).alias("n"))
+    mean = F.col("s1") / F.col("n")
+    # s1·(s1/n), not (s1·s1)/n: the squared bigint would overflow
+    # int64 around sf100 (ANSI throws); the double product cannot
+    var = (F.col("s2") - F.col("s1") * mean) / F.col("n")
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ref = stats.select(
+        F.floor(mean + F.lit(k) * std).cast("bigint").alias("drift_floor"),
+        F.floor(F.lit(h) * std).cast("bigint").alias("alarm_u"))
+    win = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col("x") - F.col("drift_floor")).over(win)
+    return (
+        daily.crossJoin(F.broadcast(ref))
+        .withColumn("cum", cum)
+        .withColumn("run_min", F.least(F.min("cum").over(win), F.lit(0)))
+        .select(
+            "d", F.col("x").alias("total_value"),
+            (F.col("cum") - F.col("run_min")).alias("cusum"),
+            F.col("alarm_u").alias("alarm_threshold"),
+            ((F.col("cum") - F.col("run_min")) > F.col("alarm_u"))
+             .alias("is_alarm"))
+        .orderBy("d")
+    )

@@ -641,3 +641,45 @@ register(
     ORDER BY digit
     """,
 )
+
+
+register(
+    "event_rate_cusum",
+    lambda spark, sf: detectors.event_rate_cusum(*_t(spark, sf, "events")),
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), st AS (
+      SELECT CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             count(*) AS n
+      FROM daily
+    ), ref AS (
+      SELECT CAST(floor(s1 / n + 0.5 * sqrt(greatest(
+                    (s2 - s1 * (s1 / n)) / n, 0.0))) AS BIGINT)
+               AS drift_floor,
+             CAST(floor(5.0 * sqrt(greatest(
+                    (s2 - s1 * (s1 / n)) / n, 0.0))) AS BIGINT)
+               AS alarm_u
+      FROM st
+    ), c AS (
+      SELECT d, x, alarm_u,
+             CAST(sum(x - drift_floor)
+                  OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM daily, ref
+    ), r AS (
+      SELECT d, x, alarm_u, cum,
+             least(CAST(min(cum)
+                        OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT), 0) AS run_min
+      FROM c
+    )
+    SELECT d, x AS total_value, cum - run_min AS cusum,
+           alarm_u AS alarm_threshold,
+           (cum - run_min > alarm_u) AS is_alarm
+    FROM r ORDER BY d
+    """,
+)

@@ -33,6 +33,7 @@ DETECTORS = [
     "value_outlier_iqr",
     "orders_backlog_aging",
     "benford_first_digit",
+    "event_rate_cusum",
 ]
 
 
@@ -125,3 +126,22 @@ def test_drift_tv_detects_injected_shift(spark):
     out = {r.event_type: r for r in quality.drift_tv(df).collect()}
     assert out["shift"].drifted and out["shift"].tv_e6 > 900_000
     assert not out["flat"].drifted and out["flat"].tv_e6 < 50_000
+
+
+def test_event_rate_cusum_matches_recursion(spark):
+    """The windowed closed form (cum - running_min) must equal the
+    textbook recursion S_t = max(0, S_{t-1} + x_t - drift_floor),
+    re-derived independently from the emitted totals."""
+    rows = registry.queries()["event_rate_cusum"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    xs = [r.total_value for r in rows]
+    mean = sum(xs) / len(xs)
+    var = (sum(x * x for x in xs) - sum(xs) * mean) / len(xs)
+    import math
+    drift_floor = math.floor(mean + 0.5 * math.sqrt(max(var, 0.0)))
+    s = 0
+    for r in rows:
+        s = max(0, s + r.total_value - drift_floor)
+        assert r.cusum == s
+        assert r.is_alarm == (s > r.alarm_threshold)
