@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 META_SCHEMA = ("doc_id bigint, n_bytes int, width int, height int, "
@@ -220,4 +220,39 @@ def multimodal_dedup_exact(documents: DataFrame) -> DataFrame:
              (F.count(F.lit(1)) > 1).alias("had_duplicates"))
         .select("keeper_doc_id", "n_copies", "had_duplicates")
         .orderBy("keeper_doc_id")
+    )
+
+
+def multimodal_ahash_groups(documents: DataFrame) -> DataFrame:
+    """Perceptual-hash dedup for media assets: the average-hash
+    (aHash) discipline — bit j of the 16-bit signature is set iff
+    histogram bucket j is above the per-asset mean — computed over
+    the deterministic byte-histogram features that stand in for the
+    stubbed decoder (a real pipeline swaps in 8×8-luma aHash/pHash
+    inside the same mapInPandas stage and keeps this whole plan).
+
+    Unlike byte-exact dedup (multimodal_dedup_exact), re-encoded
+    variants of the same asset collide here: the signature quantizes
+    SHAPE, not bytes. Output is GROUP-level (one row per distinct
+    signature) — O(groups), never pairwise, so the plan scales like
+    dedup_exact: one Arrow feature stage, one integer aggregate per
+    asset, one groupBy on a 16-bit key. The above-mean test is pure
+    integer arithmetic (count·16 > total), engine-exact."""
+    feats = multimodal_features_long(documents)
+    w = Window.partitionBy("doc_id")
+    bit = F.when(
+        F.col("bucket_count") * 16 > F.sum("bucket_count").over(w),
+        F.pow(F.lit(2.0), F.col("dim_idx")).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    sig = (
+        feats.withColumn("b", bit)
+        .groupBy("doc_id")
+        .agg(F.sum("b").alias("ahash"))
+    )
+    return (
+        sig.groupBy("ahash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_assets"),
+             (F.count(F.lit(1)) > 1).alias("had_collisions"))
+        .orderBy("ahash")
     )

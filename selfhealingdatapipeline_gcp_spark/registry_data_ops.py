@@ -1378,3 +1378,40 @@ register(
     ORDER BY new_doc_id, corpus_doc_id
     """,
 )
+
+
+register(
+    "multimodal_ahash_groups",
+    lambda spark, sf: multimodal.multimodal_ahash_groups(
+        *_t(spark, sf, "documents")),
+    """
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, u.i, 1)) % 16 AS b
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    ), counts AS (
+      SELECT doc_id, b AS dim_idx, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ), dims AS (
+      SELECT doc_id, CAST(u.d AS INT) AS dim_idx
+      FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS d) u
+    ), f AS (
+      SELECT dims.doc_id, dims.dim_idx,
+             CAST(coalesce(cnt, 0) AS BIGINT) AS bucket_count
+      FROM dims LEFT JOIN counts
+        ON dims.doc_id = counts.doc_id AND dims.dim_idx = counts.dim_idx
+    ), tot AS (
+      SELECT doc_id, CAST(sum(bucket_count) AS BIGINT) AS tot
+      FROM f GROUP BY 1
+    ), sig AS (
+      SELECT f.doc_id,
+             CAST(sum(CASE WHEN f.bucket_count * 16 > t.tot
+                           THEN CAST(power(2, f.dim_idx) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS ahash
+      FROM f JOIN tot t USING (doc_id) GROUP BY 1
+    )
+    SELECT ahash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_assets,
+           (count(*) > 1) AS had_collisions
+    FROM sig GROUP BY 1 ORDER BY ahash
+    """,
+)

@@ -724,3 +724,26 @@ def test_streaming_lsh_ingest_equals_batch(spark):
                 for r in monitors.streaming_lsh_ingest(
                     spark, SF_ORACLE).collect()}
     assert streamed == batch
+
+
+def test_multimodal_ahash_parity(spark, duck):
+    assert_parity(registry.queries()["multimodal_ahash_groups"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["multimodal_ahash_groups"])
+
+
+def test_multimodal_ahash_groups_partition_assets(spark):
+    """Groups partition the corpus (Σ n_assets == n_docs), byte-exact
+    duplicates always share an aHash group, and collisions exist
+    beyond byte-exact dups (the perceptual point: shape-equal but
+    byte-different assets collide)."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = registry.queries()["multimodal_ahash_groups"](
+        spark, SF_ORACLE).collect()
+    assert sum(r.n_assets for r in rows) == docs.count()
+    n_sig_groups = len(rows)
+    n_exact_groups = registry.queries()["multimodal_dedup_exact"](
+        spark, SF_ORACLE).count()
+    # perceptual grouping is coarser than byte-exact grouping
+    assert n_sig_groups <= n_exact_groups
