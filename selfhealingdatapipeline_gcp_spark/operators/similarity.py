@@ -904,3 +904,57 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
                 F.round(F.col("cosine_raw"), 6).alias("cosine"), "rank")
         .orderBy("vec_id", "rank")
     )
+
+
+def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroids — the
+    label-confusion / embedding-drift diagnostic (two labels whose
+    centroids read ≥ ~0.95 are candidates for merge or re-labeling;
+    a centroid that drifts toward another between corpus versions
+    flags an encoder or data shift).
+
+    Scale shape: everything after the one corpus-sized posexplode
+    aggregate happens on the CENTROID relation — K labels × d dims,
+    constant w.r.t. corpus size — so the pairwise join is K²·d tiny
+    rows at any SF. Determinism: centroid components stay floor-e6
+    INTEGERS; dot products and squared norms are bigint sums of
+    integer products (order-independent); the only doubles are one
+    product of two exactly-representable norms (< 2^53), one sqrt
+    (IEEE-exact), one division, one floor."""
+    ex = embeddings.select(
+        "label",
+        F.posexplode(vectorfn.to_double(F.col("embedding")))
+         .alias("dim_idx", "x"),
+    )
+    cent = (
+        ex.groupBy("label", "dim_idx")
+        .agg(F.floor(
+            F.sum(F.floor(F.col("x") * 1e6).cast("bigint"))
+            / F.count(F.lit(1))).cast("bigint").alias("m"))
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("nsq"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim_idx") == F.col("b.dim_idx"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"),
+                 F.col("b.label").alias("label_b"))
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = F.col("nsq_a").cast("double")
+    nb = F.col("nsq_b").cast("double")
+    cos = F.col("dot") / F.sqrt(na * nb)
+    return (
+        dots
+        .join(F.broadcast(norms.select(F.col("label").alias("label_a"),
+                                       F.col("nsq").alias("nsq_a"))),
+              "label_a")
+        .join(F.broadcast(norms.select(F.col("label").alias("label_b"),
+                                       F.col("nsq").alias("nsq_b"))),
+              "label_b")
+        .filter((F.col("nsq_a") > 0) & (F.col("nsq_b") > 0))
+        .select("label_a", "label_b",
+                (F.floor(cos * 1e6) / 1e6).alias("cosine"))
+        .orderBy("label_a", "label_b")
+    )

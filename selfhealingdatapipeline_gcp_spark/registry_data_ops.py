@@ -1415,3 +1415,40 @@ register(
     FROM sig GROUP BY 1 ORDER BY ahash
     """,
 )
+
+
+register(
+    "label_centroid_distances",
+    lambda spark, sf: similarity.label_centroid_distances(
+        *_t(spark, sf, "embeddings")),
+    """
+    WITH ex AS (
+      SELECT label, CAST(u.i - 1 AS INT) AS dim_idx, v[u.i] AS x
+      FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    ), cent AS (
+      SELECT label, dim_idx,
+             CAST(floor(sum(CAST(floor(x * 1000000.0) AS BIGINT))
+                        / count(*)) AS BIGINT) AS m
+      FROM ex GROUP BY 1, 2
+    ), norms AS (
+      SELECT label, CAST(sum(m * m) AS BIGINT) AS nsq
+      FROM cent GROUP BY 1
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(sum(a.m * b.m) AS BIGINT) AS dot
+      FROM cent a JOIN cent b
+        ON a.dim_idx = b.dim_idx AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           (floor(dot / sqrt(CAST(na.nsq AS DOUBLE)
+                             * CAST(nb.nsq AS DOUBLE)) * 1000000.0)
+            / 1000000.0) AS cosine
+    FROM dots
+    JOIN norms na ON dots.label_a = na.label
+    JOIN norms nb ON dots.label_b = nb.label
+    WHERE na.nsq > 0 AND nb.nsq > 0
+    ORDER BY label_a, label_b
+    """,
+)

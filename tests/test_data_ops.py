@@ -747,3 +747,17 @@ def test_multimodal_ahash_groups_partition_assets(spark):
         spark, SF_ORACLE).count()
     # perceptual grouping is coarser than byte-exact grouping
     assert n_sig_groups <= n_exact_groups
+
+
+def test_label_centroid_distances_properties(spark, duck):
+    assert_parity(registry.queries()["label_centroid_distances"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["label_centroid_distances"])
+    rows = registry.queries()["label_centroid_distances"](
+        spark, SF_ORACLE).collect()
+    # 10 labels -> 45 unordered pairs, cosine in [-1, 1]
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert -1.0 <= r.cosine <= 1.0
