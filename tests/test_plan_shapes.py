@@ -300,3 +300,70 @@ def test_pagerank_edges_materialize_once(spark):
         "materialized)")
     assert "ExistingRDD" in plan or "LogicalRDD" in plan or \
         "Scan ExistingRDD" in plan  # the checkpointed edge relation
+
+
+def test_doc_chunk_plan_zero_shuffle(spark):
+    """The chunking plan claims ZERO shuffle: scan -> project ->
+    explode only (the orderBy at the end is presentation; no
+    aggregation/join Exchange may appear before it)."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    # inspect the un-sorted core (orderBy adds a rangepartitioning
+    # exchange that exists only to present sorted output)
+    core = dataprep.doc_chunk_plan(docs)
+    plan = _plan(core)
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    body = plan.split("Exchange rangepartitioning")[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_benford_single_pass_broadcast_total(spark):
+    """9-digit groupBy with map-side partials; the 1-row total joins
+    back broadcast — no cartesian blowup, no second scan shuffle."""
+    df = registry.queries()["benford_first_digit"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """Term df counts and the corpus stats row must broadcast; the
+    only corpus-sized shuffles are the token/dl aggregates."""
+    df = registry.queries()["bm25_search"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2
+
+
+def test_cusum_windows_over_grain_relation(spark):
+    """CUSUM runs its windows over the O(days) grain relation: one
+    corpus-sized aggregate, then windows; the stats row broadcasts."""
+    df = registry.queries()["event_rate_cusum"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row ref x grain
+    assert "Window" in plan
+
+
+def test_cross_source_overlap_no_self_join(spark):
+    """Pair emission is bucket-grouped over the per-hash source set:
+    no shingle self-join; the per-source totals join back broadcast."""
+    df = registry.queries()["cross_source_overlap"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # n_a and n_b joins
+
+
+def test_containment_shares_jaccard_plan_shape(spark):
+    """dedup_containment rides _shingle_pair_counts: same no-join
+    bucket-grouped pairing as dedup_ngram_jaccard."""
+    df = registry.queries()["dedup_containment"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Generate" in plan  # generator pair emission
