@@ -120,3 +120,33 @@ def scd2_from_log(log: DataFrame, key: str, ts_col: str,
                    F.lead(ts_col).over(w).alias("effective_to"))
         .withColumn("is_current", F.col("effective_to").isNull())
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare: tuple[str, ...]) -> DataFrame:
+    """Row-level diff between two snapshot versions of a table — the
+    CDC audit read (what changed between yesterday's load and
+    today's?) and the input a reconciliation alert consumes:
+    (key, change_type ∈ added|removed|changed|unchanged).
+
+    One full-outer shuffle join on the business key, with each side
+    reduced to (key, fingerprint) BEFORE the exchange — the shuffle
+    carries a 32-char digest per row, never the payload, and
+    bucketed snapshots co-locate it to zero-shuffle (sources/
+    writers.write_bucketed_table). The fingerprint md5s the compare
+    columns; callers must pass integer/string columns (floats format
+    differently across engines/locales — convert money to cents
+    first, the repo-wide rule)."""
+    fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
+                                  for c in compare]))
+    o = old.select(F.col(key).alias("key"), fp.alias("fp_old"))
+    n = new.select(F.col(key).alias("key"), fp.alias("fp_new"))
+    ct = (F.when(F.col("fp_old").isNull(), "added")
+           .when(F.col("fp_new").isNull(), "removed")
+           .when(F.col("fp_old") != F.col("fp_new"), "changed")
+           .otherwise("unchanged"))
+    return (
+        o.join(n, "key", "full_outer")
+        .select("key", ct.alias("change_type"))
+        .orderBy("key")
+    )

@@ -757,3 +757,46 @@ register(
     FROM events WHERE event_type = 'purchase'
     """,
 )
+
+
+def _snapshot_old(spark, sf):
+    """Fabricated prior snapshot: 10% of keys absent (added later),
+    and status rewritten for keys % 7 == 0 (changed rows)."""
+    orders = _t(spark, sf, "orders")[0]
+    return (
+        orders.filter("o_orderkey % 10 != 0")
+        .withColumn("o_orderstatus",
+                    F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+                     .otherwise(F.col("o_orderstatus")))
+    )
+
+
+register(
+    "cdc_snapshot_diff",
+    lambda spark, sf: cdc.snapshot_diff(
+        _snapshot_old(spark, sf),
+        _t(spark, sf, "orders")[0].filter("o_orderkey % 13 != 0"),
+        "o_orderkey",
+        ("o_orderstatus", "o_orderpriority")),
+    """
+    WITH old AS (
+      SELECT o_orderkey AS key,
+             md5(concat_ws('|',
+                 CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                      ELSE o_orderstatus END,
+                 o_orderpriority)) AS fp_old
+      FROM orders WHERE o_orderkey % 10 != 0
+    ), new AS (
+      SELECT o_orderkey AS key,
+             md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS fp_new
+      FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT key,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old != fp_new THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new USING (key)
+    ORDER BY key
+    """,
+)

@@ -125,3 +125,22 @@ def test_dedup_verified_clusters_consistent(spark):
     for c in clusters:
         assert c.cluster_size >= 2
         assert c.keeper_doc_id in pair_docs
+
+
+def test_cdc_snapshot_diff_parity_and_classes(spark, duck):
+    from conftest import SF_ORACLE, assert_parity
+
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(registry.queries()["cdc_snapshot_diff"](spark, SF_ORACLE),
+                  duck, registry.oracle_sql()["cdc_snapshot_diff"])
+    rows = registry.queries()["cdc_snapshot_diff"](
+        spark, SF_ORACLE).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.change_type, []).append(r.key)
+    # the fabricated split: %10==0 keys added, %13==0 removed,
+    # %7==0 changed (when present in both), everything else unchanged
+    assert all(k % 10 == 0 and k % 13 != 0 for k in by["added"])
+    assert all(k % 13 == 0 and k % 10 != 0 for k in by["removed"])
+    assert all(k % 7 == 0 for k in by["changed"])
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
