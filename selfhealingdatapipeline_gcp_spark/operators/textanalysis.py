@@ -447,3 +447,55 @@ def source_token_entropy(documents: DataFrame) -> DataFrame:
             (F.floor(ent * 1e6) / 1e6).alias("entropy_nats"))
         .orderBy("source")
     )
+
+
+def token_collocations(documents: DataFrame, k: int = 50,
+                       min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: adjacent
+    token pairs whose co-occurrence beats the independence baseline —
+    the multi-word-expression detector (tokenizer merge candidates,
+    boilerplate phrase discovery) next to raw ngram_frequencies.
+
+    pmi = ln( (n_ab/M) / ((n_a/N)·(n_b/N)) ) with bigram total M and
+    token total N; ``min_count`` suppresses the classic PMI
+    pathology (hapax pairs scoring +∞-ish).
+
+    Scale shape: bigrams come from the same posexplode + lead()
+    window as the shingle machinery (codegen; one doc_id shuffle);
+    counts aggregate map-side to bigram-vocabulary grain; the two
+    unigram joins are token-key equi-joins carrying counts, never
+    text; totals broadcast as 1-row aggregates. One ln per OUTPUT
+    row, floor-e6 — never summed, so float-order drift cannot
+    arise."""
+    toks = (
+        _spread(documents)
+        .select("doc_id",
+                F.posexplode(textfn.tokens("text")).alias("pos", "w"))
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select("w", F.lead("w", 1).over(win).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    nb = big.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    btot = big.agg(F.count(F.lit(1)).alias("n_big"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_big"))
+        / ((F.col("n_a") / F.col("n_tok"))
+           * (F.col("n_b") / F.col("n_tok"))))
+    return (
+        nb.filter(F.col("n_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("w"),
+                         F.col("n").alias("n_a")), "w")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("n").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(F.col("w").alias("w1"), F.col("w2"),
+                "n_ab",
+                F.floor(pmi * 1e6).cast("bigint").alias("pmi_e6"))
+        .orderBy(F.desc("pmi_e6"), "w1", "w2")
+        .limit(k)
+    )

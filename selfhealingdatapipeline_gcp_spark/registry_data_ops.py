@@ -1452,3 +1452,37 @@ register(
     ORDER BY label_a, label_b
     """,
 )
+
+
+register(
+    "token_collocations",
+    lambda spark, sf: textanalysis.token_collocations(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS w
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+    ), big AS (
+      SELECT a.w AS w, b.w AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ), nb AS (
+      SELECT w, w2, count(*) AS n_ab FROM big GROUP BY 1, 2
+    ), uni AS (
+      SELECT w, count(*) AS n FROM toks GROUP BY 1
+    ), tot AS (SELECT count(*) AS n_tok FROM toks),
+       btot AS (SELECT count(*) AS n_big FROM big)
+    SELECT nb.w AS w1, nb.w2, nb.n_ab,
+           CAST(floor(ln((nb.n_ab / btot.n_big)
+                         / ((ua.n / tot.n_tok) * (ub.n / tot.n_tok)))
+                      * 1000000.0) AS BIGINT) AS pmi_e6
+    FROM nb
+    JOIN uni ua ON nb.w = ua.w
+    JOIN uni ub ON nb.w2 = ub.w
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE nb.n_ab >= 5
+    ORDER BY pmi_e6 DESC, w1, w2
+    LIMIT 50
+    """,
+)

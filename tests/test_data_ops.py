@@ -761,3 +761,16 @@ def test_label_centroid_distances_properties(spark, duck):
     for r in rows:
         assert r.label_a < r.label_b
         assert -1.0 <= r.cosine <= 1.0
+
+
+def test_token_collocations_parity_and_bounds(spark, duck):
+    assert_parity(registry.queries()["token_collocations"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["token_collocations"])
+    rows = registry.queries()["token_collocations"](
+        spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 50
+    pmis = [r.pmi_e6 for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.n_ab >= 5
