@@ -71,6 +71,10 @@ HEADLINE = [
     "cross_source_overlap",
     "bm25_search",
     "doc_chunk_plan",
+    "event_rate_cusum",
+    "multimodal_ahash_groups",
+    "label_centroid_distances",
+    "token_collocations",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
