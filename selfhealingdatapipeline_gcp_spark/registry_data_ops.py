@@ -1486,3 +1486,52 @@ register(
     LIMIT 50
     """,
 )
+
+
+def _split_leakage(spark, sf):
+    """Near-dup leakage across the train/val split: val docs that
+    LSH-collide with train docs — the dedup-grade leakage check that
+    contamination_check's exact n-gram overlap cannot see (a light
+    paraphrase shares bands but few exact shingles). Pure composition:
+    train_val_split's hash rule picks the sides; dedup_incremental
+    probes val against train's band buckets."""
+    docs = _t(spark, sf, "documents")[0]
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    bucket = textfn.md5int(F.col("doc_id").cast("string")) % 100
+    val = docs.filter(bucket < 10)
+    train = docs.filter(bucket >= 10)
+    return (
+        dedup.dedup_incremental(val, train)
+        .select(F.col("new_doc_id").alias("val_doc_id"),
+                F.col("corpus_doc_id").alias("train_doc_id"))
+        .orderBy("val_doc_id", "train_doc_id")
+    )
+
+
+register(
+    "split_leakage_check",
+    _split_leakage,
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             ({_md5int('CAST(doc_id AS VARCHAR)')} % 100) AS bucket
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, bucket, {_SHINGLES} AS s
+      FROM (SELECT doc_id, bucket, {_TOKENS} AS t FROM split)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, bucket,
+             list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, bucket, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, bucket, unnest({_BKEYS}) AS bkey FROM mh
+    )
+    SELECT DISTINCT v.doc_id AS val_doc_id, t.doc_id AS train_doc_id
+    FROM keys v JOIN keys t ON v.bkey = t.bkey
+    WHERE v.bucket < 10 AND t.bucket >= 10
+    ORDER BY val_doc_id, train_doc_id
+    """,
+)

@@ -774,3 +774,20 @@ def test_token_collocations_parity_and_bounds(spark, duck):
     assert pmis == sorted(pmis, reverse=True)
     for r in rows:
         assert r.n_ab >= 5
+
+
+def test_split_leakage_check_parity_and_sides(spark, duck):
+    assert_parity(registry.queries()["split_leakage_check"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["split_leakage_check"])
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    split = {r.doc_id: r.split
+             for r in dataprep.train_val_split(docs).collect()}
+    rows = registry.queries()["split_leakage_check"](
+        spark, SF_ORACLE).collect()
+    assert rows, "the sf0.01 corpus contains cross-split near-dups"
+    for r in rows:
+        assert split[r.val_doc_id] == "val"
+        assert split[r.train_doc_id] == "train"
