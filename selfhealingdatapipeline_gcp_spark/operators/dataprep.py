@@ -441,3 +441,32 @@ def doc_chunk_plan(documents: DataFrame, chunk_tokens: int = 64,
                  .alias("chunk_len"))
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def packing_efficiency_report(documents: DataFrame,
+                              budget_tokens: int = 2048,
+                              n_streams: int = 8) -> DataFrame:
+    """Per-source packing efficiency: how full the seq_pack_plan
+    packs actually run — the number that decides whether the budget /
+    stream count need retuning before a training run (fill well under
+    1e6 means fragmented batches; well over means chronic overshoot
+    from documents larger than the budget).
+
+    Consumes the seq_pack_plan relation and collapses it to one row
+    per source: the only work beyond the plan itself is a
+    |sources|-grain aggregate with map-side partials. fill_e6 =
+    total_tokens·1e6 / (n_packs·budget) — integer inputs, one
+    division, floor-e6."""
+    plan = seq_pack_plan(documents, budget_tokens, n_streams)
+    return (
+        plan.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("stream", "pack_id").alias("n_packs"),
+             F.sum("est_tokens").alias("total_tokens"))
+        .select(
+            "source", "n_docs", "n_packs", "total_tokens",
+            F.floor(F.col("total_tokens") * 1e6
+                    / (F.col("n_packs") * budget_tokens))
+             .cast("bigint").alias("fill_e6"))
+        .orderBy("source")
+    )

@@ -352,3 +352,40 @@ register(
     ORDER BY doc_id, chunk_idx
     """,
 )
+
+
+register(
+    "packing_efficiency_report",
+    lambda spark, sf: dataprep.packing_efficiency_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH pre AS (
+      SELECT doc_id, source,
+             greatest(CAST(floor((n_chars + 3) / 4) AS BIGINT), 1)
+               AS est_tokens,
+             {_md5int("'pack' || '|' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, (h % 8) AS stream, est_tokens,
+             CAST(sum(est_tokens) OVER (
+               PARTITION BY source, (h % 8) ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM pre
+    ), plan AS (
+      SELECT source, stream, est_tokens,
+             CAST(floor((cum_tokens - est_tokens) / 2048.0) AS BIGINT)
+               AS pack_id
+      FROM cum
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT (stream, pack_id)) AS BIGINT) AS n_packs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+           CAST(floor(CAST(sum(est_tokens) AS BIGINT) * 1e6
+                      / (CAST(count(DISTINCT (stream, pack_id)) AS BIGINT)
+                         * 2048)) AS BIGINT) AS fill_e6
+    FROM plan
+    GROUP BY 1
+    ORDER BY source
+    """,
+)

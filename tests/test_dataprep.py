@@ -202,3 +202,25 @@ def test_benford_detector_shape(spark):
     assert sum(r.n for r in rows) == n_orders
     tot = sum(r.share_e6 for r in rows)
     assert 1_000_000 - 9 <= tot <= 1_000_000
+
+
+def test_packing_efficiency_consistent_with_plan(spark, duck):
+    from conftest import assert_parity
+    assert_parity(registry.queries()["packing_efficiency_report"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["packing_efficiency_report"])
+    plan = registry.queries()["seq_pack_plan"](spark, SF_ORACLE).collect()
+    rep = {r.source: r for r in registry.queries()[
+        "packing_efficiency_report"](spark, SF_ORACLE).collect()}
+    from collections import defaultdict
+    docs, packs, toks = (defaultdict(int), defaultdict(set),
+                         defaultdict(int))
+    for r in plan:
+        docs[r.source] += 1
+        packs[r.source].add((r.stream, r.pack_id))
+        toks[r.source] += r.est_tokens
+    for s, row in rep.items():
+        assert row.n_docs == docs[s]
+        assert row.n_packs == len(packs[s])
+        assert row.total_tokens == toks[s]
+        assert row.fill_e6 == (toks[s] * 1_000_000) // (len(packs[s]) * 2048)
