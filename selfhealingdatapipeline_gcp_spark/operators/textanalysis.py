@@ -499,3 +499,76 @@ def token_collocations(documents: DataFrame, k: int = 50,
         .orderBy(F.desc("pmi_e6"), "w1", "w2")
         .limit(k)
     )
+
+
+def more_like_this(documents: DataFrame,
+                   anchor_ids: tuple[int, ...] = (0, 1, 2),
+                   k: int = 10, max_df: int = 1000) -> DataFrame:
+    """Anchor-document retrieval ("more like this"): top-k most
+    similar documents to each anchor by TF-IDF cosine — the
+    related-content / expand-a-seed-set query next to term search
+    (bm25_search) and pairwise dedup.
+
+    Scale shape: the anchor side reduces to its term rows and
+    BROADCASTS (a handful of docs); the corpus side joins on the
+    token key, so the shuffle carries (token, doc, weight) — never
+    text. ``max_df`` drops corpus-ubiquitous terms before the join
+    (the dedup_ngram_jaccard df-ceiling discipline): a stopword-like
+    term would otherwise pair every anchor with the whole corpus.
+    Determinism: TF-IDF weights floor to e3 INTEGERS; dots and
+    squared norms are bigint sums of integer products
+    (order-independent; e3 keeps Σ w_a·w_b inside int64 at any
+    realistic doc size); one sqrt/divide per output row."""
+    toks = (
+        _spread(documents)
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = (
+        tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    wgt = (
+        tf.join(F.broadcast(dfc), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "w",
+                F.floor(F.col("tf")
+                        * F.log(F.col("n_docs") / F.col("df")) * 1e3)
+                 .cast("bigint").alias("wt"))
+    )
+    norms = wgt.groupBy("doc_id").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("nsq"))
+    anchor_arr = F.array(*[F.lit(int(a)) for a in anchor_ids])
+    anchors = (
+        wgt.filter(F.array_contains(anchor_arr, F.col("doc_id")))
+        .select(F.col("doc_id").alias("anchor_id"),
+                "w", F.col("wt").alias("wt_a"))
+    )
+    dots = (
+        wgt.join(F.broadcast(anchors), "w")
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "doc_id")
+        .agg(F.sum(F.col("wt_a") * F.col("wt")).alias("dot"))
+    )
+    cos = (F.col("dot")
+           / F.sqrt(F.col("nsq_a").cast("double")
+                    * F.col("nsq_b").cast("double")))
+    ranked = (
+        dots
+        .join(F.broadcast(
+                  norms.filter(F.array_contains(anchor_arr,
+                                                F.col("doc_id")))
+                  .select(F.col("doc_id").alias("anchor_id"),
+                          F.col("nsq").alias("nsq_a"))),
+              "anchor_id")
+        .join(norms.select(F.col("doc_id").alias("doc_id"),
+                           F.col("nsq").alias("nsq_b")), "doc_id")
+        .select("anchor_id", "doc_id",
+                (F.floor(cos * 1e6) / 1e6).alias("cosine"))
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("anchor_id")
+            .orderBy(F.desc("cosine"), "doc_id")))
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.orderBy("anchor_id", "rank")

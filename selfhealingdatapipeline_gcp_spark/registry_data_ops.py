@@ -1535,3 +1535,52 @@ register(
     ORDER BY val_doc_id, train_doc_id
     """,
 )
+
+
+register(
+    "more_like_this",
+    lambda spark, sf: textanalysis.more_like_this(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf
+      GROUP BY 1 HAVING count(DISTINCT doc_id) <= 1000
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    wgt AS (
+      SELECT t.doc_id, t.w,
+             CAST(floor(t.tf * ln(n.n_docs / d.df) * 1000.0) AS BIGINT)
+               AS wt
+      FROM tf t JOIN dfc d USING (w), n
+    ), norms AS (
+      SELECT doc_id, CAST(sum(wt * wt) AS BIGINT) AS nsq
+      FROM wgt GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS anchor_id, b.doc_id AS doc_id,
+             CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+      FROM wgt a JOIN wgt b ON a.w = b.w AND a.doc_id != b.doc_id
+      WHERE a.doc_id IN (0, 1, 2)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT anchor_id, dots.doc_id,
+             (floor(dot / sqrt(CAST(na.nsq AS DOUBLE)
+                               * CAST(nb.nsq AS DOUBLE))
+                    * 1000000.0) / 1000000.0) AS cosine
+      FROM dots
+      JOIN norms na ON dots.anchor_id = na.doc_id
+      JOIN norms nb ON dots.doc_id = nb.doc_id
+    ), rr AS (
+      SELECT anchor_id, doc_id, cosine,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id
+               ORDER BY cosine DESC, doc_id) AS INT) AS rank
+      FROM ranked
+    )
+    SELECT anchor_id, doc_id, cosine, rank
+    FROM rr WHERE rank <= 10
+    ORDER BY anchor_id, rank
+    """,
+)

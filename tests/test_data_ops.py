@@ -791,3 +791,20 @@ def test_split_leakage_check_parity_and_sides(spark, duck):
     for r in rows:
         assert split[r.val_doc_id] == "val"
         assert split[r.train_doc_id] == "train"
+
+
+def test_more_like_this_parity_and_ranks(spark, duck):
+    assert_parity(registry.queries()["more_like_this"](
+        spark, SF_ORACLE), duck, registry.oracle_sql()["more_like_this"])
+    rows = registry.queries()["more_like_this"](spark, SF_ORACLE).collect()
+    by_anchor = {}
+    for r in rows:
+        assert r.doc_id != r.anchor_id  # never retrieves itself
+        assert -1.0 <= r.cosine <= 1.0
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1, 2}
+    for rs in by_anchor.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
