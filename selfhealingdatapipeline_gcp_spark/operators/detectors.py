@@ -882,3 +882,41 @@ def event_rate_cusum(events: DataFrame, k: float = 0.5,
              .alias("is_alarm"))
         .orderBy("d")
     )
+
+
+def revenue_weekly_seasonality(orders: DataFrame) -> DataFrame:
+    """Day-of-week seasonal index over daily revenue — the seasonal
+    baseline the z-score/CUSUM screens should normalize by before
+    flagging (a quiet Sunday is not an anomaly; a Sunday-sized Monday
+    is). index_e6 = dow mean / overall mean via one cross-multiplied
+    expression, floor-truncated once: the numerator product exceeds
+    int64 already at sf0.01 (cents · days · 1e6), so it runs in
+    DOUBLES — safe here because it is a single expression evaluated
+    identically in both engines (no summation, so no accumulation-
+    order dependence; IEEE ops in one fixed order are bit-identical).
+    O(days) grain relation → 7 rows at any SF."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    per_dow = (
+        daily
+        # 1=Sunday..7=Saturday in both Spark dayofweek and DuckDB dow+1
+        .groupBy(F.dayofweek("d").alias("dow"))
+        .agg(F.sum("cents").alias("sum_dow"),
+             F.count(F.lit(1)).alias("n_dow"))
+    )
+    tot = daily.agg(F.sum("cents").alias("total"),
+                    F.count(F.lit(1)).alias("n_days"))
+    return (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select(
+            "dow", "n_dow",
+            (F.col("sum_dow") / 100.0).alias("dow_revenue"),
+            F.floor(F.col("sum_dow").cast("double")
+                    * F.col("n_days").cast("double") * 1e6
+                    / (F.col("n_dow").cast("double")
+                       * F.col("total").cast("double")))
+             .cast("bigint").alias("index_e6"))
+        .orderBy("dow")
+    )

@@ -683,3 +683,35 @@ register(
     FROM r ORDER BY d
     """,
 )
+
+
+register(
+    "revenue_weekly_seasonality",
+    lambda spark, sf: detectors.revenue_weekly_seasonality(
+        *_t(spark, sf, "orders")),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), per AS (
+      -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+      SELECT (dayofweek(d) + 1) AS dow,
+             CAST(sum(cents) AS BIGINT) AS sum_dow,
+             count(*) AS n_dow
+      FROM daily GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total, count(*) AS n_days
+      FROM daily
+    )
+    SELECT dow, n_dow,
+           (sum_dow / 100.0) AS dow_revenue,
+           CAST(floor(CAST(sum_dow AS DOUBLE) * CAST(n_days AS DOUBLE)
+                      * 1e6 / (CAST(n_dow AS DOUBLE)
+                               * CAST(total AS DOUBLE))) AS BIGINT)
+             AS index_e6
+    FROM per, tot
+    ORDER BY dow
+    """,
+)

@@ -34,6 +34,7 @@ DETECTORS = [
     "orders_backlog_aging",
     "benford_first_digit",
     "event_rate_cusum",
+    "revenue_weekly_seasonality",
 ]
 
 
@@ -145,3 +146,15 @@ def test_event_rate_cusum_matches_recursion(spark):
         s = max(0, s + r.total_value - drift_floor)
         assert r.cusum == s
         assert r.is_alarm == (s > r.alarm_threshold)
+
+
+def test_weekly_seasonality_index_centers_on_1e6(spark):
+    """Indices weighted by day counts must average ~1e6 (the overall
+    mean is the weighted mean of the dow means), every dow appears,
+    and revenue partitions the total."""
+    rows = registry.queries()["revenue_weekly_seasonality"](
+        spark, SF_ORACLE).collect()
+    assert {r.dow for r in rows} == set(range(1, 8))
+    n_total = sum(r.n_dow for r in rows)
+    weighted = sum(r.index_e6 * r.n_dow for r in rows) / n_total
+    assert abs(weighted - 1_000_000) < 10  # floor loss only
