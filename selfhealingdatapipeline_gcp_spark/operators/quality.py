@@ -151,3 +151,28 @@ def drift_tv(events: DataFrame, n_bins: int = 10,
         .withColumn("drifted", F.col("tv_e6") > threshold_e6)
         .orderBy("event_type")
     )
+
+
+def input_files_profile(df) -> "DataFrame":
+    """Physical-layout introspection for a parquet-backed DataFrame:
+    rows per underlying FILE — the input to the two classic ingest
+    decisions at scale: the small-files problem (thousands of tiny
+    files → per-task overhead dominates; compact before processing)
+    and file-level skew (one giant file pins a stage to one task —
+    the exact failure _spread exists to absorb).
+
+    Pure metadata-shaped plan: input_file_name() is evaluated at the
+    scan, the groupBy carries (file, count) — O(files) rows out. The
+    flag thresholds are conventional: < 10k rows = small file."""
+    from pyspark.sql import functions as F
+    per = (
+        df.select(F.element_at(
+            F.split(F.input_file_name(), "/"), -1).alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        per.select("file_name", "n_rows",
+                   (F.col("n_rows") < 10_000).alias("is_small_file"))
+        .orderBy("file_name")
+    )

@@ -715,3 +715,4 @@ register(
     ORDER BY dow
     """,
 )
+

@@ -176,3 +176,28 @@ def test_scd2_from_log_versions_chain(spark):
         assert vs[-1].is_current and vs[-1].effective_to is None
         for prev, nxt in zip(vs, vs[1:]):
             assert prev.effective_to == nxt.effective_from
+
+
+def test_input_files_profile_matches_parquet_metadata(spark, tmp_path):
+    """Per-file row counts from the Spark plan must equal what the
+    parquet footers say (pyarrow-read) — including on a multi-file
+    layout with a deliberately tiny file."""
+    import pyarrow.parquet as pq
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "multi")
+    docs.filter("doc_id % 10 != 0").repartition(3).write.parquet(out)
+    docs.filter("doc_id % 10 = 0").limit(7).coalesce(1).write.mode(
+        "append").parquet(out)
+
+    rows = quality.input_files_profile(spark.read.parquet(out)).collect()
+    expected = {}
+    for f in os.listdir(out):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            expected[f] = pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+    got = {r.file_name: r.n_rows for r in rows}
+    assert got == expected
+    assert all(r.is_small_file == (r.n_rows < 10_000) for r in rows)
