@@ -219,6 +219,25 @@ def _fix_lsh_bucket(m: re.Match[str]) -> Fix:
     )
 
 
+@_rule("incremental_bucket_overflow",
+       r"dedup_incremental: corpus band bucket holds")
+def _fix_incremental_bucket(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="a corpus band bucket exceeds max_bucket_docs — the "
+                   "standing corpus already contains a near-identical "
+                   "flood, so every incoming batch would fan out "
+                   "against it (also reached via streaming_lsh_ingest "
+                   "and split_leakage_check, which probe the same "
+                   "bucket relation)",
+        suggested_fix="dedup the standing corpus first (dedup_exact, "
+                      "then dedup_verified_clusters) and re-persist "
+                      "its bucket relation; raise max_bucket_docs only "
+                      "for a deliberate audit pass",
+        retryable=False,
+    )
+
+
 @_rule("simhash_bucket_overflow", r"dedup_simhash: bucket .* holds")
 def _fix_simhash_bucket(m: re.Match[str]) -> Fix:
     return Fix(

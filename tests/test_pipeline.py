@@ -627,3 +627,26 @@ def test_healer_catches_own_scale_guards(spark):
     fix = healer.analyze_error(str(e3.value))
     assert "max_iterations" in fix.root_cause
     assert fix.fix_type == "CONFIG"
+
+
+def test_healer_catches_incremental_bucket_guard(spark):
+    """dedup_incremental's REAL guard text (and therefore the
+    streaming_lsh_ingest / split_leakage_check paths that share the
+    bucket relation) must classify to its remediation rule."""
+    import pytest
+
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.plans import healer
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(6)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string")
+    with pytest.raises(Exception) as e:
+        dedup.dedup_incremental(new, corpus, max_bucket_docs=3).collect()
+    fix = healer.analyze_error(str(e.value))
+    assert "max_bucket_docs" in fix.root_cause
+    assert "standing corpus" in fix.root_cause
+    assert "dedup_exact" in fix.suggested_fix
