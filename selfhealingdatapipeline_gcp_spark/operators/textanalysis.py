@@ -503,7 +503,7 @@ def token_collocations(documents: DataFrame, k: int = 50,
 
 def more_like_this(documents: DataFrame,
                    anchor_ids: tuple[int, ...] = (0, 1, 2),
-                   k: int = 10, max_df: int = 1000) -> DataFrame:
+                   k: int = 10, max_df: int | None = None) -> DataFrame:
     """Anchor-document retrieval ("more like this"): top-k most
     similar documents to each anchor by TF-IDF cosine — the
     related-content / expand-a-seed-set query next to term search
@@ -512,9 +512,13 @@ def more_like_this(documents: DataFrame,
     Scale shape: the anchor side reduces to its term rows and
     BROADCASTS (a handful of docs); the corpus side joins on the
     token key, so the shuffle carries (token, doc, weight) — never
-    text. ``max_df`` drops corpus-ubiquitous terms before the join
-    (the dedup_ngram_jaccard df-ceiling discipline): a stopword-like
-    term would otherwise pair every anchor with the whole corpus.
+    text. Unlike the pairwise dedups, NO df ceiling is needed for
+    scale: one join side is |anchors| docs, so worst-case fan-out is
+    |anchors|·corpus — linear, not quadratic (a ubiquitous term costs
+    a corpus scan per anchor, which is the job being asked for).
+    ``max_df`` remains as an optional noise-pruning knob; it defaults
+    OFF because an absolute ceiling silently empties the result on
+    small-vocabulary corpora (caught by the sf1 probe).
     Determinism: TF-IDF weights floor to e3 INTEGERS; dots and
     squared norms are bigint sums of integer products
     (order-independent; e3 keeps Σ w_a·w_b inside int64 at any
@@ -524,10 +528,9 @@ def more_like_this(documents: DataFrame,
         .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfc = (
-        tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= max_df)
-    )
+    dfc = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    if max_df is not None:
+        dfc = dfc.filter(F.col("df") <= max_df)
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     wgt = (
         tf.join(F.broadcast(dfc), "w")

@@ -1547,8 +1547,7 @@ register(
     ), tf AS (
       SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2
     ), dfc AS (
-      SELECT w, count(DISTINCT doc_id) AS df FROM tf
-      GROUP BY 1 HAVING count(DISTINCT doc_id) <= 1000
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
     ), n AS (SELECT count(*) AS n_docs FROM documents),
     wgt AS (
       SELECT t.doc_id, t.w,
