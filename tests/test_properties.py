@@ -218,3 +218,65 @@ def test_seq_pack_rule_pure(token_counts):
     assert packs == sorted(packs)
     for (p1, t1), p2 in zip(zip(packs, token_counts), packs[1:]):
         assert p2 - p1 <= t1 // budget + 1
+
+
+@given(st.integers(min_value=0, max_value=5000))
+@settings(max_examples=300, deadline=None)
+def test_chunk_plan_tiling_pure(n_tokens):
+    """The doc_chunk_plan arithmetic (64-token chunks, stride 48)
+    tiles ANY document length: chunks cover [0, n_tokens) exactly,
+    overlap consecutive chunks by 16, and never emit an empty middle
+    chunk — the pure-integer invariant behind the operator."""
+    chunk, stride = 64, 48
+    n_chunks = max(1, math.floor((n_tokens - 16 + 47) / 48.0))
+    spans = []
+    for i in range(n_chunks):
+        start = i * stride
+        end = min(start + chunk, n_tokens)
+        spans.append((start, max(end - start, 0)))
+    # first starts at 0; last ends at n_tokens (or the doc is empty)
+    assert spans[0][0] == 0
+    last_start, last_len = spans[-1]
+    assert last_start + last_len == n_tokens or n_tokens == 0
+    # coverage: every token position falls in >= 1 chunk
+    covered = set()
+    for start, ln in spans:
+        covered.update(range(start, start + ln))
+    assert covered == set(range(n_tokens))
+    # middle chunks are always full-stride advances
+    for (a, _), (b, _) in zip(spans, spans[1:]):
+        assert b - a == stride
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_cusum_closed_form_equals_recursion_pure(xs):
+    """cum − min(0, running_min(cum)) == the textbook one-sided CUSUM
+    recursion for ANY integer series and drift floor — the identity
+    event_rate_cusum's windowed plan rests on."""
+    mean = sum(xs) / len(xs)
+    var = (sum(x * x for x in xs) - sum(xs) * mean) / len(xs)
+    drift = math.floor(mean + 0.5 * math.sqrt(max(var, 0.0)))
+    s = 0
+    cum = 0
+    run_min = 0
+    for x in xs:
+        s = max(0, s + x - drift)           # recursion
+        cum += x - drift                    # closed form
+        run_min = min(run_min, cum)
+        assert s == cum - run_min
+
+
+@given(st.lists(st.integers(min_value=0, max_value=100),
+                min_size=16, max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_ahash_above_mean_bit_rule_pure(counts):
+    """The aHash bit rule (count·16 > total) sets a bit for strictly-
+    above-mean buckets only, and never sets all 16 bits (some bucket
+    is always ≤ the mean) — the signature can't saturate."""
+    total = sum(counts)
+    bits = [1 if c * 16 > total else 0 for c in counts]
+    for c, b in zip(counts, bits):
+        assert b == (c > total / 16)
+    assert sum(bits) < 16
