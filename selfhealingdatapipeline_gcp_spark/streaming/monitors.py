@@ -403,7 +403,9 @@ def streaming_live_alert_loop(spark: SparkSession, alert_dir: str,
     return {**counts, "stopped_clean": not q.isActive}
 
 
-def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_lsh_ingest(spark: SparkSession, sf_dir: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
     """Streaming-ingest near-dup check — the streaming form of
     dedup_incremental: each arriving micro-batch of documents is
     LSH-checked against the STATIC existing corpus, the shape a
@@ -430,8 +432,13 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id % 20 != 0")
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # force multi-epoch runs (chop-invariance tests chop on file
+        # boundaries; production availableNow batches however it likes)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (
-        spark.readStream.schema(schema).parquet(_staged_dir(path))
+        reader.parquet(_staged_dir(path))
         .filter("doc_id % 20 = 0")
     )
     out_dir = f"/tmp/shdp_stream/lsh_ingest_{next(_sink_counter)}"

@@ -808,3 +808,28 @@ def test_more_like_this_parity_and_ranks(spark, duck):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_streaming_lsh_ingest_multi_epoch_chop_invariance(spark, tmp_path):
+    """GENUINE chop-invariance: a 3-file source with
+    maxFilesPerTrigger=1 runs >= 2 micro-batches, and the union of
+    per-epoch outputs still equals the batch result."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_multi")
+    os.makedirs(src)
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    docs.repartition(3).write.parquet(f"{src}/documents.parquet")
+
+    streamed = {(r.new_doc_id, r.corpus_doc_id)
+                for r in monitors.streaming_lsh_ingest(
+                    spark, src, max_files_per_trigger=1).collect()}
+    loaded = catalog.load(spark, src, "documents")
+    batch = {(r.new_doc_id, r.corpus_doc_id)
+             for r in dedup.dedup_incremental(
+                 loaded.filter("doc_id % 20 = 0"),
+                 loaded.filter("doc_id % 20 != 0")).collect()}
+    assert streamed == batch and len(batch) > 0
