@@ -958,3 +958,37 @@ def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
                 (F.floor(cos * 1e6) / 1e6).alias("cosine"))
         .orderBy("label_a", "label_b")
     )
+
+
+def knn_degree_stats(embeddings: DataFrame, k: int = 5,
+                     n_centroids: int | None = None) -> DataFrame:
+    """In-degree histogram of the k-NN graph — the hubness diagnostic
+    for an embedding space (out-degree is k by construction; a heavy
+    in-degree tail means hub vectors that dominate retrieval and
+    poison clustering — the standard signal that an embedding space
+    needs whitening or a different metric).
+
+    Everything downstream of knn_graph_cells is two tiny aggregates:
+    per-node in-degree (count per neighbor_id), then the histogram
+    (count per in-degree), plus the isolated-node row (in-degree 0 =
+    corpus count minus referenced nodes, computed from 1-row
+    broadcast aggregates, no anti-join). Output is O(max in-degree)
+    rows at any SF."""
+    kwargs = {"k": k}
+    if n_centroids is not None:
+        kwargs["n_centroids"] = n_centroids
+    edges = knn_graph_cells(embeddings, **kwargs)
+    indeg = edges.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("in_degree"))
+    hist = indeg.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"))
+    n_total = embeddings.agg(F.count(F.lit(1)).alias("n_vecs"))
+    n_ref = indeg.agg(F.count(F.lit(1)).alias("n_referenced"))
+    zero = (
+        n_total.crossJoin(F.broadcast(n_ref))
+        .select(F.lit(0).cast("bigint").alias("in_degree"),
+                (F.col("n_vecs") - F.col("n_referenced"))
+                 .alias("n_nodes"))
+        .filter(F.col("n_nodes") > 0)
+    )
+    return hist.unionByName(zero).orderBy("in_degree")

@@ -1583,3 +1583,31 @@ register(
     ORDER BY anchor_id, rank
     """,
 )
+
+
+register(
+    "knn_degree_stats",
+    lambda spark, sf: similarity.knn_degree_stats(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_KNN_CTES},
+    edges AS (
+      SELECT vec_id, neighbor_id FROM r WHERE rank <= 5
+    ), indeg AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS in_degree
+      FROM edges GROUP BY 1
+    ), hist AS (
+      SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM indeg GROUP BY 1
+    ), tot AS (SELECT count(*) AS n_vecs FROM embeddings),
+    ref AS (SELECT count(*) AS n_referenced FROM indeg),
+    zero AS (
+      SELECT CAST(0 AS BIGINT) AS in_degree,
+             CAST(n_vecs - n_referenced AS BIGINT) AS n_nodes
+      FROM tot, ref WHERE n_vecs - n_referenced > 0
+    )
+    SELECT * FROM hist
+    UNION ALL SELECT * FROM zero
+    ORDER BY in_degree
+    """,
+)

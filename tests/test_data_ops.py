@@ -833,3 +833,17 @@ def test_streaming_lsh_ingest_multi_epoch_chop_invariance(spark, tmp_path):
                  loaded.filter("doc_id % 20 = 0"),
                  loaded.filter("doc_id % 20 != 0")).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_knn_degree_stats_parity_and_conservation(spark, duck):
+    assert_parity(registry.queries()["knn_degree_stats"](
+        spark, SF_ORACLE), duck, registry.oracle_sql()["knn_degree_stats"])
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["knn_degree_stats"](
+        spark, SF_ORACLE).collect()
+    n_vecs = catalog.load(spark, SF_ORACLE, "embeddings").count()
+    edges = registry.queries()["knn_graph_cells"](
+        spark, SF_ORACLE).count()
+    # nodes partition across degrees; edges conserve: sum(d*n) == |E|
+    assert sum(r.n_nodes for r in rows) == n_vecs
+    assert sum(r.in_degree * r.n_nodes for r in rows) == edges
