@@ -75,6 +75,12 @@ HEADLINE = [
     "multimodal_ahash_groups",
     "label_centroid_distances",
     "token_collocations",
+    "more_like_this",
+    "split_leakage_check",
+    "knn_degree_stats",
+    "cdc_snapshot_diff",
+    "packing_efficiency_report",
+    "revenue_weekly_seasonality",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -82,7 +88,7 @@ HEADLINE = [
 # PLAN, not driver-side row materialization (VERDICT r4 minor #2).
 # Aggregate-shaped queries keep collect() — their outputs are tiny
 # and collect matches how a user actually consumes them.
-LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan"}
+LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff"}
 
 
 def _time_min3(run) -> float:
