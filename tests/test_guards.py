@@ -181,3 +181,23 @@ def test_dedup_clusters_nonconvergence_raises(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(None, edges=edges, max_iterations=3)
+
+
+def test_cross_source_overlap_hot_shingle_bounded(spark):
+    """A shingle present in EVERY source cannot blow up pair
+    emission: the bucket emits C(|sources|, 2) pairs regardless of
+    how many documents carry it — the boundedness claim in the
+    operator's docstring, fabricated directly."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    # 200 docs, 20 sources, all sharing one trigram + a per-source one
+    rows = [(i, f"alpha beta gamma uniq{i % 20} tail{i % 20} end{i % 20}",
+             f"s{i % 20:02d}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    out = dedup.cross_source_overlap(docs).collect()
+    # every source pair shares the hot shingles -> exactly C(20,2)
+    assert len(out) == 190
+    for r in out:
+        assert r.shared_shingles <= min(r.n_a, r.n_b)
