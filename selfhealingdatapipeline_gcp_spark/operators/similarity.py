@@ -998,3 +998,72 @@ def knn_degree_stats(embeddings: DataFrame, k: int = 5,
         .filter(F.col("n_nodes") > 0)
     )
     return hist.unionByName(zero).orderBy("in_degree")
+
+
+def knn_clustering_coefficient(embeddings: DataFrame, k: int = 5,
+                               max_degree: int = 10_000) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the k-NN
+    graph: 3·triangles / wedges — the clumpiness measure of an
+    embedding space (high transitivity = tight local clusters, the
+    precondition for IVF cells and dedup blocking to work; a
+    near-random graph here means the embeddings carry little
+    neighborhood structure).
+
+    Plan: knn edges → undirected distinct pairs (least, greatest),
+    materialized ONCE (the knn_degree_stats lesson); adjacency =
+    both directions; per-node neighbor pairs emit via the
+    bucket-grouped two-generator pattern (no self-join), bounded by
+    C(deg, 2) with deg ≤ k + in-degree — a hub cap raises loudly at
+    ``max_degree`` before the quadratic emission (the dedup_simhash
+    discipline). Closed wedges = one equi-join of the wedge pairs
+    against the undirected edge set on the (lo, hi) key. Output is
+    ONE row of integer counts + the floor-e6 coefficient."""
+    edges = knn_graph_cells(embeddings, k=k)
+    und = (
+        edges.select(
+            F.least("vec_id", "neighbor_id").alias("lo"),
+            F.greatest("vec_id", "neighbor_id").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(F.col("lo").alias("node"), F.col("hi").alias("m")) \
+        .unionByName(und.select(F.col("hi").alias("node"),
+                                F.col("lo").alias("m")))
+    overflow = F.concat(
+        F.lit("knn_clustering_coefficient: node degree "),
+        F.size("ms").cast("string"),
+        F.lit(f" exceeds max_degree={max_degree}; raise n_centroids "
+              "or k, or cap hub nodes before the wedge emission"))
+    buckets = (
+        adj.groupBy("node")
+        .agg(F.sort_array(F.collect_set("m")).alias("ms"))
+        .filter(F.when(F.size("ms") > max_degree,
+                       F.raise_error(overflow)).otherwise(F.lit(True)))
+    )
+    deg_stats = buckets.select(
+        F.size("ms").cast("bigint").alias("deg"))
+    wedges_total = deg_stats.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+         .cast("bigint").alias("wedges"))
+    pairs = (
+        buckets
+        .select(F.explode("ms").alias("m1"), "ms")
+        .select("m1",
+                F.explode(F.filter(
+                    "ms", lambda m: m > F.col("m1"))).alias("m2"))
+    )
+    closed = pairs.join(
+        und, (pairs["m1"] == und["lo"]) & (pairs["m2"] == und["hi"])
+    ).agg(F.count(F.lit(1)).alias("closed_wedges"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    coeff = F.floor(F.col("closed_wedges") * 1e6 / F.col("wedges")) \
+        .cast("bigint")
+    return (
+        wedges_total.crossJoin(F.broadcast(closed))
+        .crossJoin(F.broadcast(n_edges))
+        .select("n_nodes", "n_edges", "wedges", "closed_wedges",
+                F.when(F.col("wedges") > 0, coeff)
+                 .otherwise(F.lit(0).cast("bigint"))
+                 .alias("transitivity_e6"))
+    )

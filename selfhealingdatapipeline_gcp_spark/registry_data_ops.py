@@ -1611,3 +1611,40 @@ register(
     ORDER BY in_degree
     """,
 )
+
+
+register(
+    "knn_clustering_coefficient",
+    lambda spark, sf: similarity.knn_clustering_coefficient(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_KNN_CTES},
+    e AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+    und AS (
+      SELECT DISTINCT least(vec_id, neighbor_id) AS lo,
+                      greatest(vec_id, neighbor_id) AS hi
+      FROM e
+    ), adj AS (
+      SELECT lo AS node, hi AS m FROM und
+      UNION ALL SELECT hi AS node, lo AS m FROM und
+    ), b AS (
+      SELECT node, count(*) AS deg FROM adj GROUP BY 1
+    ), wt AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS wedges
+      FROM b
+    ), wedge_pairs AS (
+      SELECT a1.m AS m1, a2.m AS m2
+      FROM adj a1 JOIN adj a2
+        ON a1.node = a2.node AND a1.m < a2.m
+    ), closed AS (
+      SELECT count(*) AS closed_wedges
+      FROM wedge_pairs JOIN und ON m1 = lo AND m2 = hi
+    ), ne AS (SELECT count(*) AS n_edges FROM und)
+    SELECT n_nodes, n_edges, wedges, closed_wedges,
+           CASE WHEN wedges > 0
+                THEN CAST(floor(closed_wedges * 1e6 / wedges) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS transitivity_e6
+    FROM wt, closed, ne
+    """,
+)

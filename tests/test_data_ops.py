@@ -847,3 +847,27 @@ def test_knn_degree_stats_parity_and_conservation(spark, duck):
     # nodes partition across degrees; edges conserve: sum(d*n) == |E|
     assert sum(r.n_nodes for r in rows) == n_vecs
     assert sum(r.in_degree * r.n_nodes for r in rows) == edges
+
+
+def test_knn_clustering_coefficient_parity_and_reference(spark, duck):
+    assert_parity(registry.queries()["knn_clustering_coefficient"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["knn_clustering_coefficient"])
+    row = registry.queries()["knn_clustering_coefficient"](
+        spark, SF_ORACLE).collect()[0]
+    # recompute transitivity with networkx-free pure python from edges
+    edges = {(min(r.vec_id, r.neighbor_id), max(r.vec_id, r.neighbor_id))
+             for r in registry.queries()["knn_graph_cells"](
+                 spark, SF_ORACLE).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(ms) * (len(ms) - 1) // 2 for ms in adj.values())
+    closed = sum(1 for ms in adj.values()
+                 for m1 in ms for m2 in ms
+                 if m1 < m2 and (m1, m2) in edges)
+    assert row.n_edges == len(edges)
+    assert row.wedges == wedges
+    assert row.closed_wedges == closed
+    assert row.transitivity_e6 == closed * 1_000_000 // wedges
