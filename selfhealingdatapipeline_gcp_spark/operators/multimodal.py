@@ -40,11 +40,32 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 
 def with_payload(documents: DataFrame) -> DataFrame:
     """Opaque binary payload column + source metadata (the ingest
-    shape: binary blob, typed sidecar columns)."""
+    shape: binary blob, typed sidecar columns). A frame that already
+    carries a ``payload`` column (e.g. assets_from_binary_files)
+    passes through — every operator in this module accepts either
+    the documents table or a real binary-file scan."""
+    if "payload" in documents.columns:
+        return documents.select("doc_id", "payload", "media_format")
     return documents.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.col("source").alias("media_format"),
+    )
+
+
+def assets_from_binary_files(files: DataFrame) -> DataFrame:
+    """Adapt a ``binaryFile`` scan (sources.readers.read_binary_files:
+    path, modificationTime, length, content) to the multimodal
+    payload schema: doc_id = md5int(path) (stable across re-scans,
+    independent of listing order), payload = the file bytes,
+    media_format = the file extension. This is the REAL ingest path —
+    every multimodal operator runs unchanged on its output."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    return files.select(
+        textfn.md5int(F.col("path")).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+         .alias("media_format"),
     )
 
 

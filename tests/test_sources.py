@@ -97,3 +97,36 @@ def test_jdbc_real_errors_not_mislabeled(spark, tmp_path):
             spark, url, "no_such_table",
             driver="org.apache.derby.iapi.jdbc.AutoloadedDriver").count()
     assert not isinstance(ei.value, NotImplementedError)
+
+
+def test_multimodal_ops_run_on_real_binary_files(spark, tmp_path):
+    """The REAL multimodal ingest path: files on disk -> binaryFile
+    scan -> assets_from_binary_files -> every multimodal operator
+    unchanged. Checks metadata fidelity (n_bytes == file size,
+    media_format == extension) and that dedup sees the duplicated
+    payload."""
+    import os
+    from selfhealingdatapipeline_gcp_spark.operators import multimodal
+    from selfhealingdatapipeline_gcp_spark.sources import readers
+
+    payloads = {"a.jpg": b"\x89fakejpegbytes" * 40,
+                "b.png": b"fakepngdata" * 25,
+                "c.jpg": b"\x89fakejpegbytes" * 40}  # dup of a.jpg
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    files = readers.read_binary_files(spark, str(tmp_path / "*"))
+    assets = multimodal.assets_from_binary_files(files)
+
+    meta = multimodal.multimodal_meta(assets).collect()
+    assert len(meta) == 3
+    by_fmt = sorted((r.media_format, r.n_bytes) for r in meta)
+    assert by_fmt == [("jpg", 560), ("jpg", 560), ("png", 275)]
+
+    groups = multimodal.multimodal_dedup_exact(assets).collect()
+    assert sum(r.n_copies for r in groups) == 3
+    assert any(r.n_copies == 2 and r.had_duplicates for r in groups)
+
+    frames = multimodal.multimodal_framesample(assets).collect()
+    assert len(frames) > 0
+    feats = multimodal.multimodal_features_long(assets).collect()
+    assert len(feats) == 3 * 16
