@@ -1,0 +1,65 @@
+"""Regenerate PLANS.md: the formatted physical plans of the flagship
+and scale-critical queries at sf0.01, annotated with what to look for.
+Run: python tools/dump_plans.py  (rewrites /root/repo/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from selfhealingdatapipeline_gcp_spark import registry  # noqa: E402
+from selfhealingdatapipeline_gcp_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+# query -> the plan property that makes it scale (what the reader
+# should find in the dump; tests/test_plan_shapes.py asserts these)
+SHOW = {
+    "q1_pricing_summary": "PushedFilters on l_shipdate; pruned ReadSchema; "
+                          "partial_ aggregates before the exchange",
+    "q5_regional_revenue": "BroadcastHashJoin for every dim; no cartesian",
+    "dedup_minhash_lsh": "NO join anywhere - bucket-grouped pair emission "
+                         "(Generate over collected buckets)",
+    "dedup_lsh_verified": "ReusedExchange of the shingle subtree; verify "
+                          "shuffles candidate pairs only",
+    "ann_bruteforce_topk": "broadcast of the FILTERED query vectors; the "
+                           "corpus is never broadcast or shuffled",
+    "contamination_check": "distinct 8-byte shingle hashes equi-join; "
+                           "never corpus x corpus",
+    "doc_chunk_plan": "no aggregate/join exchange at all (scan -> "
+                      "project -> explode)",
+    "event_rate_cusum": "one corpus-sized aggregate to day grain, then "
+                        "Window over the grain; 1-row ref broadcast",
+    "cdc_snapshot_diff": "each side reduced to (key, md5) BEFORE the "
+                         "full-outer SortMergeJoin",
+    "more_like_this": "anchors + anchor norms broadcast; corpus norms "
+                      "stay an equi-join",
+}
+
+
+def main() -> None:
+    spark = get_spark("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = ["# PLANS — formatted physical plans (sf0.01, regenerate with "
+           "`python tools/dump_plans.py`)\n",
+           "Each section names the plan property the 100 TB design "
+           "depends on; tests/test_plan_shapes.py asserts them so a "
+           "regression goes red before it ships.\n"]
+    qs = registry.queries()
+    for name, note in SHOW.items():
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        out.append(f"\n## {name}\n\n*Look for: {note}.*\n\n```\n{plan}```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md written ({len(SHOW)} plans)")
+
+
+if __name__ == "__main__":
+    main()
