@@ -1648,3 +1648,17 @@ register(
     FROM wt, closed, ne
     """,
 )
+
+
+register(
+    "streaming_cdc_apply",
+    monitors.streaming_cdc_apply,
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+)

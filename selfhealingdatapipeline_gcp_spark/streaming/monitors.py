@@ -463,3 +463,72 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str,
         .select("new_doc_id", "corpus_doc_id")
         .orderBy("new_doc_id", "corpus_doc_id")
     )
+
+
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """Streaming CDC apply: the event feed streams in as change
+    records and each micro-batch MERGEs into a running snapshot —
+    the standard CDC-ingestion workload (Debezium/stream → table),
+    composed from this repo's primitives inside foreachBatch.
+
+    The merge keeps the latest row per user_id by (ts, event_id) —
+    EVENT-time ordering, not arrival order — which is what makes the
+    result chop-invariant: however the stream is chopped into
+    micro-batches, the final snapshot equals the batch
+    cdc_latest_snapshot over all records (tested with forced
+    multi-epoch runs). Each epoch writes a fresh snapshot directory
+    and flips a pointer (alternating-dir pattern — a parquet source
+    cannot overwrite itself mid-read); a replayed epoch rewrites the
+    same directory, so the sink stays exactly-once. On Delta/Iceberg
+    this whole function is MERGE INTO with the same ordering rule."""
+    from pyspark.sql import Window
+
+    stream = _events_stream(spark, sf_dir)
+    reader_note = max_files_per_trigger
+    if reader_note is not None:
+        # rebuild the stream with the per-trigger cap (chop tests)
+        path = f"{sf_dir}/events.parquet"
+        schema = spark.read.parquet(path).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", reader_note)
+                  .parquet(_staged_dir(path)))
+        ts_type = dict(stream.dtypes).get("ts")
+        if ts_type == "bigint":
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    base = f"/tmp/shdp_stream/cdc_apply_{next(_sink_counter)}"
+    state = {"dir": None}
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+
+    def apply_epoch(batch_df, epoch_id: int) -> None:
+        combined = batch_df
+        if state["dir"] is not None:
+            combined = batch_df.unionByName(
+                batch_df.sparkSession.read.parquet(state["dir"]))
+        snap = (
+            combined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn")
+        )
+        out = f"{base}/epoch={epoch_id}"
+        snap.write.mode("overwrite").parquet(out)
+        state["dir"] = out
+
+    q = (stream.writeStream.foreachBatch(apply_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if state["dir"] is None:
+        schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                  "event_type string, value double, props string")
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.parquet(state["dir"])
+        .select("event_id", "ts", "user_id", "event_type", "value",
+                "props")
+        .orderBy("user_id")
+    )

@@ -871,3 +871,38 @@ def test_knn_clustering_coefficient_parity_and_reference(spark, duck):
     assert row.wedges == wedges
     assert row.closed_wedges == closed
     assert row.transitivity_e6 == closed * 1_000_000 // wedges
+
+
+def test_streaming_cdc_apply_parity(spark, duck):
+    assert_parity(registry.queries()["streaming_cdc_apply"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_cdc_apply"])
+
+
+def test_streaming_cdc_apply_multi_epoch_chop_invariance(spark, tmp_path):
+    """Chop the change stream into per-file micro-batches and assert
+    the maintained snapshot still equals the batch latest-per-key —
+    event-time ordering, not arrival order, decides the winner."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_cdc")
+    os.makedirs(src)
+    events = catalog.load(spark, SF_ORACLE, "events")
+    # repartition WITHOUT ordering: files intermix event times, so
+    # arrival order actively disagrees with event-time order
+    events.repartition(4).write.parquet(f"{src}/events.parquet")
+
+    streamed = {r.user_id: (r.event_id, r.ts)
+                for r in monitors.streaming_cdc_apply(
+                    spark, src, max_files_per_trigger=1).collect()}
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    batch = {r.user_id: (r.event_id, r.ts)
+             for r in catalog.load(spark, src, "events")
+             .withColumn("rn", F.row_number().over(w))
+             .filter("rn = 1").collect()}
+    assert streamed == batch and len(batch) > 0
