@@ -81,6 +81,8 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "packing_efficiency_report",
     "revenue_weekly_seasonality",
+    "knn_clustering_coefficient",
+    "streaming_cdc_apply",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
