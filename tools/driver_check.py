@@ -100,8 +100,12 @@ def main(argv):
     spark = get_spark("driver-check")
     duck = duckdb.connect()
     for t in catalog.TABLES:
-        duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # single-file testdata vs directory-shaped (Spark-written)
+        # replicas: DuckDB needs a glob for the latter
+        p = f"{SF}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = registry.queries()
     oracles = registry.oracle_sql()
     names = argv or list(qs)
