@@ -47,16 +47,21 @@ def _staged_dir(path: str) -> str:
     return d
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the events parquet; nanos ts normalized
-    exactly like catalog.load."""
+    exactly like catalog.load. ``max_files_per_trigger`` forces
+    per-file micro-batches (chop-invariance tests)."""
     path = f"{sf_dir}/events.parquet"
     # defensive conf (see catalog.load): callers may pass an untuned
     # session; events.parquet is TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(schema).parquet(_staged_dir(path))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -485,22 +490,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str,
     this whole function is MERGE INTO with the same ordering rule."""
     from pyspark.sql import Window
 
-    stream = _events_stream(spark, sf_dir)
-    reader_note = max_files_per_trigger
-    if reader_note is not None:
-        # rebuild the stream with the per-trigger cap (chop tests)
-        path = f"{sf_dir}/events.parquet"
-        schema = spark.read.parquet(path).schema
-        stream = (spark.readStream.schema(schema)
-                  .option("maxFilesPerTrigger", reader_note)
-                  .parquet(_staged_dir(path)))
-        ts_type = dict(stream.dtypes).get("ts")
-        if ts_type == "bigint":
-            stream = stream.withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)"))
-        elif ts_type == "timestamp_ntz":
-            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-
+    stream = _events_stream(spark, sf_dir, max_files_per_trigger)
     base = f"/tmp/shdp_stream/cdc_apply_{next(_sink_counter)}"
     state = {"dir": None}
     w = Window.partitionBy("user_id").orderBy(
