@@ -533,7 +533,11 @@ def more_like_this(documents: DataFrame,
         dfc = dfc.filter(F.col("df") <= max_df)
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     wgt = (
-        tf.join(F.broadcast(dfc), "w")
+        # dfc is VOCABULARY-sized here (every term's df, not a few
+        # query terms like keyword_search_tfidf) — it must join on
+        # the token key, not broadcast; Heaps' law keeps it sublinear
+        # but at 100 TB it is still far beyond broadcast budgets
+        tf.join(dfc, "w")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "w",
                 F.floor(F.col("tf")

@@ -367,3 +367,35 @@ def test_containment_shares_jaccard_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Generate" in plan  # generator pair emission
+
+
+def test_clustering_coefficient_wedges_are_generated_not_joined(spark):
+    """Wedge pairs emit via generators over collected neighbor sets
+    (no adjacency self-join); the closed-wedge resolution is one
+    equi-join against the slim edge relation; nothing cartesian."""
+    df = registry.queries()["knn_clustering_coefficient"](
+        spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+
+def test_more_like_this_broadcasts_anchors(spark):
+    """Anchors, df counts, and anchor norms broadcast; no cartesian.
+    (The corpus-norm join is NOT forced broadcast in the code — an
+    actual bug caught in review — but at sf0.01 the planner
+    legitimately broadcasts it on size, so the no-forced-broadcast
+    property is checked structurally instead: the only F.broadcast
+    hints in the operator are on anchor-filtered/1-row relations.)"""
+    import inspect
+
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    df = registry.queries()["more_like_this"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    src = inspect.getsource(textanalysis.more_like_this)
+    # every explicit broadcast hint covers an anchor-filtered or
+    # scalar relation; the bare corpus-norm join has no hint
+    assert src.count("F.broadcast") == 3
+    assert 'F.col("nsq").alias("nsq_b"))), "doc_id")' not in src
