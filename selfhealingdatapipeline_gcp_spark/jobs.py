@@ -195,3 +195,89 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
         "report": results["daily_report"].result,
         "alerts": results["send_alerts"].result,
     }
+
+
+def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
+                     dup_rate_alert_e6: int = 200_000) -> dict[str, Any]:
+    """The training-data curation pipeline end to end, through the
+    same self-healing runner as the reference DAG: quality filter →
+    exact dedup → LSH near-dup candidates + verified drop → split →
+    packing plan → partitioned sink, with a duplicate-rate alert
+    routed like any detector.
+
+    This is the composition a user of the engine actually deploys:
+    every stage is one of the registered operators, chained on
+    DataFrames (one logical plan per stage, no materialization
+    between them except the sink), and a stage failure — including
+    the engine's own loud scale guards — goes through
+    analyze → suggest → apply → retry."""
+    from selfhealingdatapipeline_gcp_spark.operators import (
+        dataprep, dedup, textanalysis)
+
+    state: dict[str, Any] = {}
+
+    def filter_stage(s: SparkSession, ctx: dict[str, Any]):
+        docs = catalog.load(s, sf_dir, "documents")
+        kept = (dataprep.quality_filter_pipeline(docs)
+                .filter(F.col("keep")).select("doc_id"))
+        return docs.join(kept, "doc_id")
+
+    def dedup_stage(s: SparkSession, ctx: dict[str, Any]):
+        docs = ctx["filter"]
+        n_in = docs.count()
+        exact = dedup.dedup_exact(docs)
+        keepers = exact.select(F.col("keeper_doc_id").alias("doc_id"))
+        uniq = docs.join(keepers, "doc_id")
+        # near-dup drop: keep doc_a (lower id), drop its verified dups
+        verified = dedup.dedup_lsh_verified(uniq)
+        drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+        out = uniq.join(drops, "doc_id", "left_anti")
+        n_out = out.count()
+        state["n_in"], state["n_out"] = n_in, n_out
+        state["dup_rate_e6"] = (n_in - n_out) * 1_000_000 // max(n_in, 1)
+        return out
+
+    def split_and_pack(s: SparkSession, ctx: dict[str, Any]):
+        docs = ctx["dedup"]
+        split = dataprep.train_val_split(docs).select("doc_id", "split")
+        pack = dataprep.seq_pack_plan(docs).select(
+            "doc_id", "stream", "pack_id", "tokens_before")
+        return (docs.join(split, "doc_id").join(pack, "doc_id")
+                .select("doc_id", "source", "split", "stream",
+                        "pack_id", "tokens_before", "text"))
+
+    def sink(s: SparkSession, ctx: dict[str, Any]):
+        writers.write_parquet(ctx["split_pack"], output_path,
+                              partition_by=("split",),
+                              target_partitions=8)
+        return output_path
+
+    def alert_on_dup_rate(s: SparkSession, ctx: dict[str, Any]):
+        fired = []
+        if state["dup_rate_e6"] > dup_rate_alert_e6:
+            fired.append({
+                "detector": "curation_dup_rate",
+                "alert_key": "corpus",
+                "severity": "HIGH",
+                "detail": f"dup_rate_e6={state['dup_rate_e6']}",
+            })
+        return fired
+
+    pipe = Pipeline("training_data_curation", [
+        Task("filter", filter_stage),
+        Task("dedup", dedup_stage, depends_on=("filter",)),
+        Task("split_pack", split_and_pack, depends_on=("dedup",)),
+        Task("sink", sink, depends_on=("split_pack",)),
+        Task("alerts", alert_on_dup_rate, depends_on=("dedup",)),
+    ])
+    results = pipe.run(spark)
+    return {
+        "statuses": {k: v.status for k, v in results.items()},
+        "n_in": state.get("n_in"),
+        "n_out": state.get("n_out"),
+        "dup_rate_e6": state.get("dup_rate_e6"),
+        "alerts": (results["alerts"].result
+                   if results["alerts"].status == "SUCCESS" else None),
+        "output_path": (results["sink"].result
+                        if results["sink"].status == "SUCCESS" else None),
+    }

@@ -650,3 +650,26 @@ def test_healer_catches_incremental_bucket_guard(spark):
     assert "max_bucket_docs" in fix.root_cause
     assert "standing corpus" in fix.root_cause
     assert "dedup_exact" in fix.suggested_fix
+
+
+def test_run_curation_job_end_to_end(spark, tmp_path):
+    """The training-data curation DAG: filter -> dedup (exact + LSH
+    verified) -> split/pack -> partitioned sink -> dup-rate alert,
+    through the self-healing runner. Asserts every stage succeeded,
+    the sink is readable and partitioned by split, kept docs carry
+    pack assignments, and the dup-rate accounting is conserved."""
+    from selfhealingdatapipeline_gcp_spark import jobs
+
+    out = jobs.run_curation_job(spark, "/root/testdata/sf0.001",
+                                str(tmp_path / "curated"))
+    assert all(s == "SUCCESS" for s in out["statuses"].values()), out
+    assert 0 < out["n_out"] <= out["n_in"]
+    assert out["dup_rate_e6"] == (
+        (out["n_in"] - out["n_out"]) * 1_000_000 // out["n_in"])
+    curated = spark.read.parquet(out["output_path"])
+    assert curated.count() == out["n_out"]
+    assert set(r.split for r in
+               curated.select("split").distinct().collect()) <= {
+        "train", "val"}
+    row = curated.first()
+    assert row.pack_id >= 0 and row.tokens_before >= 0
