@@ -920,3 +920,80 @@ def revenue_weekly_seasonality(orders: DataFrame) -> DataFrame:
              .cast("bigint").alias("index_e6"))
         .orderBy("dow")
     )
+
+
+def revenue_anomaly_deseasonal(orders: DataFrame,
+                               z_threshold: float = 2.5,
+                               min_history: int = 7) -> DataFrame:
+    """Seasonally-adjusted revenue anomaly — the composition the
+    seasonality index exists for: divide each day by its day-of-week
+    index BEFORE the trailing z-score, so a quiet-but-normal Sunday
+    stops deflating the baseline and a Sunday-sized Monday flags.
+
+    Same integer discipline as revenue_anomaly: the index is the
+    revenue_weekly_seasonality cross-multiplied expression (cents
+    precision), the adjusted series floors to whole-dollar INTEGERS,
+    and the trailing window keeps integer (sum, sum², count). The
+    index relation is 7 rows, broadcast; everything else is the
+    O(days) grain."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+        .withColumn(
+            "rev_usd",
+            ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(100))) / 100)
+            .cast("bigint"))
+        .withColumn("dow", F.dayofweek("d"))
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.sum("rev_c").alias("sum_dow"), F.count(F.lit(1)).alias("n_dow"))
+    tot = daily.agg(F.sum("rev_c").alias("total"),
+                    F.count(F.lit(1)).alias("n_days"))
+    idx = (
+        per_dow.crossJoin(F.broadcast(tot))
+        .select("dow",
+                F.floor(F.col("sum_dow").cast("double")
+                        * F.col("n_days").cast("double") * 1e6
+                        / (F.col("n_dow").cast("double")
+                           * F.col("total").cast("double")))
+                 .cast("bigint").alias("index_e6"))
+    )
+    adj = (
+        daily.join(F.broadcast(idx), "dow")
+        .withColumn("adj_u",
+                    F.floor(F.col("rev_usd") * 1e6 / F.col("index_e6"))
+                     .cast("bigint"))
+    )
+    w = Window.orderBy("d").rowsBetween(-30, -1)
+    base = (
+        adj
+        .withColumn("sum_u", F.sum("adj_u").over(w))
+        .withColumn("sumsq_u",
+                    F.sum(F.col("adj_u") * F.col("adj_u")).over(w))
+        .withColumn("n_hist", F.count("adj_u").over(w))
+    )
+    n = F.col("n_hist").cast("double")
+    sum_d = F.col("sum_u").cast("double")
+    avg_adj = sum_d / n
+    var_u = F.greatest(
+        (F.col("sumsq_u").cast("double") - sum_d * sum_d / n) / (n - 1),
+        F.lit(0.0))
+    std_adj = F.sqrt(var_u)
+    adj_d = F.col("adj_u").cast("double")
+    z = F.when(std_adj > 0, (adj_d - avg_adj) / std_adj) \
+         .otherwise(F.lit(0.0))
+    return (
+        base
+        .filter(F.col("n_hist") >= min_history)
+        .select(
+            "d",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            "index_e6",
+            F.col("adj_u").alias("adj_revenue"),
+            money.trunc(avg_adj).alias("baseline_avg"),
+            money.trunc(std_adj).alias("baseline_std"),
+            money.trunc(z).alias("z_score"),
+            (F.abs(z) > z_threshold).alias("is_anomaly"),
+        )
+        .orderBy("d")
+    )

@@ -716,3 +716,73 @@ register(
     """,
 )
 
+
+
+register(
+    "revenue_anomaly_deseasonal",
+    lambda spark, sf: detectors.revenue_anomaly_deseasonal(
+        *_t(spark, sf, "orders")),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ), daily2 AS (
+      SELECT d, rev_c,
+             CAST((rev_c - (rev_c % 100)) / 100 AS BIGINT) AS rev_usd,
+             (dayofweek(d) + 1) AS dow
+      FROM daily
+    ), per AS (
+      SELECT dow, CAST(sum(rev_c) AS BIGINT) AS sum_dow,
+             count(*) AS n_dow
+      FROM daily2 GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(rev_c) AS BIGINT) AS total, count(*) AS n_days
+      FROM daily2
+    ), idx AS (
+      SELECT dow,
+             CAST(floor(CAST(sum_dow AS DOUBLE) * CAST(n_days AS DOUBLE)
+                        * 1e6 / (CAST(n_dow AS DOUBLE)
+                                 * CAST(total AS DOUBLE))) AS BIGINT)
+               AS index_e6
+      FROM per, tot
+    ), adj AS (
+      SELECT d, rev_c, index_e6,
+             CAST(floor(rev_usd * 1000000.0 / index_e6) AS BIGINT) AS adj_u
+      FROM daily2 JOIN idx USING (dow)
+    ), win AS (
+      SELECT d, rev_c, index_e6, adj_u,
+             CAST(sum(adj_u)         OVER w AS DOUBLE) AS sum_u,
+             CAST(sum(adj_u * adj_u) OVER w AS DOUBLE) AS sumsq_u,
+             CAST(count(adj_u)       OVER w AS DOUBLE) AS n_hist
+      FROM adj
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d,
+           (rev_c / 100.0) AS revenue,
+           index_e6,
+           adj_u AS adj_revenue,
+           (floor((sum_u / n_hist) * 10000.0) / 10000.0) AS baseline_avg,
+           (floor(sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
+                                / (n_hist - 1), 0.0)) * 10000.0)
+            / 10000.0) AS baseline_std,
+           (floor((CASE WHEN sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
+                                           / (n_hist - 1), 0.0)) > 0
+                        THEN (CAST(adj_u AS DOUBLE)
+                              - (sum_u / n_hist))
+                             / sqrt(greatest((sumsq_u - sum_u * sum_u
+                                              / n_hist)
+                                             / (n_hist - 1), 0.0))
+                        ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,
+           (abs(CASE WHEN sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
+                                        / (n_hist - 1), 0.0)) > 0
+                     THEN (CAST(adj_u AS DOUBLE) - (sum_u / n_hist))
+                          / sqrt(greatest((sumsq_u - sum_u * sum_u
+                                           / n_hist)
+                                          / (n_hist - 1), 0.0))
+                     ELSE 0.0 END) > 2.5) AS is_anomaly
+    FROM win
+    WHERE n_hist >= 7
+    ORDER BY d
+    """,
+)

@@ -35,6 +35,7 @@ DETECTORS = [
     "benford_first_digit",
     "event_rate_cusum",
     "revenue_weekly_seasonality",
+    "revenue_anomaly_deseasonal",
 ]
 
 
@@ -158,3 +159,32 @@ def test_weekly_seasonality_index_centers_on_1e6(spark):
     n_total = sum(r.n_dow for r in rows)
     weighted = sum(r.index_e6 * r.n_dow for r in rows) / n_total
     assert abs(weighted - 1_000_000) < 10  # floor loss only
+
+
+def test_deseasonal_anomaly_consistency(spark):
+    """The adjusted series must be the raw series divided by its dow
+    index (re-derived independently), and the windows run over the
+    adjusted values — checked by recomputing one day's z from the
+    emitted adjusted history."""
+    rows = registry.queries()["revenue_anomaly_deseasonal"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) > 100
+    season = {r.dow: r.index_e6 for r in registry.queries()[
+        "revenue_weekly_seasonality"](spark, SF_ORACLE).collect()}
+    import math
+    for r in rows[:20]:
+        dow = r.d.isoweekday() % 7 + 1  # python Mon=1 -> Spark Sun=1
+        assert r.index_e6 == season[dow]
+        whole = int(r.revenue)  # rev_usd floor to whole dollars
+        assert r.adj_revenue == math.floor(whole * 1e6 / r.index_e6)
+    # one z re-derivation from the emitted series
+    series = {r.d: r.adj_revenue for r in rows}
+    days = sorted(series)
+    target = rows[len(rows) // 2]
+    hist = [series[d] for d in days if d < target.d][-30:]
+    mean = sum(hist) / len(hist)
+    var = (sum(x * x for x in hist) - sum(hist) * sum(hist) / len(hist)) \
+        / (len(hist) - 1)
+    std = math.sqrt(max(var, 0.0))
+    z = (target.adj_revenue - mean) / std if std > 0 else 0.0
+    assert abs(target.z_score - math.floor(z * 1e4) / 1e4) < 1e-9
