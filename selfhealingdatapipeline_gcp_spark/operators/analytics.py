@@ -1031,7 +1031,8 @@ def supplier_concentration_hhi(lineitem: DataFrame,
             (F.col("total_d") * 1.0).alias("total_dollars"),
             F.when(F.col("total_d") > 0,
                    F.floor(F.col("sum_d2") * 1e6
-                           / (F.col("total_d") * F.col("total_d"))) / 1e6)
+                           / (F.col("total_d").cast("double")
+                              * F.col("total_d").cast("double"))) / 1e6)
              .otherwise(F.lit(0.0)).alias("hhi"),
         )
         .orderBy("nation")

@@ -701,7 +701,8 @@ register(
            n_suppliers,
            CAST(total_d AS DOUBLE) AS total_dollars,
            CASE WHEN total_d > 0
-                THEN floor(sum_d2 * 1e6 / (total_d * total_d)) / 1e6
+                THEN floor(sum_d2 * 1e6 / (CAST(total_d AS DOUBLE)
+                                            * CAST(total_d AS DOUBLE))) / 1e6
                 ELSE 0.0 END AS hhi
     FROM per_nation JOIN nation ON s_nationkey = n_nationkey
     ORDER BY nation
