@@ -64,9 +64,11 @@ def revenue_anomaly(orders: DataFrame,
     # sum-of-squares, count) and derives avg/std arithmetically:
     # engine-native windowed avg()/stddev() accumulate doubles in
     # engine-specific order and drift an ulp even on identical inputs.
-    # The variance accumulator uses WHOLE-DOLLAR integers (cents² ·
-    # 31 days overflows int64 past ~sf0.05; dollars² holds to ~sf50 —
-    # ANSI mode throws on overflow rather than corrupting).
+    # The variance accumulator uses HUNDRED-DOLLAR integers: cents²·31
+    # overflows int64 past ~sf0.05, whole dollars² past ~sf5 (the sf10
+    # replica gate caught exactly that — ANSI threw loudly), hundreds²
+    # hold to ~sf300. $100 granularity in a daily-revenue stddev is
+    # immaterial; the oracle mirrors the same scaling.
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
@@ -75,6 +77,11 @@ def revenue_anomaly(orders: DataFrame,
             "rev_usd",
             ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(100))) / 100)
             .cast("bigint"))
+        # hundred-dollar units for the squared window accumulator
+        .withColumn(
+            "rev_h",
+            ((F.col("rev_usd") - F.pmod(F.col("rev_usd"), F.lit(100)))
+             / 100).cast("bigint"))
     )
     # unpartitioned day-grain window: the input is ALREADY collapsed to
     # O(days) rows (bounded forever), and the trailing-30-day frame must
@@ -83,17 +90,17 @@ def revenue_anomaly(orders: DataFrame,
     w = Window.orderBy("d").rowsBetween(-30, -1)
     base = (
         daily
-        .withColumn("sum_u", F.sum("rev_usd").over(w))
-        .withColumn("sumsq_u", F.sum(F.col("rev_usd") * F.col("rev_usd")).over(w))
-        .withColumn("n_hist", F.count("rev_usd").over(w))
+        .withColumn("sum_u", F.sum("rev_h").over(w))
+        .withColumn("sumsq_u", F.sum(F.col("rev_h") * F.col("rev_h")).over(w))
+        .withColumn("n_hist", F.count("rev_h").over(w))
     )
     n = F.col("n_hist").cast("double")
     sum_d = F.col("sum_u").cast("double")
-    avg_dollars = sum_d / n
+    avg_dollars = sum_d / n * 100.0
     var_u = F.greatest(
         (F.col("sumsq_u").cast("double") - sum_d * sum_d / n) / (n - 1),
         F.lit(0.0))
-    std_dollars = F.sqrt(var_u)
+    std_dollars = F.sqrt(var_u) * 100.0
     rev_dollars = F.col("rev_c") / 100.0
     z = F.when(std_dollars > 0,
                (rev_dollars - avg_dollars) / std_dollars).otherwise(F.lit(0.0))
@@ -963,22 +970,29 @@ def revenue_anomaly_deseasonal(orders: DataFrame,
         .withColumn("adj_u",
                     F.floor(F.col("rev_usd") * 1e6 / F.col("index_e6"))
                      .cast("bigint"))
+        # hundred-dollar units for the squared window (the
+        # revenue_anomaly accumulator-scaling rule; dollars²
+        # overflowed int64 at the sf10 gate)
+        .withColumn("adj_h",
+                    ((F.col("adj_u") - F.pmod(F.col("adj_u"),
+                                              F.lit(100))) / 100)
+                    .cast("bigint"))
     )
     w = Window.orderBy("d").rowsBetween(-30, -1)
     base = (
         adj
-        .withColumn("sum_u", F.sum("adj_u").over(w))
+        .withColumn("sum_u", F.sum("adj_h").over(w))
         .withColumn("sumsq_u",
-                    F.sum(F.col("adj_u") * F.col("adj_u")).over(w))
-        .withColumn("n_hist", F.count("adj_u").over(w))
+                    F.sum(F.col("adj_h") * F.col("adj_h")).over(w))
+        .withColumn("n_hist", F.count("adj_h").over(w))
     )
     n = F.col("n_hist").cast("double")
     sum_d = F.col("sum_u").cast("double")
-    avg_adj = sum_d / n
+    avg_adj = sum_d / n * 100.0
     var_u = F.greatest(
         (F.col("sumsq_u").cast("double") - sum_d * sum_d / n) / (n - 1),
         F.lit(0.0))
-    std_adj = F.sqrt(var_u)
+    std_adj = F.sqrt(var_u) * 100.0
     adj_d = F.col("adj_u").cast("double")
     z = F.when(std_adj > 0, (adj_d - avg_adj) / std_adj) \
          .otherwise(F.lit(0.0))

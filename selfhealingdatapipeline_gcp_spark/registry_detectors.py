@@ -28,7 +28,7 @@ register(
 register(
     "revenue_anomaly",
     lambda spark, sf: detectors.revenue_anomaly(*_t(spark, sf, "orders")),
-    '\n    WITH daily AS (\n      SELECT CAST(o_orderdate AS DATE) AS d,\n             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c\n      FROM orders GROUP BY 1\n    ), daily2 AS (\n      SELECT d, rev_c,\n             CAST((rev_c - (rev_c % 100)) / 100 AS BIGINT) AS rev_usd\n      FROM daily\n    ), win AS (\n      SELECT d, rev_c,\n             CAST(sum(rev_usd)           OVER w AS DOUBLE) AS sum_u,\n             CAST(sum(rev_usd * rev_usd) OVER w AS DOUBLE) AS sumsq_u,\n             CAST(count(rev_usd)         OVER w AS DOUBLE) AS n_hist\n      FROM daily2\n      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)\n    )\n    SELECT d,\n           (rev_c / 100.0) AS revenue,\n           (floor((sum_u / n_hist) * 10000.0) / 10000.0) AS baseline_avg,\n           (floor(((sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0)))) * 10000.0) / 10000.0) AS baseline_std,\n           (floor((CASE WHEN (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0))) > 0 THEN ((rev_c / 100.0) - (sum_u / n_hist)) / (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0))) ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,\n           (abs(CASE WHEN (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0))) > 0 THEN ((rev_c / 100.0) - (sum_u / n_hist)) / (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0))) ELSE 0.0 END) > 2.5) AS is_anomaly\n    FROM win\n    WHERE n_hist >= 7\n    ',
+    '\n    WITH daily AS (\n      SELECT CAST(o_orderdate AS DATE) AS d,\n             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c\n      FROM orders GROUP BY 1\n    ), daily2 AS (\n      SELECT d, rev_c,\n             CAST((rev_c - (rev_c % 100)) / 100 AS BIGINT) AS rev_usd\n      FROM daily\n    ), daily3 AS (\n      SELECT d, rev_c,\n             CAST((rev_usd - (rev_usd % 100)) / 100 AS BIGINT) AS rev_h\n      FROM daily2\n    ), win AS (\n      SELECT d, rev_c,\n             CAST(sum(rev_h)         OVER w AS DOUBLE) AS sum_u,\n             CAST(sum(rev_h * rev_h) OVER w AS DOUBLE) AS sumsq_u,\n             CAST(count(rev_h)       OVER w AS DOUBLE) AS n_hist\n      FROM daily3\n      WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)\n    )\n    SELECT d,\n           (rev_c / 100.0) AS revenue,\n           (floor((sum_u / n_hist * 100.0) * 10000.0) / 10000.0) AS baseline_avg,\n           (floor(((sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0))) * 100.0) * 10000.0) / 10000.0) AS baseline_std,\n           (floor((CASE WHEN (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0)) * 100.0) > 0 THEN ((rev_c / 100.0) - (sum_u / n_hist * 100.0)) / (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0)) * 100.0) ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,\n           (abs(CASE WHEN (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0)) * 100.0) > 0 THEN ((rev_c / 100.0) - (sum_u / n_hist * 100.0)) / (sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist) / (n_hist - 1), 0.0)) * 100.0) ELSE 0.0 END) > 2.5) AS is_anomaly\n    FROM win\n    WHERE n_hist >= 7\n    ',
 )
 
 register(
@@ -750,36 +750,40 @@ register(
       SELECT d, rev_c, index_e6,
              CAST(floor(rev_usd * 1000000.0 / index_e6) AS BIGINT) AS adj_u
       FROM daily2 JOIN idx USING (dow)
+    ), adj2 AS (
+      SELECT d, rev_c, index_e6, adj_u,
+             CAST((adj_u - (adj_u % 100)) / 100 AS BIGINT) AS adj_h
+      FROM adj
     ), win AS (
       SELECT d, rev_c, index_e6, adj_u,
-             CAST(sum(adj_u)         OVER w AS DOUBLE) AS sum_u,
-             CAST(sum(adj_u * adj_u) OVER w AS DOUBLE) AS sumsq_u,
-             CAST(count(adj_u)       OVER w AS DOUBLE) AS n_hist
-      FROM adj
+             CAST(sum(adj_h)         OVER w AS DOUBLE) AS sum_u,
+             CAST(sum(adj_h * adj_h) OVER w AS DOUBLE) AS sumsq_u,
+             CAST(count(adj_h)       OVER w AS DOUBLE) AS n_hist
+      FROM adj2
       WINDOW w AS (ORDER BY d ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
     )
     SELECT d,
            (rev_c / 100.0) AS revenue,
            index_e6,
            adj_u AS adj_revenue,
-           (floor((sum_u / n_hist) * 10000.0) / 10000.0) AS baseline_avg,
+           (floor((sum_u / n_hist * 100.0) * 10000.0) / 10000.0) AS baseline_avg,
            (floor(sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
-                                / (n_hist - 1), 0.0)) * 10000.0)
+                                / (n_hist - 1), 0.0)) * 100.0 * 10000.0)
             / 10000.0) AS baseline_std,
            (floor((CASE WHEN sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
-                                           / (n_hist - 1), 0.0)) > 0
+                                           / (n_hist - 1), 0.0)) * 100.0 > 0
                         THEN (CAST(adj_u AS DOUBLE)
-                              - (sum_u / n_hist))
-                             / sqrt(greatest((sumsq_u - sum_u * sum_u
-                                              / n_hist)
-                                             / (n_hist - 1), 0.0))
+                              - (sum_u / n_hist * 100.0))
+                             / (sqrt(greatest((sumsq_u - sum_u * sum_u
+                                               / n_hist)
+                                              / (n_hist - 1), 0.0)) * 100.0)
                         ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score,
            (abs(CASE WHEN sqrt(greatest((sumsq_u - sum_u * sum_u / n_hist)
-                                        / (n_hist - 1), 0.0)) > 0
-                     THEN (CAST(adj_u AS DOUBLE) - (sum_u / n_hist))
-                          / sqrt(greatest((sumsq_u - sum_u * sum_u
-                                           / n_hist)
-                                          / (n_hist - 1), 0.0))
+                                        / (n_hist - 1), 0.0)) * 100.0 > 0
+                     THEN (CAST(adj_u AS DOUBLE) - (sum_u / n_hist * 100.0))
+                          / (sqrt(greatest((sumsq_u - sum_u * sum_u
+                                            / n_hist)
+                                           / (n_hist - 1), 0.0)) * 100.0)
                      ELSE 0.0 END) > 2.5) AS is_anomaly
     FROM win
     WHERE n_hist >= 7

