@@ -933,3 +933,27 @@ def dedup_prefix_hash(documents: DataFrame,
         .select("keeper_doc_id", "n_copies",
                 (F.col("n_copies") > 1).alias("had_duplicates"))
     )
+
+
+def lsh_precision_report(documents: DataFrame) -> DataFrame:
+    """Banding quality report: what share of MinHash-LSH candidate
+    pairs survive the exact-Jaccard verify — THE number that tunes
+    the (bands × rows) trade-off (precision near 1 means banding is
+    too conservative and recall is leaking; near 0 means the verify
+    stage is eating the savings). One row out: candidates, verified,
+    floor-e6 precision.
+
+    Runs both registered plans (candidates and the verified
+    composition share the shingle machinery; within one query each
+    subtree is planned independently) and reduces each to a 1-row
+    count — nothing beyond the two existing scale-bounded pipelines
+    ever materializes."""
+    nc = dedup_minhash_lsh(documents).agg(
+        F.count(F.lit(1)).alias("n_candidates"))
+    nv = dedup_lsh_verified(documents).agg(
+        F.count(F.lit(1)).alias("n_verified"))
+    return nc.crossJoin(F.broadcast(nv)).select(
+        "n_candidates", "n_verified",
+        F.when(F.col("n_candidates") > 0,
+               F.floor(F.col("n_verified") * 1e6 / F.col("n_candidates")))
+         .otherwise(F.lit(0)).cast("bigint").alias("precision_e6"))

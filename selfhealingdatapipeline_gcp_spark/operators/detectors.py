@@ -1011,3 +1011,36 @@ def revenue_anomaly_deseasonal(orders: DataFrame,
         )
         .orderBy("d")
     )
+
+
+def feed_interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-feed inter-arrival gap distribution (median / p95 / max,
+    seconds) — the number an SLA threshold is actually tuned from
+    (freshness_check's max-age alert fires against SOME cutoff; this
+    is where that cutoff comes from: p95 of the feed's own cadence).
+
+    One lag() window per feed (the shuffle key every downstream agg
+    shares), gaps kept as exact integer MICROSECONDS through the
+    percentile (Spark percentile ↔ DuckDB quantile_cont interpolate
+    bit-identically on integers), divided to seconds only at the
+    edge — 6-decimal seconds is exact µs, the SURVEY §3 rounding
+    rule. Output is O(|feeds|) rows."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        events
+        .withColumn("__prev", F.lag("ts", 1).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select("event_type",
+                (F.unix_micros("ts") - F.unix_micros("__prev"))
+                 .alias("gap_us"))
+    )
+    return (
+        gaps.groupBy(F.col("event_type").alias("feed_id"))
+        .agg(F.count(F.lit(1)).alias("n_gaps"),
+             F.round(F.percentile("gap_us", 0.5) / 1e6, 6)
+              .alias("p50_gap_s"),
+             F.round(F.percentile("gap_us", 0.95) / 1e6, 6)
+              .alias("p95_gap_s"),
+             F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"))
+        .orderBy("feed_id")
+    )

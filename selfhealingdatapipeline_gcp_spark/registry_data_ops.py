@@ -1662,3 +1662,47 @@ register(
     ORDER BY user_id
     """,
 )
+
+
+register(
+    "lsh_precision_report",
+    lambda spark, sf: dedup.lsh_precision_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), ex AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+    ), common AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common,
+             max(ea.n) AS n_a, max(eb.n) AS n_b
+      FROM cand
+      JOIN ex ea ON ea.doc_id = cand.doc_a
+      JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.g = ea.g
+      GROUP BY 1, 2
+    ), nc AS (SELECT count(*) AS n_candidates FROM cand),
+    nv AS (
+      SELECT CAST(sum(CASE WHEN n_common * 1.0 / (n_a + n_b - n_common)
+                                >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_verified
+      FROM common
+    )
+    SELECT n_candidates, coalesce(n_verified, 0) AS n_verified,
+           CASE WHEN n_candidates > 0
+                THEN CAST(floor(coalesce(n_verified, 0) * 1000000.0
+                                / n_candidates) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS precision_e6
+    FROM nc, nv
+    """,
+)

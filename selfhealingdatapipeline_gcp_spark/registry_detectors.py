@@ -790,3 +790,25 @@ register(
     ORDER BY d
     """,
 )
+
+
+register(
+    "feed_interarrival_stats",
+    lambda spark, sf: detectors.feed_interarrival_stats(
+        *_t(spark, sf, "events")),
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type AS feed_id,
+           count(*) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+           round(quantile_cont(gap_us, 0.95) / 1000000.0, 6) AS p95_gap_s,
+           round(max(gap_us) / 1000000.0, 6) AS max_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1 ORDER BY feed_id
+    """,
+)

@@ -906,3 +906,18 @@ def test_streaming_cdc_apply_multi_epoch_chop_invariance(spark, tmp_path):
              .withColumn("rn", F.row_number().over(w))
              .filter("rn = 1").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_lsh_precision_report_consistent(spark, duck):
+    assert_parity(registry.queries()["lsh_precision_report"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["lsh_precision_report"])
+    row = registry.queries()["lsh_precision_report"](
+        spark, SF_ORACLE).collect()[0]
+    n_cand = registry.queries()["dedup_minhash_lsh"](
+        spark, SF_ORACLE).count()
+    n_ver = registry.queries()["dedup_lsh_verified"](
+        spark, SF_ORACLE).count()
+    assert row.n_candidates == n_cand
+    assert row.n_verified == n_ver
+    assert row.precision_e6 == n_ver * 1_000_000 // n_cand

@@ -190,3 +190,13 @@ def test_deseasonal_anomaly_consistency(spark):
     std = math.sqrt(max(var, 0.0)) * 100.0
     z = (target.adj_revenue - mean) / std if std > 0 else 0.0
     assert abs(target.z_score - math.floor(z * 1e4) / 1e4) < 1e-4
+
+
+def test_interarrival_parity_and_order(spark, duck):
+    assert_parity(registry.queries()["feed_interarrival_stats"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["feed_interarrival_stats"])
+    for r in registry.queries()["feed_interarrival_stats"](
+            spark, SF_ORACLE).collect():
+        assert 0 <= r.p50_gap_s <= r.p95_gap_s <= r.max_gap_s
+        assert r.n_gaps > 0
