@@ -957,3 +957,28 @@ def lsh_precision_report(documents: DataFrame) -> DataFrame:
         F.when(F.col("n_candidates") > 0,
                F.floor(F.col("n_verified") * 1e6 / F.col("n_candidates")))
          .otherwise(F.lit(0)).cast("bigint").alias("precision_e6"))
+
+
+def lsh_recall_report(documents: DataFrame,
+                      threshold: float = 0.5) -> DataFrame:
+    """Banding recall: what share of TRUE near-dup pairs (exact
+    3-gram Jaccard ≥ threshold, computed by dedup_ngram_jaccard) the
+    LSH+verify composition recovers — precision's partner; together
+    they pin the bands × rows operating point. Ground truth via the
+    exact pipeline is affordable at audit scale (the df ceiling
+    bounds it); at 100 TB you run this on a sampled slice, which is
+    exactly how recall audits are done in production dedup.
+
+    One equi-join of two slim pair relations on (doc_a, doc_b) +
+    three 1-row counts; output is a single row."""
+    truth = dedup_ngram_jaccard(documents, threshold=threshold)
+    found = dedup_lsh_verified(documents)
+    hit = truth.join(found.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_recovered"))
+    return nt.crossJoin(F.broadcast(nh)).select(
+        "n_true_pairs", "n_recovered",
+        F.when(F.col("n_true_pairs") > 0,
+               F.floor(F.col("n_recovered") * 1e6
+                       / F.col("n_true_pairs")))
+         .otherwise(F.lit(0)).cast("bigint").alias("recall_e6"))

@@ -1706,3 +1706,60 @@ register(
     FROM nc, nv
     """,
 )
+
+
+register(
+    "lsh_recall_report",
+    lambda spark, sf: dedup.lsh_recall_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ex0 AS (
+      SELECT doc_id, {_md5int('unnest(s)')} AS g FROM sh
+    ), keep AS (
+      SELECT g FROM ex0 GROUP BY g HAVING count(*) <= 10000
+    ), exj AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, g
+      FROM ex0 WHERE g IN (SELECT g FROM keep)
+    ), truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM exj a JOIN exj b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, a.n, b.n
+      HAVING count(*) * 1.0 / (a.n + b.n - count(*)) >= 0.5
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), ex AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+    ), common AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common,
+             max(ea.n) AS n_a, max(eb.n) AS n_b
+      FROM cand
+      JOIN ex ea ON ea.doc_id = cand.doc_a
+      JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.g = ea.g
+      GROUP BY 1, 2
+    ), found AS (
+      SELECT doc_a, doc_b FROM common
+      WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+    ), nt AS (SELECT count(*) AS n_true_pairs FROM truth),
+    nh AS (
+      SELECT count(*) AS n_recovered
+      FROM truth JOIN found USING (doc_a, doc_b)
+    )
+    SELECT n_true_pairs, n_recovered,
+           CASE WHEN n_true_pairs > 0
+                THEN CAST(floor(n_recovered * 1000000.0 / n_true_pairs)
+                          AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_e6
+    FROM nt, nh
+    """,
+)

@@ -921,3 +921,17 @@ def test_lsh_precision_report_consistent(spark, duck):
     assert row.n_candidates == n_cand
     assert row.n_verified == n_ver
     assert row.precision_e6 == n_ver * 1_000_000 // n_cand
+
+
+def test_lsh_recall_report_consistent(spark, duck):
+    assert_parity(registry.queries()["lsh_recall_report"](
+        spark, SF_ORACLE), duck, registry.oracle_sql()["lsh_recall_report"])
+    row = registry.queries()["lsh_recall_report"](
+        spark, SF_ORACLE).collect()[0]
+    truth = {(r.doc_a, r.doc_b) for r in registry.queries()[
+        "dedup_ngram_jaccard"](spark, SF_ORACLE).collect()}
+    found = {(r.doc_a, r.doc_b) for r in registry.queries()[
+        "dedup_lsh_verified"](spark, SF_ORACLE).collect()}
+    assert row.n_true_pairs == len(truth)
+    assert row.n_recovered == len(truth & found)
+    assert 0 <= row.recall_e6 <= 1_000_000
