@@ -98,7 +98,8 @@ LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff"}
 # (the iterative-op lesson from the sf1 sweeps, BASELINE.md). All
 # other builders construct a plan in milliseconds — timing them
 # outside keeps floors comparable with every prior round.
-BUILD_EXECUTES = {"knn_clustering_coefficient", "streaming_cdc_apply"}
+BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
+                  "streaming_cdc_apply"}
 
 
 def _time_min3(run) -> float:

@@ -133,12 +133,18 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
     reduced to (key, fingerprint) BEFORE the exchange — the shuffle
     carries a 32-char digest per row, never the payload, and
     bucketed snapshots co-locate it to zero-shuffle (sources/
-    writers.write_bucketed_table). The fingerprint md5s the compare
-    columns; callers must pass integer/string columns (floats format
-    differently across engines/locales — convert money to cents
-    first, the repo-wide rule)."""
-    fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string")
-                                  for c in compare]))
+    writers.write_bucketed_table). The fingerprint md5s each compare
+    column SEPARATELY to a fixed 32-char block (no delimiter to
+    collide with values containing it), with NULL encoded as 32 'N's
+    — non-hex, so it cannot collide with any real md5 — then hashes
+    the concatenation: ('a', NULL) != ('a',) and ('a|b','c') !=
+    ('a','b|c'). Callers must pass integer/string columns (floats
+    format differently across engines/locales — convert money to
+    cents first, the repo-wide rule)."""
+    null_mark = F.lit("N" * 32)
+    fp = F.md5(F.concat(*[
+        F.coalesce(F.md5(F.col(c).cast("string")), null_mark)
+        for c in compare]))
     o = old.select(F.col(key).alias("key"), fp.alias("fp_old"))
     n = new.select(F.col(key).alias("key"), fp.alias("fp_new"))
     ct = (F.when(F.col("fp_old").isNull(), "added")

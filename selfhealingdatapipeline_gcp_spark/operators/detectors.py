@@ -814,12 +814,22 @@ def benford_first_digit(orders: DataFrame,
     9 digit keys, one 1-row total broadcast back, shares as
     floor-e6 integers against hardcoded Benford e6 constants — no
     runtime log(), no doubles in any compared column, so the output
-    is engine- and scale-exact. Output is ≤ 9 rows at any SF."""
+    is engine- and scale-exact. Output is ≤ 9 rows at any SF.
+
+    Amounts are abs()'d first (a negative amount's first char is
+    '-', a non-digit) and sub-unit amounts (first digit 0) are
+    excluded — Benford's law is only defined over leading digits
+    1-9; the share denominator counts only the rows that carry a
+    leading digit."""
+    # abs BEFORE floor: floor(-0.2) = -1 would sneak a sub-unit
+    # amount in as digit 1; floor(abs(-0.2)) = 0 drops it
     digit = F.substring(
-        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        F.floor(F.abs(F.col("o_totalprice"))).cast("bigint").cast("string"),
+        1, 1
     ).cast("int")
     counts = (
         orders.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("total"))
@@ -967,8 +977,13 @@ def revenue_anomaly_deseasonal(orders: DataFrame,
     )
     adj = (
         daily.join(F.broadcast(idx), "dow")
+        # clamp index to >= 1: a stratum whose revenue floors to
+        # index 0 (tiny/sparse data) must not divide by zero (ANSI
+        # throws; floor(inf) has no bigint) — treating it as 1e-6
+        # keeps the row, loudly inflated rather than crashed
         .withColumn("adj_u",
-                    F.floor(F.col("rev_usd") * 1e6 / F.col("index_e6"))
+                    F.floor(F.col("rev_usd") * 1e6
+                            / F.greatest(F.col("index_e6"), F.lit(1)))
                      .cast("bigint"))
         # hundred-dollar units for the squared window (the
         # revenue_anomaly accumulator-scaling rule; dollars²

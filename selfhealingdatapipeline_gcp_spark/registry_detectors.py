@@ -617,11 +617,14 @@ register(
     "benford_first_digit",
     lambda spark, sf: detectors.benford_first_digit(*_t(spark, sf, "orders")),
     """
-    WITH c AS (
-      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
-                         1, 1) AS INTEGER) AS digit,
-             count(*) AS n
-      FROM orders GROUP BY 1
+    WITH d0 AS (
+      SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                              AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders
+    ), c AS (
+      SELECT digit, count(*) AS n
+      FROM d0 WHERE digit BETWEEN 1 AND 9 GROUP BY 1
     ), t AS (
       SELECT CAST(sum(n) AS BIGINT) AS total FROM c
     ), s AS (
@@ -748,7 +751,8 @@ register(
       FROM per, tot
     ), adj AS (
       SELECT d, rev_c, index_e6,
-             CAST(floor(rev_usd * 1000000.0 / index_e6) AS BIGINT) AS adj_u
+             CAST(floor(rev_usd * 1000000.0 / greatest(index_e6, 1))
+                  AS BIGINT) AS adj_u
       FROM daily2 JOIN idx USING (dow)
     ), adj2 AS (
       SELECT d, rev_c, index_e6, adj_u,

@@ -782,14 +782,19 @@ register(
     """
     WITH old AS (
       SELECT o_orderkey AS key,
-             md5(concat_ws('|',
-                 CASE WHEN o_orderkey % 7 = 0 THEN 'X'
-                      ELSE o_orderstatus END,
-                 o_orderpriority)) AS fp_old
+             md5(concat(
+                 coalesce(md5(CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                              ELSE o_orderstatus END),
+                          repeat('N', 32)),
+                 coalesce(md5(o_orderpriority), repeat('N', 32))
+             )) AS fp_old
       FROM orders WHERE o_orderkey % 10 != 0
     ), new AS (
       SELECT o_orderkey AS key,
-             md5(concat_ws('|', o_orderstatus, o_orderpriority)) AS fp_new
+             md5(concat(
+                 coalesce(md5(o_orderstatus), repeat('N', 32)),
+                 coalesce(md5(o_orderpriority), repeat('N', 32))
+             )) AS fp_new
       FROM orders WHERE o_orderkey % 13 != 0
     )
     SELECT key,

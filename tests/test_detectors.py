@@ -149,6 +149,48 @@ def test_event_rate_cusum_matches_recursion(spark):
         assert r.is_alarm == (s > r.alarm_threshold)
 
 
+def test_benford_handles_negative_and_subunit_amounts(spark):
+    """Negative amounts ('-' first char) and amounts < 1 (digit 0)
+    must be excluded from both the digit counts and the share
+    denominator, not produce NULL rows (ADVICE r5)."""
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    df = spark.createDataFrame(
+        [(-123.0,), (0.45,), (1.0,), (250.0,), (999.0,), (-0.2,)],
+        "o_totalprice double")
+    rows = detectors.benford_first_digit(df).collect()
+    # -123 counts under digit 1 via abs(); 0.45 and -0.2 are dropped
+    by = {r.digit: r for r in rows}
+    assert set(by) == {1, 2, 9}
+    assert by[1].n == 2 and by[2].n == 1 and by[9].n == 1
+    total = sum(r.n for r in rows)
+    assert total == 4  # denominator excludes the sub-unit rows
+    for r in rows:
+        assert r.benford_e6 is not None and r.is_deviant is not None
+
+
+def test_deseasonal_zero_index_guard(spark):
+    """A day-of-week stratum whose index floors to 0 must not raise
+    (ANSI divide-by-zero / floor(inf)) — the clamp treats it as 1
+    (ADVICE r5)."""
+    import datetime as dt
+
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    # 60 days; Sundays get ~zero revenue so their seasonal index
+    # floors to 0 while other days carry the total
+    rows = []
+    base = dt.date(2020, 1, 5)  # a Sunday
+    for i in range(60):
+        d = base + dt.timedelta(days=i)
+        amt = 0.000001 if d.isoweekday() == 7 else 50000.0
+        rows.append((d.isoformat(), amt))
+    df = spark.createDataFrame(rows, "o_orderdate string, "
+                                     "o_totalprice double")
+    out = detectors.revenue_anomaly_deseasonal(df).collect()
+    assert len(out) > 0  # no ANSI error; rows survive
+
+
 def test_weekly_seasonality_index_centers_on_1e6(spark):
     """Indices weighted by day counts must average ~1e6 (the overall
     mean is the weighted mean of the dow means), every dow appears,

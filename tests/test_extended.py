@@ -144,3 +144,20 @@ def test_cdc_snapshot_diff_parity_and_classes(spark, duck):
     assert all(k % 13 == 0 and k % 10 != 0 for k in by["removed"])
     assert all(k % 7 == 0 for k in by["changed"])
     assert set(by) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_cdc_snapshot_diff_null_and_delimiter_safe(spark):
+    """The fingerprint must distinguish ('a', NULL) from ('a',
+    'NULL'-ish collapses) and ('a|b','c') from ('a','b|c') — the
+    concat_ws('|') form misreported both as unchanged (ADVICE r5)."""
+    from selfhealingdatapipeline_gcp_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "a|b", "c"), (3, "x", "y")],
+        "k int, c1 string, c2 string")
+    new = spark.createDataFrame(
+        [(1, "a", "NNNN"), (2, "a", "b|c"), (3, "x", "y")],
+        "k int, c1 string, c2 string")
+    out = {r.key: r.change_type
+           for r in cdc.snapshot_diff(old, new, "k", ("c1", "c2")).collect()}
+    assert out == {1: "changed", 2: "changed", 3: "unchanged"}
