@@ -16,7 +16,10 @@ Headroom: cents·e2 (the revenue e4 path) bounds at ~9e14 dollars per
 group sum in int64; the e6 charge path at ~9e12. Beyond that, flip
 ``set_decimal_mode(True)`` — the accumulator becomes DECIMAL(38,0)
 (~1e34 dollars of headroom), same plan shape, same results below the
-boundary.
+boundary. The same switch widens every Σx² accumulator (``sum_sq``:
+variance windows, HHI, CUSUM) BEFORE the square, so the statistical
+detectors hold unbounded at any plausible SF instead of failing loud
+at their int64 ceilings (sf30-300, BASELINE.md R5).
 """
 
 from __future__ import annotations
@@ -51,6 +54,29 @@ def _acc(col: Column) -> Column:
     """Accumulator widening point: every money sum funnels its per-row
     integer term through here."""
     return col.cast("decimal(38,0)") if _DECIMAL_MODE else col
+
+
+def acc(col: Column) -> Column:
+    """Public widening funnel for integer accumulators outside the
+    money helpers (linear sums whose grand total can approach int64)."""
+    return _acc(col)
+
+
+def sum_sq(col: Column) -> Column:
+    """Σx² accumulator with the decimal-mode widening applied BEFORE
+    the square: in decimal mode neither the per-row product nor the
+    running sum can overflow (x² stays exact to x ~ 1e19, far past
+    any plausible scale); in int64 mode the per-row product holds to
+    x ~ 3e9 and the 31-term windowed sum to ~5.4e8 per term — the
+    statistical detectors' documented sf-headroom. Use for every
+    sum-of-squares (variance/z-score/HHI/CUSUM) accumulator; DuckDB
+    oracles need no change (its BIGINT sums widen to HUGEINT
+    natively), only their CAST(... AS BIGINT) wrappers bound them.
+
+    Returns an un-windowed aggregate Column — call ``.over(w)`` for
+    windowed forms."""
+    t = _acc(col)
+    return F.sum(t * t)
 
 
 def cents(col: Column) -> Column:

@@ -1004,7 +1004,8 @@ def supplier_concentration_hhi(lineitem: DataFrame,
                                nation: DataFrame) -> DataFrame:
     """Supplier-concentration Herfindahl index per nation: HHI =
     Σ share² over each nation's suppliers. Revenue reduces to whole
-    dollars (int64-safe squares to ~sf100) at supplier grain, then
+    dollars (int64-safe squares to ~sf30; DECIMAL(38,0) — unbounded —
+    under money.set_decimal_mode) at supplier grain, then
     one more grain reduction to nations — HHI = Σd² / (Σd)² as a
     single division of exact integers, floor-truncated at 1e6.
     Flags nations where one supplier dominates the flow (the
@@ -1022,7 +1023,9 @@ def supplier_concentration_hhi(lineitem: DataFrame,
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_suppliers"),
              F.sum("d").alias("total_d"),
-             F.sum(F.col("d") * F.col("d")).alias("sum_d2"))
+             # money.sum_sq: int64 to ~sf30, DECIMAL(38,0) (unbounded
+             # at any plausible SF) when set_decimal_mode(True)
+             money.sum_sq(F.col("d")).alias("sum_d2"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select(

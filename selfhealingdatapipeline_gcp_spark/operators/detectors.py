@@ -67,7 +67,10 @@ def revenue_anomaly(orders: DataFrame,
     # The variance accumulator uses HUNDRED-DOLLAR integers: cents²·31
     # overflows int64 past ~sf0.05, whole dollars² past ~sf5 (the sf10
     # replica gate caught exactly that — ANSI threw loudly), hundreds²
-    # hold to ~sf300. $100 granularity in a daily-revenue stddev is
+    # hold to ~sf300 — and money.set_decimal_mode(True) widens the
+    # Σx² to DECIMAL(38,0), unbounded at any plausible SF (identical
+    # values below the boundary; the healer's ansi_overflow rule
+    # applies it live). $100 granularity in a daily-revenue stddev is
     # immaterial; the oracle mirrors the same scaling.
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
@@ -91,7 +94,9 @@ def revenue_anomaly(orders: DataFrame,
     base = (
         daily
         .withColumn("sum_u", F.sum("rev_h").over(w))
-        .withColumn("sumsq_u", F.sum(F.col("rev_h") * F.col("rev_h")).over(w))
+        # money.sum_sq widens to DECIMAL(38,0) under set_decimal_mode
+        # (unbounded headroom); int64 hundreds² hold to ~sf300
+        .withColumn("sumsq_u", money.sum_sq(F.col("rev_h")).over(w))
         .withColumn("n_hist", F.count("rev_h").over(w))
     )
     n = F.col("n_hist").cast("double")
@@ -867,15 +872,20 @@ def event_rate_cusum(events: DataFrame, k: float = 0.5,
 
     Determinism: daily totals are integer WHOLE units (sum² of the
     micro-unit form would overflow int64 at ~sf10 — the documented
-    accumulator-scaling rule); µ+kσ and hσ are floor-truncated to
-    integers ONCE (1-row broadcast), after which every windowed term
-    is a bigint — order-independent across engines and retries."""
+    accumulator-scaling rule; money.set_decimal_mode widens the Σx²
+    to DECIMAL(38,0) for unbounded headroom); µ+kσ and hσ are
+    floor-truncated to integers ONCE (1-row broadcast), after which
+    every windowed term is a bigint — order-independent across
+    engines and retries."""
     daily = (
         events.groupBy(F.to_date("ts").alias("d"))
         .agg(F.sum(F.floor("value").cast("bigint")).alias("x"))
     )
     stats = daily.agg(
-        F.sum("x").alias("s1"), F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum("x").alias("s1"),
+        # money.sum_sq: DECIMAL(38,0) under set_decimal_mode —
+        # unbounded; int64 whole units hold to ~sf30
+        money.sum_sq(F.col("x")).alias("s2"),
         F.count(F.lit(1)).alias("n"))
     mean = F.col("s1") / F.col("n")
     # s1·(s1/n), not (s1·s1)/n: the squared bigint would overflow
@@ -997,8 +1007,7 @@ def revenue_anomaly_deseasonal(orders: DataFrame,
     base = (
         adj
         .withColumn("sum_u", F.sum("adj_h").over(w))
-        .withColumn("sumsq_u",
-                    F.sum(F.col("adj_h") * F.col("adj_h")).over(w))
+        .withColumn("sumsq_u", money.sum_sq(F.col("adj_h")).over(w))
         .withColumn("n_hist", F.count("adj_h").over(w))
     )
     n = F.col("n_hist").cast("double")

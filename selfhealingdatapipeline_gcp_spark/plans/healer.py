@@ -31,7 +31,25 @@ class Fix:
     conf_changes: dict[str, str] = field(default_factory=dict)
     # regex → replacement applied to the job's source text (CODE fixes)
     code_sub: tuple[str, str] | None = None
+    # name of a registered engine-level patch (_ENGINE_PATCHES) the
+    # pipeline applies before retry — remediations that live in the
+    # engine's own knobs rather than Spark conf (e.g. widening the
+    # integer accumulators to DECIMAL)
+    engine_patch: str | None = None
     retryable: bool = True
+
+
+# Engine-level patch registry: process-global switches apply_fix can
+# flip between retry attempts. Kept tiny and explicit — every entry
+# must be idempotent and safe to leave on.
+def _patch_money_decimal() -> None:
+    from selfhealingdatapipeline_gcp_spark.functions import money
+    money.set_decimal_mode(True)
+
+
+_ENGINE_PATCHES: dict[str, Callable[[], None]] = {
+    "money_decimal_mode": _patch_money_decimal,
+}
 
 
 # Rule table: (name, pattern on the error text, fix builder).
@@ -178,12 +196,18 @@ def _fix_pyworker(m: re.Match[str]) -> Fix:
 
 @_rule("ansi_overflow", r"ARITHMETIC_OVERFLOW|CAST_OVERFLOW|long overflow")
 def _fix_overflow(m: re.Match[str]) -> Fix:
+    # the engine's integer accumulators (money sums, Σx² variance /
+    # HHI / CUSUM terms) all funnel through money._acc / money.sum_sq,
+    # so one switch widens every one of them to DECIMAL(38,0) — the
+    # correct remediation at extreme SF, applied live and retried
     return Fix(
-        fix_type="MANUAL",
-        root_cause="integer overflow under ANSI mode",
-        suggested_fix="scale the accumulator (e.g. cents to whole units) or "
-                      "switch to DECIMAL; do NOT silence with ansi=false",
-        retryable=False,
+        fix_type="CONFIG",
+        root_cause="integer overflow under ANSI mode (accumulator "
+                   "exceeded int64 at this data scale)",
+        suggested_fix="widen the integer accumulators to DECIMAL(38,0) "
+                      "(money.set_decimal_mode) and retry; do NOT "
+                      "silence with ansi=false",
+        engine_patch="money_decimal_mode",
     )
 
 
@@ -420,5 +444,9 @@ def apply_fix(fix: Fix, spark=None, source_text: str | None = None,
         record["conf_applied"] = apply_conf_fix(spark, fix)
         record["applied"] = True
     elif fix.fix_type == "RETRY":
+        record["applied"] = True
+    if fix.engine_patch is not None:
+        _ENGINE_PATCHES[fix.engine_patch]()
+        record["engine_patch"] = fix.engine_patch
         record["applied"] = True
     return record

@@ -52,6 +52,90 @@ def test_overflow_boundary_decimal_survives(spark, decimal_mode):
                .alias("rev")).collect()
 
 
+SUMSQ_QUERIES = [
+    "supplier_concentration_hhi",
+    "event_rate_cusum",
+    "revenue_anomaly",
+    "revenue_anomaly_deseasonal",
+]
+
+
+@pytest.mark.parametrize("name", SUMSQ_QUERIES)
+def test_sumsq_queries_identical_across_accumulators(name, spark,
+                                                     decimal_mode):
+    """Every Σx² consumer (variance windows, HHI, CUSUM) produces
+    IDENTICAL rows in decimal mode below the int64 boundary — the
+    widening changes headroom, never values (VERDICT r5 #1)."""
+    assert money.decimal_mode()
+    dec_rows = sorted(map(tuple, registry.queries()[name](
+        spark, SF_ORACLE).collect()))
+    money.set_decimal_mode(False)
+    int_rows = sorted(map(tuple, registry.queries()[name](
+        spark, SF_ORACLE).collect()))
+    assert dec_rows == int_rows
+
+
+def test_sumsq_decimal_survives_int64_overflow(spark, decimal_mode):
+    """An HHI-shaped input whose per-supplier dollar totals square
+    past int64 (d = 4e9 → d² = 1.6e19 > 2^63-1) runs exact in
+    decimal mode and throws loud ANSI overflow in int mode — the
+    sf30 ceiling from BASELINE.md R5, now survivable."""
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+    # one supplier with $4e9 of flow (4 lineitems of $1e9)
+    li = spark.createDataFrame(
+        [(1, 1.0e9)] * 4, "l_suppkey int, l_extendedprice double")
+    supp = spark.createDataFrame([(1, 0)], "s_suppkey int, s_nationkey int")
+    nat = spark.createDataFrame([(0, "ZERO")],
+                                "n_nationkey int, n_name string")
+    row = analytics.supplier_concentration_hhi(li, supp, nat).collect()[0]
+    assert row.n_suppliers == 1
+    assert row.total_dollars == 4.0e9
+    assert row.hhi == 1.0  # single supplier: Σd²/(Σd)² = 1 exactly
+
+    money.set_decimal_mode(False)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        analytics.supplier_concentration_hhi(li, supp, nat).collect()
+
+
+def test_sumsq_windowed_decimal_survives_overflow(spark, decimal_mode):
+    """The windowed form (revenue_anomaly's trailing Σx²) also
+    widens: 40 days of $1e11 revenue put 1e18-sized squares in a
+    30-day window (Σ ≈ 3e19 > int64) — decimal mode yields the
+    z-scores, int mode throws."""
+    import datetime as dt
+
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    rows = [((dt.date(2020, 1, 1) + dt.timedelta(days=i)).isoformat(),
+             1.0e11) for i in range(40)]
+    df = spark.createDataFrame(rows, "o_orderdate string, "
+                                     "o_totalprice double")
+    out = detectors.revenue_anomaly(df).collect()
+    assert len(out) > 0
+    assert all(r.z_score is not None for r in out)
+
+    money.set_decimal_mode(False)
+    with pytest.raises(Exception, match="(?i)overflow"):
+        detectors.revenue_anomaly(df).collect()
+
+
+def test_sumsq_decimal_plan_pinned(spark, decimal_mode):
+    """The widened accumulator must actually be in the plan: decimal
+    mode's analyzed plan carries decimal(38,0); int mode's does not."""
+    from conftest import SF_ORACLE as SF
+
+    df = registry.queries()["supplier_concentration_hhi"](spark, SF)
+    dec_plan = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" in dec_plan
+    money.set_decimal_mode(False)
+    df = registry.queries()["supplier_concentration_hhi"](spark, SF)
+    int_plan = df._jdf.queryExecution().analyzed().toString()
+    assert "decimal(38,0)" not in int_plan
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1,
                 max_size=30),

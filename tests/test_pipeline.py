@@ -113,6 +113,40 @@ def test_pipeline_retries_transient_and_succeeds(spark):
     assert len(res.fixes) == 2
 
 
+def test_pipeline_heals_real_ansi_overflow_via_decimal_mode(spark):
+    """Chaos test (VERDICT r5 #7): a REAL Spark ANSI overflow — not a
+    fabricated message — raised inside a running pipeline task must
+    drive the full detect → classify → engine-patch → retry cycle:
+    the healer flips money.set_decimal_mode(True) and the identical
+    task succeeds on the next attempt with the exact result."""
+    from selfhealingdatapipeline_gcp_spark.functions import money
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+    # sf30-shaped HHI input: one supplier with $4e9 of flow squares
+    # past int64 in the Σd² accumulator
+    def hhi_task(s, ctx):
+        li = s.createDataFrame([(1, 1.0e9)] * 4,
+                               "l_suppkey int, l_extendedprice double")
+        supp = s.createDataFrame([(1, 0)],
+                                 "s_suppkey int, s_nationkey int")
+        nat = s.createDataFrame([(0, "ZERO")],
+                                "n_nationkey int, n_name string")
+        return analytics.supplier_concentration_hhi(li, supp, nat).collect()
+
+    assert not money.decimal_mode()
+    try:
+        p = Pipeline("chaos", [Task("hhi", hhi_task, max_retries=2)])
+        res = p.run(spark)["hhi"]
+        assert res.status == "SUCCESS"
+        assert res.attempts == 2          # one genuine failure, one heal
+        assert money.decimal_mode()        # the patch actually landed
+        assert res.fixes[0]["engine_patch"] == "money_decimal_mode"
+        assert "overflow" in res.fixes[0]["root_cause"].lower()
+        assert res.result[0].hhi == 1.0    # exact post-heal result
+    finally:
+        money.set_decimal_mode(False)
+
+
 def test_pipeline_nonretryable_stops_early(spark):
     calls = {"n": 0}
 
@@ -389,7 +423,7 @@ def test_read_alert_history_empty_when_absent(spark, tmp_path):
     ("py4j.protocol.Py4JNetworkError: Answer from Java side is empty",
      "RETRY", "transient"),
     ("org.apache.spark.SparkArithmeticException: [ARITHMETIC_OVERFLOW] "
-     "long overflow", "MANUAL", "overflow"),
+     "long overflow", "CONFIG", "overflow"),
 ])
 def test_analyze_error_extended_rules(log, expected_type, kw):
     fix = healer.analyze_error(log)

@@ -97,6 +97,13 @@ def check_one(spark, duck, name, builder, sql):
 
 
 def main(argv):
+    if os.environ.get("SPARK_GRAFT_DECIMAL") == "1":
+        # strict gate with the DECIMAL(38,0) accumulators on: values
+        # must be identical below the int64 boundary (DuckDB's BIGINT
+        # sums widen to HUGEINT natively, so the oracles need no
+        # change), and the Σx² sites survive past it
+        from selfhealingdatapipeline_gcp_spark.functions import money
+        money.set_decimal_mode(True)
     spark = get_spark("driver-check")
     duck = duckdb.connect()
     for t in catalog.TABLES:
