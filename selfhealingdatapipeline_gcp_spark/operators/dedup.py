@@ -759,9 +759,10 @@ def dedup_clusters(documents: DataFrame,
     (serial boilerplate dedup, the pathological shape for plain
     propagation) converges in O(log d) rounds, not O(d). Each
     iteration is two bounded shuffles on doc_id; the edge set comes
-    from LSH so it is bounded. The convergence check is one tiny
-    count per round (an action — the standard driver-coordinated
-    loop for iterative algorithms on Spark). If the loop exhausts
+    from LSH so it is bounded. The convergence check is one monotone
+    Σlabel aggregate per round over the checkpointed labels (labels
+    only decrease, so equal consecutive sums ⟺ fixed point — no
+    old-vs-new join needed). If the loop exhausts
     ``max_iterations`` without converging it raises loudly instead
     of silently emitting partial components (VERDICT r4 #8).
 
@@ -785,8 +786,20 @@ def dedup_clusters(documents: DataFrame,
     adj = fwd.unionByName(rev)
 
     nodes = (adj.select(F.col("src").alias("doc_id")).distinct())
-    labels = nodes.withColumn("label", F.col("doc_id"))
+    labels = nodes.withColumn("label", F.col("doc_id")) \
+                  .localCheckpoint(eager=True)
 
+    # Convergence check: labels only ever DECREASE (every update is a
+    # least()), so Σlabel is strictly monotone — equal consecutive
+    # sums ⟺ a fixed point. One agg over the already-checkpointed
+    # relation per round, replacing the old-vs-new join + count
+    # (one fewer shuffle per round). DECIMAL(38,0): md5-derived
+    # 48-bit ids × 1e9 nodes overflows int64.
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each node, the min label among neighbors
@@ -821,17 +834,13 @@ def dedup_clusters(documents: DataFrame,
                  .alias("label"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         # localCheckpoint truncates the growing lineage each round
         labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge within {max_iterations} "
