@@ -561,33 +561,59 @@ def dedup_embedding(embeddings: DataFrame,
             if m > max_cell_rows:
                 raise ValueError(
                     f"dedup_embedding cell holds {m} vectors "
-                    f"(cap {max_cell_rows}): in-cell scoring is "
-                    "quadratic — raise n_centroids so cells shrink")
+                    f"(cap {max_cell_rows}): the cap bounds one "
+                    "task's arrival memory (oversized cells subdivide "
+                    "in-task below it) — raise n_centroids so cells "
+                    "shrink")
             pdf = pdf.sort_values("vec_id")
-            V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
-            # in-place accumulation (same adds, same order): the
-            # `G = G + outer(...)` form allocated two fresh m×m
-            # temporaries per dim — pure memory-bandwidth burn on
-            # large cells
-            G = np.zeros((m, m), dtype=np.float64)
-            tmp = np.empty((m, m), dtype=np.float64)
-            for d in range(V.shape[1]):
-                col = V[:, d]
-                np.outer(col, col, out=tmp)
-                G += tmp
-            nr = pdf["nrm"].to_numpy(dtype=np.float64)
-            cos = G / np.outer(nr, nr)
-            ia, ib = np.triu_indices(m, k=1)
-            keep = cos[ia, ib] >= threshold
-            ia, ib = ia[keep], ib[keep]
-            ids = pdf["vec_id"].to_numpy()
-            labels = pdf["label"].to_numpy()
-            return pd.DataFrame({
-                "vec_a": ids[ia],
-                "vec_b": ids[ib],
-                "cosine_raw": cos[ia, ib],
-                "same_label": labels[ia] == labels[ib],
-            })
+            all_V = np.array([list(v) for v in pdf["v"]],
+                             dtype=np.float64)
+            all_nr = pdf["nrm"].to_numpy(dtype=np.float64)
+            all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            all_labels = pdf["label"].to_numpy()
+
+            def pairs_subset(sel):
+                ids, V = all_ids[sel], all_V[sel]
+                nr, labels = all_nr[sel], all_labels[sel]
+                ms = len(ids)
+                if ms < 2:
+                    return empty
+                # in-place accumulation (same adds, same order): the
+                # `G = G + outer(...)` form allocated two fresh m×m
+                # temporaries per dim — pure memory-bandwidth burn on
+                # large cells
+                G = np.zeros((ms, ms), dtype=np.float64)
+                tmp = np.empty((ms, ms), dtype=np.float64)
+                for d in range(V.shape[1]):
+                    col = V[:, d]
+                    np.outer(col, col, out=tmp)
+                    G += tmp
+                cos = G / np.outer(nr, nr)
+                ia, ib = np.triu_indices(ms, k=1)
+                keep = cos[ia, ib] >= threshold
+                ia, ib = ia[keep], ib[keep]
+                return pd.DataFrame({
+                    "vec_a": ids[ia],
+                    "vec_b": ids[ib],
+                    "cosine_raw": cos[ia, ib],
+                    "same_label": labels[ia] == labels[ib],
+                })
+
+            # hot-cell subdivision (similarity.subdivide_oversized_cell):
+            # past 2·target the O(m²) Gram is the memory bound, so the
+            # cell splits into ~target-row sub-cells in-task and pairs
+            # are emitted per sub-cell. Cross-sub pairs are forgone —
+            # the documented recall trade on pathologically hot cells;
+            # near-identical blobs that would create them belong to
+            # dedup_exact, which should run first.
+            if m > 2 * target_cell_rows:
+                sub = similarity.subdivide_oversized_cell(
+                    all_ids, all_V, all_nr, target_cell_rows)
+                frames = [pairs_subset(sub == s) for s in np.unique(sub)]
+                frames = [f for f in frames if len(f)]
+                return (pd.concat(frames, ignore_index=True)
+                        if frames else empty)
+            return pairs_subset(np.ones(m, dtype=bool))
 
         return (
             assigned.groupBy("cent_id")

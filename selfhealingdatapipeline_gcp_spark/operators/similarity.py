@@ -265,6 +265,62 @@ def pq_encode_arrow(source: DataFrame, cb: DataFrame, n_sub: int,
     return source.select("vec_id", "v").mapInPandas(encode, schema)
 
 
+def subdivide_oversized_cell(ids, V, nrm, target_rows: int):
+    """Sub-cell labels for one ARRIVING oversized IVF cell (numpy,
+    in-task): deterministic k_sub = ceil(m/target) sub-centroids (the
+    members with the smallest (md5(vec_id), vec_id), the
+    fixed_k_centroids discipline), per-dim-accumulated cosine
+    assignment (floor·1e6 micro-units, smallest sub-centroid wins
+    ties) — so an O(m²) Gram over a hot cell becomes k_sub
+    O(sub²) Grams with sub ≈ target rows.
+
+    Degenerate guard: a cluster of near-identical vectors ties every
+    cosine, so the whole cell lands on one sub-centroid; any sub-cell
+    still above 2·target re-splits by member hash (deterministic,
+    balanced). That trades in-sub completeness for boundedness on
+    data that SHOULD have been exact-deduped first — documented in
+    the callers.
+
+    Returns an int64 label array aligned to ``ids``; all zeros when
+    the cell is within bounds (callers skip subdivision entirely
+    below 2·target)."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    m = len(ids)
+    k_sub = math.ceil(m / target_rows)
+    labels = np.zeros(m, dtype=np.int64)
+    if k_sub <= 1:
+        return labels
+    hs = np.array([int(hashlib.md5(str(int(i)).encode())
+                       .hexdigest()[:12], 16) for i in ids],
+                  dtype=np.int64)
+    pick = np.lexsort((ids, hs))[:k_sub]
+    pick = pick[np.argsort(ids[pick])]  # ascending id → tie-break order
+    C, cn = V[pick], nrm[pick]
+    best_score = np.full(m, np.iinfo(np.int64).min, dtype=np.int64)
+    for j in range(k_sub):
+        acc = np.zeros(m, dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc = acc + V[:, d] * C[j, d]
+        score = np.floor(acc / (nrm * cn[j]) * 1e6).astype(np.int64)
+        take = score > best_score
+        best_score = np.where(take, score, best_score)
+        labels = np.where(take, j, labels)
+    # hash re-split of still-hot sub-cells (near-identical clusters)
+    next_label = k_sub
+    for j in range(k_sub):
+        mask = labels == j
+        m_s = int(mask.sum())
+        if m_s > 2 * target_rows:
+            n_split = math.ceil(m_s / target_rows)
+            labels[mask] = next_label + (hs[mask] % n_split)
+            next_label += n_split
+    return labels
+
+
 def ann_bruteforce_topk(embeddings: DataFrame, n_queries: int = 5,
                         k: int = 10) -> DataFrame:
     """Exact cosine top-k for the first ``n_queries`` vectors.
@@ -806,7 +862,14 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     whenever the k-th pick ties the partition boundary, where a
     same-cosine smaller-id candidate could sit outside the subset) —
     the naive per-row full lexsort was O(m² log m) per cell and
-    dominated the sf10 wall time."""
+    dominated the sf10 wall time.
+
+    Hot cells (clustered data the hash-picked grid cannot balance)
+    subdivide IN-TASK past 2·target_cell_rows
+    (subdivide_oversized_cell): deterministic sub-centroids, hash
+    re-split for degenerate near-identical blobs, neighbors ranked
+    within the sub-cell — memory stays O(target²) however skewed the
+    corpus, and max_cell_rows remains the loud arrival-memory cap."""
     import math
 
     import pandas as pd
@@ -836,59 +899,83 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
         if m > max_cell_rows:
             raise ValueError(
                 f"knn_graph_cells cell holds {m} vectors "
-                f"(cap {max_cell_rows}): in-cell scoring is quadratic "
-                "— raise n_centroids so cells shrink")
+                f"(cap {max_cell_rows}): the cap bounds one task's "
+                "arrival memory (oversized cells subdivide in-task "
+                "below it) — raise n_centroids so cells shrink")
         pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
-        # dim-ascending accumulation (the exact IEEE fold order of
-        # vectorfn.dot) with in-place ops: `G = G + outer(...)`
-        # allocated TWO fresh m×m arrays per dim — 64 dims × 1.25 GB
-        # temporaries on a 12.5k cell was pure memory-bandwidth burn
-        G = np.zeros((m, m), dtype=np.float64)
-        tmp = np.empty((m, m), dtype=np.float64)
-        for d in range(V.shape[1]):
-            col = V[:, d]
-            np.outer(col, col, out=tmp)
-            G += tmp
-        nr = pdf["nrm"].to_numpy(dtype=np.float64)
-        cos = G / np.outer(nr, nr)
+        all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        all_V = np.array([list(v) for v in pdf["v"]], dtype=np.float64)
+        all_nr = pdf["nrm"].to_numpy(dtype=np.float64)
         out_v, out_n, out_c, out_r = [], [], [], []
-        kk = min(k, m - 1)
-        neg = -cos
-        np.fill_diagonal(neg, np.inf)  # self sorts last, never picked
 
-        def emit(i, cand_ids, cand_cos, order):
-            top = order[:kk]
-            out_v.extend([ids[i]] * len(top))
-            out_n.extend(cand_ids[top])
-            out_c.extend(cand_cos[top])
-            out_r.extend(range(1, len(top) + 1))
+        def score_subset(ids, V, nr):
+            ms = len(ids)
+            if ms < 2:
+                return
+            # dim-ascending accumulation (the exact IEEE fold order of
+            # vectorfn.dot) with in-place ops: `G = G + outer(...)`
+            # allocated TWO fresh m×m arrays per dim — 64 dims ×
+            # 1.25 GB temporaries on a 12.5k cell was pure
+            # memory-bandwidth burn
+            G = np.zeros((ms, ms), dtype=np.float64)
+            tmp = np.empty((ms, ms), dtype=np.float64)
+            for d in range(V.shape[1]):
+                col = V[:, d]
+                np.outer(col, col, out=tmp)
+                G += tmp
+            cos = G / np.outer(nr, nr)
+            kk = min(k, ms - 1)
+            neg = -cos
+            np.fill_diagonal(neg, np.inf)  # self sorts last
 
-        ss = kk + 32
-        if m - 1 <= ss or m <= 512:
-            # small cell: exact full sort per row is cheap
-            for i in range(m):
-                order = np.lexsort((ids, neg[i]))
-                emit(i, ids, cos[i], order)
+            def emit(i, cand_ids, cand_cos, order):
+                top = order[:kk]
+                out_v.extend([ids[i]] * len(top))
+                out_n.extend(cand_ids[top])
+                out_c.extend(cand_cos[top])
+                out_r.extend(range(1, len(top) + 1))
+
+            ss = kk + 32
+            if ms - 1 <= ss or ms <= 512:
+                # small cell: exact full sort per row is cheap
+                for i in range(ms):
+                    order = np.lexsort((ids, neg[i]))
+                    emit(i, ids, cos[i], order)
+            else:
+                # large cell: O(m) argpartition narrows each row to
+                # the ss best by cosine VALUE; the tiny subset sorts
+                # exactly by (cosine desc, id asc). Exactness: only a
+                # candidate tied AT the partition boundary could be
+                # wrongly excluded (same cosine, smaller id, outside
+                # the subset) — detected per row and answered with
+                # the full lexsort.
+                part = np.argpartition(neg, ss - 1, axis=1)[:, :ss]
+                sel_neg = np.take_along_axis(neg, part, axis=1)
+                boundary = sel_neg.max(axis=1)
+                for i in range(ms):
+                    sub_ids = ids[part[i]]
+                    order = np.lexsort((sub_ids, sel_neg[i]))
+                    if sel_neg[i][order[kk - 1]] >= boundary[i]:
+                        order_full = np.lexsort((ids, neg[i]))
+                        emit(i, ids, cos[i], order_full)
+                    else:
+                        emit(i, sub_ids, cos[i][part[i]], order)
+
+        # hot-cell subdivision: past 2·target the O(m²) Gram becomes
+        # the memory bound (50k rows → 40 GB of temporaries), so the
+        # cell splits into ~target-row sub-cells in-task (deterministic
+        # sub-centroids; hash re-split for degenerate near-identical
+        # clusters) and each sub-cell ranks its own neighbors —
+        # sub-cell-bounded instead of cell-bounded, the same
+        # approximation contract one level down
+        if m > 2 * target_cell_rows:
+            sub = subdivide_oversized_cell(all_ids, all_V, all_nr,
+                                           target_cell_rows)
+            for s in np.unique(sub):
+                sel = sub == s
+                score_subset(all_ids[sel], all_V[sel], all_nr[sel])
         else:
-            # large cell: O(m) argpartition narrows each row to the
-            # ss best by cosine VALUE; the tiny subset sorts exactly
-            # by (cosine desc, id asc). Exactness: only a candidate
-            # tied AT the partition boundary could be wrongly
-            # excluded (same cosine, smaller id, outside the subset)
-            # — detected per row and answered with the full lexsort.
-            part = np.argpartition(neg, ss - 1, axis=1)[:, :ss]
-            sel_neg = np.take_along_axis(neg, part, axis=1)
-            boundary = sel_neg.max(axis=1)
-            for i in range(m):
-                sub_ids = ids[part[i]]
-                order = np.lexsort((sub_ids, sel_neg[i]))
-                if sel_neg[i][order[kk - 1]] >= boundary[i]:
-                    order_full = np.lexsort((ids, neg[i]))
-                    emit(i, ids, cos[i], order_full)
-                else:
-                    emit(i, sub_ids, cos[i][part[i]], order)
+            score_subset(all_ids, all_V, all_nr)
         return pd.DataFrame({
             "vec_id": pd.Series(out_v, dtype="int64"),
             "neighbor_id": pd.Series(out_n, dtype="int64"),
