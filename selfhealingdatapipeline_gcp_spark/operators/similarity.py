@@ -30,12 +30,17 @@ def _dim_or_none(embeddings: DataFrame) -> int | None:
     return None if row is None else int(row.d)
 
 
-def _with_norms(embeddings: DataFrame) -> DataFrame:
+def _spread_similarity(embeddings: DataFrame) -> DataFrame:
     # round-robin spread: a single-file corpus otherwise pins all the
-    # per-pair dot products to one task (explicit N is AQE-stable)
-    n_part = int(embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # per-row vector work to one task (explicit N is AQE-stable)
+    n_part = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    return embeddings.repartition(n_part)
+
+
+def _with_norms(embeddings: DataFrame) -> DataFrame:
     v = vectorfn.to_double(F.col("embedding"))
-    return embeddings.repartition(n_part).select(
+    return _spread_similarity(embeddings).select(
         "vec_id", "label", v.alias("v"), vectorfn.norm(v).alias("nrm"))
 
 
@@ -694,8 +699,15 @@ def ann_rp_lsh_topk(embeddings: DataFrame, n_queries: int = 5,
     signs = embeddings.sparkSession.createDataFrame(
         [{"d": d, **{f"s_{t}_{j}": rp_sign(t, j, d) for t, j in tj}}
          for d in range(dim)])
+    # signatures explode the RAW embedding, not the normed relation:
+    # norms are an interpreted per-row fold the signature path never
+    # uses, and riding n's projection dragged that fold through the
+    # corpus-wide explode (measured 0.81 → 0.44 s on the signature
+    # agg alone at sf0.1 — the r5→r6 floor investigation)
+    v_raw = vectorfn.to_double(F.col("embedding"))
     ex = (
-        n.select("vec_id", F.posexplode("v").alias("d", "x"))
+        _spread_similarity(embeddings)
+        .select("vec_id", F.posexplode(v_raw).alias("d", "x"))
         .select("vec_id", "d",
                 F.floor(F.col("x") * 1e6).cast("bigint").alias("u"))
     )
