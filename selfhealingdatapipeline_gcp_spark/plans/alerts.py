@@ -292,3 +292,70 @@ class FileAlertSender(AlertSender):
             return []
         with open(path, encoding="utf-8") as f:
             return [json.loads(line) for line in f if line.strip()]
+
+
+class SmtpAlertSender(AlertSender):
+    """SMTP delivery for the email channel — the stdlib-smtplib
+    counterpart of the reference's ``_send_email``
+    (alert_manager.py:138-180): MIME message with a
+    ``[SEVERITY] detector: key`` subject, the same HTML body shape
+    (red heading for CRITICAL, orange otherwise, detail in a <pre>
+    block), optional STARTTLS + login. One deliberate divergence:
+    the reference swallows send errors with a print; here a failed
+    send RAISES so the pipeline's retry policy owns re-sends (the
+    WebhookAlertSender discipline). slack/log keep AlertSender's
+    defaults."""
+
+    def __init__(self, smtp_server: str, smtp_port: int = 587,
+                 from_address: str = "alerts@pipeline.local",
+                 to_addresses: tuple[str, ...] = (),
+                 username: str | None = None,
+                 password: str | None = None,
+                 use_tls: bool = True,
+                 timeout_s: float = 10.0):
+        self.smtp_server = smtp_server
+        self.smtp_port = smtp_port
+        self.from_address = from_address
+        self.to_addresses = tuple(to_addresses)
+        self.username = username
+        self.password = password
+        self.use_tls = use_tls
+        self.timeout_s = timeout_s
+        super().__init__(
+            config={"email": {"enabled": True, "smtp_server": smtp_server}},
+            transports={"email": self._smtp_send},
+        )
+
+    def build_message(self, row):
+        from email.mime.multipart import MIMEMultipart
+        from email.mime.text import MIMEText
+
+        msg = MIMEMultipart()
+        msg["From"] = self.from_address
+        msg["To"] = ", ".join(self.to_addresses)
+        msg["Subject"] = f"[{row.severity}] {row.detector}: {row.alert_key}"
+        color = "#FF0000" if row.severity == "CRITICAL" else "#FF6600"
+        html = (
+            "<html><body style=\"font-family: Arial, sans-serif;\">"
+            f"<h2 style=\"color: {color};\">"
+            f"{row.detector}: {row.alert_key}</h2>"
+            f"<pre style=\"background-color: #f5f5f5; padding: 15px;"
+            f" border-radius: 5px;\">{row.detail}</pre>"
+            "<p style=\"color: #666; font-size: 12px;\">"
+            "Sent by the pipeline monitoring suite</p>"
+            "</body></html>"
+        )
+        msg.attach(MIMEText(html, "html"))
+        return msg
+
+    def _smtp_send(self, channel: str, row) -> None:
+        import smtplib
+
+        msg = self.build_message(row)
+        with smtplib.SMTP(self.smtp_server, self.smtp_port,
+                          timeout=self.timeout_s) as server:
+            if self.use_tls:
+                server.starttls()
+            if self.username and self.password:
+                server.login(self.username, self.password)
+            server.send_message(msg)

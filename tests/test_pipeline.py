@@ -624,6 +624,106 @@ def test_webhook_alert_sender_posts_routed_alerts(spark):
         srv.shutdown()
 
 
+def test_smtp_alert_sender_delivers_routed_alerts(spark):
+    """SmtpAlertSender delivers email-routed alerts through a real
+    SMTP conversation against a local debug server (reference parity:
+    alert_manager._send_email), with the severity-tagged subject and
+    HTML body; a dead server raises instead of dropping the alert."""
+    import socket
+    import threading
+
+    import pytest
+    from selfhealingdatapipeline_gcp_spark.plans import alerts as A
+
+    received = []
+
+    def smtp_server(sock):
+        # minimal RFC-5321 conversation: enough protocol for smtplib
+        while True:
+            try:
+                conn, _ = sock.accept()
+            except OSError:
+                return
+            with conn:
+                f = conn.makefile("rb")
+                conn.sendall(b"220 localhost test SMTP\r\n")
+                data_lines = None
+                while True:
+                    line = f.readline()
+                    if not line:
+                        break
+                    if data_lines is not None:
+                        if line.rstrip(b"\r\n") == b".":
+                            received.append(b"".join(data_lines))
+                            data_lines = None
+                            conn.sendall(b"250 OK\r\n")
+                        else:
+                            data_lines.append(line)
+                        continue
+                    cmd = line.split()[0].upper() if line.split() else b""
+                    if cmd == b"EHLO":
+                        conn.sendall(b"250-localhost\r\n250 HELP\r\n")
+                    elif cmd == b"HELO":
+                        conn.sendall(b"250 localhost\r\n")
+                    elif cmd == b"DATA":
+                        data_lines = []
+                        conn.sendall(b"354 go ahead\r\n")
+                    elif cmd == b"QUIT":
+                        conn.sendall(b"221 bye\r\n")
+                        break
+                    else:
+                        conn.sendall(b"250 OK\r\n")
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    sock.listen(5)
+    port = sock.getsockname()[1]
+    t = threading.Thread(target=smtp_server, args=(sock,), daemon=True)
+    t.start()
+    try:
+        fired = spark.createDataFrame(
+            [("revenue_anomaly", "2024-03-01", "HIGH", "{}"),
+             ("freshness_check", "events", "CRITICAL", "{}")],
+            "detector string, alert_key string, severity string, "
+            "detail string")
+        sender = A.SmtpAlertSender(
+            "127.0.0.1", smtp_port=port,
+            to_addresses=("ops@example.com",), use_tls=False)
+        n = sender.deliver(fired)
+        assert n == 2
+        # HIGH routes to email+slack, CRITICAL to slack+email+log —
+        # both alerts land over SMTP
+        mails = [m.decode("utf-8", "replace") for m in received]
+        assert len(mails) == 2
+        joined = "\n".join(mails)
+        assert "[CRITICAL] freshness_check: events" in joined
+        assert "[HIGH] revenue_anomaly: 2024-03-01" in joined
+        assert "#FF0000" in joined  # critical heading color
+        assert "#FF6600" in joined  # non-critical heading color
+        assert "ops@example.com" in joined
+        assert ("email", "freshness_check:events") in sender.sent
+    finally:
+        sock.close()
+
+    # dead server: loud failure, never a silent drop. A FRESH port
+    # (bound and closed with no server thread) — the live server's
+    # accept() can keep the old port's kernel socket alive after
+    # close() until the thread unblocks
+    s2 = socket.socket()
+    s2.bind(("127.0.0.1", 0))
+    dead_port = s2.getsockname()[1]
+    s2.close()
+    dead = A.SmtpAlertSender("127.0.0.1", smtp_port=dead_port,
+                             to_addresses=("ops@example.com",),
+                             use_tls=False, timeout_s=2.0)
+    crit_only = spark.createDataFrame(
+        [("freshness_check", "events", "CRITICAL", "{}")],
+        "detector string, alert_key string, severity string, "
+        "detail string")
+    with pytest.raises(Exception):
+        dead.deliver(crit_only)
+
+
 def test_healer_catches_own_scale_guards(spark):
     """The loop that makes the guards self-healing: each quadratic
     guard's REAL raised text (not a hand-typed copy) must classify to
