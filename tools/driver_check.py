@@ -136,3 +136,8 @@ def main(argv):
 
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
+
+
+def cli() -> None:
+    """console-script entry point (pyproject [project.scripts])."""
+    raise SystemExit(main(sys.argv[1:]))
