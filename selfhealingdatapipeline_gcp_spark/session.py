@@ -78,6 +78,18 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                _default_driver_mem()))
     )
+    kafka_pkg = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGE")
+    if kafka_pkg:
+        # opt-in Kafka connector: "1" resolves the artifact matching
+        # the running pyspark (needs network/ivy cache at session
+        # start); any other value is used as the exact coordinate.
+        # Offline environments leave this unset and the rate-source
+        # loops (streaming_live_alert_loop) are the fallback.
+        if kafka_pkg == "1":
+            import pyspark
+            kafka_pkg = ("org.apache.spark:spark-sql-kafka-0-10_2.13:"
+                         f"{pyspark.__version__}")
+        builder = builder.config("spark.jars.packages", kafka_pkg)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:

@@ -399,3 +399,36 @@ def test_more_like_this_broadcasts_anchors(spark):
     # scalar relation; the bare corpus-norm join has no hint
     assert src.count("F.broadcast") == 3
     assert 'F.col("nsq").alias("nsq_b"))), "doc_id")' not in src
+
+
+def test_bucketed_catalog_joins_exchange_free_with_parity(spark, duck):
+    """VERDICT r5 #6: with catalog.use_bucketed_tables on, the
+    registered orders⋈lineitem family consumes the pre-bucketed
+    facts — the fact⋈fact join runs with ZERO Exchange on the join
+    key (broadcast disabled so the shuffle would otherwise be
+    visible), and values keep strict oracle parity."""
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        catalog.use_bucketed_tables(spark, SF_ORACLE)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = registry.queries()["q18_large_orders"](spark, SF_ORACLE)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        # parity over the bucketed layout, several family members
+        for name in ("q3_shipping_priority", "q10_returned_items",
+                     "q12_ship_delay_priority", "q18_large_orders",
+                     "q21_waiting_suppliers"):
+            assert_parity(registry.queries()[name](spark, SF_ORACLE),
+                          duck, registry.oracle_sql()[name])
+    finally:
+        catalog.clear_bucketed_tables()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

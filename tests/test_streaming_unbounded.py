@@ -84,3 +84,41 @@ def test_live_alert_loop_fires_and_stops(spark, tmp_path):
     for r in rows:
         assert r["detector"] == "streaming_rate_volume"
         assert r["severity"] in ("MEDIUM", "HIGH", "CRITICAL")
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="needs a reachable Kafka broker (SPARK_GRAFT_KAFKA_BOOTSTRAP) "
+           "and the spark-sql-kafka jar (SPARK_GRAFT_KAFKA_PACKAGE=1) — "
+           "both absent in the offline sandbox; the rate-source loop "
+           "(test_live_alert_loop) is the offline fallback")
+def test_streaming_txn_volume_from_real_kafka_topic(spark):
+    """Gated end-to-end Kafka path (VERDICT r5 #9): seed the topic
+    through Spark's own Kafka SINK (no extra client libs), then drain
+    it with streaming_txn_volume_kafka and check the windowed counts
+    against the batch equivalent of the seeded rows."""
+    from pyspark.sql import functions as F
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    bootstrap = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    topic = "shdp_test_events"
+    events = catalog.load(spark, "/root/testdata/sf0.001", "events") \
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    (events.select(F.to_json(F.struct("*")).alias("value"))
+     .write.format("kafka")
+     .option("kafka.bootstrap.servers", bootstrap)
+     .option("topic", topic).save())
+
+    got = monitors.streaming_txn_volume_kafka(spark, bootstrap, topic)
+    expect = (events.groupBy(F.window("ts", "1 hour"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"))
+              .select(F.col("window.start").alias("window_start"),
+                      "event_type", "n_events"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expect.collect()))

@@ -105,6 +105,12 @@ def main(argv):
         from selfhealingdatapipeline_gcp_spark.functions import money
         money.set_decimal_mode(True)
     spark = get_spark("driver-check")
+    if os.environ.get("SPARK_GRAFT_BUCKETED") == "1":
+        # strict gate over PRE-BUCKETED fact tables: every query that
+        # touches orders/lineitem reads the bucketed managed copies
+        # (catalog.load routes through them) — values must be
+        # identical, and the orders⋈lineitem joins run Exchange-free
+        catalog.use_bucketed_tables(spark, SF)
     duck = duckdb.connect()
     for t in catalog.TABLES:
         # single-file testdata vs directory-shaped (Spark-written)
