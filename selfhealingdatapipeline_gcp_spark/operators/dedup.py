@@ -283,30 +283,43 @@ def cross_source_overlap(documents: DataFrame) -> DataFrame:
     )
 
 
-def band_keys(documents: DataFrame,
-              shingles: DataFrame | None = None) -> DataFrame:
-    """(doc_id, bkey) LSH band keys: shingle rows → scalar hash
-    columns → 32 min() aggregates — everything stays in whole-stage
-    codegen (array-fold HOFs are interpreted), and the groupBy gets
-    map-side partial aggregation, so the signature shuffle carries
-    ~32 longs per doc. MinHash is duplicate-insensitive (min over a
-    multiset), so no distinct. Shared by dedup_minhash_lsh (corpus
-    self-dedup) and dedup_incremental (new-batch vs corpus)."""
+N_PERM = 32
+
+
+def minhash_signatures(documents: DataFrame,
+                       shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, mh1..mh32) MinHash signatures: shingle rows → scalar
+    hash columns → 32 min() aggregates — everything stays in
+    whole-stage codegen (array-fold HOFs are interpreted), and the
+    groupBy gets map-side partial aggregation, so the signature
+    shuffle carries ~32 longs per doc. MinHash is
+    duplicate-insensitive (min over a multiset), so no distinct. The
+    single definition of the permutation family — band_keys and
+    minhash_estimate_report both consume it, so they cannot drift."""
     if shingles is None:
         shingles = _shingle_rows(documents)
     ex = shingles.select(
         "doc_id", textfn.md5int(F.col("s")).alias("x"))
-    n_perm = 32
     hashes = [
         (((F.lit(17) + j * 13) * F.col("x") + j * 7919) % textfn.HASH_MOD)
-        .alias(f"h{j}") for j in range(1, n_perm + 1)
+        .alias(f"h{j}") for j in range(1, N_PERM + 1)
     ]
-    sig = F.array(*[F.col(f"mh{j}") for j in range(1, n_perm + 1)])
     return (
         ex.select("doc_id", *hashes)
         .groupBy("doc_id")
         .agg(*[F.min(f"h{j}").alias(f"mh{j}")
-               for j in range(1, n_perm + 1)])
+               for j in range(1, N_PERM + 1)])
+    )
+
+
+def band_keys(documents: DataFrame,
+              shingles: DataFrame | None = None) -> DataFrame:
+    """(doc_id, bkey) LSH band keys over the minhash_signatures
+    relation. Shared by dedup_minhash_lsh (corpus self-dedup) and
+    dedup_incremental (new-batch vs corpus)."""
+    sig = F.array(*[F.col(f"mh{j}") for j in range(1, N_PERM + 1)])
+    return (
+        minhash_signatures(documents, shingles)
         .select("doc_id",
                 F.explode(textfn.lsh_band_keys(sig)).alias("bkey"))
     )
@@ -767,6 +780,60 @@ def dedup_lsh_verified(documents: DataFrame,
         .select("doc_a", "doc_b",
                 (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_estimate_report(documents: DataFrame) -> DataFrame:
+    """Sketch-accuracy audit: MinHash-ESTIMATED Jaccard (share of
+    agreeing signature components) vs EXACT Jaccard over the LSH
+    candidate pairs — the number that justifies trusting 32
+    permutations at 100 TB, next to lsh_precision_report /
+    lsh_recall_report (which audit the banding; this audits the
+    sketch itself). Theory: per-component agreement probability IS
+    the Jaccard, so the estimator is unbiased with σ = √(J(1-J)/32)
+    ≈ 0.09 — a drifting mean or fat error tail means the hash family
+    is broken for this corpus.
+
+    Everything integer: est_e6 = agreements·31250 (1e6/32 exactly),
+    exact_e6 = floor(n_common·1e6/n_union); one row out
+    (n_pairs, mean/max abs error, signed mean = bias). Pairs come
+    from the bounded LSH pipeline; signatures join per-pair (two
+    32-long rows), never corpus×corpus."""
+    sh = _shingle_rows(documents)
+    cand = dedup_minhash_lsh(documents, shingles=sh)
+    sigs = minhash_signatures(documents, sh)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"mh{j}").alias(f"a{j}")
+                      for j in range(1, N_PERM + 1)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"mh{j}").alias(f"b{j}")
+                      for j in range(1, N_PERM + 1)])
+    agree = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("bigint")
+        for j in range(1, N_PERM + 1))
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    sa = sets_.select(F.col("doc_id").alias("doc_a"),
+                      F.col("ss").alias("sa"))
+    sb = sets_.select(F.col("doc_id").alias("doc_b"),
+                      F.col("ss").alias("sb"))
+    per_pair = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            (agree * F.lit(31250)).alias("est_e6"),
+            F.floor(F.size(F.array_intersect("sa", "sb")) * 1e6
+                    / (F.size("sa") + F.size("sb")
+                       - F.size(F.array_intersect("sa", "sb"))))
+             .cast("bigint").alias("exact_e6"))
+        .select((F.col("est_e6") - F.col("exact_e6")).alias("err"))
+    )
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.floor(F.sum(F.abs(F.col("err"))) / F.count(F.lit(1)))
+         .cast("bigint").alias("mean_abs_err_e6"),
+        F.max(F.abs(F.col("err"))).alias("max_abs_err_e6"),
+        F.floor(F.sum("err") / F.count(F.lit(1)))
+         .cast("bigint").alias("mean_err_e6"),
     )
 
 

@@ -1005,6 +1005,75 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     )
 
 
+def embedding_outliers(embeddings: DataFrame,
+                       z_threshold: float = 2.0) -> DataFrame:
+    """Per-label embedding outliers: vectors whose cosine to their
+    OWN label centroid sits ``z_threshold`` σ below the label's mean
+    — the mislabel / noise screen a training-data pipeline runs
+    before contrastive or classifier training (a 'sports' document
+    embedded among 'finance' vectors flags here long before a loss
+    curve shows it).
+
+    Scale shape: one corpus posexplode → the K×d integer centroid
+    relation (broadcast); per-vector dot and norm reduce in the SAME
+    grouped aggregate (one shuffle at vec_id grain); the per-label
+    moment relation is K rows. Determinism: centroid components and
+    vector units are floor-e6 integers, dots/norms are bigint sums
+    of integer products, per-label Σcos² runs through money.sum_sq
+    (DECIMAL-widenable), and z floors at e4 — engine-exact
+    end-to-end. Output = outlier rows only."""
+    from selfhealingdatapipeline_gcp_spark.functions import money
+
+    ex = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(vectorfn.to_double(F.col("embedding")))
+         .alias("dim_idx", "x"),
+    ).select("vec_id", "label", "dim_idx",
+             F.floor(F.col("x") * 1e6).cast("bigint").alias("u"))
+    cent = (
+        ex.groupBy("label", "dim_idx")
+        .agg(F.floor(F.sum("u") / F.count(F.lit(1)))
+              .cast("bigint").alias("m"))
+    )
+    per_vec = (
+        ex.join(F.broadcast(cent), ["label", "dim_idx"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("u") * F.col("m")).alias("dot"),
+             F.sum(F.col("u") * F.col("u")).alias("vsq"))
+    )
+    nsq = cent.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).alias("nsq"))
+    cos_e6 = F.floor(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("vsq").cast("double") * F.col("nsq").cast("double"))
+        * 1e6).cast("bigint")
+    scored = (
+        per_vec.join(F.broadcast(nsq), "label")
+        .filter((F.col("vsq") > 0) & (F.col("nsq") > 0))
+        .select("vec_id", "label", cos_e6.alias("cos_e6"))
+    )
+    stats = scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cos_e6").alias("s1"),
+        money.sum_sq(F.col("cos_e6")).alias("s2"))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.greatest(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * mean)
+        / n, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("cos_e6").cast("double") - mean) / std) \
+         .otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select("vec_id", "label",
+                (F.col("cos_e6") / 1e6).alias("centroid_cosine"),
+                (F.floor(z * 1e4) / 1e4).alias("z_score"))
+        .filter(F.col("z_score") < -float(z_threshold))
+        .orderBy("vec_id")
+    )
+
+
 def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
     """Pairwise cosine similarity between per-label centroids — the
     label-confusion / embedding-drift diagnostic (two labels whose

@@ -1763,3 +1763,118 @@ register(
     FROM nt, nh
     """,
 )
+
+
+register(
+    "minhash_estimate_report",
+    lambda spark, sf: dedup.minhash_estimate_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      WHERE len({_SHINGLES}) > 0
+    ), ints AS (
+      SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
+    ), mh AS (
+      SELECT doc_id, {_SIG} AS sig FROM ints
+    ), keys AS (
+      SELECT doc_id, unnest({_BKEYS}) AS bkey FROM mh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), agree AS (
+      SELECT cand.doc_a, cand.doc_b,
+             list_sum(list_transform(range(1, 33), j ->
+               CASE WHEN ma.sig[j] = mb.sig[j] THEN 1 ELSE 0 END))
+               AS agreements
+      FROM cand
+      JOIN mh ma ON ma.doc_id = cand.doc_a
+      JOIN mh mb ON mb.doc_id = cand.doc_b
+    ), ex AS (
+      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+    ), common AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common,
+             max(ea.n) AS n_a, max(eb.n) AS n_b
+      FROM cand
+      JOIN ex ea ON ea.doc_id = cand.doc_a
+      JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.g = ea.g
+      GROUP BY 1, 2
+    ), err AS (
+      SELECT CAST(a.agreements * 31250 AS BIGINT)
+             - CAST(floor(c.n_common * 1000000.0
+                          / (c.n_a + c.n_b - c.n_common)) AS BIGINT)
+               AS err
+      FROM agree a
+      JOIN common c ON c.doc_a = a.doc_a AND c.doc_b = a.doc_b
+    )
+    SELECT count(*) AS n_pairs,
+           CAST(floor(sum(abs(err)) * 1.0 / count(*)) AS BIGINT)
+             AS mean_abs_err_e6,
+           CAST(max(abs(err)) AS BIGINT) AS max_abs_err_e6,
+           CAST(floor(sum(err) * 1.0 / count(*)) AS BIGINT)
+             AS mean_err_e6
+    FROM err
+    """,
+)
+
+
+register(
+    "embedding_outliers",
+    lambda spark, sf: similarity.embedding_outliers(
+        *_t(spark, sf, "embeddings")),
+    """
+    WITH ex AS (
+      SELECT vec_id, label, CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS u
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    ), cent AS (
+      SELECT label, dim_idx,
+             CAST(floor(sum(u) / count(*)) AS BIGINT) AS m
+      FROM ex GROUP BY label, dim_idx
+    ), per_vec AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(sum(ex.u * cent.m) AS BIGINT) AS dot,
+             CAST(sum(ex.u * ex.u) AS BIGINT) AS vsq
+      FROM ex JOIN cent
+        ON cent.label = ex.label AND cent.dim_idx = ex.dim_idx
+      GROUP BY ex.vec_id, ex.label
+    ), nsq AS (
+      SELECT label, CAST(sum(m * m) AS BIGINT) AS nsq
+      FROM cent GROUP BY label
+    ), scored AS (
+      SELECT vec_id, per_vec.label,
+             CAST(floor(CAST(dot AS DOUBLE)
+                        / sqrt(CAST(vsq AS DOUBLE)
+                               * CAST(nsq.nsq AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS cos_e6
+      FROM per_vec JOIN nsq ON nsq.label = per_vec.label
+      WHERE vsq > 0 AND nsq.nsq > 0
+    ), stats AS (
+      SELECT label, count(*) AS n,
+             CAST(sum(cos_e6) AS BIGINT) AS s1,
+             CAST(sum(cos_e6 * cos_e6) AS BIGINT) AS s2
+      FROM scored GROUP BY label
+    ), zed AS (
+      SELECT vec_id, scored.label,
+             (cos_e6 / 1000000.0) AS centroid_cosine,
+             (floor((CASE WHEN sqrt(greatest(
+                       (CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / n))
+                       / n, 0.0)) > 0
+                     THEN (CAST(cos_e6 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) / n)
+                          / sqrt(greatest(
+                              (CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE)
+                                 * (CAST(s1 AS DOUBLE) / n)) / n, 0.0))
+                     ELSE 0.0 END) * 10000.0) / 10000.0) AS z_score
+      FROM scored JOIN stats ON stats.label = scored.label
+    )
+    SELECT vec_id, label, centroid_cosine, z_score
+    FROM zed WHERE z_score < -2.0
+    ORDER BY vec_id
+    """,
+)

@@ -935,3 +935,52 @@ def test_lsh_recall_report_consistent(spark, duck):
     assert row.n_true_pairs == len(truth)
     assert row.n_recovered == len(truth & found)
     assert 0 <= row.recall_e6 <= 1_000_000
+
+
+def test_minhash_estimate_report_parity_and_theory(spark, duck):
+    """Strict parity, plus the sketch-theory sanity: 32 permutations
+    put σ ≈ 0.09 on each estimate, so over LSH candidates (high
+    Jaccard) the mean |error| must sit well inside 3σ and the signed
+    mean (bias) near zero relative to σ."""
+    from conftest import assert_parity
+
+    assert_parity(registry.queries()["minhash_estimate_report"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["minhash_estimate_report"])
+    row = registry.queries()["minhash_estimate_report"](
+        spark, SF_ORACLE).collect()[0]
+    assert row.n_pairs > 0
+    assert 0 <= row.mean_abs_err_e6 < 270_000   # 3σ of the estimator
+    assert abs(row.mean_err_e6) <= row.mean_abs_err_e6
+    assert row.max_abs_err_e6 <= 1_000_000
+
+
+def test_embedding_outliers_parity_and_injected_mislabel(spark, duck):
+    """Strict parity, and a fabricated corpus where one vector
+    carries the wrong label must flag exactly that vector."""
+    import numpy as np
+    import pandas as pd
+
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
+    assert_parity(registry.queries()["embedding_outliers"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["embedding_outliers"])
+
+    rng = np.random.RandomState(11)
+    base_a, base_b = rng.randn(16), rng.randn(16)
+    rows = []
+    for i in range(60):
+        base = base_a if i < 30 else base_b
+        v = base + 0.05 * np.random.RandomState(i).randn(16)
+        label = 0 if i < 30 else 1
+        rows.append((i, label, [float(x) for x in v]))
+    # vec 59 keeps label 0 but lives in cluster B: the mislabel
+    rows[59] = (59, 0, rows[59][2])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = similarity.embedding_outliers(emb, z_threshold=2.0).collect()
+    assert any(r.vec_id == 59 for r in out)
+    assert all(r.z_score < -2.0 for r in out)
