@@ -83,6 +83,9 @@ HEADLINE = [
     "revenue_weekly_seasonality",
     "knn_clustering_coefficient",
     "streaming_cdc_apply",
+    # r6 additions (floor starts at BENCH_r06)
+    "minhash_estimate_report",
+    "embedding_outliers",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

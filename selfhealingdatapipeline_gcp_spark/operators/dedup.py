@@ -551,14 +551,19 @@ def dedup_embedding(embeddings: DataFrame,
         # target_cell_rows; quadratic in-cell work demands it) and
         # resolves to exactly 16 below 16·target rows, so the
         # 16-pinning DuckDB oracle stays valid at every oracle SF.
+        # grid capped at 4096 (cell assignment is O(K) per row); past
+        # the cap, arriving cells exceed target and the in-task
+        # subdivision below carries them — the two-level composition
+        # (see knn_graph_cells' docstring for the full analysis)
         if n_centroids == "auto":
             import math
-            n_centroids = max(16, math.ceil(embeddings.count()
-                                            / target_cell_rows))
+            n_centroids = max(16, min(4_096,
+                                      math.ceil(embeddings.count()
+                                                / target_cell_rows)))
         cents = similarity.fixed_k_centroids_raw(embeddings, n_centroids)
         assigned = similarity.assign_cells_arrow(
             n.drop("nrm"), cents, passthrough=True, compute_norm=True)
-        max_cell_rows = 200_000
+        max_cell_rows = 500_000
 
         def score_cell(pdf):
             import numpy as np

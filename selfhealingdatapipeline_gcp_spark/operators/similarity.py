@@ -842,8 +842,9 @@ def ann_ivf_pq_topk(embeddings: DataFrame, n_queries: int = 5,
 
 def knn_graph_cells(embeddings: DataFrame, k: int = 5,
                     n_centroids: int | str = "auto",
-                    max_cell_rows: int = 200_000,
-                    target_cell_rows: int = 4_000) -> DataFrame:
+                    max_cell_rows: int = 500_000,
+                    target_cell_rows: int = 4_000,
+                    max_grid: int = 4_096) -> DataFrame:
     """k-nearest-neighbor GRAPH over the corpus, cell-bounded: each
     vector's exact top-k cosine neighbors WITHIN its IVF cell — the
     building block for cluster analysis, label propagation, and
@@ -867,7 +868,14 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     cells take seconds. Below 16·target corpus rows auto resolves to
     exactly 16, so the DuckDB oracles (which pin 16) stay valid at
     every oracle SF. The extra count() is one scan — the standard
-    plan-shaping-constant discipline.
+    plan-shaping-constant discipline. The grid CAPS at ``max_grid``
+    (4096): cell assignment is O(K) per row, so an uncapped grid at
+    10^9 vectors would mean a 250k-centroid loop per batch; past the
+    cap, cells arrive larger than target and the in-task subdivision
+    below carries them — the two-level (coarse grid → sub-cell)
+    composition, O(max_grid + n/max_grid/target) work per row.
+    max_cell_rows (500k ≈ 256 MB of vectors) stays the loud
+    arrival-memory cap, reached only past ~2·10^9 rows per table.
 
     Top-k selection inside a cell is argpartition-vectorized for
     large cells (exact: a per-row fallback to the full lexsort fires
@@ -892,8 +900,9 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     n = embeddings.repartition(n_part).select(
         "vec_id", "label", v.alias("v"))
     if n_centroids == "auto":
-        n_centroids = max(16, math.ceil(embeddings.count()
-                                        / target_cell_rows))
+        n_centroids = max(16, min(max_grid,
+                                  math.ceil(embeddings.count()
+                                            / target_cell_rows)))
     cents = fixed_k_centroids_raw(embeddings, n_centroids)
     assigned = assign_cells_arrow(n, cents, passthrough=True,
                                   compute_norm=True)
