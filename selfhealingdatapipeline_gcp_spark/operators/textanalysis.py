@@ -200,6 +200,49 @@ def text_token_estimate(documents: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility_by_source(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility per source: estimated BPE subwords per
+    whitespace word — the tokenizer-suitability number a multilingual
+    mixing decision needs (English-ish text sits near ~1.2-1.5;
+    a source reading ≫ that is paying a token tax the mixing weights
+    should know about, the standard fertility metric from the
+    multilingual-tokenizer literature).
+
+    Same codegen machinery as text_token_estimate (GPT-2-style regex
+    pre-tokens, ceil(len/4) subwords) and text_token_count
+    (whitespace words), reduced straight to source grain: both
+    numerators are exact integer sums (map-side combined, O(sources)
+    output rows), the ratio floors at e4."""
+    pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    ex = (
+        _spread(documents)
+        .select("doc_id", "source",
+                F.size(textfn.tokens("text")).alias("n_words"),
+                F.explode_outer(
+                    F.regexp_extract_all("text", F.lit(pat), 0))
+                 .alias("tok"))
+    )
+    per_doc = (
+        ex.groupBy("doc_id", "source")
+        .agg(F.max("n_words").alias("n_words"),
+             F.coalesce(F.sum(F.floor((F.length("tok") + 3) / 4)),
+                        F.lit(0)).cast("bigint").alias("est"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_words").alias("n_words"),
+             F.sum("est").alias("est_bpe_tokens"))
+        .withColumn(
+            "fertility",
+            F.when(F.col("n_words") > 0,
+                   F.floor(F.col("est_bpe_tokens") * 1e4
+                           / F.col("n_words")) / 1e4)
+             .otherwise(F.lit(0.0)))
+        .orderBy("source")
+    )
+
+
 def text_unigram_logprob(documents: DataFrame) -> DataFrame:
     """Perplexity-proxy quality score: per-doc average unigram
     negative log-probability under the corpus's own unigram model

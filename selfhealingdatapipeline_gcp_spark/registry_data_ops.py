@@ -1878,3 +1878,33 @@ register(
     ORDER BY vec_id
     """,
 )
+
+
+register(
+    "tokenizer_fertility_by_source",
+    lambda spark, sf: textanalysis.tokenizer_fertility_by_source(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH a AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKENS}) AS BIGINT) AS n_words,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')
+               AS arr
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, source, n_words,
+             CAST(list_reduce(
+               [CAST(0 AS BIGINT)] || list_transform(arr,
+                 tk -> CAST(floor((length(tk) + 3) / 4) AS BIGINT)),
+               (acc, x) -> acc + x) AS BIGINT) AS est
+      FROM a
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(est) AS BIGINT) AS est_bpe_tokens,
+           CASE WHEN sum(n_words) > 0
+                THEN floor(sum(est) * 1e4 / sum(n_words)) / 1e4
+                ELSE 0.0 END AS fertility
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)

@@ -984,3 +984,18 @@ def test_embedding_outliers_parity_and_injected_mislabel(spark, duck):
     out = similarity.embedding_outliers(emb, z_threshold=2.0).collect()
     assert any(r.vec_id == 59 for r in out)
     assert all(r.z_score < -2.0 for r in out)
+
+
+def test_tokenizer_fertility_parity_and_bounds(spark, duck):
+    """Strict parity; fertility on the Latin-script corpus must sit
+    in the plausible subwords-per-word band (≥1: every word is at
+    least one subword; the ceil(len/4) model caps well under 10)."""
+    from conftest import assert_parity
+
+    assert_parity(registry.queries()["tokenizer_fertility_by_source"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["tokenizer_fertility_by_source"])
+    for r in registry.queries()["tokenizer_fertility_by_source"](
+            spark, SF_ORACLE).collect():
+        assert r.n_docs > 0 and r.n_words > 0
+        assert 1.0 <= r.fertility < 10.0
