@@ -78,6 +78,7 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                _default_driver_mem()))
     )
+    pkgs = []
     kafka_pkg = os.environ.get("SPARK_GRAFT_KAFKA_PACKAGE")
     if kafka_pkg:
         # opt-in Kafka connector: "1" resolves the artifact matching
@@ -89,7 +90,19 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
             import pyspark
             kafka_pkg = ("org.apache.spark:spark-sql-kafka-0-10_2.13:"
                          f"{pyspark.__version__}")
-        builder = builder.config("spark.jars.packages", kafka_pkg)
+        pkgs.append(kafka_pkg)
+    bq_pkg = os.environ.get("SPARK_GRAFT_BQ_PACKAGE")
+    if bq_pkg:
+        # opt-in BigQuery connector (the reference's data plane):
+        # "1" uses the published with-dependencies artifact; any
+        # other value is the exact coordinate. read_bigquery /
+        # write_bigquery raise with setup instructions without it.
+        if bq_pkg == "1":
+            bq_pkg = ("com.google.cloud.spark:"
+                      "spark-bigquery-with-dependencies_2.13:0.42.0")
+        pkgs.append(bq_pkg)
+    if pkgs:
+        builder = builder.config("spark.jars.packages", ",".join(pkgs))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:

@@ -130,3 +130,24 @@ def test_multimodal_ops_run_on_real_binary_files(spark, tmp_path):
     assert len(frames) > 0
     feats = multimodal.multimodal_features_long(assets).collect()
     assert len(feats) == 3 * 16
+
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_BQ_TABLE"),
+    reason="needs a reachable BigQuery table (SPARK_GRAFT_BQ_TABLE) and "
+           "the connector jar (SPARK_GRAFT_BQ_PACKAGE=1) — absent in the "
+           "offline sandbox; the embedded-Derby JDBC round-trip above is "
+           "the offline proof of the external-source seam")
+def test_read_bigquery_gated(spark):
+    """Gated live-BigQuery read (the reference's actual source,
+    transform_script:11-14): the configured table must load with a
+    non-empty schema."""
+    from selfhealingdatapipeline_gcp_spark.sources import readers
+
+    df = readers.read_bigquery(spark, os.environ["SPARK_GRAFT_BQ_TABLE"])
+    assert df.columns

@@ -37,6 +37,12 @@ SHOW = {
                          "full-outer SortMergeJoin",
     "more_like_this": "anchors + anchor norms broadcast; corpus norms "
                       "stay an equi-join",
+    "minhash_estimate_report": "signatures computed once (shared "
+                               "relation); pairs bounded by banding; "
+                               "1-row output aggregate",
+    "embedding_outliers": "K x d integer centroid relation broadcast; "
+                          "one shuffle at vec_id grain; per-label "
+                          "moments are K rows",
 }
 
 
