@@ -247,9 +247,23 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
                         "pack_id", "tokens_before", "text"))
 
     def sink(s: SparkSession, ctx: dict[str, Any]):
-        writers.write_parquet(ctx["split_pack"], output_path,
+        # observed write: the row/null metrics ride the sink's own
+        # scan (Observation API) — no post-write validation re-scan.
+        # A null doc_id or text in the CURATED output means an
+        # upstream join broke; the gate fails the task INSIDE the
+        # self-healing retry protocol rather than shipping bad data.
+        from selfhealingdatapipeline_gcp_spark.operators import quality
+        observed, obs = quality.observed_quality_gate(
+            ctx["split_pack"], ("doc_id", "text"), name="curation_sink")
+        writers.write_parquet(observed, output_path,
                               partition_by=("split",),
                               target_partitions=8)
+        metrics = obs.get
+        state["sink_metrics"] = metrics
+        if metrics["nulls_doc_id"] or metrics["nulls_text"]:
+            raise ValueError(
+                f"curation sink wrote NULL keys: {metrics} — upstream "
+                "join integrity broken")
         return output_path
 
     def alert_on_dup_rate(s: SparkSession, ctx: dict[str, Any]):
@@ -278,6 +292,7 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
         "dup_rate_e6": state.get("dup_rate_e6"),
         "alerts": (results["alerts"].result
                    if results["alerts"].status == "SUCCESS" else None),
+        "sink_metrics": state.get("sink_metrics"),
         "output_path": (results["sink"].result
                         if results["sink"].status == "SUCCESS" else None),
     }

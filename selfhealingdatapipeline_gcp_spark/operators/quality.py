@@ -176,3 +176,28 @@ def input_files_profile(df) -> "DataFrame":
                    (F.col("n_rows") < 10_000).alias("is_small_file"))
         .orderBy("file_name")
     )
+
+
+def observed_quality_gate(df: DataFrame, key_columns: tuple[str, ...],
+                          name: str = "quality_gate"):
+    """Attach an in-flight quality observation to ``df`` — row count
+    plus per-key-column null counts — so the metrics come out of the
+    SAME action that materializes the data (a sink write, a count),
+    not a second scan. At 100 TB a post-write validation re-scan is
+    an hour of cluster time; ``df.observe`` rides the write for free
+    (Spark's Observation API: metrics are accumulated per-task during
+    the one pass).
+
+    Returns (observed_df, observation). After ANY action on
+    observed_df, ``observation.get`` yields
+    {"n_rows": ..., "nulls_<col>": ...} — feed it to a pipeline
+    validate hook (plans/pipeline.Task.validate) to fail the task on
+    a threshold, inside the self-healing retry protocol."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in key_columns:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"))
+    return df.observe(obs, *metrics), obs

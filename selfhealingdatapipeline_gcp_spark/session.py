@@ -103,6 +103,18 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         pkgs.append(bq_pkg)
     if pkgs:
         builder = builder.config("spark.jars.packages", ",".join(pkgs))
+    if os.environ.get("SPARK_GRAFT_ROCKSDB") == "1":
+        # RocksDB state store (bundled with Spark): at 100 TB the
+        # streaming state (dedup keys, session windows, join state)
+        # outgrows the default in-memory HDFS-backed provider — the
+        # executor heap becomes the state ceiling and OOMs. RocksDB
+        # keeps state off-heap with disk spill; this is the standard
+        # production setting for large stateful streaming. Local
+        # tests exercise it via tests/test_streaming_unbounded.py.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try:

@@ -807,3 +807,60 @@ def test_run_curation_job_end_to_end(spark, tmp_path):
         "train", "val"}
     row = curated.first()
     assert row.pack_id >= 0 and row.tokens_before >= 0
+
+
+def test_observed_quality_gate_single_pass(spark, tmp_path):
+    """The observation must ride the sink write itself (no second
+    scan) and report exact row/null counts."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        "k int, v string")
+    observed, obs = quality.observed_quality_gate(df, ("v",))
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 5
+    assert got["nulls_v"] == 2
+    # the written data is intact
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+
+
+def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
+    """The RocksDB state store provider (the 100 TB streaming-state
+    setting) must run a stateful windowed aggregation and produce
+    the same results as the default provider."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [(dt.datetime(2024, 1, 1, h, m), f"t{h % 2}")
+            for h in range(4) for m in (0, 30)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ts timestamp, event_type string") \
+        .coalesce(1).write.parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema("ts timestamp, event_type string")
+                  .parquet(src))
+        agg = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
+               .agg(F.count(F.lit(1)).alias("n")))
+        name = f"rocksdb_sink_{abs(hash(tmp_path)) % 10**6}"
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return sorted(map(tuple, spark.table(name).select(
+            F.col("window.start"), "event_type", "n").collect()))
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    default = run()
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        rocks = run()
+    finally:
+        spark.conf.unset(provider_key)
+    # 4 hours × one event_type per hour (h%2 tracks h) = 4 windows
+    assert rocks == default and len(rocks) == 4
