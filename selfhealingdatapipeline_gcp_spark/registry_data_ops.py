@@ -1908,3 +1908,46 @@ register(
     FROM per_doc GROUP BY source ORDER BY source
     """,
 )
+
+
+register(
+    "verbatim_overlap_pairs",
+    lambda spark, sf: dedup.verbatim_overlap_pairs(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+               i -> {_md5int("array_to_string(t[i:i+7], ' ')")}) AS hs
+      FROM t
+    ), sel AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(
+                 list_filter(range(1, len(hs) + 1),
+                   i -> hs[i] = list_min(hs[greatest(1, i-3):i])),
+                 i -> hs[i]))) AS h
+      FROM g
+    ), dfc AS (
+      SELECT h FROM sel GROUP BY h HAVING count(*) <= 10000
+    ), kept AS (
+      SELECT sel.doc_id, sel.h FROM sel JOIN dfc USING (h)
+    ), nn AS (
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_shared_fp,
+           (floor(n_common * 1000000.0 / least(na.n, nb.n)) / 1000000.0)
+             AS overlap_share
+    FROM pairs
+    JOIN nn na ON na.doc_id = pairs.doc_a
+    JOIN nn nb ON nb.doc_id = pairs.doc_b
+    WHERE n_common >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)

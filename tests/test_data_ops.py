@@ -999,3 +999,31 @@ def test_tokenizer_fertility_parity_and_bounds(spark, duck):
             spark, SF_ORACLE).collect():
         assert r.n_docs > 0 and r.n_words > 0
         assert 1.0 <= r.fertility < 10.0
+
+
+def test_verbatim_overlap_detects_planted_quote(spark, duck):
+    """Strict parity, plus the winnowing guarantee: two documents
+    sharing a verbatim run of >= w + 2k - 2 = 14 tokens (inside
+    otherwise-disjoint text) MUST share a selected fingerprint and
+    pair; fully-disjoint docs must not."""
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    assert_parity(registry.queries()["verbatim_overlap_pairs"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["verbatim_overlap_pairs"])
+
+    quote = " ".join(f"q{i}" for i in range(20))  # 20-token run
+    doc_a = "alpha beta " + quote + " gamma delta"
+    doc_b = "zeta " + " ".join(f"x{i}" for i in range(30)) \
+        + " " + quote + " omega"
+    doc_c = " ".join(f"c{i}" for i in range(60))  # disjoint
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r
+           for r in dedup.verbatim_overlap_pairs(docs, min_shared=1)
+           .collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)].n_shared_fp >= 1
+    assert all(3 not in k for k in got)
