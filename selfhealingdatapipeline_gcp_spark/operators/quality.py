@@ -201,3 +201,72 @@ def observed_quality_gate(df: DataFrame, key_columns: tuple[str, ...],
         metrics.append(
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"))
     return df.observe(obs, *metrics), obs
+
+
+def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema + null-rate drift between two versions of a table — the
+    ingest-contract check a self-healing pipeline runs BEFORE the
+    detectors (a silently-added column or a null-rate jump is how
+    upstream breakage usually announces itself; the reference's
+    quality scan only sees one snapshot).
+
+    Per column of either schema: status (added/removed/common), the
+    dtypes, a type-change flag, and floor-e6 null rates per side with
+    the delta. Schemas are driver-side METADATA (no data motion);
+    the null rates are ONE conditional aggregation per side — two
+    single-scan 1-row relations cross-joined into the long format,
+    O(columns) output at any SF."""
+    old_cols = dict(old.dtypes)
+    new_cols = dict(new.dtypes)
+    spark = old.sparkSession
+
+    def null_rates(df: DataFrame, cols: list[str]) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        aggs += [F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nn_{c}")
+                 for c in cols]
+        return df.agg(*aggs)
+
+    o = null_rates(old, list(old_cols))
+    n = null_rates(new, list(new_cols))
+    rows = []
+    for c in sorted(set(old_cols) | set(new_cols)):
+        status = ("common" if c in old_cols and c in new_cols
+                  else "removed" if c in old_cols else "added")
+        rows.append((c, status, old_cols.get(c), new_cols.get(c),
+                     c in old_cols and c in new_cols
+                     and old_cols[c] != new_cols[c]))
+    meta = spark.createDataFrame(
+        rows, "column string, status string, dtype_old string, "
+              "dtype_new string, type_changed boolean")
+    # long-format rates via a CASE over the 1-row wide aggregates
+    def rate_expr(wide_cols: dict, prefix: str):
+        expr = F.lit(None).cast("bigint")
+        for c in wide_cols:
+            expr = F.when(F.col("column") == c,
+                          F.floor(F.col(f"{prefix}nn_{c}") * 1e6
+                                  / F.greatest(F.col(f"{prefix}n"),
+                                               F.lit(1))).cast("bigint")
+                          ).otherwise(expr)
+        return expr
+
+    o1 = o.select(F.col("__n").alias("on"),
+                  *[F.col(f"__nn_{c}").alias(f"onn_{c}")
+                    for c in old_cols])
+    n1 = n.select(F.col("__n").alias("nn"),
+                  *[F.col(f"__nn_{c}").alias(f"nnn_{c}")
+                    for c in new_cols])
+    out = (
+        meta.crossJoin(F.broadcast(o1)).crossJoin(F.broadcast(n1))
+        .select(
+            "column", "status", "dtype_old", "dtype_new", "type_changed",
+            rate_expr(old_cols, "o").alias("null_rate_old_e6"),
+            rate_expr(new_cols, "n").alias("null_rate_new_e6"),
+        )
+        .withColumn(
+            "null_rate_delta_e6",
+            F.when(F.col("status") == "common",
+                   F.col("null_rate_new_e6") - F.col("null_rate_old_e6"))
+             .otherwise(F.lit(None).cast("bigint")))
+        .orderBy("column")
+    )
+    return out

@@ -806,3 +806,71 @@ register(
     ORDER BY key
     """,
 )
+
+
+from selfhealingdatapipeline_gcp_spark.operators import quality  # noqa: E402
+
+
+def _schema_old(spark, sf):
+    """Fabricated prior table version: o_orderpriority absent (so the
+    current version reads as 'added'), o_custkey narrowed to int
+    (type change), and o_orderstatus nulled for %7 keys (null-rate
+    drift)."""
+    orders = _t(spark, sf, "orders")[0]
+    return (
+        orders.drop("o_orderpriority")
+        .withColumn("o_custkey", F.col("o_custkey").cast("int"))
+        .withColumn("o_orderstatus",
+                    F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+                     .otherwise(F.col("o_orderstatus")))
+    )
+
+
+register(
+    "quality_schema_drift",
+    lambda spark, sf: quality.schema_drift_report(
+        _schema_old(spark, sf), _t(spark, sf, "orders")[0]),
+    """
+    WITH agg AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn_status
+      FROM orders
+    )
+    SELECT * FROM (
+      SELECT 'o_custkey' AS "column", 'common' AS status,
+             'int' AS dtype_old, 'bigint' AS dtype_new,
+             TRUE AS type_changed,
+             CAST(0 AS BIGINT) AS null_rate_old_e6,
+             CAST(0 AS BIGINT) AS null_rate_new_e6,
+             CAST(0 AS BIGINT) AS null_rate_delta_e6
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderdate', 'common', 'timestamp_ntz', 'timestamp_ntz', FALSE,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderkey', 'common', 'bigint', 'bigint', FALSE,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderpriority', 'added', NULL, 'string', FALSE,
+             CAST(NULL AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderstatus', 'common', 'string', 'string', FALSE,
+             CAST(floor(nn_status * 1000000.0 / greatest(n, 1))
+                  AS BIGINT),
+             CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+               - CAST(floor(nn_status * 1000000.0 / greatest(n, 1))
+                      AS BIGINT)
+      FROM agg
+      UNION ALL
+      SELECT 'o_totalprice', 'common', 'double', 'double', FALSE,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM agg
+    ) ORDER BY "column"
+    """,
+)

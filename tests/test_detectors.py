@@ -242,3 +242,20 @@ def test_interarrival_parity_and_order(spark, duck):
             spark, SF_ORACLE).collect():
         assert 0 <= r.p50_gap_s <= r.p95_gap_s <= r.max_gap_s
         assert r.n_gaps > 0
+
+
+def test_schema_drift_report_classifies_changes(spark, duck):
+    """Strict parity, plus classification checks on a fabricated
+    drift: added column, type narrowing, and a null-rate jump."""
+    from conftest import SF_ORACLE, assert_parity
+
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(registry.queries()["quality_schema_drift"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["quality_schema_drift"])
+    rows = {r.column: r for r in registry.queries()[
+        "quality_schema_drift"](spark, SF_ORACLE).collect()}
+    assert rows["o_orderpriority"].status == "added"
+    assert rows["o_custkey"].type_changed
+    assert rows["o_orderstatus"].null_rate_old_e6 > 100_000
+    assert rows["o_orderstatus"].null_rate_delta_e6 < 0
