@@ -86,6 +86,9 @@ HEADLINE = [
     # r6 additions (floor starts at BENCH_r06)
     "minhash_estimate_report",
     "embedding_outliers",
+    "verbatim_overlap_pairs",
+    "tokenizer_fertility_by_source",
+    "quality_schema_drift",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -151,3 +151,58 @@ def test_read_bigquery_gated(spark):
 
     df = readers.read_bigquery(spark, os.environ["SPARK_GRAFT_BQ_TABLE"])
     assert df.columns
+
+
+def test_synthetic_docs_batch_source(spark):
+    """Pure-Python DataSource (no jars): deterministic rows, honored
+    partitioning, and the injected exact-dup structure that
+    dedup_exact must recover precisely."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.sources.synthetic import (
+        SyntheticDocumentsDataSource)
+
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+    df = (spark.read.format("synthetic_docs")
+          .option("n_docs", 500).option("dup_every", 10).load())
+    assert df.count() == 500
+    assert set(df.columns) == {"doc_id", "text", "lang", "source",
+                               "n_chars"}
+    # deterministic: a second read is identical
+    df2 = (spark.read.format("synthetic_docs")
+           .option("n_docs", 500).option("dup_every", 10).load())
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, df2.collect()))
+    # ground truth: doc_ids 10,20,...,490 duplicate their predecessor
+    groups = dedup.dedup_exact(df).collect()
+    dup_keepers = {g.keeper_doc_id for g in groups if g.had_duplicates}
+    assert dup_keepers == {i - 1 for i in range(10, 500, 10)}
+    assert all(g.n_copies == 2 for g in groups if g.had_duplicates)
+
+
+def test_synthetic_docs_stream_source(spark, tmp_path):
+    """The streaming side: micro-batches advance the doc_id offset;
+    two batches drained to memory carry exactly rows_per_batch each
+    with no overlap."""
+    from selfhealingdatapipeline_gcp_spark.sources.synthetic import (
+        SyntheticDocumentsDataSource)
+
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+    stream = (spark.readStream.format("synthetic_docs")
+              .option("rows_per_batch", 50).load())
+    name = "synthetic_stream_sink"
+    q = (stream.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="1 second").start())
+    import time
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if spark.table(name).count() >= 100:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.table(name)
+    n = got.count()
+    assert n >= 100
+    # offsets advanced without gaps or overlaps
+    ids = sorted(r.doc_id for r in got.collect())
+    assert ids == list(range(len(ids)))
