@@ -203,6 +203,77 @@ def streaming_stateful_volume_monitor(spark: SparkSession,
     return _run_to_memory(agg, "update")
 
 
+def streaming_spend_watch(spark: SparkSession, sf_dir: str,
+                          threshold: float = 1_000.0) -> DataFrame:
+    """Per-user cumulative purchase tracking on the V2 arbitrary-state
+    API (``transformWithStateInPandas``, Spark 4): a ValueState holds
+    each user's running integer-cents total; the FIRST micro-batch
+    that lifts a user across ``threshold`` emits one alert row. The
+    v1 sibling (streaming_stateful_volume_monitor,
+    applyInPandasWithState) keeps tuple state; this is the typed-state
+    form with the same state-store scaling contract (state keyed by
+    user, O(1) per key) plus access to timers/list/map state for
+    richer monitors.
+
+    Deterministic for the rows-only check: cents accumulate as exact
+    integers and the crossing batch is a pure function of event-time
+    order under availableNow.
+
+    Environment gate: the V2 state protocol speaks protobuf between
+    the JVM and the Python driver worker — absent protobuf this
+    raises with setup instructions (same seam discipline as the
+    connector stubs); the v1 applyInPandasWithState monitors carry
+    the arbitrary-state surface everywhere else."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(pip install protobuf) — the V2 state protocol runs over "
+            "it; use streaming_stateful_volume_monitor "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    threshold_c = int(round(threshold * 100))
+
+    class SpendWatch(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total_c", "total bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            add_c = 0
+            for pdf in rows:
+                add_c += int(round(float(pdf["value"].sum()) * 100))
+            before = (self._total.get()[0]
+                      if self._total.exists() else 0)
+            after = before + add_c
+            self._total.update((after,))
+            if before < threshold_c <= after:
+                yield pd.DataFrame([{
+                    "user_id": int(key[0]),
+                    "total_spend": after / 100.0,
+                    "batch_spend": add_c / 100.0,
+                }])
+
+        def close(self) -> None:
+            pass
+
+    stream = (_events_stream(spark, sf_dir)
+              .filter(F.col("event_type") == "purchase")
+              .select("user_id", "value"))
+    out = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            SpendWatch(),
+            "user_id bigint, total_spend double, batch_spend double",
+            outputMode="append", timeMode="none")
+    )
+    return _run_to_memory(out, "append").orderBy("user_id")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str,
                     bounded_state: bool = True) -> DataFrame:
     """Streaming exact dedup on the natural key with state-store
