@@ -1037,6 +1037,65 @@ def revenue_anomaly_deseasonal(orders: DataFrame,
     )
 
 
+def revenue_volume_correlation(orders: DataFrame,
+                               window_days: int = 30,
+                               min_history: int = 10,
+                               decouple_threshold: float = 0.3)\
+        -> DataFrame:
+    """Trailing Pearson correlation between daily revenue and daily
+    transaction VOLUME — the decoupling detector: revenue and order
+    count normally move together, so a window where r falls toward 0
+    (or negative) while both series stay active signals a pricing
+    error, a partial feed, or currency drift that the per-series
+    z-scores each miss (each series alone looks normal).
+
+    Determinism: the window keeps SEVEN integer sums (n, Σx, Σy,
+    Σx², Σy², Σxy in hundred-dollar × count units; the Σ² terms run
+    through money.sum_sq so decimal mode widens them) and r is ONE
+    closed-form expression over them — engine-exact, no windowed
+    doubles. O(days) grain relation, single ordered window."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"),
+             F.count(F.lit(1)).alias("y"))
+        .withColumn(
+            "x",
+            ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(10_000)))
+             / 10_000).cast("bigint"))  # hundred-dollar units
+    )
+    w = Window.orderBy("d").rowsBetween(-(window_days - 1), 0)
+    base = (
+        daily
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum("x").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sxx", money.sum_sq(F.col("x")).over(w))
+        .withColumn("syy", money.sum_sq(F.col("y")).over(w))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)) \
+         .otherwise(F.lit(0.0))
+    return (
+        base
+        .filter(F.col("n") >= min_history)
+        .select(
+            "d",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            F.col("y").alias("n_txn"),
+            (F.floor(r * 1e6) / 1e6).alias("corr_30d"),
+            (F.floor(r * 1e6) / 1e6 < decouple_threshold)
+             .alias("is_decoupled"),
+        )
+        .orderBy("d")
+    )
+
+
 def feed_interarrival_stats(events: DataFrame) -> DataFrame:
     """Per-feed inter-arrival gap distribution (median / p95 / max,
     seconds) — the number an SLA threshold is actually tuned from

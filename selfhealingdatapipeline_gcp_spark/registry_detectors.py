@@ -816,3 +816,52 @@ register(
     GROUP BY 1 ORDER BY feed_id
     """,
 )
+
+
+register(
+    "revenue_volume_correlation",
+    lambda spark, sf: detectors.revenue_volume_correlation(
+        *_t(spark, sf, "orders")),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c,
+             count(*) AS y
+      FROM orders GROUP BY 1
+    ), daily2 AS (
+      SELECT d, rev_c, y,
+             CAST((rev_c - (rev_c % 10000)) / 10000 AS BIGINT) AS x
+      FROM daily
+    ), win AS (
+      SELECT d, rev_c, y,
+             CAST(count(*)     OVER w AS BIGINT) AS n,
+             CAST(sum(x)       OVER w AS BIGINT) AS sx,
+             CAST(sum(y)       OVER w AS BIGINT) AS sy,
+             CAST(sum(x * x)   OVER w AS BIGINT) AS sxx,
+             CAST(sum(y * y)   OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y)   OVER w AS BIGINT) AS sxy
+      FROM daily2
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT d, rev_c, y, n,
+             CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)))
+                  ELSE 0.0 END AS r_raw
+      FROM win
+    )
+    SELECT d, (rev_c / 100.0) AS revenue, y AS n_txn,
+           (floor(r_raw * 1000000.0) / 1000000.0) AS corr_30d,
+           ((floor(r_raw * 1000000.0) / 1000000.0) < 0.3)
+             AS is_decoupled
+    FROM r WHERE n >= 10 ORDER BY d
+    """,
+)

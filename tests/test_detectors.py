@@ -259,3 +259,36 @@ def test_schema_drift_report_classifies_changes(spark, duck):
     assert rows["o_custkey"].type_changed
     assert rows["o_orderstatus"].null_rate_old_e6 > 100_000
     assert rows["o_orderstatus"].null_rate_delta_e6 < 0
+
+
+def test_revenue_volume_correlation_parity_and_decoupling(spark, duck):
+    """Strict parity; a fabricated series where revenue tracks volume
+    then decouples must flag exactly the decoupled regime."""
+    import datetime as dt
+
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    assert_parity(registry.queries()["revenue_volume_correlation"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["revenue_volume_correlation"])
+
+    rows = []
+    base = dt.date(2020, 1, 1)
+    for i in range(110):
+        d = base + dt.timedelta(days=i)
+        n = 20 + (i % 7) * 5                 # weekly volume cycle
+        if i < 50:
+            amt = 500.0                       # revenue tracks volume
+        else:
+            # revenue moves AGAINST volume: high on quiet days —
+            # strongly negative r, unambiguously decoupled
+            amt = (45 - (i % 7) * 5) * 100.0 / n
+        rows += [(d.isoformat(), amt)] * n
+    df = spark.createDataFrame(rows, "o_orderdate string, "
+                                     "o_totalprice double")
+    out = detectors.revenue_volume_correlation(df).collect()
+    coupled = [r for r in out if r.d < base + dt.timedelta(days=45)]
+    decoupled = [r for r in out if r.d >= base + dt.timedelta(days=85)]
+    assert coupled and decoupled
+    assert all(r.corr_30d > 0.9 for r in coupled)
+    assert all(r.is_decoupled and r.corr_30d < 0 for r in decoupled)
