@@ -1951,3 +1951,26 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _embedding_clusters(spark, sf):
+    """Embedding-space cluster discovery: the vector-side sibling of
+    dedup_verified_clusters — cell-bounded exact kNN edges feed the
+    same connected-components machinery, yielding (cluster_id, size,
+    keeper) over the embedding manifold (duplicate-cluster mining and
+    the canonical-representative pick for semantic dedup)."""
+    emb = _t(spark, sf, "embeddings")[0]
+    edges = (similarity.knn_graph_cells(emb, k=3)
+             .select(F.col("vec_id").alias("doc_a"),
+                     F.col("neighbor_id").alias("doc_b")))
+    return dedup.dedup_clusters(None, edges=edges)
+
+
+register(
+    "embedding_clusters",
+    _embedding_clusters,
+    None,  # iterative (connected components) — rows-only by design
+)

@@ -1027,3 +1027,36 @@ def test_verbatim_overlap_detects_planted_quote(spark, duck):
     assert (1, 2) in got
     assert got[(1, 2)].n_shared_fp >= 1
     assert all(3 not in k for k in got)
+
+
+def test_embedding_clusters_match_union_find(spark):
+    """The embedding-cluster composition must equal union-find over
+    the same kNN edge set (keeper = min id per component)."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
+    qs = registry.queries()
+    emb_edges = [(r.vec_id, r.neighbor_id)
+                 for r in similarity.knn_graph_cells(
+                     __import__("selfhealingdatapipeline_gcp_spark.catalog",
+                                fromlist=["catalog"])
+                     .load(spark, SF_ORACLE, "embeddings"), k=3).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in emb_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ref = {}
+    for x in parent:
+        ref.setdefault(find(x), set()).add(x)
+    expected = {(min(v), len(v)) for v in ref.values() if len(v) > 1}
+    got = {(r.keeper_doc_id, r.cluster_size)
+           for r in qs["embedding_clusters"](spark, SF_ORACLE).collect()}
+    assert got == expected
