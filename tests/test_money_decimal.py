@@ -155,3 +155,24 @@ def test_sum_money_matches_python_int_arithmetic(spark, cents_list, disc):
         finally:
             money.set_decimal_mode(False)
         assert got == expect, (mode, cents_list, disc)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                min_size=1, max_size=25))
+def test_sum_sq_matches_python_int_arithmetic(spark, xs):
+    """Property: Σx² equals exact Python-int arithmetic in BOTH
+    accumulator modes for in-range inputs (the per-row square stays
+    below int64 at |x| ≤ 1e9; the decimal path must agree exactly)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(x,) for x in xs], "x bigint")
+    expect = sum(x * x for x in xs)
+    for mode in (False, True):
+        money.set_decimal_mode(mode)
+        try:
+            got = df.agg(money.sum_sq(F.col("x")).alias("s")) \
+                .collect()[0].s
+        finally:
+            money.set_decimal_mode(False)
+        assert int(got) == expect, (mode, xs)
