@@ -492,6 +492,33 @@ def ann_pq_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def ann_recall_report(embeddings: DataFrame, n_queries: int = 5,
+                      k: int = 10) -> DataFrame:
+    """ANN quality audit: recall@k of the IVF search against the
+    exact brute-force ground truth — the n_probe/n_cells tuning
+    number, the vector-side sibling of lsh_precision_report /
+    lsh_recall_report (those audit the banding; this audits the cell
+    pruning). At 100 TB this runs on a sampled query slice exactly as
+    written — both sides are bounded by n_queries.
+
+    One slim (query_id, neighbor_id) equi-join between the two
+    operators' outputs; three integer counts out."""
+    bf = ann_bruteforce_topk(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = bf.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+         .alias("n_recovered"),
+        F.when(F.count(F.lit(1)) > 0,
+               F.floor(F.coalesce(F.sum("hit"), F.lit(0)) * 1e6
+                       / F.count(F.lit(1))).cast("bigint"))
+         .otherwise(F.lit(0).cast("bigint")).alias("recall_e6"),
+    )
+
+
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label corpus stats (vector aggregates over the scan)."""
     n = _with_norms(embeddings)

@@ -1974,3 +1974,72 @@ register(
     _embedding_clusters,
     None,  # iterative (connected components) — rows-only by design
 )
+
+
+register(
+    "ann_recall_report",
+    lambda spark, sf: similarity.ann_recall_report(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) DESC,
+                 c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents WHERE n.vec_id < 5
+      ) WHERE rn <= 2
+    ), cands AS (
+      SELECT probes.query_id, assign.vec_id
+      FROM probes JOIN assign ON probes.cent_id = assign.cent_id
+      WHERE assign.vec_id != probes.query_id
+    ), scored AS (
+      SELECT cands.query_id, cands.vec_id AS neighbor_id,
+             round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS score
+      FROM cands
+      JOIN n c ON cands.vec_id = c.vec_id
+      JOIN n q ON cands.query_id = q.vec_id
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), hits AS (
+      SELECT count(*) AS n_recovered
+      FROM bf JOIN ivf USING (query_id, neighbor_id)
+    ), tot AS (SELECT count(*) AS n_true_pairs FROM bf)
+    SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_recovered AS BIGINT) AS n_recovered,
+           CASE WHEN n_true_pairs > 0
+                THEN CAST(floor(n_recovered * 1000000.0 / n_true_pairs)
+                          AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_e6
+    FROM tot, hits
+    """,
+)

@@ -1060,3 +1060,22 @@ def test_embedding_clusters_match_union_find(spark):
     got = {(r.keeper_doc_id, r.cluster_size)
            for r in qs["embedding_clusters"](spark, SF_ORACLE).collect()}
     assert got == expected
+
+
+def test_ann_recall_report_parity_and_consistency(spark, duck):
+    """Strict parity, plus internal consistency: the reported recall
+    must equal the set intersection of the two operators' outputs."""
+    from conftest import assert_parity
+
+    assert_parity(registry.queries()["ann_recall_report"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["ann_recall_report"])
+    qs = registry.queries()
+    bf = {(r.query_id, r.neighbor_id)
+          for r in qs["ann_bruteforce_topk"](spark, SF_ORACLE).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in qs["ann_ivf_topk"](spark, SF_ORACLE).collect()}
+    row = qs["ann_recall_report"](spark, SF_ORACLE).collect()[0]
+    assert row.n_true_pairs == len(bf)
+    assert row.n_recovered == len(bf & ivf)
+    assert 0 <= row.recall_e6 <= 1_000_000
