@@ -1110,6 +1110,55 @@ def embedding_outliers(embeddings: DataFrame,
     )
 
 
+def embedding_centroid_drift(old: DataFrame, new: DataFrame,
+                             drift_threshold: float = 0.98) -> DataFrame:
+    """Per-label centroid drift between two corpus VERSIONS — the
+    encoder-drift / distribution-shift detector for embedding spaces
+    (a re-trained or silently-updated encoder moves every centroid;
+    a data shift moves some labels only — either way downstream ANN
+    recall and dedup thresholds quietly rot; this is the quality
+    screen that catches it at ingest).
+
+    Per label present in both versions: cosine between the two
+    version centroids, both sides' counts, and a drift flag below
+    ``drift_threshold``. Same exactness discipline as
+    label_centroid_distances: floor-e6 integer centroid components
+    from one posexplode aggregate per side, bigint dots over the
+    K×d relation, one sqrt/divide/floor at the edge."""
+    def cent(df: DataFrame, tag: str) -> DataFrame:
+        ex = df.select(
+            "label",
+            F.posexplode(vectorfn.to_double(F.col("embedding")))
+             .alias("dim_idx", "x"))
+        return (
+            ex.groupBy("label", "dim_idx")
+            .agg(F.floor(F.sum(F.floor(F.col("x") * 1e6).cast("bigint"))
+                         / F.count(F.lit(1)))
+                  .cast("bigint").alias(f"m_{tag}"),
+                 F.count(F.lit(1)).alias(f"cnt_{tag}"))
+        )
+    a, b = cent(old, "old"), cent(new, "new")
+    j = a.join(b, ["label", "dim_idx"])
+    per_label = j.groupBy("label").agg(
+        F.sum(F.col("m_old") * F.col("m_new")).alias("dot"),
+        F.sum(F.col("m_old") * F.col("m_old")).alias("nsq_old"),
+        F.sum(F.col("m_new") * F.col("m_new")).alias("nsq_new"),
+        F.max("cnt_old").alias("n_old"),
+        F.max("cnt_new").alias("n_new"))
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("nsq_old").cast("double")
+                    * F.col("nsq_new").cast("double")))
+    return (
+        per_label
+        .filter((F.col("nsq_old") > 0) & (F.col("nsq_new") > 0))
+        .select("label", "n_old", "n_new",
+                (F.floor(cos * 1e6) / 1e6).alias("centroid_cosine"),
+                (F.floor(cos * 1e6) / 1e6 < drift_threshold)
+                 .alias("drifted"))
+        .orderBy("label")
+    )
+
+
 def label_centroid_distances(embeddings: DataFrame) -> DataFrame:
     """Pairwise cosine similarity between per-label centroids — the
     label-confusion / embedding-drift diagnostic (two labels whose

@@ -2100,3 +2100,53 @@ register(
     ORDER BY doc_a, doc_b
     """,
 )
+
+
+register(
+    "embedding_centroid_drift",
+    # fabricated versions: even vec_ids play the old corpus, odd the
+    # new — on this data the halves agree closely, the zero-drift
+    # baseline the detector reads against
+    lambda spark, sf: similarity.embedding_centroid_drift(
+        _t(spark, sf, "embeddings")[0].filter("vec_id % 2 = 0"),
+        _t(spark, sf, "embeddings")[0].filter("vec_id % 2 = 1")),
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ex AS (
+      SELECT vec_id, label, CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS x
+      FROM e, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    ), ca AS (
+      SELECT label, dim_idx,
+             CAST(floor(sum(x) / count(*)) AS BIGINT) AS m_old,
+             count(*) AS cnt_old
+      FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2
+    ), cb AS (
+      SELECT label, dim_idx,
+             CAST(floor(sum(x) / count(*)) AS BIGINT) AS m_new,
+             count(*) AS cnt_new
+      FROM ex WHERE vec_id % 2 = 1 GROUP BY 1, 2
+    ), j AS (
+      SELECT ca.label,
+             CAST(sum(m_old * m_new) AS BIGINT) AS dot,
+             CAST(sum(m_old * m_old) AS BIGINT) AS nsq_old,
+             CAST(sum(m_new * m_new) AS BIGINT) AS nsq_new,
+             CAST(max(cnt_old) AS BIGINT) AS n_old,
+             CAST(max(cnt_new) AS BIGINT) AS n_new
+      FROM ca JOIN cb ON ca.label = cb.label AND ca.dim_idx = cb.dim_idx
+      GROUP BY 1
+    )
+    SELECT label, n_old, n_new,
+           (floor((CAST(dot AS DOUBLE)
+                   / sqrt(CAST(nsq_old AS DOUBLE)
+                          * CAST(nsq_new AS DOUBLE))) * 1000000.0)
+            / 1000000.0) AS centroid_cosine,
+           ((floor((CAST(dot AS DOUBLE)
+                    / sqrt(CAST(nsq_old AS DOUBLE)
+                           * CAST(nsq_new AS DOUBLE))) * 1000000.0)
+             / 1000000.0) < 0.98) AS drifted
+    FROM j WHERE nsq_old > 0 AND nsq_new > 0
+    ORDER BY label
+    """,
+)

@@ -1107,3 +1107,36 @@ def test_multimodal_ahash_pairs_parity_and_guard(spark, duck):
     fix = healer.analyze_error(str(e.value))
     assert "perceptual-hash" in fix.root_cause
     assert not fix.retryable
+
+
+def test_embedding_centroid_drift_detects_injected_shift(spark, duck):
+    """Strict parity; a fabricated encoder shift (one label's second
+    version rotated away) must flag exactly that label while
+    unshifted labels read ~1."""
+    import numpy as np
+
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+
+    assert_parity(registry.queries()["embedding_centroid_drift"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["embedding_centroid_drift"])
+
+    rng = np.random.RandomState(5)
+    base = {0: rng.randn(8) + 3, 1: rng.randn(8) + 3}
+    rows_old, rows_new = [], []
+    for i in range(400):
+        lab = i % 2
+        v = base[lab] + 0.05 * np.random.RandomState(i).randn(8)
+        rows_old.append((i, lab, [float(x) for x in v]))
+        v2 = v.copy()
+        if lab == 1:
+            v2 = -v2  # label 1's encoder flipped: cosine ≈ -1
+        rows_new.append((i, lab, [float(x) for x in v2]))
+    schema = "vec_id long, label int, embedding array<float>"
+    out = {r.label: r for r in similarity.embedding_centroid_drift(
+        spark.createDataFrame(rows_old, schema),
+        spark.createDataFrame(rows_new, schema)).collect()}
+    assert not out[0].drifted and out[0].centroid_cosine > 0.99
+    assert out[1].drifted and out[1].centroid_cosine < -0.9
