@@ -89,6 +89,9 @@ HEADLINE = [
     "verbatim_overlap_pairs",
     "tokenizer_fertility_by_source",
     "quality_schema_drift",
+    "revenue_volume_correlation",
+    "ann_recall_report",
+    "embedding_centroid_drift",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -432,3 +432,27 @@ def test_bucketed_catalog_joins_exchange_free_with_parity(spark, duck):
         catalog.clear_bucketed_tables()
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_verbatim_pairs_bucket_grouped_no_self_join(spark):
+    """Winnowing pair emission must reuse the join-free bucket-grouped
+    machinery: generator (explode) emission, no join of the
+    fingerprint relation against itself. (The per-doc count join of
+    _hash_pair_counts is against bucket-grouped aggregates, not a
+    corpus self-join — assert no SortMergeJoin at all and >= 2
+    Generates.)"""
+    df = registry.queries()["verbatim_overlap_pairs"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") >= 2
+
+
+def test_ahash_pairs_bucket_grouped(spark):
+    """Perceptual-hash pairing: bucket-grouped generator emission,
+    no cartesian, no corpus self-join."""
+    df = registry.queries()["multimodal_ahash_pairs"](spark, SF_ORACLE)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") >= 2
