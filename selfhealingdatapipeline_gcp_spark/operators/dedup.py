@@ -62,6 +62,32 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_exact_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup over NORMALIZED text: lowercase, strip everything
+    but [a-z0-9 ], collapse whitespace runs — the standard
+    pre-hash canonicalization that catches trivial reformatting
+    (case changes, punctuation edits, double spaces) byte-exact
+    dedup misses, at identical cost: one hash-groupBy, the shuffle
+    key a 32-char digest. Sits between dedup_exact (byte-identical)
+    and the near-dup families (MinHash/winnowing) on the
+    aggressiveness ladder.
+
+    Normalization is explicit ASCII-class regex (Java and RE2 agree
+    symbol-for-symbol — the pii_redact discipline)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    return (
+        documents
+        .select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count(F.lit(1)).alias("n_copies"),
+             (F.count(F.lit(1)) > 1).alias("had_duplicates"))
+        .select("keeper_doc_id", "n_copies", "had_duplicates")
+    )
+
+
 def _shingle_rows(documents: DataFrame,
                   carry: tuple[str, ...] = ()) -> DataFrame:
     """Long-format 3-gram shingles: (doc_id, *carry, s), duplicates

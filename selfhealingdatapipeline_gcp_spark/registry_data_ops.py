@@ -2150,3 +2150,19 @@ register(
     ORDER BY label
     """,
 )
+
+
+register(
+    "dedup_exact_normalized",
+    lambda spark, sf: dedup.dedup_exact_normalized(
+        *_t(spark, sf, "documents")),
+    """
+    SELECT min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           (count(*) > 1) AS had_duplicates
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(
+        regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        ' +', ' ', 'g')))
+    """,
+)

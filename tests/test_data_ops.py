@@ -1140,3 +1140,27 @@ def test_embedding_centroid_drift_detects_injected_shift(spark, duck):
         spark.createDataFrame(rows_new, schema)).collect()}
     assert not out[0].drifted and out[0].centroid_cosine > 0.99
     assert out[1].drifted and out[1].centroid_cosine < -0.9
+
+
+def test_dedup_exact_normalized_catches_reformatting(spark, duck):
+    """Strict parity; planted case/punct/whitespace variants of one
+    text must collapse to a single group while byte-exact dedup
+    keeps them apart."""
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    assert_parity(registry.queries()["dedup_exact_normalized"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["dedup_exact_normalized"])
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."),
+         (4, "something else")],
+        "doc_id long, text string")
+    norm = {r.keeper_doc_id: r
+            for r in dedup.dedup_exact_normalized(docs).collect()}
+    assert norm[1].n_copies == 3 and norm[1].had_duplicates
+    assert norm[4].n_copies == 1
+    exact = dedup.dedup_exact(docs).collect()
+    assert all(not g.had_duplicates for g in exact)
