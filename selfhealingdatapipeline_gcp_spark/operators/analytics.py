@@ -368,6 +368,54 @@ def user_activity_summary(events: DataFrame) -> DataFrame:
     )
 
 
+def user_activity_salted(events: DataFrame,
+                         salt_factor: int = 8) -> DataFrame:
+    """user_activity_summary through the EXPLICIT two-phase salted
+    aggregation (functions/skew.with_salt) — the registry-surfaced
+    proof that the skew toolbox preserves exact results: phase 1
+    partially aggregates on (user, salt) so one pathological hot
+    user spreads over ``salt_factor`` reducers; phase 2 re-combines
+    on the true key. Every aggregate re-combines exactly (counts and
+    cents sums add; distinct types union through collected sets;
+    min/max compose), so the output — and the DuckDB oracle — is
+    IDENTICAL to the unsalted operator.
+
+    When to deploy: Spark's partial aggregation already handles
+    ordinary skew for algebraic aggs (see user_activity_summary's
+    note); the explicit form is for extreme hot keys under
+    memory-bounded partials or non-algebraic additions. This query
+    exists so the pattern stays parity-tested end to end."""
+    from selfhealingdatapipeline_gcp_spark.functions import skew
+
+    salted = skew.with_salt(events, "user_id", salt_factor,
+                            salt_source=F.col("event_id"))
+    phase1 = (
+        salted.groupBy("__salted_key")
+        .agg(F.max("user_id").alias("user_id"),
+             F.count(F.lit(1)).alias("n"),
+             F.collect_set("event_type").alias("types"),
+             F.sum(money.cents(F.col("value"))).alias("cents"),
+             F.min("ts").alias("mn"),
+             F.max("ts").alias("mx"),
+             F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("purch"))
+    )
+    return (
+        phase1.groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"),
+             F.size(F.array_distinct(F.flatten(F.collect_list("types"))))
+              .cast("bigint").alias("n_types"),
+             (F.sum("cents") / 100.0).cast("double").alias("total_value"),
+             F.min("mn").alias("first_seen"),
+             F.max("mx").alias("last_seen"),
+             F.sum("purch").alias("n_purchases"))
+        .withColumn(
+            "lifespan_s",
+            F.round((F.unix_micros("last_seen")
+                     - F.unix_micros("first_seen")) / 1e6, 6))
+    )
+
+
 def q7_nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
                            orders: DataFrame, customer: DataFrame,
                            nation: DataFrame) -> DataFrame:

@@ -874,3 +874,26 @@ register(
     ) ORDER BY "column"
     """,
 )
+
+
+register(
+    "user_activity_salted",
+    lambda spark, sf: analytics.user_activity_salted(
+        *_t(spark, sf, "events")),
+    # IDENTICAL oracle to user_activity_summary: the salted two-phase
+    # combine must be value-invisible
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           (sum(CAST(round(value * 100) AS BIGINT)) / 100.0) AS total_value,
+           min(ts) AS first_seen,
+           max(ts) AS last_seen,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)
+             AS lifespan_s
+    FROM events
+    GROUP BY user_id
+    """,
+)

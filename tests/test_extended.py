@@ -161,3 +161,17 @@ def test_cdc_snapshot_diff_null_and_delimiter_safe(spark):
     out = {r.key: r.change_type
            for r in cdc.snapshot_diff(old, new, "k", ("c1", "c2")).collect()}
     assert out == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_user_activity_salted_identical_to_unsalted(spark, duck):
+    """The explicit two-phase salted aggregation must be
+    value-invisible: identical rows to the unsalted operator and
+    strict parity against the SAME oracle."""
+    qs = registry.queries()
+    assert_parity(qs["user_activity_salted"](spark, SF_ORACLE),
+                  duck, registry.oracle_sql()["user_activity_salted"])
+    a = sorted(map(tuple, qs["user_activity_salted"](
+        spark, SF_ORACLE).collect()))
+    b = sorted(map(tuple, qs["user_activity_summary"](
+        spark, SF_ORACLE).collect()))
+    assert a == b
