@@ -243,6 +243,30 @@ def tokenizer_fertility_by_source(documents: DataFrame) -> DataFrame:
     )
 
 
+def source_language_mix(documents: DataFrame) -> DataFrame:
+    """Language composition per source from the table's own lang
+    labels — the first mixing-table input a multilingual curation
+    plan reads (tokenizer_fertility_by_source prices the token tax;
+    this says how much of each source pays it). One grain-reducing
+    groupBy to (source, lang) plus per-source totals re-aggregated
+    from the grain (never a second corpus scan); shares floor at e6.
+    O(sources × languages) output at any SF."""
+    grain = (
+        documents.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.size(textfn.tokens("text"))).alias("n_words"))
+    )
+    totals = grain.groupBy("source").agg(
+        F.sum("n_docs").alias("src_docs"))
+    return (
+        grain.join(F.broadcast(totals), "source")
+        .select("source", "lang", "n_docs", "n_words",
+                F.floor(F.col("n_docs") * 1e6 / F.col("src_docs"))
+                 .cast("bigint").alias("doc_share_e6"))
+        .orderBy("source", "lang")
+    )
+
+
 def text_unigram_logprob(documents: DataFrame) -> DataFrame:
     """Perplexity-proxy quality score: per-doc average unigram
     negative log-probability under the corpus's own unigram model

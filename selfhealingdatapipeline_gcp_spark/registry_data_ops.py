@@ -2166,3 +2166,25 @@ register(
         ' +', ' ', 'g')))
     """,
 )
+
+
+register(
+    "source_language_mix",
+    lambda spark, sf: textanalysis.source_language_mix(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH grain AS (
+      SELECT source, lang, count(*) AS n_docs,
+             CAST(sum(len({_TOKENS})) AS BIGINT) AS n_words
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+      FROM grain GROUP BY 1
+    )
+    SELECT grain.source AS source, lang, n_docs, n_words,
+           CAST(floor(n_docs * 1000000.0 / src_docs) AS BIGINT)
+             AS doc_share_e6
+    FROM grain JOIN tot ON tot.source = grain.source
+    ORDER BY grain.source, lang
+    """,
+)

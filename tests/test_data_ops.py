@@ -1164,3 +1164,24 @@ def test_dedup_exact_normalized_catches_reformatting(spark, duck):
     assert norm[4].n_copies == 1
     exact = dedup.dedup_exact(docs).collect()
     assert all(not g.had_duplicates for g in exact)
+
+
+def test_source_language_mix_parity_and_shares(spark, duck):
+    """Strict parity; per-source shares must sum to ~1e6 (floor loss
+    only) and doc counts partition the corpus."""
+    from conftest import assert_parity
+
+    from selfhealingdatapipeline_gcp_spark import catalog
+
+    assert_parity(registry.queries()["source_language_mix"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["source_language_mix"])
+    rows = registry.queries()["source_language_mix"](
+        spark, SF_ORACLE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert sum(r.doc_share_e6 for r in rs) > 1_000_000 - len(rs)
+    n_total = sum(r.n_docs for r in rows)
+    assert n_total == catalog.load(spark, SF_ORACLE, "documents").count()
