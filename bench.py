@@ -92,6 +92,9 @@ HEADLINE = [
     "revenue_volume_correlation",
     "ann_recall_report",
     "embedding_centroid_drift",
+    "dedup_exact_normalized",
+    "user_activity_salted",
+    "source_language_mix",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
