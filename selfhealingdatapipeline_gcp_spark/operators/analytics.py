@@ -1090,6 +1090,68 @@ def supplier_concentration_hhi(lineitem: DataFrame,
     )
 
 
+def brand_affinity(lineitem: DataFrame, part: DataFrame,
+                   min_pair_orders: int = 5) -> DataFrame:
+    """Market-basket brand affinity: support, confidence and lift for
+    every brand PAIR co-appearing in orders — the association-mining
+    family (cross-sell/assortment analytics; lift ≫ 1 = brands
+    bought together beyond chance, ≪ 1 = substitutes).
+
+    Scale shape: facts reduce to DISTINCT (order, brand) — one
+    shuffle, 25 brands cap the per-order set — then per-order sorted
+    brand sets emit pairs via two generators (the join-free
+    bucket-grouped discipline; ≤ C(25,2) pairs per order, O(brand²)
+    output forever). Counts are exact integers; lift/support are
+    single fixed-order double expressions over them (identical IEEE
+    sequence in the oracle — no summation, no drift), floored at e6."""
+    ob = (
+        lineitem.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                      F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    per_brand = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+    total = ob.agg(F.countDistinct("okey").alias("n_total"))
+    sets_ = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("brands"))
+    pairs = (
+        sets_
+        .select("okey", F.explode("brands").alias("brand_a"), "brands")
+        .select("okey", "brand_a",
+                F.explode(F.filter(
+                    "brands", lambda b: b > F.col("brand_a")))
+                 .alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nab = F.col("n_both").cast("double")
+    nt = F.col("n_total").cast("double")
+    return (
+        pairs
+        .join(F.broadcast(per_brand.select(
+            F.col("brand").alias("brand_a"),
+            F.col("n_orders").alias("n_a"))), "brand_a")
+        .join(F.broadcast(per_brand.select(
+            F.col("brand").alias("brand_b"),
+            F.col("n_orders").alias("n_b"))), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_both") >= min_pair_orders)
+        .select(
+            "brand_a", "brand_b", "n_both", "n_a", "n_b",
+            F.floor(nab * 1e6 / nt).cast("bigint").alias("support_e6"),
+            F.floor(nab * 1e6 / na).cast("bigint")
+             .alias("confidence_a_to_b_e6"),
+            F.floor(nab * nt / (na * nb) * 1e6).cast("bigint")
+             .alias("lift_e6"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
 def event_hourly_heatmap(events: DataFrame) -> DataFrame:
     """Day-of-week × hour activity heatmap (the ops-dashboard
     staple): one grain-reducing groupBy with map-side combine; the

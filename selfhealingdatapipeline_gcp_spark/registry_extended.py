@@ -897,3 +897,43 @@ register(
     GROUP BY user_id
     """,
 )
+
+
+register(
+    "brand_affinity",
+    lambda spark, sf: analytics.brand_affinity(
+        *_t(spark, sf, "lineitem", "part")),
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), per_brand AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_total FROM ob
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ob a JOIN ob b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_both,
+           pa.n AS n_a, pb.n AS n_b,
+           CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0
+                      / CAST(n_total AS DOUBLE)) AS BIGINT)
+             AS support_e6,
+           CAST(floor(CAST(n_both AS DOUBLE) * 1000000.0
+                      / CAST(pa.n AS DOUBLE)) AS BIGINT)
+             AS confidence_a_to_b_e6,
+           CAST(floor(CAST(n_both AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS lift_e6
+    FROM pairs
+    JOIN per_brand pa ON pa.brand = pairs.brand_a
+    JOIN per_brand pb ON pb.brand = pairs.brand_b
+    CROSS JOIN tot
+    WHERE n_both >= 5
+    ORDER BY brand_a, brand_b
+    """,
+)

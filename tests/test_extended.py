@@ -175,3 +175,32 @@ def test_user_activity_salted_identical_to_unsalted(spark, duck):
     b = sorted(map(tuple, qs["user_activity_summary"](
         spark, SF_ORACLE).collect()))
     assert a == b
+
+
+def test_brand_affinity_parity_and_math(spark, duck):
+    """Strict parity; and on a fabricated basket set the lift math
+    must match hand-computed association values (always-together
+    brands lift > 1, never-together pairs absent)."""
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+    assert_parity(registry.queries()["brand_affinity"](
+        spark, SF_ORACLE), duck, registry.oracle_sql()["brand_affinity"])
+
+    # 20 orders: A+B always together, C alone in half
+    rows, parts = [], [(1, "A"), (2, "B"), (3, "C")]
+    for o in range(20):
+        rows.append((o, 1))
+        rows.append((o, 2))
+        if o < 10:
+            rows.append((o, 3))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    pt = spark.createDataFrame(parts, "p_partkey long, p_brand string")
+    out = {(r.brand_a, r.brand_b): r
+           for r in analytics.brand_affinity(li, pt,
+                                             min_pair_orders=1).collect()}
+    ab = out[("A", "B")]
+    assert ab.n_both == 20 and ab.lift_e6 == 1_000_000  # 20*20/(20*20)
+    ac = out[("A", "C")]
+    assert ac.n_both == 10 and ac.lift_e6 == 1_000_000  # 10*20/(20*10)
+    assert ac.support_e6 == 500_000
+    assert ac.confidence_a_to_b_e6 == 500_000
