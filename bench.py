@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_exact_normalized",
     "user_activity_salted",
     "source_language_mix",
+    "brand_affinity",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
