@@ -43,6 +43,11 @@ SHOW = {
     "embedding_outliers": "K x d integer centroid relation broadcast; "
                           "one shuffle at vec_id grain; per-label "
                           "moments are K rows",
+    "verbatim_overlap_pairs": "winnowing select via trailing-min window; "
+                              "bucket-grouped generator pairs, no "
+                              "self-join",
+    "brand_affinity": "DISTINCT (order,brand) reduction; generator "
+                      "pair emission; O(brand^2) output aggregate",
 }
 
 
