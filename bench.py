@@ -1,14 +1,32 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+Output contract (BENCH_r06 lesson — the driver's tail capture is a
+bounded window, so nothing machine-readable may scale with the
+registry or hide behind progress spam):
+  * one JSONL progress line per query as it finishes
+    ({"bench_query": name, "sec": s, "shuffle_bytes": b,
+    "shuffle_rows": r}) — small fixed-size lines, flushed;
+  * the COMPLETE result (incl. per-query shuffle volumes) written to
+    BENCH.json next to this file;
+  * the LAST stdout line is ONE compact JSON object
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "shuffle_bytes_total": b,
+     "shuffle_rows_total": r} — per-query shuffle detail stays in the
+    file/JSONL so the final line grows only ~30 bytes per query.
+  Spark console progress is disabled in the session (session.py).
 
 Each query is built fresh and driven to completion with a count-style
 action (foreach-noop via write to noop sink would skip result
 materialization; collect of aggregates is small, so collect for
 small outputs and count for large ones).
+
+Shuffle volumes are read from the executed plan's SQL metrics
+(shuffle bytes/records written summed over every exchange in the
+final adaptive plan). Wall-time swings 1.8x same-day on this shared
+host (BASELINE.md); shuffle rows are a deterministic function of
+data + plan, so a plan regression (a lost ReusedExchange, a new
+Exchange) flips a pinned integer instead of hiding in the noise band.
 """
 
 from __future__ import annotations
@@ -115,6 +133,55 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "streaming_cdc_apply"}
 
 
+def shuffle_metrics(df) -> tuple[int, int] | None:
+    """Sum (shuffle bytes written, shuffle records written) over the
+    EXECUTED plan of a DataFrame whose action already ran.
+
+    Walks the final adaptive plan via py4j: AdaptiveSparkPlanExec is
+    unwrapped to its executed plan, *QueryStageExec nodes descend into
+    their materialized subplan, and every node's SQLMetric map is
+    scanned for the shuffle-write keys (both the short key form
+    "shuffleBytesWritten" and the description form "shuffle bytes
+    written" are matched — the map key spelling differs across Spark
+    versions). ReusedExchange nodes are leaves and correctly count
+    zero: a reused exchange writes nothing. Subquery plans (broadcast
+    scalar anchors) are not traversed — they shuffle nothing by
+    construction in this repo. Returns None if traversal fails so the
+    bench never dies on a metrics read."""
+    try:
+        total_b = 0
+        total_r = 0
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(node.executedPlan())
+                continue
+            if cls.endswith("QueryStageExec"):
+                stack.append(node.plan())
+                continue
+            try:
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    key = kv._1()
+                    if key in ("shuffleBytesWritten",
+                               "shuffle bytes written"):
+                        total_b += kv._2().value()
+                    elif key in ("shuffleRecordsWritten",
+                                 "shuffle records written"):
+                        total_r += kv._2().value()
+            except Exception:
+                pass
+            ch = node.children().iterator()
+            while ch.hasNext():
+                stack.append(ch.next())
+        return int(total_b), int(total_r)
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return None
+
+
 def _time_min3(run) -> float:
     """Warm once, then min of three measured runs (host-noise
     protocol, BASELINE.md)."""
@@ -190,7 +257,8 @@ def bench_bucketed_fact_join(spark, sf_dir: str) -> dict[str, float]:
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
 
-def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
+def run_bench(spark, sf_dir: str, n_runs: int = 3,
+              progress: bool = False) -> dict:
     """The full bench harness as a callable: warm + ``n_runs``
     measured runs per headline query plus the bucketed fact-join
     pair. Returns the result dict (and is what ``main`` prints).
@@ -213,6 +281,7 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
     # and skip, not kill the whole run (BENCH_r03 lost 26 of 27
     # measurements to a single AnalysisException).
     timings: dict[str, float] = {}
+    shuffles: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         action = "count" if name in LARGE_OUTPUT else "collect"
@@ -225,6 +294,7 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
             # CPU steal, not GC — observed after the 48g heap bump);
             # a third sample sharply cuts the odds that every sample
             # of a query lands in a noise window.
+            df = None
             for _ in range(n_runs):
                 if name in BUILD_EXECUTES:
                     t0 = time.perf_counter()
@@ -237,8 +307,20 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
                     getattr(df, action)()
                     best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            sm = shuffle_metrics(df)
+            if sm is not None:
+                shuffles[name] = [sm[0], sm[1]]
+            if progress:
+                line = {"bench_query": name, "sec": timings[name]}
+                if sm is not None:
+                    line["shuffle_bytes"], line["shuffle_rows"] = sm
+                print(json.dumps(line, separators=(",", ":")), flush=True)
         except Exception as exc:  # noqa: BLE001 — report, don't die
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            if progress:
+                print(json.dumps({"bench_query": name,
+                                  "error": errors[name][:200]},
+                                 separators=(",", ":")), flush=True)
 
     try:
         timings.update(bench_bucketed_fact_join(spark, sf_dir))
@@ -252,6 +334,9 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "shuffle_bytes_total": sum(v[0] for v in shuffles.values()),
+        "shuffle_rows_total": sum(v[1] for v in shuffles.values()),
+        "shuffle": shuffles,
     }
     if errors:
         out["errors"] = errors
@@ -261,7 +346,19 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("shdp-bench")
-    print(json.dumps(run_bench(spark, sf_dir)))
+    out = run_bench(spark, sf_dir, progress=True)
+    # Complete record (incl. per-query shuffle volumes) on disk where
+    # a bounded stdout capture can't truncate it.
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH.json")
+    with open(bench_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    # Final stdout line: compact, and per-query shuffle detail is
+    # dropped (it lives in BENCH.json + the JSONL lines above) so the
+    # line stays ~30 bytes per query and fits a tail window.
+    final = {k: v for k, v in out.items() if k != "shuffle"}
+    print(json.dumps(final, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

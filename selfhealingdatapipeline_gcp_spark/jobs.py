@@ -11,6 +11,8 @@ retry.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -250,20 +252,32 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
         # observed write: the row/null metrics ride the sink's own
         # scan (Observation API) — no post-write validation re-scan.
         # A null doc_id or text in the CURATED output means an
-        # upstream join broke; the gate fails the task INSIDE the
-        # self-healing retry protocol rather than shipping bad data.
+        # upstream join broke. Write-audit-publish: the data lands at
+        # a STAGING path first and is promoted to output_path only
+        # after the observed metrics pass, so consumers of the final
+        # path never see gated-out data — a write-then-check at the
+        # final path would have already published it when the gate
+        # raises (and a non-retryable failure would leave it there).
+        import shutil
+
         from selfhealingdatapipeline_gcp_spark.operators import quality
         observed, obs = quality.observed_quality_gate(
             ctx["split_pack"], ("doc_id", "text"), name="curation_sink")
-        writers.write_parquet(observed, output_path,
+        staging_path = output_path.rstrip("/") + ".__staging__"
+        shutil.rmtree(staging_path, ignore_errors=True)
+        writers.write_parquet(observed, staging_path,
                               partition_by=("split",),
                               target_partitions=8)
         metrics = obs.get
         state["sink_metrics"] = metrics
         if metrics["nulls_doc_id"] or metrics["nulls_text"]:
+            shutil.rmtree(staging_path, ignore_errors=True)
             raise ValueError(
-                f"curation sink wrote NULL keys: {metrics} — upstream "
-                "join integrity broken")
+                f"curation sink staged NULL keys: {metrics} — upstream "
+                "join integrity broken; staging discarded, final path "
+                "untouched")
+        shutil.rmtree(output_path, ignore_errors=True)
+        os.rename(staging_path, output_path)
         return output_path
 
     def alert_on_dup_rate(s: SparkSession, ctx: dict[str, Any]):

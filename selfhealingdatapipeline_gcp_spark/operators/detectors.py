@@ -1071,7 +1071,14 @@ def revenue_volume_correlation(orders: DataFrame,
         .withColumn("sy", F.sum("y").over(w))
         .withColumn("sxx", money.sum_sq(F.col("x")).over(w))
         .withColumn("syy", money.sum_sq(F.col("y")).over(w))
-        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w))
+        # sxy widens through the same funnel as the Σ² terms: by
+        # Cauchy-Schwarz sxy can reach sqrt(sxx·syy), so the exact
+        # extreme-SF regime decimal mode exists for would overflow an
+        # int64 sxy while sxx/syy were already widened (ADVICE r6).
+        # acc() wraps x BEFORE the multiply so the per-row product is
+        # decimal too.
+        .withColumn("sxy",
+                    F.sum(money.acc(F.col("x")) * F.col("y")).over(w))
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

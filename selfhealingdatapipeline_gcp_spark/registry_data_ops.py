@@ -1792,21 +1792,32 @@ register(
       JOIN mh ma ON ma.doc_id = cand.doc_a
       JOIN mh mb ON mb.doc_id = cand.doc_b
     ), ex AS (
-      SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh
+      SELECT doc_id, unnest(s) AS g FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(list_distinct(s)) AS n FROM sh
     ), common AS (
-      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common,
-             max(ea.n) AS n_a, max(eb.n) AS n_b
+      SELECT cand.doc_a, cand.doc_b,
+             count(DISTINCT ea.g) AS n_common
       FROM cand
       JOIN ex ea ON ea.doc_id = cand.doc_a
       JOIN ex eb ON eb.doc_id = cand.doc_b AND eb.g = ea.g
       GROUP BY 1, 2
     ), err AS (
+      -- LEFT JOIN + coalesce: a band-key collision between docs with
+      -- ZERO common shingles is a real candidate pair the Spark side
+      -- scores with exact_e6 = 0; an inner join here would drop it
+      -- and diverge n_pairs and both error means (ADVICE r6).
+      -- Sizes come from the per-doc relation, not the overlap join,
+      -- so they exist for zero-overlap pairs too.
       SELECT CAST(a.agreements * 31250 AS BIGINT)
-             - CAST(floor(c.n_common * 1000000.0
-                          / (c.n_a + c.n_b - c.n_common)) AS BIGINT)
+             - CAST(floor(coalesce(c.n_common, 0) * 1000000.0
+                          / (na.n + nb.n - coalesce(c.n_common, 0)))
+                    AS BIGINT)
                AS err
       FROM agree a
-      JOIN common c ON c.doc_a = a.doc_a AND c.doc_b = a.doc_b
+      JOIN sizes na ON na.doc_id = a.doc_a
+      JOIN sizes nb ON nb.doc_id = a.doc_b
+      LEFT JOIN common c ON c.doc_a = a.doc_a AND c.doc_b = a.doc_b
     )
     SELECT count(*) AS n_pairs,
            CAST(floor(sum(abs(err)) * 1.0 / count(*)) AS BIGINT)

@@ -74,6 +74,11 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         # the catalog (micros, floor — same as DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Console progress bars write \r-spam to stderr/stdout that
+        # buries the bench's machine-readable JSON tail (BENCH_r06
+        # came back parsed:null because the driver's tail capture
+        # filled with progress frames). Nothing here is interactive.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM",
                                _default_driver_mem()))
@@ -88,7 +93,14 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         # loops (streaming_live_alert_loop) are the fallback.
         if kafka_pkg == "1":
             import pyspark
-            kafka_pkg = ("org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            # Scala suffix follows the running Spark: 4.x official
+            # builds are Scala 2.13, 3.x are 2.12 — a mismatched
+            # suffix is binary-incompatible (NoClassDefFoundError at
+            # stream start, ADVICE r6). pyproject pins >=4.0, but
+            # derive anyway so a 3.5 site-install fails resolvably.
+            scala = ("2.13" if int(pyspark.__version__.split(".")[0]) >= 4
+                     else "2.12")
+            kafka_pkg = (f"org.apache.spark:spark-sql-kafka-0-10_{scala}:"
                          f"{pyspark.__version__}")
         pkgs.append(kafka_pkg)
     bq_pkg = os.environ.get("SPARK_GRAFT_BQ_PACKAGE")

@@ -29,3 +29,35 @@ def test_bench_harness_smoke(spark):
     assert not missing, f"headline queries missing timings: {missing}"
     assert "fact_join_bucketed" in out["queries"]
     assert out["value"] > 0
+    # Shuffle-volume metrics (VERDICT r6 #5): rows written to shuffle
+    # are a deterministic function of data + plan — a plan regression
+    # (new Exchange, lost ReusedExchange, broken partial agg) flips a
+    # pinned integer here instead of hiding inside the 1.8x wall-time
+    # host-noise band. Values pinned at sf0.001 from the shipped plans.
+    assert out["shuffle_rows_total"] > 0
+    assert out["shuffle_bytes_total"] > 0
+    pinned = {
+        # partial agg emits one row per (input partition x group):
+        # 2 input splits x 6 flag/status groups
+        "q1_pricing_summary": 12,
+        # exact dedup shuffles one digest row per document, never the
+        # documents themselves: 500 docs at sf0.001
+        "dedup_exact": 500,
+    }
+    for name, want_rows in pinned.items():
+        got = out["shuffle"].get(name)
+        assert got is not None, f"no shuffle metrics recorded for {name}"
+        assert got[1] == want_rows, (
+            f"{name}: shuffle rows {got[1]} != pinned {want_rows} — "
+            "the physical plan changed shape (check explain before "
+            "re-pinning)")
+        assert got[0] > 0
+
+
+def test_bench_shuffle_metrics_zero_shuffle(spark):
+    """A plain scan-filter has no exchange: the metrics reader must
+    report (0, 0), not None (None means traversal broke)."""
+    df = (spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+          .filter("r_regionkey >= 0"))
+    df.collect()
+    assert bench.shuffle_metrics(df) == (0, 0)

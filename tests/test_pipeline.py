@@ -4,6 +4,8 @@ tests/test_pipeline.py, widened to the full rule table)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -807,6 +809,37 @@ def test_run_curation_job_end_to_end(spark, tmp_path):
         "train", "val"}
     row = curated.first()
     assert row.pack_id >= 0 and row.tokens_before >= 0
+
+
+def test_curation_sink_gate_failure_publishes_nothing(spark, tmp_path,
+                                                      monkeypatch):
+    """Write-audit-publish (ADVICE r6): when the sink's null-key gate
+    fires, the FINAL output path must not exist — the write lands at
+    a staging path and is only promoted after the observed metrics
+    pass. A write-then-check at the final path would already have
+    published the bad data when the gate raises."""
+    from selfhealingdatapipeline_gcp_spark import jobs
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    # Null every text at the sink boundary (an inner-join poison
+    # upstream would just drop the rows — null equi-join keys never
+    # match — and the gate would pass on an empty write). The REAL
+    # gate observes the nulls during its own write.
+    orig_gate = quality.observed_quality_gate
+
+    def poisoned_gate(df, cols, name="gate"):
+        return orig_gate(df.withColumn("text",
+                                       F.lit(None).cast("string")),
+                         cols, name=name)
+
+    monkeypatch.setattr(quality, "observed_quality_gate", poisoned_gate)
+    out_path = str(tmp_path / "curated")
+    out = jobs.run_curation_job(spark, "/root/testdata/sf0.001", out_path)
+    assert out["statuses"]["sink"] == "FAILED"
+    assert not os.path.exists(out_path), (
+        "gated-out data was published at the final path")
+    assert not os.path.exists(out_path + ".__staging__"), (
+        "failed staging output not cleaned up")
 
 
 def test_observed_quality_gate_single_pass(spark, tmp_path):
