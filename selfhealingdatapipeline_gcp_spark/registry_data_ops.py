@@ -92,10 +92,8 @@ _SIG = ("list_transform(range(1, 33), j -> "
 _BKEYS = ("list_transform(range(0, 8), b -> "
           "b::VARCHAR || '|' || sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR"
           " || '|' || sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR)")
-register(
-    "dedup_minhash_lsh",
-    lambda spark, sf: dedup.dedup_minhash_lsh(*_t(spark, sf, "documents")),
-    f"""
+# Shared with the dedup_clusters connected-components oracle below.
+_MINHASH_PAIRS_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS s
       FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
@@ -110,7 +108,12 @@ register(
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: dedup.dedup_minhash_lsh(*_t(spark, sf, "documents")),
+    _MINHASH_PAIRS_SQL,
 )
 
 _SIMHASH_BITS = (
@@ -604,10 +607,8 @@ register(
     """,
 )
 
-register(
-    "dedup_lsh_verified",
-    lambda spark, sf: dedup.dedup_lsh_verified(*_t(spark, sf, "documents")),
-    f"""
+# Shared with the dedup_verified_clusters oracle below.
+_LSH_VERIFIED_SQL = f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS s
       FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
@@ -637,7 +638,12 @@ register(
     FROM common
     WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+register(
+    "dedup_lsh_verified",
+    lambda spark, sf: dedup.dedup_lsh_verified(*_t(spark, sf, "documents")),
+    _LSH_VERIFIED_SQL,
 )
 
 register(
@@ -724,11 +730,49 @@ register(
     """,
 )
 
+def _cc_oracle(pair_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
+    """Connected-components oracle over ANY candidate-pair subquery
+    via a DuckDB recursive CTE (VERDICT r6 #3: upgrades the iterative
+    clustering trio from rows-only to hash-exact at test SFs).
+
+    ``walk`` is the transitive closure of the undirected edge set
+    (UNION dedups, so it terminates); each node's component label is
+    the MIN reachable id — exactly what the Spark side's min-label
+    propagation + pointer doubling converges to. The closure is
+    O(Σ|component|²) rows, fine at oracle scale; the Spark side stays
+    the O(log diameter) pointer-doubling loop for real scale."""
+    return f"""
+    WITH RECURSIVE base AS (
+      {pair_sql}
+    ), edges AS (
+      SELECT {a} AS src, {b} AS dst FROM base
+      UNION ALL
+      SELECT {b}, {a} FROM base
+    ), walk(src, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(reach)) AS label
+      FROM walk GROUP BY src
+    )
+    SELECT label AS cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           min(doc_id) AS keeper_doc_id
+    FROM comp
+    GROUP BY label
+    HAVING count(*) > 1
+    ORDER BY cluster_id
+    """
+
+
 register(
     "dedup_clusters",
-    # iterative label propagation — genuinely non-SQL-expressible
+    # iterative label propagation on the Spark side (pointer
+    # doubling); the oracle computes the same components exactly via
+    # a recursive CTE over the same MinHash-LSH candidate pairs
     lambda spark, sf: dedup.dedup_clusters(*_t(spark, sf, "documents")),
-    None,
+    _cc_oracle(_MINHASH_PAIRS_SQL),
 )
 
 register(
@@ -999,11 +1043,12 @@ register(
     "dedup_verified_clusters",
     # the full production dedup composition as one registered query:
     # MinHash-LSH candidates -> exact-Jaccard verify -> connected
-    # components -> keeper per cluster (iterative -> rows-only)
+    # components -> keeper per cluster (iterative on the Spark side;
+    # oracle: recursive-CTE closure over the verified-pair SQL)
     lambda spark, sf: dedup.dedup_clusters(
         None,
         edges=dedup.dedup_lsh_verified(*_t(spark, sf, "documents"))),
-    None,
+    _cc_oracle(_LSH_VERIFIED_SQL),
 )
 
 
@@ -1983,7 +2028,11 @@ def _embedding_clusters(spark, sf):
 register(
     "embedding_clusters",
     _embedding_clusters,
-    None,  # iterative (connected components) — rows-only by design
+    # recursive-CTE closure over the k=3 kNN edge relation (the same
+    # CTE chain the knn_graph_cells oracle pins, rank cut at 3)
+    _cc_oracle(f"""WITH {_KNN_CTES}
+      SELECT vec_id AS doc_a, neighbor_id AS doc_b
+      FROM r WHERE rank <= 3"""),
 )
 
 
