@@ -264,20 +264,30 @@ def multimodal_ahash_pairs(documents: DataFrame,
     are a COMPLETE candidate generator; exact bit_count(xor)
     verifies.
 
-    Scale shape = the simhash/minhash discipline: one groupBy on the
-    (window, value) bucket key, bucket-grouped generator pair
-    emission (no self-join), loud cap on degenerate buckets, verify
-    on the pair relation only.
+    Scale shape (r7 — exact-signature collapse, VERDICT r6 #2): the
+    corpus is first COLLAPSED to its distinct 64-bit signatures
+    (identical-signature assets are byte-equivalent at this metric's
+    resolution — their pairwise hamming is 0 by definition), window
+    bucketing and pigeonhole pair generation run over the DISTINCT
+    signature relation only, and membership expands back through two
+    equi-joins on the signature key. In-task memory is therefore
+    bounded by distinct histogram SHAPES per window value — corpus
+    copies, re-ingests, and template-heavy media can no longer blow a
+    bucket (the pre-r7 form capped on raw assets and raised at sf1 on
+    this repo's distribution-degenerate synthetic corpus). The loud
+    cap remains as a backstop on truly shape-diverse dense corpora.
+    Pair expansion is a join fan-out (distributed), never an in-task
+    list product, and the output needs no corpus-sized distinct():
+    every unordered doc pair is emitted exactly once (each doc lives
+    in exactly one signature group; group pairs are deduped at group
+    grain — a pair-relation-sized distinct, not a corpus-pair one).
 
     Honest data caveat: pair DENSITY is a property of the corpus,
     not the plan — this repo's synthetic text gives near-uniform
-    byte histograms, so even the 64-bit signature leaves ~9% of all
-    pairs within hamming 3 at 5k docs, and at 50k docs a window
-    bucket crosses the cap and raises loudly (measured; the healer
-    classifies the guard text). Real image/audio features spread the
-    signature; on distribution-degenerate corpora run
-    multimodal_dedup_exact first — near-identical payloads are its
-    job, not a similarity metric's."""
+    byte histograms, so the OUTPUT itself is dense (~9% of all pairs
+    within hamming 3 at 5k docs). The collapse keeps the computation
+    bounded regardless; the output size is what the query semantics
+    demand."""
     feats = multimodal_features_long(documents)
     w = Window.partitionBy("doc_id")
     tot = F.sum("bucket_count").over(w)
@@ -300,41 +310,131 @@ def multimodal_ahash_pairs(documents: DataFrame,
                 for j, t in enumerate(tests)])
         .groupBy("doc_id")
         .agg(*[F.sum(f"b{j}").alias(f"w{j}") for j in range(4)])
+        .withColumn("sig_key", F.concat_ws(
+            "|", *[F.col(f"w{j}").cast("string") for j in range(4)]))
     )
-    windows = sig.select(
-        "doc_id", "w0", "w1", "w2", "w3",
+    members = sig.select("sig_key", "doc_id")
+    groups = (
+        sig.groupBy("sig_key")
+        .agg(*[F.min(f"w{j}").alias(f"w{j}") for j in range(4)],
+             F.count(F.lit(1)).alias("n_members"))
+    )
+    # pigeonhole window bucketing over DISTINCT signatures only
+    windows = groups.select(
+        "sig_key", "w0", "w1", "w2", "w3",
         F.explode(F.array(*[
             F.concat(F.lit(f"w{j}|"), F.col(f"w{j}").cast("string"))
             for j in range(4)])).alias("bkey"))
+    hamming = sum(
+        F.bit_count(F.col(f"a.w{j}").bitwiseXOR(F.col(f"b.w{j}")))
+        for j in range(4))
+
+    def _bucket_pairs(buckets):
+        """Generator pair emission over collected bucket members:
+        each pair of distinct signatures sharing the bucket, oriented
+        by sig_key, scored with the exact 64-bit hamming."""
+        return (
+            buckets
+            .select(F.explode("mem").alias("a"), "mem")
+            .select("a", F.explode(F.filter(
+                "mem", lambda m: m["sig_key"] > F.col("a.sig_key")))
+                .alias("b"))
+            .select(F.col("a.sig_key").alias("sig_a"),
+                    F.col("b.sig_key").alias("sig_b"),
+                    hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    mem_struct = F.struct("sig_key", "w0", "w1", "w2", "w3")
+    buckets0 = (
+        windows.groupBy("bkey")
+        .agg(F.sort_array(F.collect_list(mem_struct)).alias("mem"))
+        .filter(F.size("mem") >= 2)
+    )
+    small0 = buckets0.filter(F.size("mem") <= max_bucket_assets)
+    # Recursive pigeonhole refinement (r7): a bucket whose DISTINCT
+    # signature count exceeds the cap is re-banded instead of raised.
+    # All its members agree exactly on one 16-bit window, so a
+    # hamming-≤3 pair has ≤3 flips in the remaining 48 bits — among
+    # any 4 disjoint 12-bit sub-windows of those bits at least one is
+    # EXACT (pigeonhole again). Sub-bucketing on (bkey, sub-window)
+    # keeps the candidate generator complete while dividing occupancy
+    # by the sub-window's entropy; members of a hot bucket are
+    # distinct signatures, so their remaining 48 bits are never
+    # constant. A bucket still hot after refinement raises the loud
+    # healer-classified cap — now a true backstop (it takes > cap
+    # distinct histogram shapes agreeing on 28 of 64 bits).
+    hot_members = (
+        buckets0.filter(F.size("mem") > max_bucket_assets)
+        .select("bkey", F.explode("mem").alias("m"))
+        .select("bkey", F.col("m.sig_key").alias("sig_key"),
+                *[F.col(f"m.w{j}").alias(f"w{j}") for j in range(4)])
+    )
+    win_idx = F.substring("bkey", 2, 1).cast("int")
+    _o = {0: (1, 2, 3), 1: (0, 2, 3), 2: (0, 1, 3), 3: (0, 1, 2)}
+    rem48 = F.lit(None).cast("bigint")
+    for j in range(3, -1, -1):
+        a_, b_, c_ = _o[j]
+        rem48 = F.when(
+            win_idx == j,
+            F.col(f"w{a_}") * (2 ** 32) + F.col(f"w{b_}") * (2 ** 16)
+            + F.col(f"w{c_}")).otherwise(rem48)
+    sub_keys = F.array(*[
+        F.concat(F.lit(f"{s}|"),
+                 F.shiftright(rem48, 12 * s)
+                  .bitwiseAND(F.lit(0xFFF)).cast("string"))
+        for s in range(4)])
     overflow_msg = F.concat(
         F.lit("multimodal_ahash_pairs: bucket holds "),
         F.size("mem").cast("string"),
-        F.lit(f" assets (> max_bucket_assets={max_bucket_assets}); "
-              "in-bucket pairing would be quadratic — dedup exact "
-              "payloads first, or raise max_bucket_assets"))
-    buckets = (
-        windows.groupBy("bkey")
-        .agg(F.sort_array(F.collect_list(
-            F.struct("doc_id", "w0", "w1", "w2", "w3"))).alias("mem"))
+        F.lit(f" distinct signatures (> max_bucket_assets="
+              f"{max_bucket_assets}) even after pigeonhole "
+              "refinement — that many distinct histogram shapes agree "
+              "on 28 of 64 signature bits; raise max_bucket_assets "
+              "for a deliberate dense run"))
+    buckets1 = (
+        hot_members
+        .select("sig_key", "w0", "w1", "w2", "w3", "bkey",
+                F.explode(sub_keys).alias("sub"))
+        .select("sig_key", "w0", "w1", "w2", "w3",
+                F.concat("bkey", F.lit("#"), F.col("sub"))
+                 .alias("bkey2"))
+        .groupBy("bkey2")
+        .agg(F.sort_array(F.collect_list(mem_struct)).alias("mem"))
         .filter(F.size("mem") >= 2)
         .filter(F.when(F.size("mem") > max_bucket_assets,
                        F.raise_error(overflow_msg))
                  .otherwise(F.lit(True)))
     )
-    hamming = sum(
-        F.bit_count(F.col(f"a.w{j}").bitwiseXOR(F.col(f"b.w{j}")))
-        for j in range(4))
-    return (
-        buckets
-        .select(F.explode("mem").alias("a"), "mem")
-        .select("a", F.explode(F.filter(
-            "mem", lambda m: m["doc_id"] > F.col("a.doc_id")))
-            .alias("b"))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    # group-grain candidate pairs (distinct signature pairs within
+    # hamming), plus each multi-member group paired with itself at
+    # hamming 0 — identical signatures are trivially within threshold
+    gpairs = (
+        _bucket_pairs(small0)
+        .unionByName(_bucket_pairs(buckets1))
         .distinct()
+    )
+    self_pairs = (
+        groups.filter(F.col("n_members") >= 2)
+        .select(F.col("sig_key").alias("sig_a"),
+                F.col("sig_key").alias("sig_b"),
+                F.lit(0).cast("int").alias("hamming"))
+    )
+    edges = gpairs.unionByName(self_pairs)
+    ma = members.select(F.col("sig_key").alias("sig_a"),
+                        F.col("doc_id").alias("da"))
+    mb = members.select(F.col("sig_key").alias("sig_b"),
+                        F.col("doc_id").alias("db"))
+    return (
+        edges.join(ma, "sig_a").join(mb, "sig_b")
+        # within a group emit each unordered pair once; across groups
+        # the group pair is unique so every (da, db) combination is
+        # already unique — orient by doc id either way
+        .filter((F.col("sig_a") != F.col("sig_b"))
+                | (F.col("da") < F.col("db")))
+        .select(F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "hamming")
         .orderBy("doc_a", "doc_b")
     )
 

@@ -268,11 +268,15 @@ def _fix_ahash_bucket(m: re.Match[str]) -> Fix:
     return Fix(
         fix_type="MANUAL",
         root_cause="a perceptual-hash window bucket exceeds "
-                   "max_bucket_assets (distribution-degenerate corpus: "
-                   "many assets share a histogram shape)",
-        suggested_fix="run multimodal_dedup_exact first (near-identical "
-                      "payloads belong to exact dedup), or raise "
-                      "max_bucket_assets for a deliberate dense run",
+                   "max_bucket_assets DISTINCT signatures "
+                   "(identical-signature assets are already collapsed "
+                   "before bucketing — the corpus genuinely has that "
+                   "many distinct histogram shapes sharing a window)",
+        suggested_fix="raise max_bucket_assets for a deliberate dense "
+                      "run, or coarsen the similarity question: "
+                      "multimodal_ahash_groups (exact-signature "
+                      "grouping) answers the dedup form without "
+                      "pairwise emission",
         retryable=False,
     )
 

@@ -1096,10 +1096,23 @@ def test_multimodal_ahash_pairs_parity_and_guard(spark, duck):
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["multimodal_ahash_pairs"])
 
-    # guard: a tiny cap must raise the documented text, and the
-    # healer must classify it
-    docs = spark.createDataFrame(
+    # identical docs collapse to ONE distinct signature (r7): no cap
+    # can fire on byte-identical floods any more, however tiny
+    same = spark.createDataFrame(
         [(i, "same same same", "s") for i in range(6)],
+        "doc_id long, text string, source string")
+    rows = multimodal.multimodal_ahash_pairs(
+        same, max_bucket_assets=1).collect()
+    assert len(rows) == 15 and all(r.hamming == 0 for r in rows)
+
+    # guard: the cap now counts DISTINCT histogram shapes per window.
+    # 'a'*100 + 'b'*k for k in (5, 8, 12) yields three DIFFERENT
+    # signatures (the 0.5x/1x/1.5x thresholds flip for the 'b' bucket
+    # at k=4/7/11) that still share the 2x-threshold window (its 'b'
+    # bit only sets at k=15) — so one bucket holds 3 distinct sigs.
+    docs = spark.createDataFrame(
+        [(i, "a" * 100 + "b" * k, "s")
+         for i, k in enumerate((5, 8, 12))],
         "doc_id long, text string, source string")
     with pytest.raises(Exception, match="bucket holds") as e:
         multimodal.multimodal_ahash_pairs(

@@ -449,10 +449,84 @@ def test_verbatim_pairs_bucket_grouped_no_self_join(spark):
 
 
 def test_ahash_pairs_bucket_grouped(spark):
-    """Perceptual-hash pairing: bucket-grouped generator emission,
-    no cartesian, no corpus self-join."""
+    """Perceptual-hash pairing: bucket-grouped generator emission at
+    the DISTINCT-signature grain, membership expansion via equi-joins
+    on the signature key (r7 collapse) — no cartesian, no
+    nested-loop, and pair generation itself is generator-shaped."""
     df = registry.queries()["multimodal_ahash_pairs"](spark, SF_ORACLE)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Generate") >= 2
+
+
+# ------------------------------------------------------------------
+# Plan fingerprints (VERDICT r6 #9): pinned Exchange / join node
+# counts for the headline set at sf0.001. A Catalyst upgrade or code
+# change that adds a shuffle, drops a broadcast, or introduces a
+# nested-loop join fails HERE by name, instead of surfacing as an
+# unexplained wall-time swing inside the 1.8x host-noise band. The
+# counts come from the shipped plans (regenerate deliberately when a
+# plan change is intentional; never loosen to make red go green).
+# Format: name -> (Exchange, BroadcastHashJoin, SortMergeJoin,
+# BroadcastNestedLoopJoin).
+# ------------------------------------------------------------------
+
+import re as _re
+
+SF_TINY = "/root/testdata/sf0.001"
+
+_FINGERPRINTS = {
+    "q1_pricing_summary": (2, 0, 0, 0),
+    "q3_shipping_priority": (1, 2, 0, 0),
+    "q5_regional_revenue": (2, 5, 0, 0),
+    "q10_returned_items": (1, 3, 0, 0),
+    "revenue_anomaly": (2, 0, 0, 0),
+    # the two BNLJs are 1-row anchor-date broadcasts (annotated at
+    # the operator), not data joins
+    "reconciliation_orders_lineitem": (4, 2, 0, 2),
+    "dedup_exact": (1, 0, 0, 0),
+    "dedup_minhash_lsh": (4, 0, 0, 0),
+    "dedup_lsh_verified": (6, 2, 0, 0),
+    "dedup_ngram_jaccard": (6, 0, 0, 0),
+    # 1-row query-anchor broadcast
+    "ann_bruteforce_topk": (4, 0, 0, 1),
+    "ann_pq_topk": (5, 1, 0, 1),
+    "contamination_check": (3, 1, 0, 0),
+    "asof_purchase_attribution": (1, 0, 0, 0),
+    "q18_large_orders": (1, 2, 0, 0),
+    "q21_waiting_suppliers": (3, 2, 0, 0),
+    "user_activity_summary": (2, 0, 0, 0),
+    "text_token_estimate": (2, 0, 0, 0),
+    "bm25_search": (6, 2, 0, 1),
+    "hypertable_rollup": (6, 0, 0, 0),
+    # the SMJ is the full-outer digest diff itself (both sides are
+    # key+md5 fingerprints; bucketed snapshots co-locate it)
+    "cdc_snapshot_diff": (3, 0, 1, 0),
+}
+
+_FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
+             "BroadcastNestedLoopJoin")
+
+
+def test_headline_plan_fingerprints(spark):
+    got = {}
+    for name, want in _FINGERPRINTS.items():
+        plan = _plan(registry.queries()[name](spark, SF_TINY))
+        counts = tuple(len(_re.findall(rf"\b{node}\b", plan))
+                       for node in _FP_NODES)
+        if counts != want:
+            got[name] = counts
+    assert not got, (
+        "plan fingerprints moved (Exchange, BHJ, SMJ, BNLJ): "
+        + ", ".join(f"{n}: {got[n]} != {_FINGERPRINTS[n]}"
+                    for n in got)
+        + " — if the plan change is intentional, re-pin after "
+          "reviewing explain(); a new Exchange or lost broadcast is "
+          "a scale regression")
+
+
+def test_headline_plan_no_cartesian(spark):
+    for name in _FINGERPRINTS:
+        plan = _plan(registry.queries()[name](spark, SF_TINY))
+        assert "CartesianProduct" not in plan, name
