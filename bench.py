@@ -114,6 +114,12 @@ HEADLINE = [
     "user_activity_salted",
     "source_language_mix",
     "brand_affinity",
+    # r7 additions (floor starts at BENCH_r07)
+    "doc_length_profile_by_source",
+    "source_zipf_slope",
+    "revenue_autocorrelation",
+    "cross_source_dup_matrix",
+    "dedup_cluster_size_histogram",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

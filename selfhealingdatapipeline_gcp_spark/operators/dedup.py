@@ -1192,3 +1192,58 @@ def lsh_recall_report(documents: DataFrame,
                F.floor(F.col("n_recovered") * 1e6
                        / F.col("n_true_pairs")))
          .otherwise(F.lit(0)).cast("bigint").alias("recall_e6"))
+
+
+def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
+    """Source-pair VERIFIED near-duplicate counts: which crawls
+    duplicate which — the merge/provenance decision table
+    cross_source_overlap approximates at vocabulary grain, here
+    computed on actual verified near-dup PAIRS (dedup_lsh_verified).
+    A high (A, B) count means ingesting both sources double-pays
+    tokens; a high (A, A) count means the source self-duplicates.
+
+    Scale: the pair relation is LSH-bounded; two broadcast-friendly
+    joins attach sources by doc id (slim (id, source) projection,
+    never text); output is O(|sources|²) forever."""
+    pairs = dedup_lsh_verified(documents).select("doc_a", "doc_b")
+    src = documents.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select(F.least("sa", "sb").alias("source_a"),
+                F.greatest("sa", "sb").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def dedup_cluster_size_histogram(documents: DataFrame) -> DataFrame:
+    """Cluster-size histogram of the duplicate components in
+    power-of-two buckets — the one-page audit of a dedup run: a fat
+    tail (big buckets) means boilerplate floods / mirror sites where
+    near-dup clustering is doing the heavy lifting; all-size-2 means
+    simple re-ingests that exact dedup would mostly catch.
+
+    Buckets by integer bit length (floor(log2) via length(bin(n))-1,
+    engine-exact — floor(log2(double)) flips at boundaries across
+    libms, the token_histogram lesson). Composes dedup_clusters, so
+    the scale contract is the clustering one; the histogram itself is
+    O(log max-cluster) rows."""
+    clusters = dedup_clusters(documents)
+    bucket = (F.length(F.bin(F.col("cluster_size"))) - 1).cast("int")
+    return (
+        clusters
+        .select(bucket.alias("log2_bucket"), "cluster_size")
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             F.sum("cluster_size").alias("n_docs"))
+        .select("log2_bucket",
+                F.expr("shiftleft(1, log2_bucket)").cast("bigint")
+                 .alias("bucket_lo"),
+                "n_clusters", "n_docs")
+        .orderBy("log2_bucket")
+    )

@@ -1134,3 +1134,64 @@ def feed_interarrival_stats(events: DataFrame) -> DataFrame:
              F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"))
         .orderBy("feed_id")
     )
+
+
+def revenue_autocorrelation(orders: DataFrame,
+                            lags: tuple[int, ...] = (1, 7, 14, 28),
+                            min_pairs: int = 10) -> DataFrame:
+    """Autocorrelation of daily revenue at the calendar lags the
+    other detectors assume — the diagnostic UNDER
+    revenue_weekly_seasonality (a strong lag-7 reading is what makes
+    the dow index meaningful) and revenue_dow_context (same-weekday
+    history is only a baseline if lag-7 correlation is real). A
+    collapsed lag-7 with intact lag-1 means the weekly pattern broke
+    (schedule change, feed split) before any single day z-scores.
+
+    Determinism: the correlation discipline of
+    revenue_volume_correlation — revenue in hundred-dollar integer
+    units, SIX integer sums per lag (n, Σx, Σy, Σx², Σy², Σxy) with
+    the squared terms through money.sum_sq and the cross term widened
+    via money.acc (decimal-mode covered), one closed-form r per lag,
+    floor-e6. The day-grain relation is O(days), the lag windows run
+    on it, and the output is O(|lags|) forever. Single-partition
+    window over the day grain — deliberate, same as every day-grain
+    detector (annotated in SURVEY §4)."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+        .withColumn(
+            "x",
+            ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(10_000)))
+             / 10_000).cast("bigint"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "x", *[F.lag("x", L).over(w).alias(f"y{L}") for L in lags])
+    stacked = (
+        lagged.select(F.explode(F.array(*[
+            F.struct(F.lit(L).alias("lag_days"), F.col("x"),
+                     F.col(f"y{L}").alias("y"))
+            for L in lags])).alias("s"))
+        .select("s.lag_days", "s.x", "s.y")
+        .filter(F.col("y").isNotNull())
+    )
+    agg = stacked.groupBy("lag_days").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        money.sum_sq(F.col("x")).alias("sxx"),
+        money.sum_sq(F.col("y")).alias("syy"),
+        F.sum(money.acc(F.col("x")) * F.col("y")).alias("sxy"))
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)) \
+         .otherwise(F.lit(0.0))
+    return (
+        agg.filter(F.col("n_pairs") >= min_pairs)
+        .select("lag_days", "n_pairs",
+                (F.floor(r * 1e6) / 1e6).alias("autocorr"))
+        .orderBy("lag_days")
+    )

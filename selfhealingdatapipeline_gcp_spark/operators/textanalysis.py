@@ -646,3 +646,88 @@ def more_like_this(documents: DataFrame,
         .filter(F.col("rank") <= k)
     )
     return ranked.orderBy("anchor_id", "rank")
+
+
+def doc_length_profile_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source token-length distribution (exact p10/p50/p90 +
+    mean) — the number a chunking budget, packing stream count, and
+    per-source context-window policy are actually tuned from (the
+    corpus-wide token_histogram can hide a source whose docs are 100x
+    longer than the mix average).
+
+    Determinism: exact interpolated percentiles over integer token
+    counts (Spark percentile ↔ DuckDB quantile_cont — identical
+    linear interpolation, pinned since event_value_percentiles),
+    floor-e6; the mean is an integer-sum ratio, floor-e4. One
+    shuffle to source grain; O(|sources|) output at any corpus."""
+    n_tok = F.size(textfn.tokens("text"))
+    agg = (
+        _spread(documents)
+        .select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("tok_sum"),
+             *[F.percentile("n_tok", F.lit(p / 100.0)).alias(f"q{p}")
+               for p in (10, 50, 90)])
+    )
+    return (
+        agg.select(
+            "source", "n_docs",
+            *[(F.floor(F.col(f"q{p}") * 1e6) / 1e6)
+              .alias(f"p{p}_tokens") for p in (10, 50, 90)],
+            (F.floor(F.col("tok_sum") * 1e4 / F.col("n_docs")) / 1e4)
+             .alias("mean_tokens"))
+        .orderBy("source")
+    )
+
+
+def source_zipf_slope(documents: DataFrame, top_k: int = 200,
+                      min_types: int = 20) -> DataFrame:
+    """Per-source Zipf exponent: the OLS slope of ln(frequency) on
+    ln(rank) over the source's top-``top_k`` token types. Natural
+    text runs ≈ −1; template spam and boilerplate floods flatten or
+    cliff the curve — the shape diagnostic next to
+    source_token_entropy (which compresses the same distribution to
+    one number and can't see WHERE it deviates).
+
+    Determinism: every per-type term (ln r, ln n, their product and
+    squares) floors to an e9 integer BEFORE the per-source sum
+    (order-independent partial aggregation — the entropy/unigram
+    discipline); the closed-form slope then divides exact integer
+    sums in doubles, floor-e6. Ranks tie-break on the token string.
+
+    Scale: runs entirely on the (source, token) vocabulary relation
+    — sublinear in corpus size; the rank window partitions by source
+    over ≤ vocab rows; output O(|sources|)."""
+    stw = (
+        _spread(documents)
+        .select("source", F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    rw = Window.partitionBy("source").orderBy(F.desc("n"), F.col("w"))
+    top = (stw.withColumn("r", F.row_number().over(rw))
+           .filter(F.col("r") <= top_k))
+    lr = F.log(F.col("r").cast("double"))
+    ln = F.log(F.col("n").cast("double"))
+    terms = top.select(
+        "source",
+        F.floor(lr * 1e9).cast("bigint").alias("x_e9"),
+        F.floor(ln * 1e9).cast("bigint").alias("y_e9"),
+        F.floor(lr * ln * 1e9).cast("bigint").alias("xy_e9"),
+        F.floor(lr * lr * 1e9).cast("bigint").alias("xx_e9"))
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("x_e9").alias("sx"), F.sum("y_e9").alias("sy"),
+        F.sum("xy_e9").alias("sxy"), F.sum("xx_e9").alias("sxx"))
+    k = F.col("n_types").cast("double")
+    sx = F.col("sx") / 1e9
+    sy = F.col("sy") / 1e9
+    num = k * (F.col("sxy") / 1e9) - sx * sy
+    den = k * (F.col("sxx") / 1e9) - sx * sx
+    slope = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return (
+        agg.filter(F.col("n_types") >= min_types)
+        .select("source", "n_types",
+                (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"))
+        .orderBy("source")
+    )

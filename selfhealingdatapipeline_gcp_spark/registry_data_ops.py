@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from selfhealingdatapipeline_gcp_spark import catalog
 from selfhealingdatapipeline_gcp_spark.operators import (
-    dedup, graph, multimodal, similarity, textanalysis)
+    dedup, detectors, graph, multimodal, similarity, textanalysis)
 from selfhealingdatapipeline_gcp_spark.registry import register
 from selfhealingdatapipeline_gcp_spark.streaming import monitors
 
@@ -2246,5 +2246,158 @@ register(
              AS doc_share_e6
     FROM grain JOIN tot ON tot.source = grain.source
     ORDER BY grain.source, lang
+    """,
+)
+
+
+# --------------------------------------------------------------------
+# r7 additions: distribution diagnostics + dedup audit tables
+# --------------------------------------------------------------------
+
+register(
+    "doc_length_profile_by_source",
+    lambda spark, sf: textanalysis.doc_length_profile_by_source(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKENS}) AS n_tok FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           (floor(quantile_cont(n_tok, 0.1) * 1000000.0) / 1000000.0)
+             AS p10_tokens,
+           (floor(quantile_cont(n_tok, 0.5) * 1000000.0) / 1000000.0)
+             AS p50_tokens,
+           (floor(quantile_cont(n_tok, 0.9) * 1000000.0) / 1000000.0)
+             AS p90_tokens,
+           (floor(CAST(sum(n_tok) AS BIGINT) * 10000.0 / count(*))
+            / 10000.0) AS mean_tokens
+    FROM t GROUP BY source ORDER BY source
+    """,
+)
+
+register(
+    "source_zipf_slope",
+    lambda spark, sf: textanalysis.source_zipf_slope(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH stw AS (
+      SELECT source, w, count(*) AS n
+      FROM (SELECT source, unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT source, n, r FROM (
+        SELECT source, w, n,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, w) AS r
+        FROM stw)
+      WHERE r <= 200
+    ), terms AS (
+      SELECT source,
+             CAST(floor(ln(r) * 1000000000.0) AS BIGINT) AS x_e9,
+             CAST(floor(ln(n) * 1000000000.0) AS BIGINT) AS y_e9,
+             CAST(floor(ln(r) * ln(n) * 1000000000.0) AS BIGINT)
+               AS xy_e9,
+             CAST(floor(ln(r) * ln(r) * 1000000000.0) AS BIGINT)
+               AS xx_e9
+      FROM top
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(x_e9) AS BIGINT) AS sx,
+             CAST(sum(y_e9) AS BIGINT) AS sy,
+             CAST(sum(xy_e9) AS BIGINT) AS sxy,
+             CAST(sum(xx_e9) AS BIGINT) AS sxx
+      FROM terms GROUP BY source
+    )
+    SELECT source, n_types,
+           (floor(CASE WHEN (CAST(n_types AS DOUBLE) * (sxx / 1e9)
+                             - (sx / 1e9) * (sx / 1e9)) > 0
+                  THEN (CAST(n_types AS DOUBLE) * (sxy / 1e9)
+                        - (sx / 1e9) * (sy / 1e9))
+                       / (CAST(n_types AS DOUBLE) * (sxx / 1e9)
+                          - (sx / 1e9) * (sx / 1e9))
+                  ELSE 0.0 END * 1000000.0) / 1000000.0)
+             AS zipf_slope
+    FROM agg WHERE n_types >= 20 ORDER BY source
+    """,
+)
+
+register(
+    "revenue_autocorrelation",
+    lambda spark, sf: detectors.revenue_autocorrelation(
+        *_t(spark, sf, "orders")),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), xs AS (
+      SELECT d, CAST((rev_c - (rev_c % 10000)) / 10000 AS BIGINT) AS x
+      FROM daily
+    ), l AS (
+      SELECT 1 AS lag_days, x, lag(x, 1) OVER (ORDER BY d) AS y FROM xs
+      UNION ALL
+      SELECT 7, x, lag(x, 7) OVER (ORDER BY d) FROM xs
+      UNION ALL
+      SELECT 14, x, lag(x, 14) OVER (ORDER BY d) FROM xs
+      UNION ALL
+      SELECT 28, x, lag(x, 28) OVER (ORDER BY d) FROM xs
+    ), p AS (
+      SELECT lag_days, x, y FROM l WHERE y IS NOT NULL
+    ), s AS (
+      SELECT lag_days, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM p GROUP BY lag_days
+    )
+    SELECT CAST(lag_days AS INT) AS lag_days, n_pairs,
+           (floor(CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                  THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  ELSE 0.0 END * 1000000.0) / 1000000.0) AS autocorr
+    FROM s WHERE n_pairs >= 10 ORDER BY lag_days
+    """,
+)
+
+register(
+    "cross_source_dup_matrix",
+    lambda spark, sf: dedup.cross_source_dup_matrix(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH v AS ( {_LSH_VERIFIED_SQL} )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM v
+    JOIN documents da ON da.doc_id = v.doc_a
+    JOIN documents db ON db.doc_id = v.doc_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+register(
+    "dedup_cluster_size_histogram",
+    lambda spark, sf: dedup.dedup_cluster_size_histogram(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH cc AS ( {_cc_oracle(_MINHASH_PAIRS_SQL)} ), b AS (
+      SELECT CAST(length(bin(cluster_size)) - 1 AS INT) AS log2_bucket,
+             cluster_size
+      FROM cc
+    )
+    SELECT log2_bucket,
+           CAST(1 << log2_bucket AS BIGINT) AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM b GROUP BY log2_bucket ORDER BY log2_bucket
     """,
 )

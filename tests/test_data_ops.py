@@ -1198,3 +1198,81 @@ def test_source_language_mix_parity_and_shares(spark, duck):
         assert sum(r.doc_share_e6 for r in rs) > 1_000_000 - len(rs)
     n_total = sum(r.n_docs for r in rows)
     assert n_total == catalog.load(spark, SF_ORACLE, "documents").count()
+
+
+def test_r7_additions_parity(spark, duck):
+    """Strict parity for the r7 diagnostics (full strict gate runs
+    them too; this keeps red local)."""
+    for name in ("doc_length_profile_by_source", "source_zipf_slope",
+                 "revenue_autocorrelation", "cross_source_dup_matrix",
+                 "dedup_cluster_size_histogram"):
+        assert_parity(registry.queries()[name](spark, SF_ORACLE), duck,
+                      registry.oracle_sql()[name])
+
+
+def test_zipf_slope_flags_flat_distribution(spark):
+    """A fabricated uniform-frequency source must read ~0 while a
+    Zipf-shaped source reads clearly negative — the template-spam
+    separation the operator exists for."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+
+    rows = []
+    # flat: 30 types, each exactly 10 times per doc stream
+    flat_text = (" ".join(f"tok{i}" for i in range(30)) + " ") * 10
+    rows.append((1, flat_text, "flat"))
+    # zipfy: type i appears ~ 300/i times
+    zipf_text = " ".join(" ".join(f"w{i}" for _ in range(300 // i))
+                         for i in range(1, 31))
+    rows.append((2, zipf_text, "zipfy"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r.zipf_slope
+           for r in textanalysis.source_zipf_slope(docs).collect()}
+    assert abs(got["flat"]) < 0.05, got
+    assert got["zipfy"] < -0.8, got
+
+
+def test_revenue_autocorr_detects_weekly_period(spark):
+    """Fabricated strictly-7-periodic daily revenue: lag-7/lag-14/
+    lag-28 autocorrelation ≈ 1, lag-1 clearly lower."""
+    import datetime as dt
+
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    base = dt.datetime(2024, 1, 1)
+    weekly = [100.0, 220.0, 150.0, 90.0, 310.0, 55.0, 180.0]
+    rows = [(i, base + dt.timedelta(days=i), weekly[i % 7])
+            for i in range(140)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double")
+    got = {r.lag_days: r.autocorr
+           for r in detectors.revenue_autocorrelation(orders).collect()}
+    assert got[7] > 0.999 and got[14] > 0.999 and got[28] > 0.999, got
+    assert got[1] < 0.5, got
+
+
+def test_cluster_histogram_conserves_clusters(spark):
+    """The histogram must partition dedup_clusters exactly: bucket
+    counts and doc totals re-sum to the cluster relation."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    clusters = dedup.dedup_clusters(docs).collect()
+    hist = dedup.dedup_cluster_size_histogram(docs).collect()
+    assert sum(r.n_clusters for r in hist) == len(clusters)
+    assert sum(r.n_docs for r in hist) == sum(r.cluster_size
+                                              for r in clusters)
+    for r in hist:
+        assert r.bucket_lo == 2 ** r.log2_bucket
+
+
+def test_dup_matrix_conserves_pairs(spark):
+    """Every verified pair lands in exactly one (source_a, source_b)
+    cell: matrix total == pair count."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    n_pairs = dedup.dedup_lsh_verified(docs).count()
+    cells = dedup.cross_source_dup_matrix(docs).collect()
+    assert sum(r.n_dup_pairs for r in cells) == n_pairs
+    for r in cells:
+        assert r.source_a <= r.source_b
