@@ -48,6 +48,17 @@ SHOW = {
                               "self-join",
     "brand_affinity": "DISTINCT (order,brand) reduction; generator "
                       "pair emission; O(brand^2) output aggregate",
+    "multimodal_ahash_pairs": "r7 collapse: distinct-signature grain "
+                              "bucketing, sub-window refinement "
+                              "Generate, membership expansion via "
+                              "equi-joins on sig_key (no pair "
+                              "distinct at corpus grain)",
+    "source_zipf_slope": "vocabulary-grain rank window partitioned "
+                         "by source; e9-floored integer terms "
+                         "partial-aggregate before the exchange",
+    "revenue_autocorrelation": "one corpus aggregate to day grain; "
+                               "lag windows + closed-form r on the "
+                               "O(days) relation; O(lags) output",
 }
 
 
