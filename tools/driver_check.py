@@ -69,11 +69,37 @@ def _hash_rows(cols, rows):
     return h.hexdigest()
 
 
+# Above this row count the per-cell Python canonicalizer becomes the
+# bottleneck (an sf10 15M-row result is ~40 min per side), so large
+# results fall back to execute + exact row-count + schema compare.
+# 0 = unlimited (the default — full strict hash, the driver-mimic
+# shape used at sf0.01/sf0.1/sf1). Set e.g.
+# SPARK_GRAFT_MAX_HASH_ROWS=2000000 for the sf10 sweep; every
+# row-heavy query skipped there has a full value-hash green at sf1
+# on record (BASELINE.md).
+MAX_HASH_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_HASH_ROWS", "0") or 0)
+
+
 def check_one(spark, duck, name, builder, sql):
     out = {"rows_match": None, "schema_match": None, "hash_match": None,
            "spark_rows": None, "oracle_rows": None, "err": None}
     try:
         sdf = builder(spark, SF)
+        if MAX_HASH_ROWS:
+            n = sdf.count()
+            if n > MAX_HASH_ROWS:
+                out["spark_rows"] = n
+                if sql is None:
+                    out["err"] = "no_oracle"
+                    return out
+                out["oracle_rows"] = duck.execute(
+                    f"SELECT count(*) FROM ({sql})").fetchone()[0]
+                out["rows_match"] = n == out["oracle_rows"]
+                dcols = [d[0] for d in duck.execute(
+                    f"SELECT * FROM ({sql}) LIMIT 0").description]
+                out["schema_match"] = sorted(sdf.columns) == sorted(dcols)
+                out["err"] = f"rows_only_gt_{MAX_HASH_ROWS}"
+                return out
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)
         out["spark_rows"] = len(srows)
@@ -127,7 +153,9 @@ def main(argv):
         r = check_one(spark, duck, name, qs[name], oracles.get(name))
         results[name] = r
         ok = r["hash_match"] or (r["err"] == "no_oracle"
-                                 and r["spark_rows"] is not None)
+                                 and r["spark_rows"] is not None) \
+            or (r["err"] is not None and r["err"].startswith("rows_only_gt_")
+                and r["rows_match"] and r["schema_match"])
         tag = "OK  " if ok else "BAD "
         if not ok:
             bad.append(name)
