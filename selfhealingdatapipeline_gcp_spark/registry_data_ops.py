@@ -151,6 +151,17 @@ _EMB_NORMED = (
     "SELECT vec_id, label, v, sqrt({dot}) AS nrm "
     "FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 ).format(dot=_dot("v", "v"))
+
+# Grid size for the AUTO-sized cell operators (dedup_embedding cell
+# mode, knn_graph_cells and everything built on it): the SQL twin of
+# max(16, min(4096, ceil(n / 4000))) so the oracle tracks the Spark
+# side at EVERY replica SF, not just the ones where auto resolves to
+# 16 (r7: the sf10 sweep caught the pinned-16 oracle diverging at
+# 200k vectors where auto = 50). Past 4096·4000 corpus rows the
+# in-task hot-cell subdivision may fire and the oracle is no longer
+# exact — the replicas stay far below that.
+_K_AUTO = ("(SELECT greatest(16, least(4096, "
+           "CAST(ceil(count(*) / 4000.0) AS BIGINT))) FROM embeddings)")
 register(
     # explicit all-pairs escape: the exact verifier for modest corpora
     "dedup_embedding",
@@ -175,17 +186,22 @@ register(
     f"""
     WITH n AS ({_EMB_NORMED}),
     cents AS (
-      -- fixed-K pick: K smallest md5int(vec_id), constant w.r.t. corpus
+      -- fixed-K pick: K smallest md5int(vec_id); K auto-sizes with
+      -- the corpus exactly like the Spark side (_K_AUTO)
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
                vec_id
-      LIMIT 16
+      LIMIT {_K_AUTO}
     ), assign AS (
+      -- floor(cos*1e6) micro-units, smallest cent_id on ties: the
+      -- exact argmax of assign_cells_arrow (round(,6) differs from
+      -- floor on quantization boundaries — diverged 23 rows at sf10)
       SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cents.cent_id,
                row_number() OVER (
                  PARTITION BY n.vec_id
-                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
                           cent_id) AS rn
         FROM n, cents
       ) WHERE rn = 1
@@ -1058,13 +1074,15 @@ _KNN_CTES = f"""n AS ({_EMB_NORMED}),
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
                vec_id
-      LIMIT 16
+      LIMIT {_K_AUTO}
     ), assign AS (
+      -- floor micro-unit argmax: assign_cells_arrow's exact tie rule
       SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cents.cent_id,
                row_number() OVER (
                  PARTITION BY n.vec_id
-                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
                           cent_id) AS rn
         FROM n, cents
       ) WHERE rn = 1
