@@ -78,6 +78,44 @@ def source_mixing_plan(documents: DataFrame, target_total: int,
     )
 
 
+def source_topic_mix(documents: DataFrame,
+                     embeddings: DataFrame) -> DataFrame:
+    """Topic composition per source feed: join each document to its
+    embedding-space label (doc_id = vec_id, the corpus's 1:1 vector
+    sidecar) and report, per (source, label): doc count, the label's
+    share WITHIN the source, its share in the whole corpus, and the
+    lift between the two — the table a data-mixing decision actually
+    reads ("is source X over-feeding topic 7 relative to the
+    corpus?"). Complements source_mixing_plan (volume per source)
+    and source_language_mix (language per source) with the topic
+    axis.
+
+    Scale: one corpus join on doc_id (slim rows: id + label), one
+    (source, label) aggregate; the share/lift arithmetic runs on the
+    dim-sized aggregate relation with its per-source and per-label
+    totals window-derived — no second pass over the corpus.
+    Floor-truncated at 4 decimals (money.trunc) for oracle parity."""
+    j = documents.select("doc_id", "source").join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), "label"),
+        "doc_id")
+    agg = j.groupBy("source", "label").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    w_src = Window.partitionBy("source")
+    w_lbl = Window.partitionBy("label")
+    w_all = Window.partitionBy()
+    src_total = F.sum("n_docs").over(w_src)
+    lbl_total = F.sum("n_docs").over(w_lbl)
+    corpus_total = F.sum("n_docs").over(w_all)
+    source_share = F.col("n_docs") / src_total
+    corpus_share = lbl_total / corpus_total
+    return agg.select(
+        "source", "label", "n_docs",
+        money.trunc(source_share).alias("source_share"),
+        money.trunc(corpus_share).alias("corpus_share"),
+        money.trunc(source_share / corpus_share).alias("lift"),
+    ).orderBy("source", "label")
+
+
 def contamination_check(train: DataFrame, eval_: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
     """Train/eval contamination: for each eval document, the fraction

@@ -945,13 +945,13 @@ def minhash_estimate_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def dedup_clusters(documents: DataFrame,
-                   max_iterations: int = 15,
-                   edges: DataFrame | None = None) -> DataFrame:
-    """Duplicate CLUSTERS from near-dup pairs: connected components
-    via min-label propagation + pointer doubling, then keeper
-    selection (lowest doc_id per component) — what a dedup pipeline
-    actually emits.
+def component_labels(edges: DataFrame,
+                     max_iterations: int = 15) -> DataFrame:
+    """doc_id → connected-component label (the MIN reachable doc_id)
+    over an undirected (doc_a, doc_b) edge relation — the shared
+    clustering core of dedup_clusters, dedup_drop_list, and
+    leakage_safe_split. Only nodes that appear in ``edges`` get a
+    row; singletons are the caller's concern.
 
     Iterative (non-SQL-expressible): each round (a) joins current
     labels across candidate edges and takes the neighbor min, then
@@ -965,14 +965,7 @@ def dedup_clusters(documents: DataFrame,
     only decrease, so equal consecutive sums ⟺ fixed point — no
     old-vs-new join needed). If the loop exhausts
     ``max_iterations`` without converging it raises loudly instead
-    of silently emitting partial components (VERDICT r4 #8).
-
-    ``edges`` accepts any (doc_a, doc_b) candidate relation —
-    dedup_lsh_verified pairs, simhash candidates, embedding-cell
-    pairs — so one clustering implementation serves every candidate
-    generator; default is MinHash-LSH over ``documents``."""
-    if edges is None:
-        edges = dedup_minhash_lsh(documents)
+    of silently emitting partial components (VERDICT r4 #8)."""
     # Materialize the edge relation ONCE before looping: the loop
     # joins adj against labels twice per round, and without this the
     # whole candidate-generation subtree (at worst the full
@@ -1044,11 +1037,28 @@ def dedup_clusters(documents: DataFrame,
         prev_sum = new_sum
     if not converged:
         raise RuntimeError(
-            f"dedup_clusters did not converge within {max_iterations} "
+            f"component_labels did not converge within {max_iterations} "
             "rounds — the candidate graph has a larger diameter than "
             "expected (pointer doubling covers 2^rounds hops); raise "
             "max_iterations rather than trusting partial components")
+    return labels
 
+
+def dedup_clusters(documents: DataFrame,
+                   max_iterations: int = 15,
+                   edges: DataFrame | None = None) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components
+    (component_labels — min-label propagation + pointer doubling),
+    then keeper selection (lowest doc_id per component) — what a
+    dedup pipeline actually emits.
+
+    ``edges`` accepts any (doc_a, doc_b) candidate relation —
+    dedup_lsh_verified pairs, simhash candidates, embedding-cell
+    pairs — so one clustering implementation serves every candidate
+    generator; default is MinHash-LSH over ``documents``."""
+    if edges is None:
+        edges = dedup_minhash_lsh(documents)
+    labels = component_labels(edges, max_iterations)
     clusters = (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"),
@@ -1061,6 +1071,91 @@ def dedup_clusters(documents: DataFrame,
         .orderBy("cluster_id")
     )
     return clusters
+
+
+def dedup_drop_list(documents: DataFrame,
+                    edges: DataFrame | None = None,
+                    max_iterations: int = 15) -> DataFrame:
+    """Per-document dedup RESOLUTION manifest: for every member of a
+    near-dup cluster, which copy to keep and which to drop — the
+    artifact a production dedup pipeline actually applies to the
+    corpus (dedup_clusters reports the clusters; this resolves them).
+
+    Keeper rule: highest text_quality_score wins, lowest doc_id on
+    ties — keep the best-written copy, not an arbitrary one (the
+    min-doc_id keeper of dedup_clusters biases toward whichever
+    duplicate was ingested first). Output is bounded by CLUSTERED
+    docs (the duplicates), never corpus-sized.
+
+    Scale: component_labels is the O(log diameter) pointer-doubling
+    loop over bounded LSH-verified edges; the quality join ships one
+    slim (doc_id, score) row per corpus doc through one hash join;
+    keeper pick is one window over the bounded cluster membership.
+
+    Reference parity: the reference dedups nothing (its detectors
+    only COUNT duplicates — monitoring/detectors/
+    data_quality_detector.py duplicate trend); this is the curation
+    counterpart the training-data brief adds."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+
+    if edges is None:
+        edges = dedup_lsh_verified(documents)
+    labels = component_labels(edges, max_iterations)
+    sized = (labels.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("cluster_size"))
+             .filter(F.col("cluster_size") > 1))
+    quality = textanalysis.text_quality_score(documents).select(
+        "doc_id", "quality_score")
+    j = labels.join(sized, "label").join(quality, "doc_id")
+    w = Window.partitionBy("label").orderBy(
+        F.desc("quality_score"), F.asc("doc_id"))
+    keeper = F.first("doc_id").over(w)
+    return (
+        j.select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            "quality_score",
+            keeper.alias("keeper_doc_id"),
+        )
+        .withColumn("action",
+                    F.when(F.col("doc_id") == F.col("keeper_doc_id"),
+                           F.lit("keep")).otherwise(F.lit("drop")))
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def leakage_safe_split(documents: DataFrame,
+                       edges: DataFrame | None = None,
+                       val_pct: int = 10,
+                       max_iterations: int = 15) -> DataFrame:
+    """Train/val split that near-dup clusters cannot straddle: the
+    split key is the doc's connected-component label when it has one
+    (coalesced to its own doc_id otherwise), so every member of a
+    near-dup cluster hashes into the SAME split — the fix for what
+    split_leakage_check detects (train_val_split hashes raw doc_ids,
+    so two near-identical docs can land on opposite sides and leak
+    val content into train).
+
+    Same md5int(key) % 100 < val_pct rule as train_val_split —
+    deterministic, retry-stable, and scan-level for the singleton
+    majority; clustered docs add one left join against the bounded
+    label relation."""
+    if edges is None:
+        edges = dedup_lsh_verified(documents)
+    labels = component_labels(edges, max_iterations)
+    s = (documents.select("doc_id")
+         .join(labels, "doc_id", "left")
+         .select("doc_id",
+                 F.coalesce(F.col("label"), F.col("doc_id"))
+                  .alias("split_key")))
+    bucket = textfn.md5int(F.col("split_key").cast("string")) % 100
+    return s.select(
+        "doc_id", "split_key",
+        bucket.alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
+         .alias("split"),
+    ).orderBy("doc_id")
 
 
 def dedup_simhash_multitable(documents: DataFrame,

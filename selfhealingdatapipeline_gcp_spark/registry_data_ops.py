@@ -1067,6 +1067,92 @@ register(
     _cc_oracle(_LSH_VERIFIED_SQL),
 )
 
+# closure CTE chain shared by the per-doc cluster consumers
+# (dedup_drop_list, leakage_safe_split): same recursive transitive
+# closure as _cc_oracle, stopping at the per-doc (doc_id, label)
+# relation instead of aggregating to clusters
+_COMP_CTES = f"""base AS (
+      {_LSH_VERIFIED_SQL}
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM base
+      UNION ALL
+      SELECT doc_b, doc_a FROM base
+    ), walk(src, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(reach)) AS label
+      FROM walk GROUP BY src
+    )"""
+
+register(
+    "dedup_drop_list",
+    # cluster resolution manifest: keep the highest-quality member of
+    # every near-dup cluster, drop the rest (keeper = quality_score
+    # DESC, doc_id ASC — both floor-truncated/integer, so the window
+    # order is engine-exact)
+    lambda spark, sf: dedup.dedup_drop_list(*_t(spark, sf, "documents")),
+    f"""
+    WITH RECURSIVE {_COMP_CTES}, sized AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY label HAVING count(*) > 1
+    ), qd AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    qf AS (
+      SELECT doc_id, len(t) AS n,
+             list_reduce([CAST(0 AS BIGINT)]
+                         || list_transform(t, x -> length(x)::BIGINT),
+                         (acc, x) -> acc + x) AS sum_len,
+             len(list_filter(t, x -> list_contains({_STOPS}, x))) AS n_stop
+      FROM qd
+    ), qg AS (
+      SELECT doc_id,
+             sum_len / greatest(n, 1) AS mean_len,
+             n_stop / greatest(n, 1) AS stop_ratio,
+             least(n / 100.0, 1.0) AS len_score
+      FROM qf
+    ), q AS (
+      SELECT doc_id,
+             (floor((0.5 * len_score + 0.3 * stop_ratio
+                     + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
+                              THEN 1.0 ELSE 0.0 END)) * 10000.0) / 10000.0)
+               AS quality_score
+      FROM qg
+    ), k AS (
+      SELECT comp.doc_id, comp.label, sized.cluster_size, q.quality_score,
+             first_value(comp.doc_id) OVER (
+               PARTITION BY comp.label
+               ORDER BY q.quality_score DESC, comp.doc_id) AS keeper_doc_id
+      FROM comp JOIN sized USING (label) JOIN q USING (doc_id)
+    )
+    SELECT doc_id, label AS cluster_id, cluster_size, quality_score,
+           keeper_doc_id,
+           CASE WHEN doc_id = keeper_doc_id THEN 'keep' ELSE 'drop' END
+             AS action
+    FROM k ORDER BY cluster_id, doc_id
+    """,
+)
+
+register(
+    "leakage_safe_split",
+    # split by cluster label (own doc_id for singletons): near-dup
+    # clusters can never straddle train/val — the fix for what
+    # split_leakage_check detects
+    lambda spark, sf: dedup.leakage_safe_split(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH RECURSIVE {_COMP_CTES}, s AS (
+      SELECT d.doc_id, coalesce(comp.label, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    )
+    SELECT doc_id, split_key,
+           ({_md5int('CAST(split_key AS VARCHAR)')} % 100) AS bucket,
+           CASE WHEN {_md5int('CAST(split_key AS VARCHAR)')} % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM s ORDER BY doc_id
+    """,
+)
+
 
 # knn-graph CTE chain, shared by knn_graph_cells and pagerank_knn
 _KNN_CTES = f"""n AS ({_EMB_NORMED}),

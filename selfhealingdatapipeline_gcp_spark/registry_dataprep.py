@@ -389,3 +389,37 @@ register(
     ORDER BY source
     """,
 )
+
+
+register(
+    "source_topic_mix",
+    # per-source topic composition vs the corpus: the data-mixing
+    # read of the embedding labels (doc_id = vec_id 1:1 sidecar)
+    lambda spark, sf: dataprep.source_topic_mix(
+        *_t(spark, sf, "documents", "embeddings")),
+    """
+    WITH j AS (
+      SELECT d.doc_id, d.source, e.label
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ), agg AS (
+      SELECT source, label, CAST(count(*) AS BIGINT) AS n_docs
+      FROM j GROUP BY source, label
+    ), t AS (
+      SELECT source, label, n_docs,
+             CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+               AS src_total,
+             CAST(sum(n_docs) OVER (PARTITION BY label) AS BIGINT)
+               AS lbl_total,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS corpus_total
+      FROM agg
+    )
+    SELECT source, label, n_docs,
+           (floor((n_docs / src_total) * 10000.0) / 10000.0)
+             AS source_share,
+           (floor((lbl_total / corpus_total) * 10000.0) / 10000.0)
+             AS corpus_share,
+           (floor(((n_docs / src_total) / (lbl_total / corpus_total))
+                  * 10000.0) / 10000.0) AS lift
+    FROM t ORDER BY source, label
+    """,
+)

@@ -33,6 +33,8 @@ ORACLE_CHECKED = [
     "multimodal_meta",
     "multimodal_resize_plan",
     "ann_pq_topk",
+    "dedup_drop_list",
+    "leakage_safe_split",
 ]
 
 
@@ -1276,3 +1278,50 @@ def test_dup_matrix_conserves_pairs(spark):
     assert sum(r.n_dup_pairs for r in cells) == n_pairs
     for r in cells:
         assert r.source_a <= r.source_b
+
+
+def test_drop_list_resolves_every_cluster(spark):
+    """dedup_drop_list: exactly one 'keep' per cluster, the keeper
+    has the cluster-max quality_score (doc_id tie-break), membership
+    and sizes agree with dedup_verified_clusters (same edge set)."""
+    qs = registry.queries()
+    rows = qs["dedup_drop_list"](spark, SF_ORACLE).collect()
+    assert rows, "expected near-dup clusters at the oracle SF"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    clusters = {r.cluster_id: r
+                for r in qs["dedup_verified_clusters"](
+                    spark, SF_ORACLE).collect()}
+    assert set(by_cluster) == set(clusters)
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.action == "keep"]
+        assert len(keeps) == 1
+        keeper = keeps[0]
+        assert all(m.keeper_doc_id == keeper.doc_id for m in members)
+        best = max(members, key=lambda m: (m.quality_score, -m.doc_id))
+        assert keeper.doc_id == best.doc_id
+        assert len(members) == clusters[cid].cluster_size
+        assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Both ends of every verified near-dup pair land in the same
+    split; singletons keep train_val_split's own-id hash rule."""
+    qs = registry.queries()
+    split = {r.doc_id: (r.split_key, r.split)
+             for r in qs["leakage_safe_split"](spark, SF_ORACLE).collect()}
+    base = {r.doc_id: r.split
+            for r in qs["train_val_split"](spark, SF_ORACLE).collect()}
+    assert set(split) == set(base)  # corpus-complete, once each
+    pairs = qs["dedup_lsh_verified"](spark, SF_ORACLE).collect()
+    assert pairs
+    clustered = set()
+    for p in pairs:
+        clustered.update((p.doc_a, p.doc_b))
+        assert split[p.doc_a][1] == split[p.doc_b][1]
+        assert split[p.doc_a][0] == split[p.doc_b][0]
+    for doc_id, (key, s) in split.items():
+        if doc_id not in clustered:
+            assert key == doc_id
+            assert s == base[doc_id]

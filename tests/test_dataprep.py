@@ -25,6 +25,7 @@ DATAPREP = [
     "token_histogram",
     "temperature_mixing_weights",
     "doc_chunk_plan",
+    "source_topic_mix",
 ]
 
 
@@ -224,3 +225,25 @@ def test_packing_efficiency_consistent_with_plan(spark, duck):
         assert row.n_packs == len(packs[s])
         assert row.total_tokens == toks[s]
         assert row.fill_e6 == (toks[s] * 1_000_000) // (len(packs[s]) * 2048)
+
+
+def test_source_topic_mix_shares_consistent(spark):
+    """n_docs sums to the joined corpus; per-source shares sum to 1
+    within floor-truncation slack; lift ~= source_share/corpus_share."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["source_topic_mix"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    n_docs_total = catalog.load(spark, SF_ORACLE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, members in by_source.items():
+        s = sum(m.source_share for m in members)
+        # floor-truncated at 4 decimals: sum <= 1, off by < 1e-4/label
+        assert 1.0 - 1e-4 * len(members) <= s <= 1.0 + 1e-9
+        for m in members:
+            if m.corpus_share > 0:
+                approx = m.source_share / m.corpus_share
+                assert abs(m.lift - approx) < 2e-3

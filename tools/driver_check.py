@@ -123,6 +123,21 @@ def check_one(spark, duck, name, builder, sql):
 
 
 def main(argv):
+    # --resume-log PATH: skip queries that already have an OK/BAD
+    # line in PATH (the sweep's own output, appended across runs) —
+    # lets a multi-hour scale sweep continue after an OOM kill
+    # instead of restarting from query 1.
+    resume_done: set[str] = set()
+    if "--resume-log" in argv:
+        i = argv.index("--resume-log")
+        path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    if line.startswith(("OK ", "BAD ")):
+                        resume_done.add(
+                            line.split()[1].rstrip(":"))
     if os.environ.get("SPARK_GRAFT_DECIMAL") == "1":
         # strict gate with the DECIMAL(38,0) accumulators on: values
         # must be identical below the int64 boundary (DuckDB's BIGINT
@@ -138,6 +153,16 @@ def main(argv):
         # identical, and the orders⋈lineitem joins run Exchange-free
         catalog.use_bucketed_tables(spark, SF)
     duck = duckdb.connect()
+    # Cap DuckDB and give it a spill path: the in-process oracle
+    # otherwise grows unbounded on the sf10 replicas (a 71 GB RSS
+    # OOM kill took down the whole r7 sweep on ann_pq_topk's
+    # list-heavy oracle). With a limit + temp_directory DuckDB
+    # spills to disk instead of dying.
+    try:
+        duck.execute("SET memory_limit='48GiB'")
+        duck.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:  # noqa: BLE001  # older DuckDB: names differ
+        pass
     for t in catalog.TABLES:
         # single-file testdata vs directory-shaped (Spark-written)
         # replicas: DuckDB needs a glob for the latter
@@ -148,6 +173,10 @@ def main(argv):
     qs = registry.queries()
     oracles = registry.oracle_sql()
     names = argv or list(qs)
+    if resume_done:
+        skipped = [n for n in names if n in resume_done]
+        names = [n for n in names if n not in resume_done]
+        print(f"resume: skipping {len(skipped)} already-logged queries")
     results, bad = {}, []
     for name in names:
         r = check_one(spark, duck, name, qs[name], oracles.get(name))
