@@ -120,6 +120,9 @@ HEADLINE = [
     "revenue_autocorrelation",
     "cross_source_dup_matrix",
     "dedup_cluster_size_histogram",
+    "dedup_drop_list",
+    "leakage_safe_split",
+    "source_topic_mix",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -136,7 +139,10 @@ LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff"}
 # other builders construct a plan in milliseconds — timing them
 # outside keeps floors comparable with every prior round.
 BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
-                  "streaming_cdc_apply"}
+                  "streaming_cdc_apply",
+                  # component_labels loops with eager localCheckpoints
+                  # inside the builder — the CC work must be timed
+                  "dedup_drop_list", "leakage_safe_split"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:
