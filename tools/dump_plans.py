@@ -59,6 +59,13 @@ SHOW = {
     "revenue_autocorrelation": "one corpus aggregate to day grain; "
                                "lag windows + closed-form r on the "
                                "O(days) relation; O(lags) output",
+    "dedup_drop_list": "CC labels come pre-materialized (checkpoint "
+                       "leaf); quality join ships slim (doc_id, "
+                       "score) rows; keeper window over bounded "
+                       "cluster membership only",
+    "source_topic_mix": "slim (doc_id, source)x(vec_id, label) "
+                        "equi-join; shares/lift window over the "
+                        "dim-sized (source, label) aggregate",
 }
 
 
