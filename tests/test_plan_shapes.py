@@ -503,6 +503,13 @@ _FINGERPRINTS = {
     # the SMJ is the full-outer digest diff itself (both sides are
     # key+md5 fingerprints; bucketed snapshots co-locate it)
     "cdc_snapshot_diff": (3, 0, 1, 0),
+    # join broadcasts at tiny SF; the window exchanges move the
+    # dim-sized (source, label) aggregate, never the corpus
+    "source_topic_mix": (2, 1, 0, 0),
+    # corpus⋈labels stays SMJ by design: cluster labels can be a
+    # large fraction of the corpus at 100 TB (AQE may broadcast when
+    # small); the CC loop itself is a checkpoint leaf, not plan nodes
+    "leakage_safe_split": (3, 0, 1, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
