@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_drop_list",
     "leakage_safe_split",
     "source_topic_mix",
+    "dedup_rate_report",
+    "chunk_dedup_exact",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -142,7 +144,8 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "streaming_cdc_apply",
                   # component_labels loops with eager localCheckpoints
                   # inside the builder — the CC work must be timed
-                  "dedup_drop_list", "leakage_safe_split"}
+                  "dedup_drop_list", "leakage_safe_split",
+                  "dedup_rate_report"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

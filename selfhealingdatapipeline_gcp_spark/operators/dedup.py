@@ -1158,6 +1158,96 @@ def leakage_safe_split(documents: DataFrame,
     ).orderBy("doc_id")
 
 
+def dedup_rate_report(documents: DataFrame,
+                      edges: DataFrame | None = None,
+                      max_iterations: int = 15) -> DataFrame:
+    """One-row corpus dedup audit: how much of the corpus is
+    duplicated and how much a resolution pass would remove — the
+    number a curation run reports up front (n_docs, docs in near-dup
+    clusters, cluster count, docs a keep-one resolution drops, and
+    the drop rate in integer micro-units).
+
+    Scale: one corpus count aggregate + the bounded cluster-size
+    aggregate, composed by a 1-row × 1-row crossJoin (the anchored
+    broadcast pattern — never a data join)."""
+    if edges is None:
+        edges = dedup_lsh_verified(documents)
+    labels = component_labels(edges, max_iterations)
+    corpus = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (labels.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("sz"))
+             .filter(F.col("sz") > 1)
+             .agg(F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint")
+                   .alias("n_clustered_docs"),
+                  F.count(F.lit(1)).alias("n_clusters")))
+    n_to_drop = (F.col("n_clustered_docs") - F.col("n_clusters")) \
+        .cast("bigint")
+    return (
+        corpus.crossJoin(F.broadcast(stats))
+        .select(
+            "n_docs", "n_clustered_docs", "n_clusters",
+            n_to_drop.alias("n_to_drop"),
+            F.floor(n_to_drop * 1000000.0 / F.col("n_docs"))
+             .cast("bigint").alias("drop_rate_e6"),
+        )
+    )
+
+
+def chunk_dedup_exact(documents: DataFrame,
+                      chunk_tokens: int = 64,
+                      overlap: int = 16) -> DataFrame:
+    """Exact duplicate detection at CHUNK grain: hash every
+    doc_chunk_plan token window (same chunk/stride geometry) and
+    report windows whose text recurs — catches copy-pasted sections
+    and boilerplate blocks inside otherwise-distinct documents, the
+    partial-duplication case whole-doc dedup_exact cannot see and
+    winnowing only samples.
+
+    Pure hash-groupBy at chunk grain (the dedup_exact discipline one
+    level down): the shuffle carries 32-char digests, never chunk
+    text; output is bounded by recurring windows (HAVING count > 1).
+    The exemplar (lowest doc_id, then chunk_idx) rides a single
+    packed bigint min — integer-exact across engines."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    d = _spread(documents).select(
+        "doc_id", textfn.tokens("text").alias("t"))
+    d = d.select("doc_id", "t", F.size("t").cast("bigint").alias("nt"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((F.col("nt") - overlap + (stride - 1))
+                / F.lit(float(stride))).cast("bigint"))
+    ch = d.select(
+        "doc_id", "t", "nt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             n_chunks - 1)).alias("chunk_idx"))
+    s = F.col("chunk_idx") * stride
+    e = F.least(s + chunk_tokens, F.col("nt"))
+    h = ch.select(
+        "doc_id", "chunk_idx",
+        F.md5(F.concat_ws(
+            " ", F.slice("t", (s + 1).cast("int"),
+                         (e - s).cast("int")))).alias("chunk_hash"))
+    packed = F.min(F.col("doc_id") * F.lit(1_000_000_000)
+                   + F.col("chunk_idx"))
+    return (
+        h.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.countDistinct("doc_id").alias("n_docs"),
+             packed.alias("__k"))
+        .filter(F.col("n_chunks") > 1)
+        .select(
+            "chunk_hash", "n_chunks", "n_docs",
+            F.floor(F.col("__k") / 1_000_000_000).cast("bigint")
+             .alias("exemplar_doc_id"),
+            (F.col("__k") % 1_000_000_000).cast("bigint")
+             .alias("exemplar_chunk_idx"),
+        )
+        .orderBy("chunk_hash")
+    )
+
+
 def dedup_simhash_multitable(documents: DataFrame,
                              max_hamming: int = 6,
                              n_tables: int = 4) -> DataFrame:

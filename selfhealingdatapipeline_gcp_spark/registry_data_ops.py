@@ -1134,6 +1134,73 @@ register(
 )
 
 register(
+    "dedup_rate_report",
+    # one-row corpus dedup audit: clustered docs, clusters, docs a
+    # keep-one resolution drops, drop rate in integer micro-units
+    lambda spark, sf: dedup.dedup_rate_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH RECURSIVE {_COMP_CTES}, sized AS (
+      SELECT label, count(*) AS sz
+      FROM comp GROUP BY label HAVING count(*) > 1
+    ), stats AS (
+      SELECT CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_clustered_docs,
+             CAST(count(*) AS BIGINT) AS n_clusters
+      FROM sized
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    )
+    SELECT n_docs, n_clustered_docs, n_clusters,
+           CAST(n_clustered_docs - n_clusters AS BIGINT) AS n_to_drop,
+           CAST(floor((n_clustered_docs - n_clusters) * 1000000.0
+                      / n_docs) AS BIGINT) AS drop_rate_e6
+    FROM corpus, stats
+    """,
+)
+
+register(
+    "chunk_dedup_exact",
+    # chunk-grain exact dedup: recurring doc_chunk_plan token windows
+    # (copy-pasted sections whole-doc dedup cannot see); shuffle
+    # carries 32-char digests, output bounded by HAVING count > 1
+    lambda spark, sf: dedup.chunk_dedup_exact(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS nt FROM d),
+    nc AS (
+      SELECT doc_id, t, nt,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(floor((nt - 16 + 47) / 48.0) AS BIGINT))
+               AS n_chunks
+      FROM base
+    ), ch AS (
+      SELECT doc_id, t, nt, unnest(range(0, n_chunks)) AS chunk_idx
+      FROM nc
+    ), w AS (
+      SELECT doc_id, chunk_idx, t,
+             chunk_idx * 48 AS s,
+             least(chunk_idx * 48 + 64, nt) AS e
+      FROM ch
+    ), h AS (
+      SELECT doc_id, chunk_idx,
+             md5(array_to_string(list_slice(t, s + 1, e), ' '))
+               AS chunk_hash
+      FROM w
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(floor(min(doc_id * 1000000000 + chunk_idx)
+                      / 1000000000) AS BIGINT) AS exemplar_doc_id,
+           CAST(min(doc_id * 1000000000 + chunk_idx) % 1000000000
+                AS BIGINT) AS exemplar_chunk_idx
+    FROM h GROUP BY chunk_hash HAVING count(*) > 1
+    ORDER BY chunk_hash
+    """,
+)
+
+register(
     "leakage_safe_split",
     # split by cluster label (own doc_id for singletons): near-dup
     # clusters can never straddle train/val — the fix for what

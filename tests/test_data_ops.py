@@ -35,6 +35,8 @@ ORACLE_CHECKED = [
     "ann_pq_topk",
     "dedup_drop_list",
     "leakage_safe_split",
+    "dedup_rate_report",
+    "chunk_dedup_exact",
 ]
 
 
@@ -1325,3 +1327,43 @@ def test_leakage_safe_split_never_straddles(spark):
         if doc_id not in clustered:
             assert key == doc_id
             assert s == base[doc_id]
+
+
+def test_dedup_rate_report_matches_clusters(spark):
+    """The one-row audit must agree with dedup_verified_clusters:
+    same cluster count, clustered docs = sum of sizes, drop count =
+    clustered - clusters."""
+    qs = registry.queries()
+    report = qs["dedup_rate_report"](spark, SF_ORACLE).collect()[0]
+    clusters = qs["dedup_verified_clusters"](spark, SF_ORACLE).collect()
+    assert report.n_clusters == len(clusters)
+    assert report.n_clustered_docs == sum(c.cluster_size for c in clusters)
+    assert report.n_to_drop == report.n_clustered_docs - report.n_clusters
+    from selfhealingdatapipeline_gcp_spark import catalog
+    n_docs = catalog.load(spark, SF_ORACLE, "documents").count()
+    assert report.n_docs == n_docs
+    assert report.drop_rate_e6 == report.n_to_drop * 1_000_000 // n_docs
+
+
+def test_chunk_dedup_exact_detects_copied_block(spark):
+    """Two docs sharing an exact 64-token window must collide on the
+    chunk-0 hash; a doc with unique text must not appear."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    block = " ".join(f"tok{i}" for i in range(70))
+    rows = [
+        (1, block + " tail one extra words here"),
+        (2, block + " completely different ending text"),
+        (3, " ".join(f"uniq{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.chunk_dedup_exact(df).collect()
+    assert out, "shared 64-token prefix must produce a recurring chunk"
+    docs_hit = set()
+    for r in out:
+        assert r.n_chunks >= 2
+        assert r.n_docs <= r.n_chunks
+        assert r.exemplar_doc_id in (1, 2)
+        docs_hit.add(r.exemplar_doc_id)
+    assert 1 in docs_hit  # exemplar is the lowest doc_id
+    # doc 3 shares no window with anyone: it must not be an exemplar
+    assert 3 not in docs_hit
