@@ -60,6 +60,12 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scale sweeps: the 1 GiB default killed streaming_sessionize
+        # at sf10 (memory-sink results serialize to the driver). The
+        # box has 128 GiB; a cluster deployment would size this to
+        # its driver container instead.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "8g"))
         # Oracle parity: DuckDB timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-interop path (multimodal mapInPandas).
