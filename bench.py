@@ -125,6 +125,7 @@ HEADLINE = [
     "source_topic_mix",
     "dedup_rate_report",
     "chunk_dedup_exact",
+    "embedding_covariance",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

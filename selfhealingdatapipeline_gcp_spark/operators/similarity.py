@@ -1041,6 +1041,75 @@ def knn_graph_cells(embeddings: DataFrame, k: int = 5,
     )
 
 
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    """Dimension-pair covariance of the embedding corpus (upper
+    triangle, d(d+1)/2 rows): the sufficient statistic for PCA /
+    whitening / anisotropy QC — strongly correlated dims mean wasted
+    representation capacity, and a drifting covariance between
+    encoder versions flags a representation change
+    embedding_centroid_drift's label means cannot see.
+
+    Scale shape: each Arrow batch reduces to ONE d×d integer partial
+    Gram in numpy (U^T·U on floor-e6 units — exact, and within-batch
+    overflow-free: |u| ≤ ~8e6 ⇒ batch sums bound at ~10k rows ×
+    6.4e13 ≪ 2^63), so the shuffle carries 2080 rows per batch —
+    never the corpus. Cross-batch sums run through money.acc
+    (DECIMAL-widenable for corpora where Σu² approaches int64, ~1e5
+    docs per unit of per-dim variance·1e12; the e12 ceiling is the
+    same documented boundary as every Σx² site). The final
+    covariance is a closed-form double expression over the exact
+    integer sums — identical op order in the DuckDB twin — floored
+    to e12 units (cov_real = cov_e12 / 1e12).
+
+    Integer sums are order-independent, so the partial-Gram batching
+    is invisible to the result: bit-identical to the oracle's flat
+    per-pair SQL aggregation."""
+    from selfhealingdatapipeline_gcp_spark.functions import money
+
+    v = vectorfn.to_double(F.col("embedding"))
+    base = _spread_similarity(embeddings).select(v.alias("v"))
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            U = np.floor(V * 1e6).astype(np.int64)
+            G = U.T @ U
+            s = U.sum(axis=0)
+            iu, ju = np.triu_indices(U.shape[1])
+            yield pd.DataFrame({
+                "dim_i": iu.astype("int32"),
+                "dim_j": ju.astype("int32"),
+                "p_n": np.full(len(iu), len(pdf), dtype="int64"),
+                "p_si": s[iu],
+                "p_sj": s[ju],
+                "p_prod": G[iu, ju],
+            })
+
+    parts = base.mapInPandas(
+        partial_gram,
+        "dim_i int, dim_j int, p_n bigint, p_si bigint, "
+        "p_sj bigint, p_prod bigint")
+    agg = parts.groupBy("dim_i", "dim_j").agg(
+        F.sum(money.acc(F.col("p_n"))).cast("bigint").alias("n"),
+        F.sum(money.acc(F.col("p_si"))).cast("bigint").alias("__si"),
+        F.sum(money.acc(F.col("p_sj"))).cast("bigint").alias("__sj"),
+        F.sum(money.acc(F.col("p_prod"))).cast("bigint").alias("__sp"),
+    )
+    nd = F.col("n").cast("double")
+    cov = (F.col("__sp").cast("double")
+           - F.col("__si").cast("double") * F.col("__sj").cast("double")
+           / nd) / nd
+    return (
+        agg.select("dim_i", "dim_j", "n",
+                   F.floor(cov).cast("bigint").alias("cov_e12"))
+        .orderBy("dim_i", "dim_j")
+    )
+
+
 def embedding_outliers(embeddings: DataFrame,
                        z_threshold: float = 2.0) -> DataFrame:
     """Per-label embedding outliers: vectors whose cosine to their

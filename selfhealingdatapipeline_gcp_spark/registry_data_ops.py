@@ -2047,6 +2047,32 @@ register(
 
 
 register(
+    "embedding_covariance",
+    # upper-triangle dim-pair covariance in e12 integer units: exact
+    # integer sums (order-independent, so the Arrow partial-Gram
+    # batching is invisible), closed-form double cov floored at the end
+    lambda spark, sf: similarity.embedding_covariance(
+        *_t(spark, sf, "embeddings")),
+    """
+    WITH ex AS (
+      SELECT vec_id, CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS u
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    )
+    SELECT a.dim_idx AS dim_i, b.dim_idx AS dim_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor((CAST(sum(a.u * b.u) AS DOUBLE)
+                       - CAST(sum(a.u) AS DOUBLE)
+                         * CAST(sum(b.u) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE))
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cov_e12
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim_idx <= b.dim_idx
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+register(
     "embedding_outliers",
     lambda spark, sf: similarity.embedding_outliers(
         *_t(spark, sf, "embeddings")),

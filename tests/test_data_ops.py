@@ -37,6 +37,7 @@ ORACLE_CHECKED = [
     "leakage_safe_split",
     "dedup_rate_report",
     "chunk_dedup_exact",
+    "embedding_covariance",
 ]
 
 
@@ -1367,3 +1368,29 @@ def test_chunk_dedup_exact_detects_copied_block(spark):
     assert 1 in docs_hit  # exemplar is the lowest doc_id
     # doc 3 shares no window with anyone: it must not be an exemplar
     assert 3 not in docs_hit
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The e12-unit covariance matrix must match numpy's biased
+    covariance of the floor-e6 integer units and be PSD."""
+    import numpy as np
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["embedding_covariance"](
+        spark, SF_ORACLE).collect()
+    emb = catalog.load(spark, SF_ORACLE, "embeddings") \
+        .select("embedding").collect()
+    U = np.floor(np.array([list(r.embedding) for r in emb],
+                          dtype=np.float64) * 1e6)
+    d = U.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    C = np.zeros((d, d))
+    for r in rows:
+        assert r.n == len(U)
+        C[r.dim_i, r.dim_j] = r.cov_e12
+        C[r.dim_j, r.dim_i] = r.cov_e12
+    ref = np.cov(U, rowvar=False, bias=True)
+    # floor-truncation: each entry within 1 unit of the float cov
+    assert np.max(np.abs(C - ref)) <= 1.0 + 1e-6 * np.max(np.abs(ref))
+    evals = np.linalg.eigvalsh(C)
+    assert evals.min() >= -1e-6 * max(evals.max(), 1.0)  # PSD
+    assert all(C[i, i] >= 0 for i in range(d))
