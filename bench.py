@@ -146,7 +146,7 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # component_labels loops with eager localCheckpoints
                   # inside the builder — the CC work must be timed
                   "dedup_drop_list", "leakage_safe_split",
-                  "dedup_rate_report"}
+                  "dedup_rate_report", "dedup_cluster_size_histogram"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

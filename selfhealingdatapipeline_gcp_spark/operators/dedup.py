@@ -1088,9 +1088,10 @@ def dedup_drop_list(documents: DataFrame,
     docs (the duplicates), never corpus-sized.
 
     Scale: component_labels is the O(log diameter) pointer-doubling
-    loop over bounded LSH-verified edges; the quality join ships one
-    slim (doc_id, score) row per corpus doc through one hash join;
-    keeper pick is one window over the bounded cluster membership.
+    loop over bounded LSH-verified edges; quality is scored ONLY for
+    cluster members (semi-join before the token explode, so the
+    corpus-wide scoring pass never runs); keeper pick is one window
+    over the bounded cluster membership.
 
     Reference parity: the reference dedups nothing (its detectors
     only COUNT duplicates — monitoring/detectors/
@@ -1104,9 +1105,23 @@ def dedup_drop_list(documents: DataFrame,
     sized = (labels.groupBy("label")
              .agg(F.count(F.lit(1)).alias("cluster_size"))
              .filter(F.col("cluster_size") > 1))
-    quality = textanalysis.text_quality_score(documents).select(
+    # Score ONLY the clustered docs: text_quality_score explodes and
+    # aggregates every token it sees, so a semi-join down to cluster
+    # membership first saves the corpus-wide explode (the operator's
+    # dominant cost at scale — output is bounded by clustered docs).
+    clustered_docs = documents.join(
+        labels.select("doc_id"), "doc_id", "semi")
+    quality = textanalysis.text_quality_score(clustered_docs).select(
         "doc_id", "quality_score")
-    j = labels.join(sized, "label").join(quality, "doc_id")
+    # LEFT join + the formula's empty-doc value: a zero-token doc has
+    # no explode rows, hence no quality row — but the score formula
+    # evaluates to exactly 0.0 for it (len/stop/word-len all zero),
+    # which is what the SQL twin yields; coalesce keeps such a
+    # cluster member in the manifest instead of silently dropping it.
+    j = (labels.join(sized, "label")
+         .join(quality, "doc_id", "left")
+         .withColumn("quality_score",
+                     F.coalesce(F.col("quality_score"), F.lit(0.0))))
     w = Window.partitionBy("label").orderBy(
         F.desc("quality_score"), F.asc("doc_id"))
     keeper = F.first("doc_id").over(w)
@@ -1150,12 +1165,15 @@ def leakage_safe_split(documents: DataFrame,
                  F.coalesce(F.col("label"), F.col("doc_id"))
                   .alias("split_key")))
     bucket = textfn.md5int(F.col("split_key").cast("string")) % 100
+    # no orderBy: the output is corpus-sized and a global sort would
+    # add a range-partition exchange for nothing (consumers join or
+    # filter on it; the strict gate hashes order-independently)
     return s.select(
         "doc_id", "split_key",
         bucket.alias("bucket"),
         F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train"))
          .alias("split"),
-    ).orderBy("doc_id")
+    )
 
 
 def dedup_rate_report(documents: DataFrame,
@@ -1224,25 +1242,28 @@ def chunk_dedup_exact(documents: DataFrame,
                              n_chunks - 1)).alias("chunk_idx"))
     s = F.col("chunk_idx") * stride
     e = F.least(s + chunk_tokens, F.col("nt"))
-    h = ch.select(
+    h = ch.filter(e > s).select(
         "doc_id", "chunk_idx",
         F.md5(F.concat_ws(
             " ", F.slice("t", (s + 1).cast("int"),
                          (e - s).cast("int")))).alias("chunk_hash"))
-    packed = F.min(F.col("doc_id") * F.lit(1_000_000_000)
-                   + F.col("chunk_idx"))
+    # empty windows (zero-token docs) are excluded above: every empty
+    # doc hashes md5("") and N of them would collide into one bogus
+    # "recurring chunk" group — a chunking rule (each doc emits >= 1
+    # chunk) that is right for doc_chunk_plan and wrong for dedup.
+    # Exemplar pick: lexicographic struct min — id-range-safe (the
+    # old doc_id*1e9+idx packing overflowed int64 past ~9.2e9 ids).
+    exemplar = F.min(F.struct(F.col("doc_id"), F.col("chunk_idx")))
     return (
         h.groupBy("chunk_hash")
         .agg(F.count(F.lit(1)).alias("n_chunks"),
              F.countDistinct("doc_id").alias("n_docs"),
-             packed.alias("__k"))
+             exemplar.alias("__ex"))
         .filter(F.col("n_chunks") > 1)
         .select(
             "chunk_hash", "n_chunks", "n_docs",
-            F.floor(F.col("__k") / 1_000_000_000).cast("bigint")
-             .alias("exemplar_doc_id"),
-            (F.col("__k") % 1_000_000_000).cast("bigint")
-             .alias("exemplar_chunk_idx"),
+            F.col("__ex.doc_id").alias("exemplar_doc_id"),
+            F.col("__ex.chunk_idx").alias("exemplar_chunk_idx"),
         )
         .orderBy("chunk_hash")
     )

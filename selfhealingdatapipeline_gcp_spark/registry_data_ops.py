@@ -1183,18 +1183,20 @@ register(
              least(chunk_idx * 48 + 64, nt) AS e
       FROM ch
     ), h AS (
+      -- e > s drops empty windows (zero-token docs would all collide
+      -- on md5('')); struct-min exemplar is id-range-safe
       SELECT doc_id, chunk_idx,
              md5(array_to_string(list_slice(t, s + 1, e), ' '))
                AS chunk_hash
-      FROM w
+      FROM w WHERE e > s
     )
     SELECT chunk_hash,
            CAST(count(*) AS BIGINT) AS n_chunks,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(floor(min(doc_id * 1000000000 + chunk_idx)
-                      / 1000000000) AS BIGINT) AS exemplar_doc_id,
-           CAST(min(doc_id * 1000000000 + chunk_idx) % 1000000000
-                AS BIGINT) AS exemplar_chunk_idx
+           (min(struct_pack(d := doc_id, c := chunk_idx))).d
+             AS exemplar_doc_id,
+           (min(struct_pack(d := doc_id, c := chunk_idx))).c
+             AS exemplar_chunk_idx
     FROM h GROUP BY chunk_hash HAVING count(*) > 1
     ORDER BY chunk_hash
     """,

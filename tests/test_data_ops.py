@@ -1394,3 +1394,45 @@ def test_embedding_covariance_matches_numpy(spark):
     evals = np.linalg.eigvalsh(C)
     assert evals.min() >= -1e-6 * max(evals.max(), 1.0)  # PSD
     assert all(C[i, i] >= 0 for i in range(d))
+
+
+def test_chunk_dedup_geometry_matches_doc_chunk_plan(spark):
+    """chunk_dedup_exact promises doc_chunk_plan's window geometry:
+    its non-empty (start, end) windows per doc must equal the plan's
+    (the two implementations are hand-mirrored — this ties them)."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+
+    docs = catalog.load(spark, SF_ORACLE, "documents").limit(50)
+    plan = {(r.doc_id, r.start_token, r.end_token)
+            for r in dataprep.doc_chunk_plan(docs).collect()
+            if r.end_token > r.start_token}
+    # re-derive chunk_dedup_exact's windows (pre-hash), same exprs
+    d = docs.select("doc_id", textfn.tokens("text").alias("t"))
+    d = d.select("doc_id", F.size("t").cast("bigint").alias("nt"))
+    n_chunks = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor((F.col("nt") - 16 + 47) / F.lit(48.0)).cast("bigint"))
+    ch = d.select("doc_id", "nt",
+                  F.explode(F.sequence(F.lit(0).cast("bigint"),
+                                       n_chunks - 1)).alias("ci"))
+    s = F.col("ci") * 48
+    e = F.least(s + 64, F.col("nt"))
+    got = {(r.doc_id, r.s, r.e)
+           for r in ch.filter(e > s)
+           .select("doc_id", s.alias("s"), e.alias("e")).collect()}
+    assert got == plan
+
+
+def test_chunk_dedup_ignores_empty_docs(spark):
+    """N empty docs must NOT form a bogus md5('') duplicate group."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    rows = [(1, ""), (2, "   "), (3, ""),
+            (4, "real text " * 30), (5, "real text " * 30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.chunk_dedup_exact(df).collect()
+    exemplars = {r.exemplar_doc_id for r in out}
+    assert 4 in exemplars          # the real duplicate pair is found
+    assert not {1, 2, 3} & exemplars  # empty docs never group

@@ -509,7 +509,8 @@ _FINGERPRINTS = {
     # corpus⋈labels stays SMJ by design: cluster labels can be a
     # large fraction of the corpus at 100 TB (AQE may broadcast when
     # small); the CC loop itself is a checkpoint leaf, not plan nodes
-    "leakage_safe_split": (3, 0, 1, 0),
+    # (r7 review fix dropped the corpus-wide orderBy: 3 -> 2 Exchange)
+    "leakage_safe_split": (2, 0, 1, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",

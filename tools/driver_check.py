@@ -130,6 +130,9 @@ def main(argv):
     resume_done: set[str] = set()
     if "--resume-log" in argv:
         i = argv.index("--resume-log")
+        if i + 1 >= len(argv):
+            print("usage: driver_check.py [--resume-log PATH] [name ...]")
+            return 2
         path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
         if os.path.exists(path):
