@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 _sink_counter = itertools.count()
 
 
+def _fresh_sink_dir(prefix: str) -> str:
+    """A sink directory unique per RUN: mkdtemp under the shared
+    stream-scratch root. The per-process _sink_counter alone is NOT
+    unique across processes — two concurrent runs (or a stale dead
+    one) would share lsh_ingest_0 and the epoch-dir union would read
+    foreign epochs (found by the r7 sf10 sweep)."""
+    import tempfile
+    root = "/tmp/shdp_stream"
+    os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}_", dir=root)
+
+
 def _staged_dir(path: str) -> str:
     """Spark's file-stream source monitors a DIRECTORY; the test data
     is a single parquet file. Stage a symlink under scratch space —
@@ -560,7 +572,11 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str,
         reader.parquet(_staged_dir(path))
         .filter("doc_id % 20 = 0")
     )
-    out_dir = f"/tmp/shdp_stream/lsh_ingest_{next(_sink_counter)}"
+    # unique per RUN, not per process: the old per-process counter
+    # reused lsh_ingest_0 across processes, so a concurrent or stale
+    # run's epoch=N dirs leaked into the final read (caught by the
+    # sf10 sweep: 2 extra pairs from another SF's leftover epochs)
+    out_dir = _fresh_sink_dir("lsh_ingest")
     epochs = []
 
     def check_epoch(batch_df, epoch_id: int) -> None:
@@ -605,7 +621,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     stream = _events_stream(spark, sf_dir, max_files_per_trigger)
-    base = f"/tmp/shdp_stream/cdc_apply_{next(_sink_counter)}"
+    base = _fresh_sink_dir("cdc_apply")  # unique per run (see above)
     state = {"dir": None}
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id"))
