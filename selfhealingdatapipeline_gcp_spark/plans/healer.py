@@ -319,7 +319,8 @@ def _fix_allpairs(m: re.Match[str]) -> Fix:
     )
 
 
-@_rule("cc_no_convergence", r"dedup_clusters did not converge")
+@_rule("cc_no_convergence",
+       r"(?:component_labels|dedup_clusters) did not converge")
 def _fix_cc_convergence(m: re.Match[str]) -> Fix:
     return Fix(
         fix_type="CONFIG",
