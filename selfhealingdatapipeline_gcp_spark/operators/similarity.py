@@ -573,7 +573,17 @@ def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
     Spark k-means shape without MLlib. K is constant w.r.t. corpus
     size, so the per-round centroid broadcast never grows.
 
-    Returns (cent_id, dim_idx, c) long-format centroids."""
+    Cross-engine exact (r7): assignment ranks on round(cosine, 6)
+    with a cent_id tiebreak, and the centroid update accumulates
+    floor(x·1e6) integer micro-units with a floor-div mean (the
+    embedding_centroids discipline) instead of F.avg — double sums
+    are partition-order-dependent, so a raw avg() can flip an argmax
+    between engines/runs. With a fixed n_iter the whole loop is a
+    deterministic function of the scan, so DuckDB can replay it as
+    n_iter unrolled CTE rounds (see the registry oracle).
+
+    Returns (cent_id, dim_idx, c) long-format centroids; c is
+    quantized to 1e-6 (exact in double)."""
     n = _with_norms(embeddings).localCheckpoint(eager=True)
 
     # long-format current centroids from the seed vectors
@@ -592,8 +602,8 @@ def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
                 F.aggregate(F.transform("cv", lambda x: x * x),
                             F.lit(0.0), lambda a, x: a + x)))
         )
-        score = vectorfn.cosine(F.col("v"), F.col("cv"),
-                                F.col("nrm"), F.col("cnrm"))
+        score = F.round(vectorfn.cosine(F.col("v"), F.col("cv"),
+                                        F.col("nrm"), F.col("cnrm")), 6)
         w = Window.partitionBy("vec_id").orderBy(
             F.desc("score"), F.col("cent_id"))
         assign = (
@@ -605,7 +615,10 @@ def kmeans_centroids(embeddings: DataFrame, n_iter: int = 3,
         cents_long = (
             assign.select("cent_id", F.posexplode("v").alias("dim_idx", "x"))
             .groupBy("cent_id", "dim_idx")
-            .agg(F.avg("x").alias("c"))
+            .agg(F.sum(F.floor(F.col("x") * 1e6).cast("bigint")).alias("__s"),
+                 F.count(F.lit(1)).alias("__n"))
+            .select("cent_id", "dim_idx",
+                    (F.floor(F.col("__s") / F.col("__n")) / 1e6).alias("c"))
         ).localCheckpoint(eager=True)
     return cents_long
 

@@ -791,12 +791,62 @@ register(
     _cc_oracle(_MINHASH_PAIRS_SQL),
 )
 
+def _kmeans_ctes(n_iter: int = 3, k: int = 16) -> str:
+    """CTE chain replaying kmeans_centroids EXACTLY: the Spark loop
+    has a fixed iteration count, md5-deterministic seeds, a
+    round(cos,6)+cent_id argmax assignment, and floor-micro-unit
+    integer centroid means — every step a pure function of the scan —
+    so n_iter unrolled rounds of (rebuild cv/cnrm → assign → update)
+    reproduce it bit-for-bit. cl{r} is the long-format centroid
+    relation after round r; cl0 is the raw seed vectors (r7: this
+    upgrades the Lloyd's pair from rows-only to hash-exact)."""
+    ctes = [
+        f"n AS ({_EMB_NORMED})",
+        f"""seeds AS (
+      SELECT vec_id AS cent_id, v FROM n
+      ORDER BY {_md5int("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT {k}
+    )""",
+        """cl0 AS (
+      SELECT cent_id, CAST(u.i - 1 AS INT) AS dim_idx, v[u.i] AS c
+      FROM seeds, LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    )""",
+    ]
+    for r in range(1, n_iter + 1):
+        ctes.append(f"""cn{r} AS (
+      SELECT cent_id, cv, sqrt({_dot('cv', 'cv')}) AS cnrm
+      FROM (SELECT cent_id, list(c ORDER BY dim_idx) AS cv
+            FROM cl{r - 1} GROUP BY cent_id)
+    )""")
+        ctes.append(f"""asg{r} AS (
+      SELECT vec_id, cent_id, v FROM (
+        SELECT n.vec_id, c.cent_id, n.v,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'c.cv')} / (n.nrm * c.cnrm), 6)
+                          DESC, c.cent_id) AS rn
+        FROM n, cn{r} c) WHERE rn = 1
+    )""")
+        ctes.append(f"""cl{r} AS (
+      SELECT cent_id, dim_idx,
+             floor(sum(CAST(floor(x * 1000000.0) AS BIGINT)) / count(*))
+               / 1000000.0 AS c
+      FROM (SELECT cent_id, CAST(u.i - 1 AS INT) AS dim_idx, v[u.i] AS x
+            FROM asg{r},
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u)
+      GROUP BY cent_id, dim_idx
+    )""")
+    return ",\n    ".join(ctes)
+
+
 register(
     "ann_kmeans_centroids",
-    # iterative Lloyd's refinement — non-SQL-expressible (rows-only)
+    # iterative Lloyd's refinement, fixed n_iter — replayed exactly by
+    # the unrolled CTE rounds of _kmeans_ctes (hash-exact since r7)
     lambda spark, sf: similarity.kmeans_centroids(
         *_t(spark, sf, "embeddings")),
-    None,
+    f"""
+    WITH {_kmeans_ctes(3, 16)}
+    SELECT cent_id, dim_idx, c FROM cl3 ORDER BY cent_id, dim_idx
+    """,
 )
 
 _ROT_BUCKETS = " || ',' || ".join(
@@ -831,10 +881,54 @@ register(
 
 register(
     "ann_ivf_kmeans_topk",
-    # k-means training is iterative → rows-only
+    # k-means training replayed via the unrolled _kmeans_ctes rounds,
+    # then the same probe/search tail as the ann_ivf_topk oracle over
+    # the refined centroids (hash-exact since r7)
     lambda spark, sf: similarity.ann_ivf_kmeans_topk(
         *_t(spark, sf, "embeddings")),
-    None,
+    f"""
+    WITH {_kmeans_ctes(3, 16)},
+    cents AS (
+      SELECT cent_id, cv, sqrt({_dot('cv', 'cv')}) AS cnrm
+      FROM (SELECT cent_id, list(c ORDER BY dim_idx) AS cv
+            FROM cl3 GROUP BY cent_id)
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents WHERE n.vec_id < 5
+      ) WHERE rn <= 2
+    ), cands AS (
+      SELECT probes.query_id, assign.vec_id
+      FROM probes JOIN assign ON probes.cent_id = assign.cent_id
+      WHERE assign.vec_id != probes.query_id
+    ), scored AS (
+      SELECT cands.query_id, cands.vec_id AS neighbor_id,
+             round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6) AS score
+      FROM cands
+      JOIN n c ON cands.vec_id = c.vec_id
+      JOIN n q ON cands.query_id = q.vec_id
+    )
+    SELECT query_id, neighbor_id, score,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10 ORDER BY query_id, rank
+    """,
 )
 
 
