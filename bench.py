@@ -126,6 +126,8 @@ HEADLINE = [
     "dedup_rate_report",
     "chunk_dedup_exact",
     "embedding_covariance",
+    "source_divergence_matrix",
+    "embedding_top_component",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -146,7 +148,9 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # component_labels loops with eager localCheckpoints
                   # inside the builder — the CC work must be timed
                   "dedup_drop_list", "leakage_safe_split",
-                  "dedup_rate_report", "dedup_cluster_size_histogram"}
+                  "dedup_rate_report", "dedup_cluster_size_histogram",
+                  # power iteration checkpoints eagerly per round
+                  "embedding_top_component"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

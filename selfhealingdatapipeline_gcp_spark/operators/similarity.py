@@ -1123,6 +1123,82 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_top_component(embeddings: DataFrame,
+                            n_rounds: int = 8) -> DataFrame:
+    """Top principal direction of the embedding corpus — fixed-round
+    power iteration over the embedding_covariance relation, plus the
+    Rayleigh-quotient eigenvalue and its share of total variance
+    (trace). The anisotropy headline: a variance_share near 1 means
+    the corpus collapsed onto a line (encoder failure / constant
+    inputs); a healthy encoder spreads variance across dims.
+
+    Scale shape: the ONE corpus-sized pass is embedding_covariance's
+    batched partial-Gram reduce; everything after runs on the d²-row
+    integer covariance relation (d = embedding dim, constant w.r.t.
+    corpus size), so the iteration costs O(d²) per round regardless
+    of scale. Determinism (the kmeans_centroids discipline): the
+    iterate is an e6-quantized integer vector; each mat-vec term is
+    a double from exact ints floored to an e6 integer BEFORE the
+    per-dim sum; max-abs normalization compares exact integers; the
+    Rayleigh numerator/denominator are exact bigint dot products.
+    With fixed n_rounds the whole loop is a pure function of the
+    scan — the DuckDB oracle replays it as unrolled CTE rounds.
+
+    Returns (dim_idx, component, eigenvalue, variance_share); the
+    component is the e6-quantized direction normalized to max-abs 1
+    (sign fixed by the all-ones start)."""
+    cov = embedding_covariance(embeddings).localCheckpoint(eager=True)
+    sym = (
+        cov.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
+                   "cov_e12")
+        .unionByName(
+            cov.filter(F.col("dim_i") != F.col("dim_j"))
+            .select(F.col("dim_j").alias("i"), F.col("dim_i").alias("j"),
+                    "cov_e12"))
+    ).localCheckpoint(eager=True)
+    v = (cov.select(F.col("dim_i").alias("i")).distinct()
+         .withColumn("vu", F.lit(1000000).cast("bigint")))
+    cval = F.col("cov_e12").cast("double") / 1e12
+
+    def matvec(vcur: DataFrame) -> DataFrame:
+        return (
+            sym.join(vcur.select(F.col("i").alias("j"),
+                                 F.col("vu").alias("vj")), "j")
+            .groupBy("i")
+            .agg(F.sum(
+                F.floor(cval * (F.col("vj").cast("double") / 1e6) * 1e6)
+                 .cast("bigint")).alias("we"))
+        )
+
+    for _ in range(n_rounds):
+        w = matvec(v)
+        m = w.agg(F.greatest(F.max(F.abs(F.col("we"))),
+                             F.lit(1).cast("bigint")).alias("m"))
+        v = (w.crossJoin(F.broadcast(m))
+             .select("i", F.floor(F.col("we").cast("double") * 1e6
+                                  / F.col("m")).cast("bigint").alias("vu"))
+             ).localCheckpoint(eager=True)
+    w = matvec(v)
+    ray = (v.join(w, "i")
+           .agg(F.sum(F.col("vu") * F.col("we")).alias("num"),
+                F.sum(F.col("vu") * F.col("vu")).alias("den")))
+    tr = (cov.filter(F.col("dim_i") == F.col("dim_j"))
+          .agg(F.greatest(F.sum("cov_e12"), F.lit(1).cast("bigint"))
+               .alias("tr_e12")))
+    lam = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        v.crossJoin(F.broadcast(ray)).crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").alias("dim_idx"),
+            (F.col("vu") / 1e6).alias("component"),
+            (F.floor(lam * 1e6) / 1e6).alias("eigenvalue"),
+            (F.floor(lam * 1e12 / F.col("tr_e12").cast("double") * 1e6)
+             / 1e6).alias("variance_share"),
+        )
+        .orderBy("dim_idx")
+    )
+
+
 def embedding_outliers(embeddings: DataFrame,
                        z_threshold: float = 2.0) -> DataFrame:
     """Per-label embedding outliers: vectors whose cosine to their

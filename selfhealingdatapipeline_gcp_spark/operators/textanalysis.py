@@ -483,6 +483,84 @@ def vocab_coverage(documents: DataFrame,
     )
 
 
+def source_divergence_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats, ∈ [0, ln 2]) between
+    the per-source unigram token distributions — the quantitative
+    input behind a mixing decision: temperature_mixing_weights says
+    how much of each source to take, this says how redundant two
+    sources are with each other (near-0 = same distribution, near
+    ln 2 = disjoint vocabularies).
+
+    Decomposition that keeps the plan count-grain: shared tokens get
+    the exact per-token JS term; tokens unique to one side contribute
+    p·ln 2 in closed form, so only Σp over SHARED tokens is needed —
+    carried as exact bigint token counts, never a second pass.
+    Per-token terms are doubles from exact integer counts (identical
+    in any engine), floored to e9 integers before the per-pair sum
+    (order-independent — the source_token_entropy discipline).
+
+    Scale shape: shuffles carry (source, token, count) — vocab-grain,
+    never corpus-grain; the pair join fans a token out only to the
+    sources that contain it (≤ S rows), so the joined relation is
+    O(S²·V) worst case with S = #sources ≪ corpus; totals are S rows
+    and broadcast; output is S(S-1)/2 rows. Zero-overlap pairs are
+    kept via the all-pairs LEFT join (the minhash_estimate_report
+    oracle lesson, ADVICE r6): JS = ln 2 exactly."""
+    import math
+
+    stw = (
+        _spread(documents)
+        .select("source", F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = stw.groupBy("source").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("vocab"))
+    ta = totals.select(F.col("source").alias("src_a"),
+                       F.col("nt").alias("na_tot"),
+                       F.col("vocab").alias("vocab_a"))
+    tb = totals.select(F.col("source").alias("src_b"),
+                       F.col("nt").alias("nb_tot"),
+                       F.col("vocab").alias("vocab_b"))
+    shared = (
+        stw.select(F.col("source").alias("src_a"), "w",
+                   F.col("n").alias("na"))
+        .join(stw.select(F.col("source").alias("src_b"), "w",
+                         F.col("n").alias("nb")), "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(ta.select("src_a", "na_tot")), "src_a")
+        .join(F.broadcast(tb.select("src_b", "nb_tot")), "src_b")
+    )
+    p = F.col("na") / F.col("na_tot")
+    q = F.col("nb") / F.col("nb_tot")
+    m = (p + q) / 2
+    term = 0.5 * (p * F.log(p / m) + q * F.log(q / m))
+    per = shared.groupBy("src_a", "src_b").agg(
+        F.sum(F.floor(term * 1e9).cast("bigint")).alias("__sh_e9"),
+        F.sum("na").alias("__sh_na"),
+        F.sum("nb").alias("__sh_nb"),
+        F.count(F.lit(1)).alias("n_shared_vocab"),
+    )
+    pairs = (ta.crossJoin(tb).filter(F.col("src_a") < F.col("src_b"))
+             .join(per, ["src_a", "src_b"], "left"))
+    ln2 = math.log(2.0)
+    sh_na = F.coalesce(F.col("__sh_na"), F.lit(0))
+    sh_nb = F.coalesce(F.col("__sh_nb"), F.lit(0))
+    js = (F.coalesce(F.col("__sh_e9"), F.lit(0)) / 1e9
+          + 0.5 * ln2 * ((F.col("na_tot") - sh_na) / F.col("na_tot")
+                         + (F.col("nb_tot") - sh_nb) / F.col("nb_tot")))
+    return (
+        pairs.select(
+            "src_a", "src_b",
+            F.col("na_tot").alias("n_tokens_a"),
+            F.col("nb_tot").alias("n_tokens_b"),
+            F.coalesce(F.col("n_shared_vocab"), F.lit(0).cast("bigint"))
+             .alias("n_shared_vocab"),
+            (F.floor(js * 1e6) / 1e6).alias("js_divergence"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def source_token_entropy(documents: DataFrame) -> DataFrame:
     """Per-source Shannon entropy of the token distribution (nats) —
     the diversity signal next to novelty and volume: near-zero

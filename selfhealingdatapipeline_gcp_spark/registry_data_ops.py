@@ -1668,6 +1668,59 @@ register(
     """,
 )
 
+register(
+    "source_divergence_matrix",
+    # pairwise JS divergence between per-source unigram distributions:
+    # exact per-token double terms floored to e9 ints before the pair
+    # sum; unique-token mass in closed form from exact bigint counts;
+    # zero-overlap pairs kept by the all-pairs LEFT join (JS = ln 2)
+    lambda spark, sf: textanalysis.source_divergence_matrix(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH stw AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM stw GROUP BY 1
+    ), per AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(sum(CAST(floor(
+               0.5 * ((a.n / CAST(ta.nt AS DOUBLE))
+                        * ln((a.n / CAST(ta.nt AS DOUBLE))
+                             / (((a.n / CAST(ta.nt AS DOUBLE))
+                                 + (b.n / CAST(tb.nt AS DOUBLE))) / 2))
+                      + (b.n / CAST(tb.nt AS DOUBLE))
+                        * ln((b.n / CAST(tb.nt AS DOUBLE))
+                             / (((a.n / CAST(ta.nt AS DOUBLE))
+                                 + (b.n / CAST(tb.nt AS DOUBLE))) / 2)))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS sh_e9,
+             CAST(sum(a.n) AS BIGINT) AS sh_na,
+             CAST(sum(b.n) AS BIGINT) AS sh_nb,
+             CAST(count(*) AS BIGINT) AS n_shared_vocab
+      FROM stw a
+      JOIN stw b ON a.w = b.w AND a.source < b.source
+      JOIN totals ta ON ta.source = a.source
+      JOIN totals tb ON tb.source = b.source
+      GROUP BY 1, 2
+    )
+    SELECT ta.source AS src_a, tb.source AS src_b,
+           ta.nt AS n_tokens_a, tb.nt AS n_tokens_b,
+           coalesce(per.n_shared_vocab, 0) AS n_shared_vocab,
+           (floor((coalesce(per.sh_e9, 0) / 1000000000.0
+                   + 0.5 * ln(2)
+                     * ((ta.nt - coalesce(per.sh_na, 0))
+                          / CAST(ta.nt AS DOUBLE)
+                        + (tb.nt - coalesce(per.sh_nb, 0))
+                          / CAST(tb.nt AS DOUBLE)))
+                  * 1000000.0) / 1000000.0) AS js_divergence
+    FROM totals ta
+    JOIN totals tb ON ta.source < tb.source
+    LEFT JOIN per ON per.src_a = ta.source AND per.src_b = tb.source
+    ORDER BY src_a, src_b
+    """,
+)
+
 
 register(
     "streaming_lsh_ingest",
@@ -2142,6 +2195,26 @@ register(
 )
 
 
+# Upper-triangle dim-pair covariance in e12 integer units, as a CTE
+# chain shared by the embedding_covariance oracle and the
+# power-iteration oracle built on top of it.
+_COV_CTES = """ex AS (
+      SELECT vec_id, CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS u
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    ), cov AS (
+      SELECT a.dim_idx AS dim_i, b.dim_idx AS dim_j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(floor((CAST(sum(a.u * b.u) AS DOUBLE)
+                         - CAST(sum(a.u) AS DOUBLE)
+                           * CAST(sum(b.u) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE))
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cov_e12
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim_idx <= b.dim_idx
+      GROUP BY 1, 2
+    )"""
+
 register(
     "embedding_covariance",
     # upper-triangle dim-pair covariance in e12 integer units: exact
@@ -2149,22 +2222,85 @@ register(
     # batching is invisible), closed-form double cov floored at the end
     lambda spark, sf: similarity.embedding_covariance(
         *_t(spark, sf, "embeddings")),
-    """
-    WITH ex AS (
-      SELECT vec_id, CAST(u.i - 1 AS INT) AS dim_idx,
-             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS u
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    f"""
+    WITH {_COV_CTES}
+    SELECT dim_i, dim_j, n, cov_e12 FROM cov ORDER BY 1, 2
+    """,
+)
+
+
+def _power_ctes(n_rounds: int = 8) -> str:
+    """CTE chain replaying embedding_top_component's fixed-round
+    power iteration exactly (the _kmeans_ctes technique): v0 = the
+    all-ones e6 iterate, then per round a mat-vec with per-term
+    floor-e6 quantization and an exact-integer max-abs
+    normalization (a window max, so each round references its
+    mat-vec exactly once — a separate scalar CTE would double the
+    inlined subtree per round, 2^n_rounds total). MATERIALIZED on
+    the shared relations for the same reason: DuckDB inlines plain
+    CTEs per reference. v{{n_rounds}} is the final iterate."""
+    cov_materialized = _COV_CTES.replace("), cov AS (",
+                                         "), cov AS MATERIALIZED (")
+    ctes = [
+        cov_materialized,
+        """sym AS MATERIALIZED (
+      SELECT dim_i AS i, dim_j AS j, cov_e12 FROM cov
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, cov_e12 FROM cov
+      WHERE dim_i != dim_j
+    )""",
+        """v0 AS (
+      SELECT DISTINCT dim_i AS i, CAST(1000000 AS BIGINT) AS vu
+      FROM cov
+    )""",
+    ]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""w{r} AS (
+      SELECT s.i, CAST(sum(CAST(floor(
+               (CAST(s.cov_e12 AS DOUBLE) / 1000000000000.0)
+               * (CAST(v.vu AS DOUBLE) / 1000000.0)
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS we
+      FROM sym s JOIN v{r - 1} v ON s.j = v.i GROUP BY s.i
+    )""")
+        ctes.append(f"""v{r} AS MATERIALIZED (
+      SELECT i, CAST(floor(CAST(we AS DOUBLE) * 1000000.0
+                           / greatest(max(abs(we)) OVER (), 1))
+                     AS BIGINT) AS vu
+      FROM w{r}
+    )""")
+    return ",\n    ".join(ctes)
+
+
+register(
+    "embedding_top_component",
+    # fixed-round power iteration over the covariance relation,
+    # replayed by the unrolled CTE rounds of _power_ctes; Rayleigh
+    # quotient from exact bigint dot products
+    lambda spark, sf: similarity.embedding_top_component(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_power_ctes(8)},
+    wf AS (
+      SELECT s.i, CAST(sum(CAST(floor(
+               (CAST(s.cov_e12 AS DOUBLE) / 1000000000000.0)
+               * (CAST(v.vu AS DOUBLE) / 1000000.0)
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS we
+      FROM sym s JOIN v8 v ON s.j = v.i GROUP BY s.i
+    ), ray AS (
+      SELECT CAST(sum(v.vu * w.we) AS BIGINT) AS num,
+             CAST(sum(v.vu * v.vu) AS BIGINT) AS den
+      FROM v8 v JOIN wf w ON v.i = w.i
+    ), tr AS (
+      SELECT greatest(CAST(sum(cov_e12) AS BIGINT), 1) AS tr_e12
+      FROM cov WHERE dim_i = dim_j
     )
-    SELECT a.dim_idx AS dim_i, b.dim_idx AS dim_j,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(floor((CAST(sum(a.u * b.u) AS DOUBLE)
-                       - CAST(sum(a.u) AS DOUBLE)
-                         * CAST(sum(b.u) AS DOUBLE)
-                         / CAST(count(*) AS DOUBLE))
-                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cov_e12
-    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.dim_idx <= b.dim_idx
-    GROUP BY 1, 2 ORDER BY 1, 2
+    SELECT v.i AS dim_idx,
+           v.vu / 1000000.0 AS component,
+           floor((CAST(num AS DOUBLE) / den) * 1000000.0)
+             / 1000000.0 AS eigenvalue,
+           floor((CAST(num AS DOUBLE) / den) * 1000000000000.0
+                 / tr_e12 * 1000000.0) / 1000000.0 AS variance_share
+    FROM v8 v, ray, tr ORDER BY dim_idx
     """,
 )
 

@@ -1436,3 +1436,79 @@ def test_chunk_dedup_ignores_empty_docs(spark):
     exemplars = {r.exemplar_doc_id for r in out}
     assert 4 in exemplars          # the real duplicate pair is found
     assert not {1, 2, 3} & exemplars  # empty docs never group
+
+
+def test_source_divergence_matrix_bounds(spark):
+    """All source pairs present; JS ∈ [0, ln 2] for every pair."""
+    import math
+    rows = registry.queries()["source_divergence_matrix"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 20 * 19 // 2
+    for r in rows:
+        assert 0.0 <= r.js_divergence <= math.log(2.0) + 1e-9
+        assert r.n_shared_vocab >= 0
+        assert r.n_tokens_a > 0 and r.n_tokens_b > 0
+
+
+def test_source_divergence_matrix_extremes(spark):
+    """Identical-distribution sources score exactly 0; disjoint-vocab
+    sources score exactly floor(ln2·1e6)/1e6 — the closed-form
+    unique-mass path (zero-overlap pairs must SURVIVE the left
+    join, the minhash_estimate_report oracle lesson)."""
+    import math
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma", "a"),
+         (2, "alpha beta alpha gamma", "b"),
+         (3, "delta epsilon delta zeta", "c")],
+        ["doc_id", "text", "source"])
+    out = {(r.src_a, r.src_b): r
+           for r in textanalysis.source_divergence_matrix(df).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")].js_divergence == 0.0
+    ln2_floor = math.floor(math.log(2.0) * 1e6) / 1e6
+    assert out[("a", "c")].js_divergence == ln2_floor
+    assert out[("a", "c")].n_shared_vocab == 0
+
+
+def test_embedding_top_component_vs_numpy(spark):
+    """The Rayleigh eigenvalue must approximate numpy's dominant
+    eigenvalue of the same quantized covariance (power iteration
+    with 8 rounds; bounded by [0, trace] exactly)."""
+    import numpy as np
+    rows = registry.queries()["embedding_top_component"](
+        spark, SF_ORACLE).collect()
+    cov_rows = registry.queries()["embedding_covariance"](
+        spark, SF_ORACLE).collect()
+    d = max(r.dim_idx for r in rows) + 1
+    assert len(rows) == d
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.dim_i, r.dim_j] = C[r.dim_j, r.dim_i] = r.cov_e12 / 1e12
+    top = float(np.linalg.eigvalsh(C)[-1])
+    lam = rows[0].eigenvalue
+    assert all(r.eigenvalue == lam for r in rows)
+    assert 0.0 < lam <= top * (1 + 1e-6)
+    assert lam >= 0.5 * top          # 8 rounds from ones: well inside
+    assert max(abs(r.component) for r in rows) == 1.0
+    share = rows[0].variance_share
+    assert 0.0 < share <= 1.0
+    assert abs(share - lam / np.trace(C)) < 1e-3
+
+
+def test_embedding_top_component_dominant_axis(spark):
+    """A corpus stretched along one axis must put the component mass
+    there with variance_share ≈ 1 — the anisotropy-collapse alarm
+    this operator exists to raise."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    rows_in = []
+    for i in range(200):
+        v = [0.001 * ((i * 7 + j) % 5) for j in range(8)]
+        v[3] = 10.0 * (i % 17) / 17.0       # dominant axis
+        rows_in.append((i, v, 0))
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding", "label"])
+    out = similarity.embedding_top_component(df).collect()
+    by_dim = {r.dim_idx: r for r in out}
+    assert abs(by_dim[3].component) == 1.0
+    assert all(abs(by_dim[j].component) < 0.05 for j in range(8) if j != 3)
+    assert by_dim[3].variance_share > 0.95
