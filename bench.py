@@ -128,6 +128,8 @@ HEADLINE = [
     "embedding_covariance",
     "source_divergence_matrix",
     "embedding_top_component",
+    "doc_language_confusion",
+    "embedding_intrinsic_dim",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

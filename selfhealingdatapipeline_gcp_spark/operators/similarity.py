@@ -1123,6 +1123,49 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_intrinsic_dim(embeddings: DataFrame) -> DataFrame:
+    """Participation-ratio intrinsic dimensionality of the embedding
+    corpus: PR = tr(C)² / tr(C²) ∈ [1, d] — the eigendecomposition-
+    free effective-dimension diagnostic (for symmetric C, tr(C²) =
+    Σ_ij C_ij², so both traces are closed forms over the covariance
+    relation; no iteration, no eigensolver). PR ≈ 1 means variance
+    collapsed onto one direction (the embedding_top_component alarm,
+    summarized to a scalar); PR ≈ d means isotropic.
+
+    Scale shape: the one corpus-sized pass is embedding_covariance's
+    batched partial-Gram reduce; this adds a single aggregate over
+    the d²-row integer relation. Determinism: trace is an exact
+    bigint sum of cov_e12; each Frobenius term is a double from one
+    exact int, floored to e12 BEFORE the sum (off-diagonals counted
+    twice inside the floor, mirrored in the oracle).
+
+    Returns 1 row: (dim, trace, participation_ratio,
+    participation_share = PR / d)."""
+    cov = embedding_covariance(embeddings)
+    c = F.col("cov_e12").cast("double") / 1e12
+    is_diag = F.col("dim_i") == F.col("dim_j")
+    mult = F.when(is_diag, F.lit(1.0)).otherwise(F.lit(2.0))
+    agg = cov.agg(
+        F.sum(F.when(is_diag, F.lit(1)).otherwise(F.lit(0)))
+         .cast("bigint").alias("dim"),
+        F.sum(F.when(is_diag, F.col("cov_e12")).otherwise(F.lit(0)))
+         .cast("bigint").alias("__tr_e12"),
+        F.sum(F.floor(c * c * mult * 1e12).cast("bigint"))
+         .alias("__fr2_e12"),
+    )
+    tr = F.col("__tr_e12").cast("double") / 1e12
+    fr2 = F.greatest(F.col("__fr2_e12"), F.lit(1).cast("bigint")) \
+        .cast("double") / 1e12
+    pr = tr * tr / fr2
+    return agg.select(
+        "dim",
+        (F.floor(tr * 1e6) / 1e6).alias("trace"),
+        (F.floor(pr * 1e6) / 1e6).alias("participation_ratio"),
+        (F.floor(pr / F.col("dim") * 1e6) / 1e6)
+         .alias("participation_share"),
+    )
+
+
 def embedding_top_component(embeddings: DataFrame,
                             n_rounds: int = 8) -> DataFrame:
     """Top principal direction of the embedding corpus — fixed-round

@@ -106,6 +106,35 @@ def text_language_id(documents: DataFrame) -> DataFrame:
                      .alias("predicted_lang"))
 
 
+def doc_language_confusion(documents: DataFrame) -> DataFrame:
+    """Labeled-vs-detected language confusion matrix: the documents
+    table's `lang` column (what the upstream feed CLAIMS) against
+    text_language_id's marker-based detection (what the text LOOKS
+    like), with per-label shares — the label-noise audit a curation
+    run consults before trusting `lang` for filtering or mixing
+    (a feed that labels everything `en` flags here as one row of
+    mass off the diagonal).
+
+    Scale shape: rides text_language_id's one explode+groupBy pass,
+    then reduces to an O(|langs|²) matrix; the per-label total join
+    is broadcast. share_e6 is an exact integer ratio of counts."""
+    pred = text_language_id(documents).select("doc_id", "predicted_lang")
+    j = documents.select("doc_id", "lang").join(pred, "doc_id")
+    per = j.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    tot = per.groupBy("lang").agg(F.sum("n_docs").alias("__t"))
+    return (
+        per.join(F.broadcast(tot), "lang")
+        .select(
+            "lang", "predicted_lang", "n_docs",
+            F.floor(F.col("n_docs") * F.lit(1000000) / F.col("__t"))
+             .cast("bigint").alias("share_e6"),
+            (F.col("lang") == F.col("predicted_lang")).alias("agree"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
 def doc_fingerprint(documents: DataFrame, n_shards: int = 64) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint + shard assignment
     (shard = fingerprint mod n_shards — the partitioning key a 100 TB

@@ -451,6 +451,45 @@ register(
 )
 
 register(
+    "doc_language_confusion",
+    # labeled `lang` vs marker-detected language: the label-noise
+    # audit; exact integer count ratios, per-label totals broadcast
+    lambda spark, sf: textanalysis.doc_language_confusion(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+             {_SCORES}
+      FROM d
+    ), p AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) <= 0.0
+                    THEN 'unknown'
+                  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                    THEN 'en'
+                  WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM s
+    ), per AS (
+      SELECT doc.lang, p.predicted_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents doc JOIN p ON p.doc_id = doc.doc_id
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(sum(n_docs) AS BIGINT) AS t FROM per GROUP BY 1
+    )
+    SELECT per.lang, per.predicted_lang, per.n_docs,
+           CAST(floor(per.n_docs * 1000000.0 / tot.t) AS BIGINT)
+             AS share_e6,
+           (per.lang = per.predicted_lang) AS agree
+    FROM per JOIN tot ON tot.lang = per.lang
+    ORDER BY 1, 2
+    """,
+)
+
+register(
     "doc_fingerprint",
     lambda spark, sf: textanalysis.doc_fingerprint(*_t(spark, sf, "documents")),
     f"""
@@ -2225,6 +2264,46 @@ register(
     f"""
     WITH {_COV_CTES}
     SELECT dim_i, dim_j, n, cov_e12 FROM cov ORDER BY 1, 2
+    """,
+)
+
+
+register(
+    "embedding_intrinsic_dim",
+    # participation ratio tr(C)²/tr(C²): eigendecomposition-free
+    # effective dimension; exact bigint trace, per-entry Frobenius
+    # terms floored e12 before the sum (off-diagonals doubled inside
+    # the floor, identically on both sides)
+    lambda spark, sf: similarity.embedding_intrinsic_dim(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_COV_CTES},
+    a AS (
+      SELECT CAST(sum(CASE WHEN dim_i = dim_j THEN 1 ELSE 0 END)
+                  AS BIGINT) AS dim,
+             CAST(sum(CASE WHEN dim_i = dim_j THEN cov_e12 ELSE 0 END)
+                  AS BIGINT) AS tr_e12,
+             CAST(sum(CAST(floor(
+               (CAST(cov_e12 AS DOUBLE) / 1000000000000.0)
+               * (CAST(cov_e12 AS DOUBLE) / 1000000000000.0)
+               * (CASE WHEN dim_i = dim_j THEN 1.0 ELSE 2.0 END)
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS fr2_e12
+      FROM cov
+    )
+    SELECT dim,
+           floor((CAST(tr_e12 AS DOUBLE) / 1000000000000.0)
+                 * 1000000.0) / 1000000.0 AS trace,
+           floor(((CAST(tr_e12 AS DOUBLE) / 1000000000000.0)
+                  * (CAST(tr_e12 AS DOUBLE) / 1000000000000.0)
+                  / (CAST(greatest(fr2_e12, 1) AS DOUBLE)
+                     / 1000000000000.0))
+                 * 1000000.0) / 1000000.0 AS participation_ratio,
+           floor(((CAST(tr_e12 AS DOUBLE) / 1000000000000.0)
+                  * (CAST(tr_e12 AS DOUBLE) / 1000000000000.0)
+                  / (CAST(greatest(fr2_e12, 1) AS DOUBLE)
+                     / 1000000000000.0))
+                 / dim * 1000000.0) / 1000000.0 AS participation_share
+    FROM a
     """,
 )
 

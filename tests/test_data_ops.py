@@ -1512,3 +1512,49 @@ def test_embedding_top_component_dominant_axis(spark):
     assert abs(by_dim[3].component) == 1.0
     assert all(abs(by_dim[j].component) < 0.05 for j in range(8) if j != 3)
     assert by_dim[3].variance_share > 0.95
+
+
+def test_doc_language_confusion_shares(spark):
+    """Per-label shares sum to ~1 (floor slack), counts total the
+    corpus, and agree marks exactly the diagonal."""
+    rows = registry.queries()["doc_language_confusion"](
+        spark, SF_ORACLE).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    by_lang = {}
+    for r in rows:
+        assert r.agree == (r.lang == r.predicted_lang)
+        by_lang.setdefault(r.lang, []).append(r.share_e6)
+    for shares in by_lang.values():
+        assert sum(shares) <= 1_000_000
+        assert sum(shares) > 1_000_000 - len(shares)  # floor slack only
+
+
+def test_embedding_intrinsic_dim_bounds_and_numpy(spark):
+    """1 <= PR <= d, share = PR/d, and PR matches numpy's
+    (Σλ)²/Σλ² of the same quantized covariance."""
+    import numpy as np
+    r = registry.queries()["embedding_intrinsic_dim"](
+        spark, SF_ORACLE).collect()[0]
+    cov_rows = registry.queries()["embedding_covariance"](
+        spark, SF_ORACLE).collect()
+    d = r.dim
+    C = np.zeros((d, d))
+    for cr in cov_rows:
+        C[cr.dim_i, cr.dim_j] = C[cr.dim_j, cr.dim_i] = cr.cov_e12 / 1e12
+    ev = np.linalg.eigvalsh(C)
+    pr_np = ev.sum() ** 2 / (ev ** 2).sum()
+    assert 1.0 <= r.participation_ratio <= d + 1e-6
+    assert abs(r.participation_ratio - pr_np) < 1e-3 * max(pr_np, 1.0)
+    assert abs(r.participation_share - r.participation_ratio / d) < 2e-6
+
+
+def test_embedding_intrinsic_dim_collapse(spark):
+    """A rank-1 corpus (all mass on one axis) must score PR ≈ 1."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    rows_in = [(i, [0.0] * 3 + [float(i % 23)] + [0.0] * 4, 0)
+               for i in range(100)]
+    df = spark.createDataFrame(rows_in, ["vec_id", "embedding", "label"])
+    r = similarity.embedding_intrinsic_dim(df).collect()[0]
+    assert r.dim == 8
+    assert r.participation_ratio < 1.001
+    assert r.participation_share < 0.13
