@@ -66,6 +66,17 @@ SHOW = {
     "source_topic_mix": "slim (doc_id, source)x(vec_id, label) "
                         "equi-join; shares/lift window over the "
                         "dim-sized (source, label) aggregate",
+    "source_divergence_matrix": "vocab-grain (source, token, count) "
+                                "shuffles; pair join fans a token "
+                                "only to sources containing it; "
+                                "S-row totals broadcast both sides",
+    "embedding_top_component": "one corpus pass (partial-Gram "
+                               "mapInPandas); iteration reads the "
+                               "checkpointed d^2 relation, never "
+                               "the corpus",
+    "embedding_intrinsic_dim": "single aggregate over the d^2 "
+                               "covariance relation; corpus touched "
+                               "once in the Gram stage",
 }
 
 
