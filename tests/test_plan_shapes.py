@@ -511,6 +511,18 @@ _FINGERPRINTS = {
     # small); the CC loop itself is a checkpoint leaf, not plan nodes
     # (r7 review fix dropped the corpus-wide orderBy: 3 -> 2 Exchange)
     "leakage_safe_split": (2, 0, 1, 0),
+    # everything after the one tokenize pass runs at vocabulary /
+    # source-pair grain (≤ |vocab| and O(sources²) rows); the BNLJ is
+    # the dim-sized source×source all-pairs frame, never the corpus
+    "source_divergence_matrix": (19, 3, 1, 1),
+    # one corpus pass builds the d(d+1)/2-row covariance relation;
+    # the power-iteration rounds and both BNLJs live on that d²-sized
+    # integer relation (d=64 → 2080 rows), corpus never re-read
+    "embedding_top_component": (5, 1, 1, 2),
+    # rides text_language_id's explode; reduces to |langs|² cells
+    "doc_language_confusion": (6, 3, 0, 0),
+    # trace + Frobenius over the covariance relation: 1-row output
+    "embedding_intrinsic_dim": (3, 0, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
