@@ -130,6 +130,10 @@ HEADLINE = [
     "embedding_top_component",
     "doc_language_confusion",
     "embedding_intrinsic_dim",
+    "dedup_threshold_sweep",
+    "dedup_cascade_report",
+    "source_epoch_plan",
+    "source_quality_calibration",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -151,6 +155,7 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # inside the builder — the CC work must be timed
                   "dedup_drop_list", "leakage_safe_split",
                   "dedup_rate_report", "dedup_cluster_size_histogram",
+                  "dedup_cascade_report",
                   # power iteration checkpoints eagerly per round
                   "embedding_top_component"}
 

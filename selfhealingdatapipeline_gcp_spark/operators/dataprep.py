@@ -508,3 +508,120 @@ def packing_efficiency_report(documents: DataFrame,
              .cast("bigint").alias("fill_e6"))
         .orderBy("source")
     )
+
+
+def source_epoch_plan(documents: DataFrame,
+                      temperature_sqrt: bool = True) -> DataFrame:
+    """Per-source token-budget allocation: how many tokens to DRAW
+    from each source (and hence how many epochs over it) to realize
+    the temperature-mixed distribution inside a fixed total budget —
+    the table temperature_mixing_weights implies but doesn't emit.
+    Budget = the corpus's own token count (one corpus-sized pass of
+    training data), so epochs_e4 > 1e4 marks sources the mix
+    up-samples (repeats) and < 1e4 sources it down-samples; the
+    data-constrained scaling question ("how often does each source
+    repeat?") reads straight off the epochs column.
+
+    Shares are computed over TOKEN mass, not doc counts (documents
+    vary 100x in length; a doc-count mix would starve long-doc
+    sources). T = 2 via sqrt keeps the weights bit-reproducible
+    across engines (general pow() drifts in the last ULP — the
+    temperature_mixing_weights rule).
+
+    Scale: token counting is F.size over the split array — scan-level
+    per-row arithmetic, no explode; everything after is a
+    |sources|-row aggregate with a broadcast 1-row normalizer.
+    Determinism: the normalizer Σ floor(sqrt(tokens)·1e9) accumulates
+    as integers (order-independent across partial-agg schedules);
+    target_tokens then divides through doubles with the same two
+    IEEE ops in both engines."""
+    per = (documents
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size(textfn.tokens("text")).cast("bigint"))
+                 .alias("n_tokens")))
+    u = F.floor(F.sqrt(F.col("n_tokens")) * 1e9).cast("bigint")
+    per = per.withColumn("__sqrt_e9", u)
+    tot = per.agg(F.sum("n_tokens").alias("__tok_total"),
+                  F.sum("__sqrt_e9").alias("__sum_sqrt_e9"))
+    ud = F.col("__sqrt_e9").cast("double")
+    sd = F.col("__sum_sqrt_e9").cast("double")
+    target = F.floor(F.col("__tok_total").cast("double") * ud / sd) \
+        .cast("bigint")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.floor(F.col("n_tokens") * 1e6 / F.col("__tok_total"))
+             .cast("bigint").alias("natural_share_e6"),
+            F.floor(ud * 1e6 / sd).cast("bigint").alias("tempered_share_e6"),
+            target.alias("target_tokens"),
+            F.floor(target * 1e4 / F.col("n_tokens")).cast("bigint")
+             .alias("epochs_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_quality_calibration(documents: DataFrame) -> DataFrame:
+    """Per-source quality-score DISTRIBUTION (exact p10/p25/p50/p75/
+    p90 + below-cut share) — the threshold-picking table for
+    quality_filter_pipeline. source_quality_report answers "how good
+    is each source on average"; this answers "where would a cut at
+    0.5 actually bite, per source" — a uniform global threshold can
+    silently delete most of a terse-but-valuable source while
+    keeping boilerplate from a verbose one, and the percentile table
+    is how you see that before filtering.
+
+    Scale: deliberately NOT text_quality_score + a corpus⋈corpus
+    join-back (that shuffles the whole doc table a second time just
+    to attach `source`): the score formula re-runs here with
+    `source` CARRIED through the token explode, so the only
+    corpus-sized shuffle is the doc-grain aggregate the explode
+    needs anyway, and everything after is |sources| rows.
+    Zero-token docs score exactly 0.0 but produce no explode rows,
+    so they re-enter via a scan-level filter + union — a source full
+    of empty docs must show its true p10 = 0, not vanish.
+    Percentiles run per-source over floor(q·1e4) INTEGERS (scores
+    are exact 1e-4 multiples, so the int form is lossless and the
+    linear-interpolation arithmetic both engines apply to it is the
+    same two IEEE ops — the doc_length_profile_by_source rule)."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ex = documents.select(
+        "doc_id", "source", F.explode(textfn.tokens("text")).alias("w"))
+    agg = ex.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.length("w")).alias("__sum_len"),
+        F.sum(F.array_contains(stop_arr, F.col("w")).cast("bigint"))
+         .alias("__n_stop"))
+    n = F.col("__n")
+    mean_len = F.col("__sum_len") / F.greatest(n, F.lit(1))
+    stop_ratio = F.col("__n_stop") / F.greatest(n, F.lit(1))
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    wl_score = F.when((mean_len >= 2.0) & (mean_len <= 10.0),
+                      F.lit(1.0)).otherwise(F.lit(0.0))
+    score = 0.5 * len_score + 0.3 * stop_ratio + 0.2 * wl_score
+    scored = agg.select(
+        "source", F.floor(score * 1e4).cast("bigint").alias("q_e4"))
+    zeros = (documents
+             .filter(F.size(textfn.tokens("text")) == 0)
+             .select("source", F.lit(0).cast("bigint").alias("q_e4")))
+    base = scored.unionByName(zeros)
+
+    def _p(q: float, name: str):
+        return (F.floor(F.percentile("q_e4", F.lit(q)) * 1e6) / 1e6) \
+            .alias(name)
+
+    return (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             _p(0.1, "p10_q_e4"), _p(0.25, "p25_q_e4"),
+             _p(0.5, "p50_q_e4"), _p(0.75, "p75_q_e4"),
+             _p(0.9, "p90_q_e4"),
+             F.sum((F.col("q_e4") < 5000).cast("bigint")).alias("__n_below"))
+        .select("source", "n_docs",
+                "p10_q_e4", "p25_q_e4", "p50_q_e4", "p75_q_e4", "p90_q_e4",
+                F.floor(F.col("__n_below") * 1e6 / F.col("n_docs"))
+                 .cast("bigint").alias("below_half_share_e6"))
+        .orderBy("source")
+    )

@@ -1453,3 +1453,122 @@ def dedup_cluster_size_histogram(documents: DataFrame) -> DataFrame:
                 "n_clusters", "n_docs")
         .orderBy("log2_bucket")
     )
+
+
+def dedup_threshold_sweep(documents: DataFrame,
+                          edges: DataFrame | None = None) -> DataFrame:
+    """Jaccard-threshold tuning curve over the verified near-dup
+    pairs: for each candidate cut 0.50, 0.55, … 0.95, how many pairs
+    and how many distinct documents a dedup run at that threshold
+    would touch, plus the mean Jaccard of the surviving pairs — the
+    one-page table you read before committing to a threshold
+    (lsh_precision/recall_report audit the LSH banding at a FIXED
+    threshold; this sweeps the decision variable itself).
+
+    Scale shape — deliberately NOT a thresholds×pairs theta-join:
+    the grid is uniform, so each pair buckets once by
+    floor((jac−500000)/50000) and each count "≥ threshold k" is a
+    SUFFIX-cumulative sum over the 10 fixed buckets. Distinct-doc
+    counts suffix-sum too because they bucket by each doc's MAX pair
+    Jaccard (a doc participates at cut t iff its best pair ≥ t).
+    Everything after the bounded pair relation is a 10-row frame;
+    the global window runs over those 10 rows, never data.
+
+    Empty buckets stay visible (LEFT join from the full grid +
+    coalesce 0 — the ADVICE r6 minhash_estimate_report rule);
+    mean_jaccard_e6 is NULL where no pairs survive."""
+    spark = documents.sparkSession
+    if edges is None:
+        edges = dedup_lsh_verified(documents)
+    jac_e6 = F.round(F.col("jaccard") * 1e6).cast("bigint")
+    p = edges.select("doc_a", "doc_b", jac_e6.alias("jac_e6"))
+    idx = F.least(F.floor((F.col("jac_e6") - 500000) / 50000),
+                  F.lit(9)).cast("bigint")
+    pair_b = (p.select(idx.alias("idx"), "jac_e6")
+              .groupBy("idx")
+              .agg(F.count(F.lit(1)).alias("__np"),
+                   F.sum("jac_e6").alias("__sj")))
+    doc_b = (p.select(F.explode(F.array("doc_a", "doc_b")).alias("d"),
+                      "jac_e6")
+             .groupBy("d").agg(F.max("jac_e6").alias("jac_e6"))
+             .select(idx.alias("idx"))
+             .groupBy("idx").agg(F.count(F.lit(1)).alias("__nd")))
+    th = (spark.range(10)
+          .select(F.col("id").alias("idx"),
+                  (500000 + F.col("id") * 50000).alias("threshold_e6")))
+    j = (th.join(F.broadcast(pair_b), "idx", "left")
+         .join(F.broadcast(doc_b), "idx", "left"))
+    w = (Window.orderBy(F.desc("idx"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_pairs = F.sum(F.coalesce(F.col("__np"), F.lit(0))).over(w)
+    sum_jac = F.sum(F.coalesce(F.col("__sj"), F.lit(0))).over(w)
+    n_docs = F.sum(F.coalesce(F.col("__nd"), F.lit(0))).over(w)
+    return (
+        j.select(
+            "threshold_e6",
+            n_pairs.cast("bigint").alias("n_pairs"),
+            n_docs.cast("bigint").alias("n_docs"),
+            F.when(n_pairs > 0, F.floor(sum_jac / n_pairs).cast("bigint"))
+             .alias("mean_jaccard_e6"),
+        )
+        .orderBy("threshold_e6")
+    )
+
+
+def dedup_cascade_report(documents: DataFrame,
+                         max_iterations: int = 15) -> DataFrame:
+    """The curation FUNNEL: run the dedup ladder in production order
+    — byte-exact → normalized-exact → MinHash-LSH-verified near-dup
+    clustering — with each stage applied only to the previous stage's
+    survivors, and report per-stage docs_in / dropped / out / rate.
+    This is the one-page attribution table a curation run publishes
+    ("how much did each rung actually remove?"): the standalone
+    operators each report against the FULL corpus, which double-counts
+    (every byte-dup is also a near-dup), so incremental attribution
+    needs the sequenced composition.
+
+    Scale: stages 1-2 are hash-groupBys whose shuffles carry 32-char
+    digests; stage 3 is the bounded LSH-verify pipeline + the
+    O(log diameter) pointer-doubling components, both on survivors
+    only (each stage SHRINKS the input for the next — the cheap rungs
+    run first for exactly this reason). The final report composes
+    five 1-row aggregates by anchored broadcast crossJoins — never a
+    data join."""
+    keep1 = (documents.groupBy(F.md5("text"))
+             .agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    d1 = documents.join(keep1, "doc_id", "semi")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+    keep2 = (d1.groupBy(F.md5(norm))
+             .agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    d2 = d1.join(keep2, "doc_id", "semi")
+    edges = dedup_lsh_verified(d2)
+    labels = component_labels(edges, max_iterations)
+    dr3 = (labels.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("sz"))
+           .filter(F.col("sz") > 1)
+           .agg(F.coalesce(F.sum(F.col("sz") - 1), F.lit(0))
+                 .cast("bigint").alias("dr3")))
+    c0 = documents.agg(F.count(F.lit(1)).alias("n0"))
+    c1 = d1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = d2.agg(F.count(F.lit(1)).alias("n2"))
+    row = (c0.crossJoin(F.broadcast(c1))
+           .crossJoin(F.broadcast(c2))
+           .crossJoin(F.broadcast(dr3)))
+    out = row.selectExpr("""stack(3,
+        1, 'exact',        n0, n0 - n1,  n1,
+        2, 'normalized',   n1, n1 - n2,  n2,
+        3, 'near_dup_lsh', n2, dr3,      n2 - dr3
+      ) AS (stage, stage_name, docs_in, docs_dropped, docs_out)""")
+    return (
+        out.select(
+            F.col("stage").cast("int").alias("stage"),
+            "stage_name", "docs_in", "docs_dropped", "docs_out",
+            F.floor(F.col("docs_dropped") * 1e6 / F.col("docs_in"))
+             .cast("bigint").alias("drop_rate_e6"),
+        )
+        .orderBy("stage")
+    )

@@ -662,11 +662,14 @@ register(
     """,
 )
 
-# Shared with the dedup_verified_clusters oracle below.
-_LSH_VERIFIED_SQL = f"""
+# Shared with the dedup_verified_clusters oracle below. The table is
+# a parameter so the dedup_cascade_report oracle can run the same
+# pipeline over a survivors CTE instead of the base view.
+def _lsh_verified_sql(tbl: str = "documents") -> str:
+    return f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS s
-      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM {tbl})
       WHERE len({_SHINGLES}) > 0
     ), ints AS (
       SELECT doc_id, list_transform(s, g -> {_md5int('g')}) AS xs FROM sh
@@ -694,6 +697,9 @@ _LSH_VERIFIED_SQL = f"""
     WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
     ORDER BY doc_a, doc_b
     """
+
+
+_LSH_VERIFIED_SQL = _lsh_verified_sql()
 
 register(
     "dedup_lsh_verified",
@@ -2907,5 +2913,118 @@ register(
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(cluster_size) AS BIGINT) AS n_docs
     FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+)
+
+
+register(
+    "dedup_threshold_sweep",
+    lambda spark, sf: dedup.dedup_threshold_sweep(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH vp AS ( {_LSH_VERIFIED_SQL} ),
+    p AS (
+      SELECT doc_a, doc_b,
+             CAST(round(jaccard * 1000000.0) AS BIGINT) AS jac_e6
+      FROM vp
+    ), pb AS (
+      SELECT CAST(least(floor((jac_e6 - 500000) / 50000.0), 9) AS BIGINT)
+               AS idx,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(jac_e6) AS BIGINT) AS sj
+      FROM p GROUP BY 1
+    ), dm AS (
+      SELECT d, max(jac_e6) AS jac_e6 FROM (
+        SELECT doc_a AS d, jac_e6 FROM p
+        UNION ALL
+        SELECT doc_b, jac_e6 FROM p)
+      GROUP BY d
+    ), db AS (
+      SELECT CAST(least(floor((jac_e6 - 500000) / 50000.0), 9) AS BIGINT)
+               AS idx,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM dm GROUP BY 1
+    ), th AS (
+      SELECT CAST(u.i AS BIGINT) AS idx,
+             CAST(500000 + 50000 * u.i AS BIGINT) AS threshold_e6
+      FROM (SELECT unnest(range(0, 10)) AS i) u
+    ), j AS (
+      SELECT th.idx, th.threshold_e6,
+             coalesce(np, 0) AS np, coalesce(sj, 0) AS sj,
+             coalesce(nd, 0) AS nd
+      FROM th LEFT JOIN pb ON pb.idx = th.idx
+              LEFT JOIN db ON db.idx = th.idx
+    ), c AS (
+      SELECT threshold_e6,
+             CAST(sum(np) OVER w AS BIGINT) AS n_pairs,
+             CAST(sum(sj) OVER w AS BIGINT) AS sum_jac,
+             CAST(sum(nd) OVER w AS BIGINT) AS n_docs
+      FROM j
+      WINDOW w AS (ORDER BY idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT threshold_e6, n_pairs, n_docs,
+           CASE WHEN n_pairs > 0
+                THEN CAST(floor(sum_jac / n_pairs) AS BIGINT)
+                ELSE NULL END AS mean_jaccard_e6
+    FROM c ORDER BY threshold_e6
+    """,
+)
+
+
+# dedup_cascade_report: the sequenced funnel. Stage 3's components
+# come from the same recursive-CTE closure as the clustering-trio
+# oracles, but over the verified pairs of the stage-2 SURVIVORS
+# (d2), which is why _lsh_verified_sql takes a table parameter.
+register(
+    "dedup_cascade_report",
+    lambda spark, sf: dedup.dedup_cascade_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH RECURSIVE d1 AS (
+      SELECT d.* FROM documents d JOIN (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+      ) k USING (doc_id)
+    ), d2 AS (
+      SELECT d.* FROM d1 d JOIN (
+        SELECT min(doc_id) AS doc_id FROM d1
+        GROUP BY md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g')))
+      ) k USING (doc_id)
+    ), vp AS ( {_lsh_verified_sql("d2")} ),
+    e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION ALL
+      SELECT doc_b, doc_a FROM vp
+    ), walk(src, reach) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT w.src, x.dst FROM walk w JOIN e x ON x.src = w.reach
+    ), comp AS (
+      SELECT src AS doc_id, least(src, min(reach)) AS label
+      FROM walk GROUP BY src
+    ), cl AS (
+      SELECT label, count(*) AS sz FROM comp GROUP BY label
+      HAVING count(*) > 1
+    ), c0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM documents),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM d1),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM d2),
+    c3 AS (SELECT CAST(coalesce(sum(sz - 1), 0) AS BIGINT) AS dr3 FROM cl),
+    r AS (SELECT * FROM c0, c1, c2, c3)
+    SELECT CAST(1 AS INT) AS stage, 'exact' AS stage_name,
+           n0 AS docs_in, n0 - n1 AS docs_dropped, n1 AS docs_out,
+           CAST(floor((n0 - n1) * 1000000.0 / n0) AS BIGINT)
+             AS drop_rate_e6
+    FROM r
+    UNION ALL
+    SELECT CAST(2 AS INT), 'normalized', n1, n1 - n2, n2,
+           CAST(floor((n1 - n2) * 1000000.0 / n1) AS BIGINT)
+    FROM r
+    UNION ALL
+    SELECT CAST(3 AS INT), 'near_dup_lsh', n2, dr3, n2 - dr3,
+           CAST(floor(dr3 * 1000000.0 / n2) AS BIGINT)
+    FROM r
+    ORDER BY stage
     """,
 )

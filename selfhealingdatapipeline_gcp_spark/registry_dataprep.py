@@ -423,3 +423,89 @@ register(
     FROM t ORDER BY source, label
     """,
 )
+
+
+register(
+    "source_epoch_plan",
+    lambda spark, sf: dataprep.source_epoch_plan(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), u AS (
+      SELECT *, CAST(floor(sqrt(n_tokens) * 1000000000.0) AS BIGINT)
+                  AS sqrt_e9
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+             CAST(sum(sqrt_e9) AS BIGINT) AS sum_sqrt_e9
+      FROM u
+    ), t AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(n_tokens * 1000000.0 / tok_total) AS BIGINT)
+               AS natural_share_e6,
+             CAST(floor(CAST(sqrt_e9 AS DOUBLE) * 1000000.0
+                        / CAST(sum_sqrt_e9 AS DOUBLE)) AS BIGINT)
+               AS tempered_share_e6,
+             CAST(floor(CAST(tok_total AS DOUBLE)
+                        * CAST(sqrt_e9 AS DOUBLE)
+                        / CAST(sum_sqrt_e9 AS DOUBLE)) AS BIGINT)
+               AS target_tokens
+      FROM u, tot
+    )
+    SELECT source, n_docs, n_tokens, natural_share_e6,
+           tempered_share_e6, target_tokens,
+           CAST(floor(target_tokens * 10000.0 / n_tokens) AS BIGINT)
+             AS epochs_e4
+    FROM t ORDER BY source
+    """,
+)
+
+
+register(
+    "source_quality_calibration",
+    lambda spark, sf: dataprep.source_quality_calibration(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKENS} AS t FROM documents),
+    f AS (
+      SELECT doc_id, source, len(t) AS n,
+             list_reduce([CAST(0 AS BIGINT)]
+                         || list_transform(t, x -> length(x)::BIGINT),
+                         (acc, x) -> acc + x) AS sum_len,
+             len(list_filter(t, x -> list_contains({_STOPS}, x)))
+               AS n_stop
+      FROM d
+    ), g AS (
+      SELECT source, n,
+             sum_len / greatest(n, 1) AS mean_len,
+             n_stop / greatest(n, 1) AS stop_ratio,
+             least(n / 100.0, 1.0) AS len_score
+      FROM f
+    ), q AS (
+      SELECT source,
+             CAST(round((floor((0.5 * len_score + 0.3 * stop_ratio
+                  + 0.2 * (CASE WHEN mean_len >= 2.0 AND mean_len <= 10.0
+                           THEN 1.0 ELSE 0.0 END)) * 10000.0)
+                  / 10000.0) * 10000.0) AS BIGINT) AS q_e4
+      FROM g
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           (floor(quantile_cont(q_e4, 0.1) * 1000000.0) / 1000000.0)
+             AS p10_q_e4,
+           (floor(quantile_cont(q_e4, 0.25) * 1000000.0) / 1000000.0)
+             AS p25_q_e4,
+           (floor(quantile_cont(q_e4, 0.5) * 1000000.0) / 1000000.0)
+             AS p50_q_e4,
+           (floor(quantile_cont(q_e4, 0.75) * 1000000.0) / 1000000.0)
+             AS p75_q_e4,
+           (floor(quantile_cont(q_e4, 0.9) * 1000000.0) / 1000000.0)
+             AS p90_q_e4,
+           CAST(floor(sum(CASE WHEN q_e4 < 5000 THEN 1 ELSE 0 END)
+                      * 1000000.0 / count(*)) AS BIGINT)
+             AS below_half_share_e6
+    FROM q GROUP BY source ORDER BY source
+    """,
+)

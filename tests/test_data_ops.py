@@ -38,6 +38,8 @@ ORACLE_CHECKED = [
     "dedup_rate_report",
     "chunk_dedup_exact",
     "embedding_covariance",
+    "dedup_threshold_sweep",
+    "dedup_cascade_report",
 ]
 
 
@@ -1558,3 +1560,59 @@ def test_embedding_intrinsic_dim_collapse(spark):
     assert r.dim == 8
     assert r.participation_ratio < 1.001
     assert r.participation_share < 0.13
+
+
+def test_threshold_sweep_monotone_and_anchored(spark):
+    """The sweep is a suffix-cumulative curve: counts non-increasing
+    in the threshold, and the 0.50 row must equal the full verified
+    relation (same pipeline, same base threshold)."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = sorted(dedup.dedup_threshold_sweep(docs).collect(),
+                  key=lambda r: r.threshold_e6)
+    assert [r.threshold_e6 for r in rows] == [
+        500000 + 50000 * i for i in range(10)]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs >= b.n_docs
+    vp = dedup.dedup_lsh_verified(docs).collect()
+    assert rows[0].n_pairs == len(vp)
+    assert rows[0].n_docs == len(
+        {r.doc_a for r in vp} | {r.doc_b for r in vp})
+    for r in rows:
+        if r.n_pairs == 0:
+            assert r.mean_jaccard_e6 is None
+        else:
+            assert r.threshold_e6 <= r.mean_jaccard_e6 <= 1000000
+
+
+def test_cascade_report_sequenced_attribution(spark):
+    """Planted corpus: 2 byte-dups of doc A, 1 case-variant of doc B,
+    1 near-dup of doc C — each rung catches exactly its own layer
+    (byte-dups never reach the normalized stage, case-variants never
+    reach LSH), and the funnel invariants hold."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    t_a = ("the quick brown fox jumps over the lazy dog and then "
+           "runs far away into the quiet green forest tonight")
+    t_b = ("pack my box with five dozen liquor jugs before noon so "
+           "the movers can load the truck and leave by early evening")
+    t_c = ("sphinx of black quartz judge my vow while the river "
+           "carries autumn leaves past the old stone bridge downstream")
+    rows = [
+        (1, t_a), (2, t_a), (3, t_a),
+        (4, t_b), (5, t_b.upper()),
+        (6, t_c), (7, t_c.replace("autumn", "golden")),
+        (8, "a completely different unrelated standalone text entry"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.stage: r for r in dedup.dedup_cascade_report(df).collect()}
+    assert out[1].docs_in == 8 and out[1].docs_dropped == 2
+    assert out[2].docs_in == out[1].docs_out == 6
+    assert out[2].docs_dropped == 1            # the .upper() variant
+    assert out[3].docs_in == out[2].docs_out == 5
+    assert out[3].docs_dropped == 1            # the near-dup
+    assert out[3].docs_out == 4
+    for r in out.values():
+        assert r.docs_out == r.docs_in - r.docs_dropped
+        assert 0 <= r.drop_rate_e6 <= 1000000

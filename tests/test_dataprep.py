@@ -26,6 +26,8 @@ DATAPREP = [
     "temperature_mixing_weights",
     "doc_chunk_plan",
     "source_topic_mix",
+    "source_epoch_plan",
+    "source_quality_calibration",
 ]
 
 
@@ -247,3 +249,47 @@ def test_source_topic_mix_shares_consistent(spark):
             if m.corpus_share > 0:
                 approx = m.source_share / m.corpus_share
                 assert abs(m.lift - approx) < 2e-3
+
+
+def test_source_epoch_plan_tempering_behavior(spark):
+    """T=2 tempering must up-sample the small source past one epoch
+    and down-sample the large one below it, with the token budget
+    conserved (Σ target ≤ corpus tokens, off only by floor)."""
+    rows = ([(i, "big " + "w " * 99, "big") for i in range(90)]
+            + [(1000 + i, "small " + "w " * 99, "small")
+               for i in range(10)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in dataprep.source_epoch_plan(df).collect()}
+    assert out["big"].n_tokens == 90 * 100
+    assert out["small"].n_tokens == 10 * 100
+    # sqrt tempering: weights ∝ sqrt(9000):sqrt(1000) = 3:1
+    assert out["small"].epochs_e4 > 10000      # repeated
+    assert out["big"].epochs_e4 < 10000        # subsampled
+    assert abs(out["big"].tempered_share_e6 - 750000) <= 1
+    assert abs(out["small"].tempered_share_e6 - 250000) <= 1
+    total = out["big"].n_tokens + out["small"].n_tokens
+    target_sum = out["big"].target_tokens + out["small"].target_tokens
+    assert total - 2 <= target_sum <= total
+
+
+def test_source_quality_calibration_percentiles(spark):
+    """Empty-doc sources surface as all-zero percentiles (the LEFT
+    join + coalesce path); mixed sources show monotone percentiles
+    and an exact below-cut share."""
+    rows = ([(i, "", "empty") for i in range(5)]
+            + [(100 + i, "the a of and is " * 30, "good")
+               for i in range(8)]
+            + [(200 + i, "zz", "terse") for i in range(4)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r
+           for r in dataprep.source_quality_calibration(df).collect()}
+    e = out["empty"]
+    assert (e.p10_q_e4, e.p50_q_e4, e.p90_q_e4) == (0.0, 0.0, 0.0)
+    assert e.below_half_share_e6 == 1000000
+    for r in out.values():
+        assert (r.p10_q_e4 <= r.p25_q_e4 <= r.p50_q_e4
+                <= r.p75_q_e4 <= r.p90_q_e4)
+    # "good" docs: 150 tokens (len_score 1.0), all stopwords
+    # (stop_ratio 1.0), mean_len in [2,10] → score = 1.0 exactly
+    g = out["good"]
+    assert g.p10_q_e4 == 10000.0 and g.below_half_share_e6 == 0

@@ -523,6 +523,18 @@ _FINGERPRINTS = {
     "doc_language_confusion": (6, 3, 0, 0),
     # trace + Frobenius over the covariance relation: 1-row output
     "embedding_intrinsic_dim": (3, 0, 0, 0),
+    # suffix-cumulative over a fixed 10-bucket grid — the grid joins
+    # are broadcast EQUI-joins on idx, never a thresholds×pairs
+    # theta-join (no BNLJ); upstream is the shared LSH-verify plan
+    "dedup_threshold_sweep": (15, 6, 0, 0),
+    # the 3 BNLJs are the anchored 1-row count crossJoins; stage
+    # semi-joins broadcast at tiny SF (SMJ on digests at scale)
+    "dedup_cascade_report": (9, 4, 0, 3),
+    # scan-level token size + |sources| agg; BNLJ = 1-row normalizer
+    "source_epoch_plan": (4, 0, 0, 1),
+    # join-free: source carried through the explode, zero-token docs
+    # union in from a scan — no corpus⋈corpus join-back
+    "source_quality_calibration": (3, 0, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
