@@ -134,6 +134,8 @@ HEADLINE = [
     "dedup_cascade_report",
     "source_epoch_plan",
     "source_quality_calibration",
+    "event_trigram_paths",
+    "decontamination_manifest",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

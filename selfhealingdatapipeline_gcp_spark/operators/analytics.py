@@ -1168,3 +1168,72 @@ def event_hourly_heatmap(events: DataFrame) -> DataFrame:
                 (F.col("__v_u") / 1e6).alias("total_value"))
         .orderBy("dow", "hour")
     )
+
+
+def event_trigram_paths(events: DataFrame,
+                        bucket: str = "day") -> DataFrame:
+    """Three-step user journeys: counts and shares of every observed
+    (step_1 → step_2 → step_3) event-type sequence — one level past
+    event_transition_matrix's bigrams, the relation funnel DESIGN
+    reads (the bigram matrix says what follows a click; the trigram
+    table says whether view→click→purchase actually happens as one
+    path or via a detour). Output is bounded by |event_types|³, so
+    the full matrix is emitted (no top-k tie ambiguity).
+
+    Skew-safe like the transition matrix, one order deeper: the
+    sequence window partitions on (user_id, time-bucket) so a hot
+    user spreads over its active buckets. Within-bucket trigrams
+    come from the local lead1/lead2. Trigrams that SPAN buckets are
+    recovered from a per-bucket BOUNDARY ZONE — each bucket's first
+    two and last two events (≤ 4 rows per active bucket, distinct) —
+    re-sequenced per user: a spanning trigram's members are
+    necessarily within their buckets' first/last two, it stays
+    consecutive in the zone subsequence, and zone trigrams whose
+    three members share a bucket are exactly the ones the local pass
+    already counted (dropped by the bucket filter). The zone window
+    runs over O(active buckets) rows, never events. Exact: per user,
+    local (Σ max(n_b − 2, 0)) + spanning = n − 2.
+
+    The oracle is the naive single-window form — semantically equal
+    by construction (the user_activity_salted discipline: the
+    skew-safe plan must be value-invisible)."""
+    ev = events.select("user_id", F.date_trunc(bucket, "ts").alias("b"),
+                       "ts", "event_id", "event_type")
+    wl = Window.partitionBy("user_id", "b").orderBy("ts", "event_id")
+    local = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(wl))
+          .withColumn("t3", F.lead("event_type", 2).over(wl))
+          .withColumn("__rn", F.row_number().over(wl))
+          .withColumn("__nb", F.count(F.lit(1)).over(
+              Window.partitionBy("user_id", "b")))
+    )
+    within = (local.filter(F.col("t3").isNotNull())
+              .select(F.col("event_type").alias("step_1"),
+                      F.col("t2").alias("step_2"),
+                      F.col("t3").alias("step_3")))
+    zone = (local.filter((F.col("__rn") <= 2)
+                         | (F.col("__rn") >= F.col("__nb") - 1))
+            .select("user_id", "b", "ts", "event_id", "event_type"))
+    wz = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spanning = (
+        zone.withColumn("t2", F.lead("event_type", 1).over(wz))
+            .withColumn("t3", F.lead("event_type", 2).over(wz))
+            .withColumn("b2", F.lead("b", 1).over(wz))
+            .withColumn("b3", F.lead("b", 2).over(wz))
+            .filter(F.col("t3").isNotNull()
+                    & ~((F.col("b") == F.col("b2"))
+                        & (F.col("b2") == F.col("b3"))))
+            .select(F.col("event_type").alias("step_1"),
+                    F.col("t2").alias("step_2"),
+                    F.col("t3").alias("step_3")))
+    tri = within.unionByName(spanning)
+    agg = tri.groupBy("step_1", "step_2", "step_3").agg(
+        F.count(F.lit(1)).alias("n_paths"))
+    tot = agg.agg(F.sum("n_paths").alias("__total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select("step_1", "step_2", "step_3", "n_paths",
+                F.floor(F.col("n_paths") * 1e6 / F.col("__total"))
+                 .cast("bigint").alias("share_e6"))
+        .orderBy("step_1", "step_2", "step_3")
+    )

@@ -625,3 +625,63 @@ def source_quality_calibration(documents: DataFrame) -> DataFrame:
                  .cast("bigint").alias("below_half_share_e6"))
         .orderBy("source")
     )
+
+
+def decontamination_manifest(train: DataFrame,
+                             eval_: DataFrame) -> DataFrame:
+    """Per-TRAIN-document manifest of the token spans that match eval
+    3-gram shingles — the ACTIONABLE side of decontamination.
+    contamination_check rates each eval doc (detection direction);
+    a decontamination pass edits the TRAIN side, and what it needs is
+    exactly this: for every train doc, which token ranges to scrub
+    (merged spans, not raw shingle hits).
+
+    Span semantics: a matched shingle at token position p covers
+    tokens [p, p+2]; overlapping and touching covers merge
+    (gaps-and-islands: a new span starts when the position jump
+    exceeds 3 — classic lag + running-sum-of-breaks, both windows on
+    the doc_id partition). span_end is inclusive.
+
+    Scale: positional train shingles hash to 48-bit keys and
+    semi-join the DISTINCT eval shingle set on that 8-byte key —
+    matched rows only survive to the windows, so the island pass runs
+    over HITS, not the corpus; the eval side is the small relation
+    (the benchmark suite) and broadcasts in practice. Output is
+    bounded by matched spans."""
+    toks = train.select(
+        "doc_id", F.posexplode(textfn.tokens("text")).alias("pos", "w"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (toks
+          .withColumn("__w2", F.lead("w", 1).over(wd))
+          .withColumn("__w3", F.lead("w", 2).over(wd))
+          .filter(F.col("__w3").isNotNull())
+          .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                  textfn.md5int(
+                      F.concat_ws(" ", "w", "__w2", "__w3")).alias("h")))
+    dirty = (_shingle_rows(eval_)
+             .select(textfn.md5int(F.col("s")).alias("h"))
+             .dropDuplicates(["h"]))
+    m = sh.join(dirty, "h", "semi").select("doc_id", "pos")
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos", 1).over(wp) > 3,
+                 F.lit(1)).otherwise(F.lit(0))
+    spans = (
+        m.withColumn("__brk", brk)
+        .withColumn("span_id",
+                    F.sum("__brk").over(
+                        wp.rowsBetween(Window.unboundedPreceding,
+                                       Window.currentRow))
+                     .cast("bigint"))
+        .groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + 2).alias("span_end"),
+             F.count(F.lit(1)).alias("n_matched_shingles"))
+    )
+    return (
+        spans.select(
+            "doc_id", "span_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+             .alias("span_tokens"),
+            "n_matched_shingles")
+        .orderBy("doc_id", "span_id")
+    )

@@ -509,3 +509,51 @@ register(
     FROM q GROUP BY source ORDER BY source
     """,
 )
+
+
+register(
+    # same train/eval split convention as contamination_check
+    "decontamination_manifest",
+    lambda spark, sf: dataprep.decontamination_manifest(
+        catalog.load(spark, sf, "documents").filter("doc_id % 10 != 0"),
+        catalog.load(spark, sf, "documents").filter("doc_id % 10 = 0")),
+    f"""
+    WITH tr AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents WHERE doc_id % 10 != 0
+    ), pos AS (
+      SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+             {_md5int("(t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2])")}
+               AS h
+      FROM tr, LATERAL (
+        SELECT unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i) u
+    ), dirty AS (
+      SELECT DISTINCT {_md5int('unnest(s)')} AS h
+      FROM (SELECT {_SHINGLES} AS s
+            FROM (SELECT {_TOKENS} AS t FROM documents
+                  WHERE doc_id % 10 = 0)
+            WHERE len({_SHINGLES}) > 0)
+    ), m AS (
+      SELECT DISTINCT p.doc_id, p.pos
+      FROM pos p JOIN dirty d ON d.h = p.h
+    ), i AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) > 3
+                  THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), sgrp AS (
+      SELECT doc_id, pos,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS span_id
+      FROM i
+    )
+    SELECT doc_id, span_id,
+           min(pos) AS span_start,
+           max(pos) + 2 AS span_end,
+           max(pos) + 2 - min(pos) + 1 AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_matched_shingles
+    FROM sgrp GROUP BY doc_id, span_id
+    ORDER BY doc_id, span_id
+    """,
+)

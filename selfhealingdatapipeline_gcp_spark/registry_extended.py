@@ -937,3 +937,35 @@ register(
     ORDER BY brand_a, brand_b
     """,
 )
+
+
+register(
+    # the Spark side stitches (user, day)-bucketed windows for skew
+    # safety; the oracle is the naive single-window form — the plans
+    # differ, the VALUES must not (user_activity_salted discipline)
+    "event_trigram_paths",
+    lambda spark, sf: analytics.event_trigram_paths(
+        *_t(spark, sf, "events")),
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS (
+      SELECT event_type AS step_1, t2 AS step_2, t3 AS step_3
+      FROM s WHERE t3 IS NOT NULL
+    ), agg AS (
+      SELECT step_1, step_2, step_3,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM tri GROUP BY 1, 2, 3
+    ), t AS (
+      SELECT CAST(sum(n_paths) AS BIGINT) AS total FROM agg
+    )
+    SELECT step_1, step_2, step_3, n_paths,
+           CAST(floor(n_paths * 1000000.0 / total) AS BIGINT)
+             AS share_e6
+    FROM agg, t ORDER BY step_1, step_2, step_3
+    """,
+)

@@ -28,6 +28,7 @@ DATAPREP = [
     "source_topic_mix",
     "source_epoch_plan",
     "source_quality_calibration",
+    "decontamination_manifest",
 ]
 
 
@@ -293,3 +294,36 @@ def test_source_quality_calibration_percentiles(spark):
     # (stop_ratio 1.0), mean_len in [2,10] → score = 1.0 exactly
     g = out["good"]
     assert g.p10_q_e4 == 10000.0 and g.below_half_share_e6 == 0
+
+
+def test_decontamination_manifest_spans(spark):
+    """Planted eval sentence inside a train doc → one merged span at
+    the right token range; two separated plants → two spans."""
+    dirty = "the secret benchmark answer is forty two exactly"
+    filler = ("alpha beta gamma delta epsilon zeta eta theta iota "
+              "kappa lam mu nu xi omicron pi rho sigma tau upsilon")
+    train = spark.createDataFrame(
+        [
+            # dirty tokens 20..27 (8 tokens after the 20-token filler)
+            (1, filler + " " + dirty + " " + filler),
+            # two plants separated by 20 clean tokens → two spans
+            (2, dirty + " " + filler + " " + dirty),
+            (3, filler),
+        ],
+        ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, dirty)], ["doc_id", "text"])
+    rows = dataprep.decontamination_manifest(train, ev).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    (s1,) = by_doc[1]
+    # 8 dirty tokens at positions 20..27: shingle starts 20..25,
+    # span covers [20, 27]
+    assert (s1.span_start, s1.span_end, s1.span_tokens) == (20, 27, 8)
+    assert s1.n_matched_shingles == 6
+    assert [(-r.span_start, r.span_end) for r in by_doc[2]] \
+        and len(by_doc[2]) == 2
+    a, b = sorted(by_doc[2], key=lambda r: r.span_start)
+    assert (a.span_start, a.span_end) == (0, 7)
+    assert (b.span_start, b.span_end) == (28, 35)

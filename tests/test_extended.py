@@ -19,6 +19,7 @@ EXTENDED = [
     "asof_purchase_attribution",
     "customer_rfm",
     "event_transition_matrix",
+    "event_trigram_paths",
     "source_token_stats",
     "brand_price_trend",
     "supplier_concentration_hhi",
@@ -204,3 +205,38 @@ def test_brand_affinity_parity_and_math(spark, duck):
     assert ac.n_both == 10 and ac.lift_e6 == 1_000_000  # 10*20/(20*10)
     assert ac.support_e6 == 500_000
     assert ac.confidence_a_to_b_e6 == 500_000
+
+
+def test_event_trigram_paths_stitch_is_value_invisible(spark):
+    """The (user, day)-bucketed stitch must reproduce the naive
+    single-window trigrams exactly, including paths spanning two and
+    three buckets (a single-event middle day forces the 3-bucket
+    case), and Σ n_paths = Σ_users max(n_events − 2, 0)."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+    def e(i, day, hh, u, t):
+        return (i, dt.datetime(2024, 3, day, hh, 0, 0), u, t, 0.0, "")
+    rows = [
+        # user 1: 4 events day 1, 1 event day 2, 2 events day 3
+        e(1, 1, 9, 1, "view"), e(2, 1, 10, 1, "click"),
+        e(3, 1, 11, 1, "view"), e(4, 1, 12, 1, "cart"),
+        e(5, 2, 9, 1, "purchase"),
+        e(6, 3, 9, 1, "view"), e(7, 3, 10, 1, "click"),
+        # user 2: exactly 2 events → no trigrams
+        e(8, 1, 9, 2, "view"), e(9, 1, 10, 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value",
+               "props"])
+    got = {(r.step_1, r.step_2, r.step_3): r.n_paths
+           for r in analytics.event_trigram_paths(df).collect()}
+    want = {
+        ("view", "click", "view"): 1,
+        ("click", "view", "cart"): 1,
+        ("view", "cart", "purchase"): 1,      # spans day 1 → day 2
+        ("cart", "purchase", "view"): 1,      # spans days 1 → 2 → 3
+        ("purchase", "view", "click"): 1,     # spans day 2 → day 3
+    }
+    assert got == want
+    assert sum(got.values()) == 7 - 2

@@ -535,6 +535,12 @@ _FINGERPRINTS = {
     # join-free: source carried through the explode, zero-token docs
     # union in from a scan — no corpus⋈corpus join-back
     "source_quality_calibration": (3, 0, 0, 0),
+    # (user, day)-bucketed sequence windows + the O(active buckets)
+    # boundary-zone re-sequence; BNLJ = 1-row share normalizer
+    "event_trigram_paths": (10, 0, 0, 1),
+    # positional shingles semi-join the DISTINCT eval hash set (BHJ
+    # at tiny SF); island windows run over HITS, not the corpus
+    "decontamination_manifest": (4, 1, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
