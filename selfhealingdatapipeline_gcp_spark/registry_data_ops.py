@@ -3028,3 +3028,41 @@ register(
     ORDER BY stage
     """,
 )
+
+
+register(
+    # streaming admission guard; oracle = the batch contamination
+    # scoring with roles swapped (eval suite -> train-side docs),
+    # valid because the epoch union is chop-invariant by construction
+    "streaming_contamination_guard",
+    monitors.streaming_contamination_guard,
+    f"""
+    WITH tr AS (
+      SELECT DISTINCT {_md5int('unnest(s)')} AS h
+      FROM (
+        SELECT {_SHINGLES} AS s
+        FROM (SELECT {_TOKENS} AS t FROM documents WHERE doc_id % 10 = 0)
+        WHERE len({_SHINGLES}) > 0
+      )
+    ), ev AS (
+      SELECT DISTINCT doc_id, {_md5int('unnest(s)')} AS h
+      FROM (
+        SELECT doc_id, {_SHINGLES} AS s
+        FROM (SELECT doc_id, {_TOKENS} AS t FROM documents
+              WHERE doc_id % 10 != 0)
+        WHERE len({_SHINGLES}) > 0
+      )
+    ), agg AS (
+      SELECT ev.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM ev LEFT JOIN tr ON ev.h = tr.h
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           (floor((n_contaminated * 1.0 / n_shingles) * 1000000.0)
+            / 1000000.0) AS contamination_rate,
+           (n_contaminated * 1.0 / n_shingles >= 0.5) AS is_contaminated
+    FROM agg ORDER BY doc_id
+    """,
+)

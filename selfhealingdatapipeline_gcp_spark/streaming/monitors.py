@@ -652,3 +652,63 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str,
                 "props")
         .orderBy("user_id")
     )
+
+
+def streaming_contamination_guard(spark: SparkSession, sf_dir: str,
+                                  max_files_per_trigger: int | None = None
+                                  ) -> DataFrame:
+    """Streaming ADMISSION guard: each arriving micro-batch of
+    candidate training documents is contamination-scored against the
+    STATIC eval/benchmark shingle set before anything enters the
+    corpus — the live-feed form of contamination_check (which audits
+    a corpus after the fact; this is the gate a continuously-fed
+    pipeline runs at the door).
+
+    foreachBatch reuses the batch-exact ``contamination_check`` with
+    the roles swapped (train side = the eval suite's shingles, eval
+    side = the arriving batch) and lands each epoch's per-doc scores
+    in an epoch-keyed parquet dir (the idempotent exactly-once sink
+    pattern — a replayed epoch overwrites itself). The epoch union
+    equals the whole-batch result because a doc's contamination
+    depends only on (doc, eval set), never on its micro-batch peers —
+    chop-invariant, hence oracle-checkable.
+
+    Scale: the eval relation is the small side (a benchmark suite)
+    and its DISTINCT 48-bit shingle-hash set broadcasts in practice;
+    per epoch the work is one equi-join on the 8-byte key bounded by
+    the batch's shingle count."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators.dataprep import (
+        contamination_check)
+
+    eval_docs = catalog.load(spark, sf_dir, "documents").filter(
+        "doc_id % 10 = 0")
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(_staged_dir(path))
+              .filter("doc_id % 10 != 0"))
+    out_dir = _fresh_sink_dir("contamination_guard")
+    epochs = []
+
+    def score_epoch(batch_df, epoch_id: int) -> None:
+        (contamination_check(eval_docs, batch_df)
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(score_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_shingles bigint, n_contaminated "
+                "bigint, contamination_rate double, "
+                "is_contaminated boolean")
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "n_shingles", "n_contaminated",
+                "contamination_rate", "is_contaminated")
+        .orderBy("doc_id")
+    )

@@ -1616,3 +1616,38 @@ def test_cascade_report_sequenced_attribution(spark):
     for r in out.values():
         assert r.docs_out == r.docs_in - r.docs_dropped
         assert 0 <= r.drop_rate_e6 <= 1000000
+
+
+def test_streaming_contamination_guard_parity(spark, duck):
+    assert_parity(
+        registry.queries()["streaming_contamination_guard"](
+            spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_contamination_guard"])
+
+
+def test_streaming_contamination_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; the epoch union must equal the batch
+    contamination_check with roles swapped — a doc's score depends
+    only on (doc, eval set), never on its micro-batch peers."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_guard")
+    os.makedirs(src)
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    docs.repartition(3).write.parquet(f"{src}/documents.parquet")
+
+    streamed = {r.doc_id: (r.n_shingles, r.n_contaminated,
+                           r.contamination_rate, r.is_contaminated)
+                for r in monitors.streaming_contamination_guard(
+                    spark, src, max_files_per_trigger=1).collect()}
+    loaded = catalog.load(spark, src, "documents")
+    batch = {r.doc_id: (r.n_shingles, r.n_contaminated,
+                        r.contamination_rate, r.is_contaminated)
+             for r in dataprep.contamination_check(
+                 loaded.filter("doc_id % 10 = 0"),
+                 loaded.filter("doc_id % 10 != 0")).collect()}
+    assert streamed == batch and len(batch) > 0
