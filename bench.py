@@ -136,6 +136,8 @@ HEADLINE = [
     "source_quality_calibration",
     "event_trigram_paths",
     "decontamination_manifest",
+    "drop_reason_matrix",
+    "multimodal_byte_entropy",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -685,3 +685,41 @@ def decontamination_manifest(train: DataFrame,
             "n_matched_shingles")
         .orderBy("doc_id", "span_id")
     )
+
+
+def drop_reason_matrix(documents: DataFrame) -> DataFrame:
+    """Per-(source, reason) drop attribution for the quality filter —
+    the one-page answer to "WHY is source X losing documents?":
+    quality_filter_pipeline decides per doc; a mixing decision needs
+    the aggregate (a source bleeding 40% to 'repetitive' is template
+    spam; one bleeding to 'too_short' may just need a different
+    chunker). Kept docs appear as reason 'kept' so shares sum to 1e6
+    per source.
+
+    Zero-token docs never enter the filter pipeline (no explode
+    rows); they re-enter here via the LEFT join as 'too_short' —
+    n_tokens = 0 fails the same rule, and a source of empty docs must
+    show in its denominator.
+
+    Scale: the filter relation is slim (doc_id + verdict) and joins
+    the (doc_id, source) projection once on doc_id; everything after
+    is an O(|sources| × |reasons|) aggregate with window-derived
+    per-source totals."""
+    verdicts = quality_filter_pipeline(documents).select(
+        "doc_id", "keep", "drop_reason")
+    reason = (F.when(F.col("keep").isNull(), F.lit("too_short"))
+              .when(F.col("keep"), F.lit("kept"))
+              .otherwise(F.col("drop_reason")))
+    j = (documents.select("doc_id", "source")
+         .join(verdicts, "doc_id", "left")
+         .select("source", reason.alias("reason")))
+    agg = j.groupBy("source", "reason").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    src_total = F.sum("n_docs").over(Window.partitionBy("source"))
+    return (
+        agg.select(
+            "source", "reason", "n_docs",
+            F.floor(F.col("n_docs") * 1e6 / src_total).cast("bigint")
+             .alias("share_e6"))
+        .orderBy("source", "reason")
+    )

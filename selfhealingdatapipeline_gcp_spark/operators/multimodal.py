@@ -472,3 +472,40 @@ def multimodal_ahash_groups(documents: DataFrame) -> DataFrame:
              (F.count(F.lit(1)) > 1).alias("had_collisions"))
         .orderBy("ahash")
     )
+
+
+def multimodal_byte_entropy(documents: DataFrame,
+                            dim: int = 16) -> DataFrame:
+    """Per-asset byte-histogram Shannon entropy (nats, e6 integer) —
+    the cheap corrupt-blob detector for a multimodal ingest: a
+    truncated/encrypted/random-byte payload is near-uniform over the
+    byte buckets (H → ln dim) while any structured payload (text,
+    headers, real media containers) sits well below; the flag marks
+    assets whose entropy crosses 2.7 (ln 16 ≈ 2.7726). The QC gate a
+    pipeline runs before spending decode time on garbage.
+
+    Composes multimodal_features_long's Arrow-batched histogram (one
+    payload pass, integer counts — no new UDF); the entropy reduces
+    per doc with the source_token_entropy discipline: each n·ln(n)
+    term floors to an e6 INTEGER before the sum (order-independent
+    across engines/retries), one double ln(N) + division at the end,
+    floored e6. Output is doc-grain slim rows; payloads never
+    shuffle."""
+    feats = multimodal_features_long(documents, dim)
+    nz = feats.filter(F.col("bucket_count") > 0)
+    per = nz.groupBy("doc_id").agg(
+        F.sum("bucket_count").alias("n_bytes"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.floor(F.col("bucket_count")
+                      * F.log("bucket_count") * 1e6).cast("bigint"))
+         .alias("__nlogn_e6"))
+    ent = (F.log("n_bytes")
+           - F.col("__nlogn_e6") / 1e6 / F.col("n_bytes"))
+    e6 = F.floor(ent * 1e6).cast("bigint")
+    return (
+        per.select(
+            "doc_id", "n_bytes", "n_buckets",
+            e6.alias("entropy_e6"),
+            (e6 >= 2700000).alias("is_near_uniform"))
+        .orderBy("doc_id")
+    )

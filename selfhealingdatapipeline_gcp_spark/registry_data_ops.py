@@ -3066,3 +3066,33 @@ register(
     FROM agg ORDER BY doc_id
     """,
 )
+
+
+register(
+    "multimodal_byte_entropy",
+    lambda spark, sf: multimodal.multimodal_byte_entropy(
+        *_t(spark, sf, "documents")),
+    """
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, u.i, 1)) % 16 AS b
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+    ), counts AS (
+      SELECT doc_id, b, count(*) AS n FROM chars GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_bytes,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(CAST(floor(n * ln(n) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS nlogn_e6
+      FROM counts GROUP BY 1
+    )
+    SELECT doc_id, n_bytes, n_buckets,
+           CAST(floor((ln(n_bytes) - nlogn_e6 / 1000000.0 / n_bytes)
+                      * 1000000.0) AS BIGINT) AS entropy_e6,
+           (CAST(floor((ln(n_bytes) - nlogn_e6 / 1000000.0 / n_bytes)
+                       * 1000000.0) AS BIGINT) >= 2700000)
+             AS is_near_uniform
+    FROM per ORDER BY doc_id
+    """,
+)

@@ -124,11 +124,8 @@ register(
     """,
 )
 
-register(
-    "quality_filter_pipeline",
-    lambda spark, sf: dataprep.quality_filter_pipeline(
-        *_t(spark, sf, "documents")),
-    f"""
+# Shared with the drop_reason_matrix oracle below.
+_QFP_SQL = f"""
     WITH toks AS (
       SELECT doc_id, len(t) AS n_tokens,
              list_reduce([CAST(0 AS BIGINT)] ||
@@ -168,7 +165,13 @@ register(
            (drop_reason IS NULL) AS keep,
            drop_reason
     FROM r
-    """,
+    """
+
+register(
+    "quality_filter_pipeline",
+    lambda spark, sf: dataprep.quality_filter_pipeline(
+        *_t(spark, sf, "documents")),
+    _QFP_SQL,
 )
 
 register(
@@ -555,5 +558,30 @@ register(
            CAST(count(*) AS BIGINT) AS n_matched_shingles
     FROM sgrp GROUP BY doc_id, span_id
     ORDER BY doc_id, span_id
+    """,
+)
+
+
+register(
+    "drop_reason_matrix",
+    lambda spark, sf: dataprep.drop_reason_matrix(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH qfp AS ( {_QFP_SQL} ),
+    lab AS (
+      SELECT d.source,
+             CASE WHEN q.keep IS NULL THEN 'too_short'
+                  WHEN q.keep THEN 'kept'
+                  ELSE q.drop_reason END AS reason
+      FROM documents d LEFT JOIN qfp q ON q.doc_id = d.doc_id
+    ), agg AS (
+      SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+      FROM lab GROUP BY 1, 2
+    )
+    SELECT source, reason, n_docs,
+           CAST(floor(n_docs * 1000000.0 /
+                sum(n_docs) OVER (PARTITION BY source)) AS BIGINT)
+             AS share_e6
+    FROM agg ORDER BY source, reason
     """,
 )

@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "embedding_covariance",
     "dedup_threshold_sweep",
     "dedup_cascade_report",
+    "multimodal_byte_entropy",
 ]
 
 
@@ -1651,3 +1652,27 @@ def test_streaming_contamination_guard_chop_invariance(spark, tmp_path):
                  loaded.filter("doc_id % 10 = 0"),
                  loaded.filter("doc_id % 10 != 0")).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_multimodal_byte_entropy_detects_uniform_blobs(spark):
+    """A payload cycling all 16 byte classes evenly hits the maximum
+    ln(16) entropy and flags near-uniform; a constant-byte payload
+    scores exactly 0; ordinary text sits strictly between."""
+    import math
+    from selfhealingdatapipeline_gcp_spark.operators import multimodal
+    uniform = "".join(chr(32 + k) for k in range(16)) * 64   # 1024 B
+    constant = "a" * 512
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    df = spark.createDataFrame(
+        [(1, uniform, "s"), (2, constant, "s"), (3, text, "s")],
+        ["doc_id", "text", "source"])
+    out = {r.doc_id: r
+           for r in multimodal.multimodal_byte_entropy(df).collect()}
+    ln16_e6 = math.floor(math.log(16) * 1e6)
+    assert out[1].n_buckets == 16
+    assert abs(out[1].entropy_e6 - ln16_e6) <= 1
+    assert out[1].is_near_uniform
+    assert out[2].n_buckets == 1 and out[2].entropy_e6 == 0
+    assert not out[2].is_near_uniform
+    assert 0 < out[3].entropy_e6 < 2_700_000
+    assert not out[3].is_near_uniform

@@ -29,6 +29,7 @@ DATAPREP = [
     "source_epoch_plan",
     "source_quality_calibration",
     "decontamination_manifest",
+    "drop_reason_matrix",
 ]
 
 
@@ -327,3 +328,41 @@ def test_decontamination_manifest_spans(spark):
     a, b = sorted(by_doc[2], key=lambda r: r.span_start)
     assert (a.span_start, a.span_end) == (0, 7)
     assert (b.span_start, b.span_end) == (28, 35)
+
+
+def test_drop_reason_matrix_accounts_for_every_doc(spark):
+    """Per source: Σ n_docs over reasons == source doc count, shares
+    sum to ~1e6, zero-token docs land in 'too_short', and the
+    reason totals agree with quality_filter_pipeline's verdicts."""
+    from collections import Counter
+    from selfhealingdatapipeline_gcp_spark import catalog
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    rows = dataprep.drop_reason_matrix(docs).collect()
+    per_src = {r.source: r.n
+               for r in docs.groupBy("source").count()
+                            .withColumnRenamed("count", "n").collect()}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(per_src)
+    for src, rs in by_src.items():
+        assert sum(r.n_docs for r in rs) == per_src[src]
+        assert 1_000_000 - len(rs) <= sum(r.share_e6 for r in rs) \
+            <= 1_000_000
+    # cross-check totals against the per-doc verdicts
+    verd = Counter()
+    for v in dataprep.quality_filter_pipeline(docs).collect():
+        verd["kept" if v.keep else v.drop_reason] += 1
+    got = Counter()
+    for r in rows:
+        got[r.reason] += r.n_docs
+    missing = docs.count() - sum(verd.values())  # zero-token docs
+    verd["too_short"] += missing
+    assert got == verd
+    # fabricated: an all-empty source reports 100% too_short
+    tiny = spark.createDataFrame(
+        [(1, "", "empty"), (2, "", "empty")],
+        ["doc_id", "text", "source"])
+    out = dataprep.drop_reason_matrix(tiny).collect()
+    assert len(out) == 1 and out[0].reason == "too_short" \
+        and out[0].share_e6 == 1_000_000

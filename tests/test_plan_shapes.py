@@ -541,6 +541,11 @@ _FINGERPRINTS = {
     # positional shingles semi-join the DISTINCT eval hash set (BHJ
     # at tiny SF); island windows run over HITS, not the corpus
     "decontamination_manifest": (4, 1, 0, 0),
+    # slim verdict relation joins (doc_id, source) once; BHJs at
+    # tiny SF (doc_id SMJ at scale); output |sources|×|reasons|
+    "drop_reason_matrix": (5, 2, 0, 0),
+    # one Arrow histogram pass + doc-grain agg; payloads never shuffle
+    "multimodal_byte_entropy": (2, 0, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
