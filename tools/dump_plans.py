@@ -77,6 +77,22 @@ SHOW = {
     "embedding_intrinsic_dim": "single aggregate over the d^2 "
                                "covariance relation; corpus touched "
                                "once in the Gram stage",
+    "dedup_threshold_sweep": "NO thresholds-x-pairs theta-join: "
+                             "suffix-cumulative window over the 10 "
+                             "fixed buckets, grid joins are "
+                             "broadcast EQUI-joins on idx",
+    "dedup_cascade_report": "stage semi-joins on digests; the three "
+                            "BNLJs are 1-row anchored count "
+                            "crossJoins, never data joins",
+    "source_quality_calibration": "join-free: source carried through "
+                                  "the explode; zero-token docs "
+                                  "union in from a scan",
+    "event_trigram_paths": "windows partition on (user_id, day); "
+                           "the zone re-sequence window runs over "
+                           "O(active buckets) rows, never events",
+    "decontamination_manifest": "positional shingles semi-join the "
+                                "DISTINCT eval hash set; island "
+                                "windows run over HITS only",
 }
 
 
