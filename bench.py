@@ -138,6 +138,11 @@ HEADLINE = [
     "decontamination_manifest",
     "drop_reason_matrix",
     "multimodal_byte_entropy",
+    "source_dup_rate",
+    "split_embedding_leakage",
+    "embedding_coreset_sample",
+    "ivf_nprobe_sweep",
+    "split_balance_report",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -723,3 +723,51 @@ def drop_reason_matrix(documents: DataFrame) -> DataFrame:
              .alias("share_e6"))
         .orderBy("source", "reason")
     )
+
+
+def split_balance_report(documents: DataFrame,
+                         val_pct: int = 10) -> DataFrame:
+    """Split BALANCE audit: per-source doc and token mass on each
+    side of the train_val_split hash rule — a split can be leak-free
+    (split_leakage_check / leakage_safe_split) and still broken if
+    val under- or over-samples a source (the eval set then measures a
+    different mixture than training sees). Each row carries the
+    val-side shares in integer micro-units; a healthy hash split sits
+    near val_pct·1e4 on every source, so a drifted row IS the alarm.
+
+    Scan-level split + F.size token counts (no explode), ONE
+    per-(source) aggregate — conditional sums fold the split sides in
+    a single pass, so the whole audit is one shuffle of |sources|
+    partial rows at any corpus size."""
+    is_val = (textfn.md5int(F.col("doc_id").cast("string")) % 100
+              < val_pct).cast("int")
+    toks = F.size(textfn.tokens(F.col("text"))).cast("bigint")
+    per = (
+        documents
+        .select("source", is_val.alias("is_val"), toks.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum(1 - F.col("is_val")).cast("bigint").alias("train_docs"),
+            F.sum("is_val").cast("bigint").alias("val_docs"),
+            F.sum((1 - F.col("is_val")) * F.col("n_tokens"))
+             .cast("bigint").alias("train_tokens"),
+            F.sum(F.col("is_val") * F.col("n_tokens"))
+             .cast("bigint").alias("val_tokens"),
+        )
+    )
+    n_docs = F.col("train_docs") + F.col("val_docs")
+    n_tokens = F.col("train_tokens") + F.col("val_tokens")
+    return (
+        per.select(
+            "source", "train_docs", "val_docs", "train_tokens",
+            "val_tokens",
+            F.floor(F.col("val_docs") * 1e6 / n_docs).cast("bigint")
+             .alias("val_doc_share_e6"),
+            F.when(n_tokens > 0,
+                   F.floor(F.col("val_tokens") * 1e6 / n_tokens)
+                    .cast("bigint"))
+             .otherwise(F.lit(0).cast("bigint"))
+             .alias("val_token_share_e6"),
+        )
+        .orderBy("source")
+    )

@@ -1572,3 +1572,84 @@ def dedup_cascade_report(documents: DataFrame,
         )
         .orderBy("stage")
     )
+
+
+def split_embedding_leakage(embeddings: DataFrame,
+                            threshold: float = 0.35,
+                            val_pct: int = 10,
+                            candidates: DataFrame | None = None) -> DataFrame:
+    """EMBEDDING-grain split audit: near-duplicate vector pairs that
+    straddle the deterministic train/val hash split — semantic
+    leakage the token-shingle check (split_leakage_check) cannot see
+    (a paraphrase shares no 3-gram but sits at cosine ~0.9). Each
+    surviving row is a (train vector, val vector) pair a leakage-safe
+    re-split or a val-side drop must resolve.
+
+    Composes dedup_embedding's cell-bounded pair generation (the
+    corpus never all-pairs joins) with train_val_split's hash rule
+    applied to vec_id — both sides pure scan-level projections, so
+    the audit adds ZERO shuffles beyond the pair pipeline itself.
+    At 100 TB the pair relation is the bounded near-dup set; the
+    split columns are free.
+
+    Reference parity: the reference has no embedding surface; this is
+    brief-mandated LLM-data-pipeline tooling (near-dup + split audit).
+
+    ``candidates`` passes through to dedup_embedding — feed LSH
+    buckets or any bounded (vec_a, vec_b) generator; the default is
+    the cell-bounded pipeline (which needs a corpus larger than the
+    centroid grid: below K vectors every vector is its own cell)."""
+    pairs = dedup_embedding(embeddings, threshold=threshold,
+                            candidates=candidates)
+
+    def _split(c):
+        return F.when(
+            textfn.md5int(F.col(c).cast("string")) % 100 < val_pct,
+            F.lit("val")).otherwise(F.lit("train"))
+
+    flagged = (
+        pairs.withColumn("split_a", _split("vec_a"))
+             .withColumn("split_b", _split("vec_b"))
+             .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        flagged.select(
+            F.when(F.col("split_a") == "train", F.col("vec_a"))
+             .otherwise(F.col("vec_b")).alias("vec_train"),
+            F.when(F.col("split_a") == "val", F.col("vec_a"))
+             .otherwise(F.col("vec_b")).alias("vec_val"),
+            "cosine", "same_label",
+        )
+        .orderBy("vec_train", "vec_val")
+    )
+
+
+def source_dup_rate(documents: DataFrame) -> DataFrame:
+    """Per-SOURCE exact-duplicate audit: how much of each source is
+    byte-identical repetition (dedup_rate_report is the corpus-grain
+    near-dup number; a mixing decision needs the per-source exact
+    inflation — a crawler stuck in a template farm shows up HERE).
+
+    One hash-groupBy per (source, md5(text)) — the shuffle carries
+    16-byte digests + counts, never documents — then a per-source
+    rollup. Partial aggregation absorbs the duplicate mass map-side,
+    so the second shuffle is bounded by DISTINCT texts per source."""
+    per_text = (
+        documents.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            (F.sum("n") - F.count(F.lit(1))).cast("bigint")
+             .alias("dup_docs"),
+            F.max("n").cast("bigint").alias("largest_group"),
+        )
+        .withColumn(
+            "dup_rate_e6",
+            F.floor((F.col("dup_docs")) * 1e6 / F.col("n_docs"))
+             .cast("bigint"))
+        .orderBy("source")
+    )

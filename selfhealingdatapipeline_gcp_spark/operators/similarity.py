@@ -1521,3 +1521,146 @@ def knn_clustering_coefficient(embeddings: DataFrame, k: int = 5,
                  .otherwise(F.lit(0).cast("bigint"))
                  .alias("transitivity_e6"))
     )
+
+
+def ivf_nprobe_sweep(embeddings: DataFrame, n_queries: int = 5,
+                     k: int = 10, n_centroids: int = 16,
+                     max_probe: int = 8) -> DataFrame:
+    """IVF n_probe tuning curve: recall@k at EVERY probe depth
+    1..max_probe from ONE pass — the ANN knob a deployment actually
+    turns (ann_recall_report scores the single configured n_probe;
+    this emits the whole curve so the operator answers "what probe
+    depth buys recall 0.95" directly).
+
+    Key identity (what makes one pass exact): IVF and the brute-force
+    ground truth rank candidates by the SAME rounded cosine +
+    neighbor_id tiebreak, and the nprobe-p candidate set is a superset
+    filter of the corpus — so a true top-k neighbor is recovered at
+    depth p iff its assigned cell sits within the query's top-p cell
+    ranking. recall@p is therefore a prefix-cumulative count over the
+    per-truth-pair probe rank, never max_probe re-executions of the
+    search (the dedup_threshold_sweep discipline applied to ANN).
+
+    Scale: the corpus appears ONLY in the brute-force truth pass and
+    the standard K-row broadcast cell assignment; everything after is
+    (n_queries·k)-row relations. At 100 TB this runs on a sampled
+    query slice exactly as written."""
+    n = _with_norms(embeddings)
+    cents = fixed_k_centroids(n, n_centroids)
+    cscore = F.round(
+        vectorfn.cosine(F.col("v"), F.col("cv"), F.col("nrm"),
+                        F.col("cnrm")), 6)
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    assign = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cscore.alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+    # FULL per-query cell ranking (no rn <= n_probe cut): rn IS the
+    # probe depth at which that cell enters the candidate set
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.col("cent_id"))
+    cell_rank = (
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("v").alias("qv0"), F.col("nrm").alias("qnrm0"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id",
+                F.round(vectorfn.cosine(F.col("qv0"), F.col("cv"),
+                                        F.col("qnrm0"), F.col("cnrm")), 6)
+                 .alias("cscore"), "cent_id")
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .select("query_id", "cent_id", "probe_rank")
+    )
+
+    bf = ann_bruteforce_topk(embeddings, n_queries, k) \
+        .select("query_id", "neighbor_id")
+    # truth pair -> its neighbor's cell -> that cell's probe rank.
+    # bf is n_queries·k rows: broadcast it against the corpus-sized
+    # assignment, then everything downstream is tiny.
+    found = (
+        assign.join(F.broadcast(bf),
+                    assign["vec_id"] == bf["neighbor_id"])
+        .select("query_id", "cent_id")
+        .join(F.broadcast(cell_rank), ["query_id", "cent_id"])
+        .select("probe_rank")
+    )
+    by_rank = found.groupBy("probe_rank").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    totals = bf.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+
+    spark = embeddings.sparkSession
+    grid = spark.range(1, max_probe + 1).select(
+        F.col("id").cast("int").alias("n_probe"))
+    # prefix-cumulative over the max_probe × K grid: both sides are
+    # plan constants, so the theta-join is a broadcast of a few rows
+    hits = (
+        grid.join(F.broadcast(by_rank),
+                  F.col("probe_rank") <= F.col("n_probe"), "left")
+        .groupBy("n_probe")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint")
+              .alias("n_hit"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(totals))
+        .select(
+            "n_probe", "n_true_pairs", "n_hit",
+            F.when(F.col("n_true_pairs") > 0,
+                   F.floor(F.col("n_hit") * 1e6 / F.col("n_true_pairs"))
+                    .cast("bigint"))
+             .otherwise(F.lit(0).cast("bigint")).alias("recall_e6"),
+        )
+        .orderBy("n_probe")
+    )
+
+
+def embedding_coreset_sample(embeddings: DataFrame,
+                             pct: int = 10,
+                             target_cell_rows: int = 4_000,
+                             max_grid: int = 4_096) -> DataFrame:
+    """Diversity-stratified CORESET selection: a deterministic ``pct``%
+    sample that keeps at least one vector from EVERY IVF cell — the
+    data-selection primitive for "train on 10% without collapsing the
+    embedding distribution" (a uniform hash sample over-draws dense
+    blobs and can zero out small modes; stratifying by cell caps both).
+
+    Per cell: rank members by md5int(vec_id) (uniform, reproducible,
+    corpus-independent) and keep rank <= ceil(cell_size·pct/100) —
+    every cell keeps >= 1 representative, dense cells keep ~pct%.
+
+    Scale: the same auto-sized fixed-K grid as the cell dedup/kNN
+    family (broadcast never grows; assignment is one Arrow pass), then
+    ONE shuffle on cent_id for the in-cell rank window. No quadratic
+    stage anywhere — cheaper than any pair-generating cell operator."""
+    import math
+
+    n_rows = embeddings.count()
+    n_centroids = max(16, min(max_grid,
+                              math.ceil(n_rows / target_cell_rows)))
+    v = vectorfn.to_double(F.col("embedding"))
+    n_part = int(embeddings.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    n = embeddings.repartition(n_part).select(
+        "vec_id", "label", v.alias("v"))
+    cents = fixed_k_centroids_raw(embeddings, n_centroids)
+    assigned = assign_cells_arrow(n, cents, compute_norm=True)
+
+    w_cell = Window.partitionBy("cent_id")
+    w_rank = Window.partitionBy("cent_id").orderBy(
+        textfn.md5int(F.col("vec_id").cast("string")), F.col("vec_id"))
+    return (
+        assigned
+        .withColumn("cell_size", F.count(F.lit(1)).over(w_cell))
+        .withColumn("pick_rank", F.row_number().over(w_rank))
+        .filter(F.col("pick_rank")
+                <= F.ceil(F.col("cell_size") * pct / 100.0))
+        .select("vec_id", "cent_id",
+                F.col("cell_size").cast("bigint").alias("cell_size"),
+                F.col("pick_rank").cast("int").alias("pick_rank"))
+        .orderBy("vec_id")
+    )

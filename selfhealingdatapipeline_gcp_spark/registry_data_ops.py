@@ -3096,3 +3096,174 @@ register(
     FROM per ORDER BY doc_id
     """,
 )
+
+
+register(
+    "source_dup_rate",
+    lambda spark, sf: dedup.source_dup_rate(*_t(spark, sf, "documents")),
+    """
+    WITH per_text AS (
+      SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_texts,
+           CAST(sum(n) - count(*) AS BIGINT) AS dup_docs,
+           CAST(max(n) AS BIGINT) AS largest_group,
+           CAST(floor((sum(n) - count(*)) * 1000000.0 / sum(n)) AS BIGINT)
+             AS dup_rate_e6
+    FROM per_text GROUP BY source ORDER BY source
+    """,
+)
+
+
+register(
+    "split_embedding_leakage",
+    lambda spark, sf: dedup.split_embedding_leakage(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT {_K_AUTO}
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine,
+             (a.label = b.label) AS same_label
+      FROM assign x
+      JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n b ON b.vec_id = y.vec_id
+      WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
+    ), s AS (
+      SELECT vec_a, vec_b, cosine, same_label,
+             CASE WHEN {_md5int('CAST(vec_a AS VARCHAR)')} % 100 < 10
+                  THEN 'val' ELSE 'train' END AS split_a,
+             CASE WHEN {_md5int('CAST(vec_b AS VARCHAR)')} % 100 < 10
+                  THEN 'val' ELSE 'train' END AS split_b
+      FROM p
+    )
+    SELECT CASE WHEN split_a = 'train' THEN vec_a ELSE vec_b END
+             AS vec_train,
+           CASE WHEN split_a = 'val' THEN vec_a ELSE vec_b END
+             AS vec_val,
+           cosine, same_label
+    FROM s WHERE split_a != split_b
+    ORDER BY vec_train, vec_val
+    """,
+)
+
+
+register(
+    "embedding_coreset_sample",
+    lambda spark, sf: similarity.embedding_coreset_sample(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT {_K_AUTO}
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), sz AS (
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS cell_size
+      FROM assign GROUP BY 1
+    ), r AS (
+      SELECT a.vec_id, a.cent_id, sz.cell_size,
+             CAST(row_number() OVER (
+               PARTITION BY a.cent_id
+               ORDER BY {_md5int('CAST(a.vec_id AS VARCHAR)')}, a.vec_id)
+               AS INT) AS pick_rank
+      FROM assign a JOIN sz ON a.cent_id = sz.cent_id
+    )
+    SELECT vec_id, cent_id, cell_size, pick_rank
+    FROM r WHERE pick_rank <= ceil(cell_size * 10 / 100.0)
+    ORDER BY vec_id
+    """,
+)
+
+
+register(
+    "ivf_nprobe_sweep",
+    lambda spark, sf: similarity.ivf_nprobe_sweep(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT 16
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), cellrank AS (
+      SELECT n.vec_id AS query_id, cents.cent_id,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY round({_dot('n.v', 'cv')} / (n.nrm * cnrm), 6) DESC,
+                        cent_id) AS probe_rank
+      FROM n, cents WHERE n.vec_id < 5
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({_dot('c.v', 'q.v')} / (c.nrm * q.nrm), 6)
+                          DESC, c.vec_id) AS rank
+        FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    ), found AS (
+      SELECT cr.probe_rank
+      FROM bf
+      JOIN assign ON bf.neighbor_id = assign.vec_id
+      JOIN cellrank cr ON cr.query_id = bf.query_id
+                      AND cr.cent_id = assign.cent_id
+    ), by_rank AS (
+      SELECT probe_rank, CAST(count(*) AS BIGINT) AS cnt
+      FROM found GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM bf
+    ), grid AS (
+      SELECT CAST(unnest(range(1, 9)) AS INT) AS n_probe
+    )
+    SELECT g.n_probe, tot.n_true_pairs,
+           CAST(coalesce(sum(br.cnt), 0) AS BIGINT) AS n_hit,
+           CASE WHEN tot.n_true_pairs > 0
+                THEN CAST(floor(coalesce(sum(br.cnt), 0) * 1000000.0
+                                / tot.n_true_pairs) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS recall_e6
+    FROM grid g CROSS JOIN tot
+    LEFT JOIN by_rank br ON br.probe_rank <= g.n_probe
+    GROUP BY g.n_probe, tot.n_true_pairs
+    ORDER BY n_probe
+    """,
+)

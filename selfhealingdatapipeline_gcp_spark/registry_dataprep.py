@@ -585,3 +585,34 @@ register(
     FROM agg ORDER BY source, reason
     """,
 )
+
+
+register(
+    "split_balance_report",
+    lambda spark, sf: dataprep.split_balance_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH base AS (
+      SELECT source,
+             CASE WHEN {_md5int('CAST(doc_id AS VARCHAR)')} % 100 < 10
+                  THEN 1 ELSE 0 END AS is_val,
+             CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source,
+             CAST(sum(1 - is_val) AS BIGINT) AS train_docs,
+             CAST(sum(is_val) AS BIGINT) AS val_docs,
+             CAST(sum((1 - is_val) * n_tokens) AS BIGINT) AS train_tokens,
+             CAST(sum(is_val * n_tokens) AS BIGINT) AS val_tokens
+      FROM base GROUP BY source
+    )
+    SELECT source, train_docs, val_docs, train_tokens, val_tokens,
+           CAST(floor(val_docs * 1000000.0 / (train_docs + val_docs))
+                AS BIGINT) AS val_doc_share_e6,
+           CASE WHEN train_tokens + val_tokens > 0
+                THEN CAST(floor(val_tokens * 1000000.0
+                                / (train_tokens + val_tokens)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS val_token_share_e6
+    FROM per ORDER BY source
+    """,
+)

@@ -41,6 +41,10 @@ ORACLE_CHECKED = [
     "dedup_threshold_sweep",
     "dedup_cascade_report",
     "multimodal_byte_entropy",
+    "source_dup_rate",
+    "split_embedding_leakage",
+    "embedding_coreset_sample",
+    "ivf_nprobe_sweep",
 ]
 
 
@@ -1676,3 +1680,99 @@ def test_multimodal_byte_entropy_detects_uniform_blobs(spark):
     assert not out[2].is_near_uniform
     assert 0 < out[3].entropy_e6 < 2_700_000
     assert not out[3].is_near_uniform
+
+
+def test_source_dup_rate_known_structure(spark):
+    """Fabricated corpus with exact per-source dup structure."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    rows = ([(i, "same text here", "spam") for i in range(3)]
+            + [(10, "another", "spam"), (11, "another", "spam")]
+            + [(20 + i, f"unique {i}", "clean") for i in range(4)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in dedup.source_dup_rate(df).collect()}
+    s = out["spam"]
+    assert (s.n_docs, s.n_distinct_texts, s.dup_docs, s.largest_group) \
+        == (5, 2, 3, 3)
+    assert s.dup_rate_e6 == 600000
+    c = out["clean"]
+    assert (c.n_docs, c.n_distinct_texts, c.dup_docs, c.largest_group) \
+        == (4, 4, 0, 1)
+    assert c.dup_rate_e6 == 0
+
+
+def _py_md5int(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def test_split_embedding_leakage_planted_pair(spark):
+    """A planted near-identical pair straddling the hash split must
+    surface with train/val sides oriented; a same-side near-dup and a
+    cross-side far pair must not."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    # find ids on each side of the split rule md5int(id) % 100 < 10
+    val_ids = [i for i in range(1000) if _py_md5int(str(i)) % 100 < 10]
+    train_ids = [i for i in range(1000)
+                 if _py_md5int(str(i)) % 100 >= 10]
+    v_id, t_id, t2_id, t3_id = (val_ids[0], train_ids[0],
+                                train_ids[1], train_ids[2])
+    base = [1.0] + [0.0] * 7
+    near = [0.99, 0.01] + [0.0] * 6
+    far = [0.0] * 7 + [1.0]
+    rows = [(t_id, base, 0), (v_id, near, 0),     # cross-split near dup
+            (t2_id, [x + 0.001 for x in base], 0),  # same-side near dup
+            (t3_id, far, 1)]                        # cross-split far pair
+    df = spark.createDataFrame(rows, "vec_id long, "
+                               "embedding array<float>, label int")
+    # explicit candidate pairs: the default cell pipeline needs a
+    # corpus larger than the centroid grid (below K vectors every
+    # vector is its own singleton cell); candidates exercises the
+    # split/orientation logic in isolation
+    cands = spark.createDataFrame(
+        [(min(t_id, v_id), max(t_id, v_id)),      # cross, near
+         (min(t_id, t2_id), max(t_id, t2_id)),    # same side, near
+         (min(v_id, t3_id), max(v_id, t3_id))],   # cross, far
+        "vec_a long, vec_b long")
+    out = dedup.split_embedding_leakage(
+        df, threshold=0.9, candidates=cands).collect()
+    # only the cross-split near pair survives, oriented train->val
+    assert [(r.vec_train, r.vec_val) for r in out] == [(t_id, v_id)]
+    assert out[0].cosine >= 0.9
+
+
+def test_embedding_coreset_sample_invariants(spark):
+    """Every cell keeps exactly ceil(cell_size*pct/100) members (>= 1
+    — full cell coverage), pick ranks are dense from 1, and the
+    distinct cell sizes account for the whole corpus."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    out = similarity.embedding_coreset_sample(emb).collect()
+    assert out
+    import math
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cent_id, []).append(r)
+    for cid, members in by_cell.items():
+        size = members[0].cell_size
+        assert all(m.cell_size == size for m in members)
+        want = math.ceil(size * 10 / 100.0)
+        assert len(members) == want >= 1
+        assert sorted(m.pick_rank for m in members) == list(
+            range(1, want + 1))
+    assert sum(m[0].cell_size for m in by_cell.values()) == emb.count()
+
+
+def test_ivf_nprobe_sweep_monotone_and_consistent(spark):
+    """The curve is monotone in n_probe and its depth-2 point equals
+    ann_recall_report's recovered count (same IVF config) — the
+    one-pass sweep must agree with the direct search it replaces."""
+    qs = registry.queries()
+    rows = qs["ivf_nprobe_sweep"](spark, SF_ORACLE).collect()
+    assert [r.n_probe for r in rows] == list(range(1, 9))
+    assert all(r.n_true_pairs == rows[0].n_true_pairs for r in rows)
+    hits = [r.n_hit for r in rows]
+    assert hits == sorted(hits)
+    report = qs["ann_recall_report"](spark, SF_ORACLE).collect()[0]
+    assert rows[1].n_hit == report.n_recovered
+    assert rows[1].recall_e6 == report.recall_e6

@@ -30,6 +30,7 @@ DATAPREP = [
     "source_quality_calibration",
     "decontamination_manifest",
     "drop_reason_matrix",
+    "split_balance_report",
 ]
 
 
@@ -366,3 +367,31 @@ def test_drop_reason_matrix_accounts_for_every_doc(spark):
     out = dataprep.drop_reason_matrix(tiny).collect()
     assert len(out) == 1 and out[0].reason == "too_short" \
         and out[0].share_e6 == 1_000_000
+
+
+def test_split_balance_report_exact_shares(spark):
+    """Doc/token masses per side recomputed in Python from the md5
+    rule must match exactly; shares are floor micro-units."""
+    import hashlib
+
+    def is_val(doc_id):
+        return int(hashlib.md5(str(doc_id).encode())
+                   .hexdigest()[:12], 16) % 100 < 10
+
+    rows = [(i, "w " * (i % 7 + 1), "s" + str(i % 2))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r
+           for r in dataprep.split_balance_report(df).collect()}
+    for src in ("s0", "s1"):
+        docs = [(i, i % 7 + 1) for i in range(200)
+                if "s" + str(i % 2) == src]
+        vd = sum(1 for i, _ in docs if is_val(i))
+        vt = sum(t for i, t in docs if is_val(i))
+        td = len(docs) - vd
+        tt = sum(t for _, t in docs) - vt
+        r = out[src]
+        assert (r.train_docs, r.val_docs, r.train_tokens, r.val_tokens) \
+            == (td, vd, tt, vt)
+        assert r.val_doc_share_e6 == vd * 1_000_000 // len(docs)
+        assert r.val_token_share_e6 == vt * 1_000_000 // (tt + vt)
