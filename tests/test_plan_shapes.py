@@ -546,6 +546,22 @@ _FINGERPRINTS = {
     "drop_reason_matrix": (5, 2, 0, 0),
     # one Arrow histogram pass + doc-grain agg; payloads never shuffle
     "multimodal_byte_entropy": (2, 0, 0, 0),
+    # digest-groupBy (16-byte hashes shuffle, never documents) +
+    # source rollup + output order
+    "source_dup_rate": (3, 0, 0, 0),
+    # the cell pipeline's cent_id shuffle; split columns are
+    # scan-level projections — zero added joins/exchanges over it
+    "split_embedding_leakage": (3, 0, 0, 0),
+    # one cent_id shuffle for the in-cell rank/size windows
+    "embedding_coreset_sample": (3, 0, 0, 0),
+    # BNLJs = K-row centroid broadcasts (assign + cell-rank), the
+    # n_queries-row truth anchor, the 8-row grid prefix-cumulative,
+    # and the 1-row totals crossJoin — every one a plan constant;
+    # the only corpus-sized stages are the brute-force truth pass
+    # and the standard assignment window
+    "ivf_nprobe_sweep": (16, 2, 0, 6),
+    # ONE conditional-sum aggregate of |sources| partial rows
+    "split_balance_report": (2, 0, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
