@@ -143,6 +143,9 @@ HEADLINE = [
     "embedding_coreset_sample",
     "ivf_nprobe_sweep",
     "split_balance_report",
+    "knn_label_propagation",
+    "user_burstiness",
+    "cdc_churn_report",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -166,7 +169,9 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "dedup_rate_report", "dedup_cluster_size_histogram",
                   "dedup_cascade_report",
                   # power iteration checkpoints eagerly per round
-                  "embedding_top_component"}
+                  "embedding_top_component",
+                  # LPA materializes its kNN edge leaf in the builder
+                  "knn_label_propagation"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

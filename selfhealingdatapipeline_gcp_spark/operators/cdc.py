@@ -156,3 +156,39 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
         .select("key", ct.alias("change_type"))
         .orderBy("key")
     )
+
+
+def churn_report(log: DataFrame, key: str) -> DataFrame:
+    """Change-log CHURN audit: the versions-per-key histogram plus
+    key/change shares — the number a CDC merge plan is sized from
+    (a fat tail means hot keys that dominate every MERGE shuffle and
+    deserve salting or a separate compaction cadence; all-1s means
+    the log is effectively insert-only and SCD2 is overkill).
+
+    Two bounded shuffles: per-key version counts (the shuffle carries
+    keys + counts, never payloads), then the O(max versions)
+    histogram; totals ride a broadcast 1-row anchor — never a data
+    join. Reference parity: the reference replays BigQuery snapshots
+    wholesale (scripts/transform_script); this is the audit that says
+    whether incremental MERGE beats that replay."""
+    per_key = log.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_versions"))
+    hist = per_key.groupBy("n_versions").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_keys"),
+        F.sum("n_versions").cast("bigint").alias("total_changes"))
+    n_changes = (F.col("n_versions") * F.col("n_keys")).cast("bigint")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_versions").cast("bigint").alias("n_versions"),
+            "n_keys",
+            n_changes.alias("n_changes"),
+            F.floor(F.col("n_keys") * 1e6 / F.col("total_keys"))
+             .cast("bigint").alias("keys_share_e6"),
+            F.floor(n_changes * 1e6 / F.col("total_changes"))
+             .cast("bigint").alias("changes_share_e6"),
+        )
+        .orderBy("n_versions")
+    )

@@ -1195,3 +1195,55 @@ def revenue_autocorrelation(orders: DataFrame,
                 (F.floor(r * 1e6) / 1e6).alias("autocorr"))
         .orderBy("lag_days")
     )
+
+
+def user_burstiness(events: DataFrame, min_gaps: int = 2) -> DataFrame:
+    """Per-user inter-event burstiness: coefficient of variation of
+    the gap distribution — the bot/scripted-traffic screen (a human's
+    gaps are over-dispersed, CV > 1; a cron job's are near-constant,
+    CV ~ 0; a Poisson process sits at CV = 1). feed_interarrival_stats
+    tunes SLAs at feed grain; this flags INDIVIDUAL actors — the
+    admission screen a training-data events pipeline runs before
+    trusting engagement signals.
+
+    One lag() window per user (the shuffle key the aggregate shares),
+    gaps floored to integer seconds, Σgap and Σgap² funneled through
+    money.acc / money.sum_sq (decimal-mode safe like every
+    second-order accumulator); CV is computed from the exact integer
+    identity n·Σx² − (Σx)² and floored to e6 micro-units at the edge.
+    Output is O(|users with ≥ min_gaps+1 events|) rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) \
+        - F.unix_micros(F.lag("ts", 1).over(w))
+    gs = (
+        events.withColumn("__gap_us", gap_us)
+        .filter(F.col("__gap_us").isNotNull())
+        .select("user_id",
+                F.floor(F.col("__gap_us") / 1000000.0).cast("bigint")
+                 .alias("gap_s"))
+    )
+    per = gs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum(money.acc(F.col("gap_s"))).alias("__s1"),
+        money.sum_sq(F.col("gap_s")).alias("__s2"),
+    )
+    var_num = (F.col("n_gaps") * F.col("__s2")
+               - F.col("__s1") * F.col("__s1")).cast("double")
+    cv_e6 = F.when(
+        F.col("__s1") > 0,
+        F.floor(F.sqrt(F.greatest(var_num, F.lit(0.0))) * 1e6
+                / F.col("__s1")).cast("bigint")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        per.filter(F.col("n_gaps") >= min_gaps)
+        .select(
+            "user_id",
+            (F.col("n_gaps") + 1).cast("bigint").alias("n_events"),
+            "n_gaps",
+            F.floor(F.col("__s1") / F.col("n_gaps")).cast("bigint")
+             .alias("mean_gap_s"),
+            cv_e6.alias("cv_e6"),
+            (cv_e6 > 1000000).alias("is_bursty"),
+        )
+        .orderBy("user_id")
+    )

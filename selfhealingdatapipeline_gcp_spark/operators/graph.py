@@ -19,7 +19,7 @@ oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.functions import vectorfn  # noqa: F401
@@ -86,3 +86,75 @@ def pagerank_knn(embeddings: DataFrame, k: int = 5,
                            damping_pct=damping_pct)
             .select(F.col("node").alias("vec_id"), "pagerank_e6")
             .orderBy("vec_id"))
+
+
+def label_propagation_edges(labels0: DataFrame, edges: DataFrame,
+                            rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation over an explicit (src, dst) edge
+    relation, unrolled ``rounds`` times into one static plan (the
+    pagerank_edges shape — a fixed small round count needs no driver
+    loop, no checkpoints, and Catalyst sees the whole computation).
+
+    Each round every node takes the MAJORITY label among its
+    out-neighbors' current labels (vote count desc, smallest label on
+    ties — integer votes, so the argmax is engine-exact); nodes
+    without out-edges keep their label (LEFT join + coalesce). Two
+    bounded shuffles per round: edges⋈labels on the node key and the
+    (node, label) vote count.
+
+    ``labels0`` is (node, label) covering every vertex."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    labels = labels0.select("node", "label")
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("votes"), F.col("label"))
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"),
+                    F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("new_label"), F.col("label"))
+                     .alias("label"))
+        )
+    return labels
+
+
+def label_propagation_knn(embeddings: DataFrame, k: int = 5,
+                          rounds: int = 2) -> DataFrame:
+    """Label denoising / semi-supervised smoothing over the
+    cell-bounded k-NN graph: each vector's label is re-voted by its
+    neighborhood for a fixed ``rounds`` — a changed row is a
+    mislabel candidate (the relational cross-check for what
+    embedding_outliers scores geometrically: outliers are FAR from
+    their label centroid, these DISAGREE with their neighbors).
+
+    The edge relation materializes once inside label_propagation_edges
+    (O(k·n) slim rows); the grid auto-sizes with the corpus like every
+    cell-family operator, so the oracle's auto-K twin tracks it at any
+    replica SF. Output: (vec_id, label_seed, label_prop, changed)."""
+    edges = (knn_graph_cells(embeddings, k=k)
+             .select(F.col("vec_id").alias("src"),
+                     F.col("neighbor_id").alias("dst")))
+    labels0 = embeddings.select(
+        F.col("vec_id").alias("node"),
+        F.col("label").cast("bigint").alias("label"))
+    final = (label_propagation_edges(labels0, edges, rounds=rounds)
+             .select(F.col("node").alias("f_node"),
+                     F.col("label").alias("label_prop")))
+    return (
+        labels0.join(final, labels0["node"] == final["f_node"])
+        .select(F.col("node").alias("vec_id"),
+                F.col("label").alias("label_seed"),
+                "label_prop",
+                (F.col("label") != F.col("label_prop")).alias("changed"))
+        .orderBy("vec_id")
+    )

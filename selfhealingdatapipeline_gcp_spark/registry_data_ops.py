@@ -3267,3 +3267,48 @@ register(
     ORDER BY n_probe
     """,
 )
+
+
+def _lpa_round(prev: str, cur: str) -> str:
+    """One unrolled label-propagation round: majority out-neighbor
+    label (vote count desc, smallest label on ties), keep-own for
+    nodes without out-edges. MATERIALIZED: each round references its
+    predecessor twice (keep-side + vote-side), so plain CTE inlining
+    would re-expand the kNN pair subtree 2^rounds times — the
+    embedding_top_component lesson."""
+    return f"""{cur} AS MATERIALIZED (
+      SELECT l.node, coalesce(w.new_label, l.label) AS label
+      FROM {prev} l LEFT JOIN (
+        SELECT node, label AS new_label FROM (
+          SELECT e.src AS node, x.label,
+                 row_number() OVER (PARTITION BY e.src
+                   ORDER BY count(*) DESC, x.label) AS rn
+          FROM edges e JOIN {prev} x ON e.dst = x.node
+          GROUP BY e.src, x.label
+        ) WHERE rn = 1
+      ) w ON l.node = w.node
+    )"""
+
+
+register(
+    "knn_label_propagation",
+    lambda spark, sf: graph.label_propagation_knn(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH {_KNN_CTES},
+    edges AS MATERIALIZED (
+      SELECT vec_id AS src, neighbor_id AS dst FROM r WHERE rank <= 5
+    ),
+    l0 AS MATERIALIZED (
+      SELECT vec_id AS node, CAST(label AS BIGINT) AS label
+      FROM embeddings
+    ),
+    {_lpa_round('l0', 'l1')},
+    {_lpa_round('l1', 'l2')}
+    SELECT l0.node AS vec_id, l0.label AS label_seed,
+           l2.label AS label_prop,
+           (l0.label != l2.label) AS changed
+    FROM l0 JOIN l2 ON l0.node = l2.node
+    ORDER BY vec_id
+    """,
+)

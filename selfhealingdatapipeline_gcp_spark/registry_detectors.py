@@ -865,3 +865,38 @@ register(
     FROM r WHERE n >= 10 ORDER BY d
     """,
 )
+
+
+register(
+    "user_burstiness",
+    lambda spark, sf: detectors.user_burstiness(
+        *_t(spark, sf, "events")),
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), gs AS (
+      SELECT user_id, CAST(floor(gap_us / 1000000.0) AS BIGINT) AS gap_s
+      FROM g WHERE gap_us IS NOT NULL
+    ), per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap_s) AS BIGINT) AS s1,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+      FROM gs GROUP BY 1
+    ), cv AS (
+      SELECT user_id, n_gaps, s1,
+             CASE WHEN s1 > 0
+                  THEN CAST(floor(sqrt(greatest(
+                         CAST(n_gaps * s2 - s1 * s1 AS DOUBLE), 0.0))
+                       * 1000000.0 / s1) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS cv_e6
+      FROM per WHERE n_gaps >= 2
+    )
+    SELECT user_id, CAST(n_gaps + 1 AS BIGINT) AS n_events, n_gaps,
+           CAST(floor(s1 / n_gaps) AS BIGINT) AS mean_gap_s,
+           cv_e6, (cv_e6 > 1000000) AS is_bursty
+    FROM cv ORDER BY user_id
+    """,
+)

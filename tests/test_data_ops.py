@@ -45,6 +45,7 @@ ORACLE_CHECKED = [
     "split_embedding_leakage",
     "embedding_coreset_sample",
     "ivf_nprobe_sweep",
+    "knn_label_propagation",
 ]
 
 
@@ -1776,3 +1777,41 @@ def test_ivf_nprobe_sweep_monotone_and_consistent(spark):
     report = qs["ann_recall_report"](spark, SF_ORACLE).collect()[0]
     assert rows[1].n_hit == report.n_recovered
     assert rows[1].recall_e6 == report.recall_e6
+
+
+def test_label_propagation_edges_majority_tie_and_isolated(spark):
+    """Majority flips a disagreeing node, ties go to the smaller
+    label, and a node without out-edges keeps its label."""
+    from selfhealingdatapipeline_gcp_spark.operators import graph
+    labels0 = spark.createDataFrame(
+        [(1, 1), (2, 9), (3, 9), (4, 7), (5, 1)],
+        "node long, label long")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3),          # node 1: both neighbors say 9
+         (5, 2), (5, 4)],         # node 5: 9 vs 7 tie -> 7 wins
+        "src long, dst long")
+    out = {r.node: r.label
+           for r in graph.label_propagation_edges(
+               labels0, edges, rounds=1).collect()}
+    assert out[1] == 9          # majority flip
+    assert out[5] == 7          # tie -> smallest label
+    assert out[2] == 9 and out[3] == 9 and out[4] == 7  # no out-edges
+
+
+def test_knn_label_propagation_consistency(spark):
+    """Full corpus covered; propagated labels come from the seed
+    label alphabet; the changed flag is exactly the disagreement."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    rows = registry.queries()["knn_label_propagation"](
+        spark, SF_ORACLE).collect()
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    assert len(rows) == emb.count()
+    seeds = {r.label_seed for r in rows}
+    assert all(r.label_prop in seeds for r in rows)
+    assert all(r.changed == (r.label_seed != r.label_prop)
+               for r in rows)
+    # on THIS corpus labels are random w.r.t. geometry, so voting
+    # flips many — the structural claim is only that propagation is
+    # non-degenerate in both directions (some flip, some survive)
+    n_changed = sum(r.changed for r in rows)
+    assert 0 < n_changed < len(rows)

@@ -292,3 +292,42 @@ def test_revenue_volume_correlation_parity_and_decoupling(spark, duck):
     assert coupled and decoupled
     assert all(r.corr_30d > 0.9 for r in coupled)
     assert all(r.is_decoupled and r.corr_30d < 0 for r in decoupled)
+
+
+def test_user_burstiness_constant_vs_bursty(spark):
+    """A metronome user scores CV=0; a bursty user crosses CV>1; a
+    2-event user (one gap) is excluded."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(5):                       # user 1: constant 10s
+        rows.append((eid, t0 + dt.timedelta(seconds=10 * i), 1,
+                     "view", 1.0, "{}")); eid += 1
+    for s in (0, 1, 2, 3, 300):              # user 2: 1,1,1,297 gaps
+        rows.append((eid, t0 + dt.timedelta(seconds=s), 2,
+                     "view", 1.0, "{}")); eid += 1
+    for s in (0, 50):                        # user 3: one gap only
+        rows.append((eid, t0 + dt.timedelta(seconds=s), 3,
+                     "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r.user_id: r for r in detectors.user_burstiness(df).collect()}
+    assert set(out) == {1, 2}
+    m = out[1]
+    assert (m.n_events, m.n_gaps, m.mean_gap_s) == (5, 4, 10)
+    assert m.cv_e6 == 0 and not m.is_bursty
+    b = out[2]
+    # gaps 1,1,1,297: n=4, s1=300, s2=88212
+    # cv_e6 = floor(sqrt(4*88212 - 90000)*1e6/300)
+    import math
+    want = math.floor(math.sqrt(4 * 88212 - 90000) * 1e6 / 300)
+    assert b.cv_e6 == want and b.is_bursty
+
+
+def test_user_burstiness_parity(spark, duck):
+    assert_parity(registry.queries()["user_burstiness"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["user_burstiness"])

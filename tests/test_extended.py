@@ -23,6 +23,7 @@ EXTENDED = [
     "source_token_stats",
     "brand_price_trend",
     "supplier_concentration_hhi",
+    "cdc_churn_report",
 ]
 
 
@@ -240,3 +241,21 @@ def test_event_trigram_paths_stitch_is_value_invisible(spark):
     }
     assert got == want
     assert sum(got.values()) == 7 - 2
+
+
+def test_cdc_churn_report_known_histogram(spark):
+    """Fabricated log with an exact versions-per-key histogram."""
+    from selfhealingdatapipeline_gcp_spark.operators import cdc
+    rows = ([("k%d" % i, 1) for i in range(3)]          # 3 keys x1
+            + [("dup%d" % i, j) for i in range(2) for j in range(2)]
+            + [("hot", j) for j in range(5)])           # 1 key x5
+    df = spark.createDataFrame(rows, "k string, seq int")
+    out = {r.n_versions: r for r in cdc.churn_report(df, "k").collect()}
+    assert set(out) == {1, 2, 5}
+    assert (out[1].n_keys, out[1].n_changes) == (3, 3)
+    assert (out[2].n_keys, out[2].n_changes) == (2, 4)
+    assert (out[5].n_keys, out[5].n_changes) == (1, 5)
+    # shares: 6 keys, 12 changes
+    assert out[1].keys_share_e6 == 500000
+    assert out[5].changes_share_e6 == 416666
+    assert sum(r.n_changes for r in out.values()) == 12

@@ -562,6 +562,16 @@ _FINGERPRINTS = {
     "ivf_nprobe_sweep": (16, 2, 0, 6),
     # ONE conditional-sum aggregate of |sources| partial rows
     "split_balance_report": (2, 0, 0, 0),
+    # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
+    # per round one edges⋈labels join + one (node,label) vote agg;
+    # joins broadcast at tiny SF (SMJ on node at scale is fine —
+    # labels are a corpus-sized relation by definition)
+    "knn_label_propagation": (9, 4, 3, 0),
+    # one lag() window per user + the same-key aggregate
+    "user_burstiness": (2, 0, 0, 0),
+    # key-grain count + O(max versions) histogram; BNLJ = the 1-row
+    # totals anchor
+    "cdc_churn_report": (5, 0, 0, 1),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
