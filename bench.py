@@ -146,6 +146,7 @@ HEADLINE = [
     "knn_label_propagation",
     "user_burstiness",
     "cdc_churn_report",
+    "hard_negative_mining",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

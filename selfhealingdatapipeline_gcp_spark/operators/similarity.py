@@ -1664,3 +1664,41 @@ def embedding_coreset_sample(embeddings: DataFrame,
                 F.col("pick_rank").cast("int").alias("pick_rank"))
         .orderBy("vec_id")
     )
+
+
+def hard_negative_mining(embeddings: DataFrame, n_neg: int = 3,
+                         threshold: float = 0.35) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the ``n_neg`` highest-cosine neighbors with a DIFFERENT
+    label — the pairs a contrastive/metric-learning loss learns most
+    from (easy negatives are already far; these are the confusable
+    ones). "Hard" is cosine >= threshold by definition, so the
+    candidate relation IS the cell-bounded near-dup pair set
+    (dedup_embedding's same_label flag, negated) — no new corpus pass,
+    no new machinery; the pair relation expands to both directions
+    and one window ranks per anchor.
+
+    Cell-bounded approximation, documented: negatives outside the
+    anchor's IVF cell are not candidates (same contract as every
+    cell-family operator — the fix at scale is more centroids)."""
+    # lazy import: dedup imports similarity's cell machinery inside
+    # dedup_embedding, so a module-level import here would be a cycle
+    from selfhealingdatapipeline_gcp_spark.operators.dedup import (
+        dedup_embedding)
+
+    pairs = dedup_embedding(embeddings, threshold=threshold) \
+        .filter(~F.col("same_label"))
+    both = (
+        pairs.select(F.col("vec_a").alias("anchor_id"),
+                     F.col("vec_b").alias("negative_id"), "cosine")
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("anchor_id"),
+                         F.col("vec_a").alias("negative_id"), "cosine"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("negative_id"))
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= n_neg)
+        .orderBy("anchor_id", "rank")
+    )

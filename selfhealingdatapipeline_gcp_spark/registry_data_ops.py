@@ -3312,3 +3312,49 @@ register(
     ORDER BY vec_id
     """,
 )
+
+
+register(
+    "hard_negative_mining",
+    lambda spark, sf: similarity.hard_negative_mining(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT {_K_AUTO}
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine
+      FROM assign x
+      JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n b ON b.vec_id = y.vec_id
+      WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
+        AND a.label != b.label
+    ), bidir AS (
+      SELECT vec_a AS anchor_id, vec_b AS negative_id, cosine FROM p
+      UNION ALL
+      SELECT vec_b AS anchor_id, vec_a AS negative_id, cosine FROM p
+    )
+    SELECT anchor_id, negative_id, cosine, rank FROM (
+      SELECT anchor_id, negative_id, cosine,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cosine DESC, negative_id) AS INT) AS rank
+      FROM bidir
+    ) WHERE rank <= 3
+    ORDER BY anchor_id, rank
+    """,
+)

@@ -1815,3 +1815,29 @@ def test_knn_label_propagation_consistency(spark):
     # non-degenerate in both directions (some flip, some survive)
     n_changed = sum(r.changed for r in rows)
     assert 0 < n_changed < len(rows)
+
+
+def test_hard_negative_mining_matches_pair_relation(spark):
+    """Exact cross-check against dedup_embedding_cells: the mined
+    negatives must be precisely the per-anchor top-3 (cosine desc, id
+    tiebreak) of the different-label pairs, in both directions."""
+    qs = registry.queries()
+    pairs = [r for r in qs["dedup_embedding_cells"](
+        spark, SF_ORACLE).collect() if not r.same_label]
+    per_anchor = {}
+    for r in pairs:
+        per_anchor.setdefault(r.vec_a, []).append((r.vec_b, r.cosine))
+        per_anchor.setdefault(r.vec_b, []).append((r.vec_a, r.cosine))
+    want = {}
+    for a, cands in per_anchor.items():
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        want[a] = cands[:3]
+    out = qs["hard_negative_mining"](spark, SF_ORACLE).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.anchor_id, []).append(
+            (r.negative_id, r.cosine, r.rank))
+    assert set(got) == set(want)
+    for a, rows in got.items():
+        assert [x[2] for x in rows] == list(range(1, len(rows) + 1))
+        assert [(x[0], x[1]) for x in rows] == want[a]

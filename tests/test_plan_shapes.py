@@ -572,6 +572,9 @@ _FINGERPRINTS = {
     # key-grain count + O(max versions) histogram; BNLJ = the 1-row
     # totals anchor
     "cdc_churn_report": (5, 0, 0, 1),
+    # the cell pair pipeline + the bidirectional union's per-anchor
+    # rank window — pairs are the bounded near-dup relation
+    "hard_negative_mining": (8, 0, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
