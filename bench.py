@@ -147,6 +147,7 @@ HEADLINE = [
     "user_burstiness",
     "cdc_churn_report",
     "hard_negative_mining",
+    "streaming_churn_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -172,7 +173,9 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # power iteration checkpoints eagerly per round
                   "embedding_top_component",
                   # LPA materializes its kNN edge leaf in the builder
-                  "knn_label_propagation"}
+                  "knn_label_propagation",
+                  # foreachBatch streaming guard runs in the builder
+                  "streaming_churn_guard"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

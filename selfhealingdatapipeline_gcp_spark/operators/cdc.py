@@ -173,6 +173,15 @@ def churn_report(log: DataFrame, key: str) -> DataFrame:
     whether incremental MERGE beats that replay."""
     per_key = log.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_versions"))
+    return churn_from_version_counts(per_key)
+
+
+def churn_from_version_counts(per_key: DataFrame) -> DataFrame:
+    """The histogram/share tail of churn_report over a prepared
+    (key, n_versions) relation — exposed so the streaming admission
+    guard can SUM per-epoch counts (version counts are associative,
+    which is what makes the streaming form chop-invariant) and reuse
+    the identical report shape."""
     hist = per_key.groupBy("n_versions").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"))
     tot = per_key.agg(

@@ -3358,3 +3358,29 @@ register(
     ORDER BY anchor_id, rank
     """,
 )
+
+
+register(
+    "streaming_churn_guard",
+    monitors.streaming_churn_guard,
+    """
+    WITH per_key AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_versions
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), hist AS (
+      SELECT n_versions, CAST(count(*) AS BIGINT) AS n_keys
+      FROM per_key GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS total_keys,
+             CAST(sum(n_versions) AS BIGINT) AS total_changes
+      FROM per_key
+    )
+    SELECT n_versions, n_keys,
+           CAST(n_versions * n_keys AS BIGINT) AS n_changes,
+           CAST(floor(n_keys * 1000000.0 / total_keys) AS BIGINT)
+             AS keys_share_e6,
+           CAST(floor(n_versions * n_keys * 1000000.0 / total_changes)
+                AS BIGINT) AS changes_share_e6
+    FROM hist CROSS JOIN tot ORDER BY n_versions
+    """,
+)

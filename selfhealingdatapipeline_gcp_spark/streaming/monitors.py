@@ -712,3 +712,53 @@ def streaming_contamination_guard(spark: SparkSession, sf_dir: str,
                 "contamination_rate", "is_contaminated")
         .orderBy("doc_id")
     )
+
+
+def streaming_churn_guard(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """Streaming ADMISSION form of cdc_churn_report: per-key change
+    counts accumulate per micro-batch and the versions-per-key
+    histogram is re-derived over the running totals — the hot-key
+    monitor a live CDC ingest runs to decide salting/compaction
+    BEFORE a skewed MERGE lands, not after.
+
+    Chop-invariance is by ASSOCIATIVITY, not recomputation: a key's
+    version count is a plain count, so per-epoch counts land in an
+    epoch-keyed parquet dir (the idempotent exactly-once sink
+    pattern) and SUM to exactly the whole-log counts regardless of
+    how the stream chops — the final report equals batch
+    cdc_churn_report row for row, hence the shared SQL oracle.
+
+    Scale: each epoch shuffles only (key, count) partials; the
+    cross-epoch re-aggregate reads count relations bounded by
+    |distinct keys|, never the payload log."""
+    from selfhealingdatapipeline_gcp_spark.operators import cdc
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(_staged_dir(path))
+              .filter(F.col("event_type") == "purchase"))
+    out_dir = _fresh_sink_dir("churn_guard")
+    epochs = []
+
+    def count_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(count_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "n_versions bigint, n_keys bigint, n_changes bigint, "
+                "keys_share_e6 bigint, changes_share_e6 bigint")
+    per_key = (spark.read.parquet(out_dir)
+               .groupBy("user_id")
+               .agg(F.sum("n").alias("n_versions")))
+    return cdc.churn_from_version_counts(per_key)

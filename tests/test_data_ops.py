@@ -1841,3 +1841,38 @@ def test_hard_negative_mining_matches_pair_relation(spark):
     for a, rows in got.items():
         assert [x[2] for x in rows] == list(range(1, len(rows) + 1))
         assert [(x[0], x[1]) for x in rows] == want[a]
+
+
+def test_streaming_churn_guard_parity(spark, duck):
+    assert_parity(
+        registry.queries()["streaming_churn_guard"](
+            spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_churn_guard"])
+
+
+def test_streaming_churn_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; per-key counts are associative, so the summed
+    epochs must reproduce batch cdc_churn_report row for row."""
+    import os
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import cdc
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_churn")
+    os.makedirs(src)
+    events = catalog.load(spark, SF_ORACLE, "events")
+    events.repartition(3).write.parquet(f"{src}/events.parquet")
+
+    streamed = {r.n_versions: (r.n_keys, r.n_changes, r.keys_share_e6,
+                               r.changes_share_e6)
+                for r in monitors.streaming_churn_guard(
+                    spark, src, max_files_per_trigger=1).collect()}
+    batch = {r.n_versions: (r.n_keys, r.n_changes, r.keys_share_e6,
+                            r.changes_share_e6)
+             for r in cdc.churn_report(
+                 catalog.load(spark, src, "events").filter(
+                     F.col("event_type") == "purchase"),
+                 "user_id").collect()}
+    assert streamed == batch and len(batch) > 0
