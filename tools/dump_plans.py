@@ -93,6 +93,30 @@ SHOW = {
     "decontamination_manifest": "positional shingles semi-join the "
                                 "DISTINCT eval hash set; island "
                                 "windows run over HITS only",
+    "ivf_nprobe_sweep": "ONE pass for the whole tuning curve: "
+                        "K-row centroid broadcasts, the "
+                        "n_queries*k truth anchor broadcast, and "
+                        "the 8-row grid prefix-cumulative — the "
+                        "corpus appears only in the truth pass "
+                        "and the assignment window",
+    "hard_negative_mining": "the candidate relation IS the "
+                            "cell-bounded pair pipeline; the "
+                            "bidirectional union + per-anchor rank "
+                            "window add no join",
+    "embedding_coreset_sample": "one cent_id shuffle for the "
+                                "in-cell rank/size windows; no "
+                                "quadratic stage anywhere",
+    "split_embedding_leakage": "split columns are scan-level md5 "
+                               "projections over the pair pipeline "
+                               "— zero added exchanges",
+    "knn_label_propagation": "two unrolled vote rounds on the "
+                             "checkpointed O(k*n) edge leaf; "
+                             "integer vote counts partial-aggregate "
+                             "before each exchange",
+    "user_burstiness": "one lag window per user and the same-key "
+                       "aggregate — the window partition key IS "
+                       "the groupBy key, so the agg reuses the "
+                       "window's exchange",
 }
 
 
