@@ -1237,3 +1237,112 @@ def event_trigram_paths(events: DataFrame,
                  .cast("bigint").alias("share_e6"))
         .orderBy("step_1", "step_2", "step_3")
     )
+
+
+def funnel_time_to_convert(events: DataFrame) -> DataFrame:
+    """View→purchase conversion LATENCY: funnel_view_click_purchase
+    counts who converts; the reference's SLA detector asks how LONG
+    (/root/reference/monitoring/detectors/sla_detector.py frames
+    processing velocity the same way). Per user: earliest view, first
+    strictly-later purchase; one row of conversion rate + latency
+    percentiles in whole seconds.
+
+    Determinism: latency is an exact bigint microsecond difference
+    floored to seconds BEFORE aggregation; percentiles interpolate
+    over those integers (Spark percentile == DuckDB quantile_cont),
+    then floor back to bigint seconds.
+
+    Scale shape: one shuffle on user_id for the earliest-view agg,
+    one shuffled join user_id→purchases (AQE-broadcast when the
+    viewer relation is small), one global agg whose partials are six
+    numbers per task; the percentile state is per-user-bounded, not
+    corpus-bounded."""
+    first_view = (
+        events.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("view_ts"))
+        .filter(F.col("view_ts").isNotNull())
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+    )
+    conv = (
+        first_view.join(purchases, "user_id", "left")
+        .filter(F.col("p_ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+        .select(
+            "user_id",
+            F.floor((F.unix_micros("purchase_ts")
+                     - F.unix_micros("view_ts")) / 1_000_000)
+             .cast("bigint").alias("lat_s"))
+    )
+    n_viewers = first_view.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    return (
+        conv.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+            F.floor(F.percentile("lat_s", 0.5)).cast("bigint")
+             .alias("p50_latency_s"),
+            F.floor(F.percentile("lat_s", 0.9)).cast("bigint")
+             .alias("p90_latency_s"),
+            F.floor(F.avg("lat_s")).cast("bigint").alias("mean_latency_s"))
+        .crossJoin(F.broadcast(n_viewers))
+        .select(
+            "n_viewers", "n_converters",
+            F.floor(F.col("n_converters") * 1e6 / F.col("n_viewers"))
+             .cast("bigint").alias("conversion_e6"),
+            "p50_latency_s", "p90_latency_s", "mean_latency_s")
+    )
+
+
+def event_audience_overlap(events: DataFrame) -> DataFrame:
+    """Pairwise Jaccard overlap of the USER audiences behind each
+    event type — the segmentation companion to
+    event_transition_matrix (which chains events within a user;
+    this asks whether two event types even share users). A
+    purchase/error overlap spike is an incident signal the per-type
+    volume detectors cannot see.
+
+    Determinism: set sizes and intersections are exact distinct
+    counts; jaccard floors to e6.
+
+    Scale shape: the corpus collapses map-side to the distinct
+    (event_type, user_id) relation (one shuffle on user_id); pair
+    generation is a per-user explosion bounded by |types|² — with T
+    event types a user contributes at most T(T−1)/2 pairs, so the
+    pair relation is O(users·T²), never corpus². Per-type sizes ride
+    the same distinct relation and broadcast onto the pair
+    aggregate (O(T) rows)."""
+    tu = events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    per_user = tu.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"))
+    pairs = per_user.select(
+        F.explode(F.filter(
+            F.flatten(F.transform(
+                F.col("types"),
+                lambda a: F.transform(F.col("types"),
+                                      lambda b: F.struct(
+                                          a.alias("type_a"),
+                                          b.alias("type_b"))))),
+            lambda p: p["type_a"] < p["type_b"])).alias("p"))
+    inter = (pairs.groupBy(F.col("p.type_a").alias("type_a"),
+                           F.col("p.type_b").alias("type_b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_both")))
+    sa = sizes.select(F.col("event_type").alias("type_a"),
+                      F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"),
+                      F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.floor(F.col("n_both") * 1e6
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
+             .cast("bigint").alias("jaccard_e6"))
+        .orderBy("type_a", "type_b")
+    )

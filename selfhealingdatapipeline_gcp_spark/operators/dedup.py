@@ -1653,3 +1653,37 @@ def source_dup_rate(documents: DataFrame) -> DataFrame:
              .cast("bigint"))
         .orderBy("source")
     )
+
+
+def dedup_weighted_sample(documents: DataFrame) -> DataFrame:
+    """Duplicate-aware downsampling: keep each document with
+    probability 1/(exact-copy cluster size), so every DISTINCT text
+    contributes one expected survivor however many times the crawler
+    re-fetched it. The alternative orderings both lose: dedup-then-
+    sample throws away the duplication signal a mixing plan may want;
+    sample-then-dedup biases the mix toward template farms. This is
+    the standard "soft dedup" curation step (cap_per_source's
+    within-cluster analog).
+
+    Determinism: the keep decision is md5int(doc_id) mod 1e6 <
+    floor(1e6/cluster_size) — scan-level, seedless, retry-stable
+    (the dataprep discipline: no rand(), a task retry reproduces the
+    same sample bit-for-bit).
+
+    Scale shape: one hash-groupBy over 16-byte digests for cluster
+    sizes; the join back ships (doc_id, source, digest) — never text
+    — and partial aggregation has already collapsed the duplicate
+    mass, so the size relation is bounded by distinct texts."""
+    keyed = documents.select(
+        "doc_id", "source", F.md5("text").alias("h"))
+    sizes = keyed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+    weight = F.floor(F.lit(1_000_000) / F.col("n_copies")).cast("bigint")
+    return (
+        keyed.join(sizes, "h")
+        .withColumn("weight_e6", weight)
+        .filter(textfn.md5int(F.col("doc_id").cast("string")) % 1_000_000
+                < F.col("weight_e6"))
+        .select("doc_id", "source", "n_copies", "weight_e6")
+        .orderBy("doc_id")
+    )

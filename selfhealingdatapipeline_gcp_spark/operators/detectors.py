@@ -1247,3 +1247,63 @@ def user_burstiness(events: DataFrame, min_gaps: int = 2) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def revenue_changepoint(orders: DataFrame, min_seg: int = 7) -> DataFrame:
+    """Most-likely single LEVEL SHIFT in daily revenue: the split day
+    maximizing the CUSUM-standardized between-segment mean gap
+    |mean_before − mean_after|·sqrt(i·(n−i)/n). The per-day z
+    detectors (revenue_anomaly, revenue_detector.py:21-89) flag
+    spikes; a regime change that settles at a new level z-scores for
+    a week then looks normal — this is the detector that names the
+    day the level moved (feed cutover, pricing change, source loss).
+
+    Determinism: revenue in hundred-dollar integer units (the
+    autocorrelation discipline), prefix sums exact bigints via one
+    ordered window; the score is closed-form binary64 over those
+    integers (IEEE division/sqrt are bit-specified, same in any
+    engine), floor-e6 at the edge; argmax tie-breaks on earliest day.
+
+    Scale shape: one shuffle to day grain; the prefix-sum window runs
+    single-partition over the O(days) relation — the documented
+    day-grain detector shape (SURVEY §4), bounded by calendar span,
+    not corpus size; the argmax is TakeOrdered, not a global sort."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+        .withColumn(
+            "x",
+            ((F.col("rev_c") - F.pmod(F.col("rev_c"), F.lit(10_000)))
+             / 10_000).cast("bigint"))
+    )
+    w = Window.orderBy("d")
+    pref = daily.select(
+        "d",
+        F.row_number().over(w).alias("i"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("cum"))
+    totals = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("tot"))
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    mean_l = F.col("cum").cast("double") / i
+    mean_r = (F.col("tot") - F.col("cum")).cast("double") / (n - i)
+    score = (F.abs(mean_l - mean_r)
+             * F.sqrt(i * (n - i) / n))
+    return (
+        pref.crossJoin(F.broadcast(totals))
+        .filter((F.col("i") >= min_seg)
+                & (F.col("i") <= F.col("n") - min_seg))
+        .select(
+            F.col("d").alias("changepoint_day"),
+            F.col("n").alias("n_days"),
+            F.floor(score * 1e6).cast("bigint").alias("score_e6"),
+            F.floor(F.col("cum") * 10_000 / F.col("i"))
+             .cast("bigint").alias("mean_before_c"),
+            F.floor((F.col("tot") - F.col("cum")) * 10_000
+                    / (F.col("n") - F.col("i")))
+             .cast("bigint").alias("mean_after_c"))
+        .orderBy(F.desc("score_e6"), "changepoint_day")
+        .limit(1)
+    )

@@ -8,7 +8,7 @@ single scan regardless of column count, then a stack to long format.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -270,3 +270,65 @@ def schema_drift_report(old: DataFrame, new: DataFrame) -> DataFrame:
         .orderBy("column")
     )
     return out
+
+
+def drift_ks(events: DataFrame, threshold_e6: int = 100_000) -> DataFrame:
+    """Kolmogorov–Smirnov drift companion to drift_tv: the max CDF
+    gap between each event type's first- and second-half value
+    distributions, on values quantized to an exact cent grid. TV on
+    10 equal-width bins (drift_tv) is blind to drift that stays
+    inside a bin; KS sees any shift the cent grid resolves, at the
+    cost of an ordered scan over the type's distinct values.
+
+    Determinism: pure counting, zero floats in the statistic —
+    values quantize to bigint cents, the CDF gap is the integer
+    cross-product max |c1·n2 − c2·n1|, floored against n1·n2 only at
+    the e6 edge (the drift_tv int64 discipline: n1·n2 ≲ 9e18 →
+    ~3e9 rows per half before decimal widening is needed).
+
+    Scale shape: the corpus collapses map-side to (type, cent,
+    half-counts) — the window then orders DISTINCT quantized values
+    per type, not rows. Per-type ordered windows are the documented
+    day-grain-style bound: cardinality = the type's distinct cents,
+    and a range-partitioned prefix sum is the cluster escape if a
+    type's value domain explodes."""
+    mids = (
+        events.groupBy("event_type")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"),
+             F.max(F.unix_micros("ts")).alias("t1"))
+        .withColumn("mid_us", F.floor((F.col("t0") + F.col("t1")) / 2)
+                     .cast("bigint"))
+        .select("event_type", "mid_us")
+    )
+    per_cent = (
+        events.join(F.broadcast(mids), "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v_c"),
+            (F.unix_micros("ts") < F.col("mid_us")).alias("is_first"))
+        .groupBy("event_type", "v_c")
+        .agg(F.sum(F.when(F.col("is_first"), 1).otherwise(0)).alias("c1"),
+             F.sum(F.when(F.col("is_first"), 0).otherwise(1)).alias("c2"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("v_c")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per_cent.select(
+        "event_type",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"))
+    totals = per_cent.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n_first"),
+        F.sum("c2").cast("bigint").alias("n_second"))
+    return (
+        cum.join(totals, "event_type")
+        .groupBy("event_type", "n_first", "n_second")
+        .agg(F.max(F.abs(F.col("cum1") * F.col("n_second")
+                         - F.col("cum2") * F.col("n_first"))).alias("num"))
+        .select(
+            "event_type", "n_first", "n_second",
+            F.floor(F.col("num") * 1e6
+                    / (F.col("n_first") * F.col("n_second")))
+             .cast("bigint").alias("ks_e6"))
+        .withColumn("drifted", F.col("ks_e6") > threshold_e6)
+        .orderBy("event_type")
+    )

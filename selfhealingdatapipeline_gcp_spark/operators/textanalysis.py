@@ -838,3 +838,77 @@ def source_zipf_slope(documents: DataFrame, top_k: int = 200,
                 (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"))
         .orderBy("source")
     )
+
+
+def token_heavy_hitters(documents: DataFrame, depth: int = 4,
+                        width: int = 1024, top_k: int = 20) -> DataFrame:
+    """Count-Min-Sketch heavy-hitter audit: the top-``top_k`` tokens
+    by exact count, each with its CMS estimate and the sketch's
+    overestimate. The reference's quality scan counts values exactly
+    (/root/reference/monitoring/quality_scan.py drives per-column
+    GROUP BYs); at 100 TB an exact per-token count relation is the
+    vocabulary size, while the CMS is ``depth × width`` cells TOTAL
+    regardless of corpus — this operator runs both and measures the
+    error the fixed-state path would pay, which is the number that
+    decides whether streaming ingest can monitor token drift from a
+    sketch instead of a vocabulary-sized state store.
+
+    Determinism: bucket j for token w is md5int(j || ':' || w) mod
+    ``width`` — the engine-portable md5 discipline (functions/
+    textfn.py); no engine-native hash(). CMS guarantees estimate ≥
+    exact, so ``overestimate`` is provably ≥ 0 (asserted in tests).
+
+    Scale shape: one token explode feeds BOTH relations map-side;
+    the CMS groupBy shuffles ≤ depth·width counter cells (partial
+    aggregation absorbs the token stream before the exchange); the
+    exact side shuffles the (token, count) vocabulary — already the
+    cost of any top-k — and only ``top_k`` survivors join the sketch,
+    which broadcasts (≤ 4096 rows however large the corpus)."""
+    toks = _spread(documents).select(
+        F.explode(textfn.tokens("text")).alias("w"))
+    cells = toks.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (textfn.md5int(F.concat(F.lit(f"{j}:"), F.col("w")))
+                 % width).alias("bucket"))
+            for j in range(depth)
+        ])).alias("c"))
+    cms = (cells.groupBy(F.col("c.j").alias("j"),
+                         F.col("c.bucket").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    # TakeOrderedAndProject (per-partition top-k merged at the driver)
+    # — NOT a global row_number window, which would funnel the whole
+    # vocabulary through one task; the rank window then runs on the
+    # ``top_k`` survivors only.
+    top = (exact.orderBy(F.desc("exact_count"), F.col("w"))
+           .limit(top_k)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("exact_count"), F.col("w")))))
+    probes = top.select(
+        "w", "exact_count", "rank",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                (textfn.md5int(F.concat(F.lit(f"{j}:"), F.col("w")))
+                 % width).alias("bucket"))
+            for j in range(depth)
+        ])).alias("p"))
+    est = (
+        probes.join(F.broadcast(cms),
+                    (F.col("p.j") == F.col("j"))
+                    & (F.col("p.bucket") == F.col("bucket")))
+        .groupBy("w", "exact_count", "rank")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return (
+        est.select(
+            F.col("rank").cast("int").alias("rank"),
+            F.col("w").alias("token"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_count"))
+             .cast("bigint").alias("overestimate"))
+        .orderBy("rank")
+    )

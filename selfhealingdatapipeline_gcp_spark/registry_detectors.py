@@ -900,3 +900,96 @@ register(
     FROM cv ORDER BY user_id
     """,
 )
+
+
+register(
+    "revenue_changepoint",
+    lambda spark, sf: detectors.revenue_changepoint(
+        _t(spark, sf, "orders")[0]),
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ), xs AS (
+      SELECT d, CAST((rev_c - (rev_c % 10000)) / 10000 AS BIGINT) AS x
+      FROM daily
+    ), pref AS (
+      SELECT d,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             CAST(sum(x) OVER (ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM xs
+    ), totals AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS tot
+      FROM xs
+    ), scored AS (
+      SELECT p.d AS changepoint_day, t.n AS n_days,
+             CAST(floor(abs(CAST(p.cum AS DOUBLE) / CAST(p.i AS DOUBLE)
+                            - CAST(t.tot - p.cum AS DOUBLE)
+                              / CAST(t.n - p.i AS DOUBLE))
+                        * sqrt(CAST(p.i AS DOUBLE)
+                               * CAST(t.n - p.i AS DOUBLE)
+                               / CAST(t.n AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS score_e6,
+             CAST(floor(p.cum * 10000.0 / p.i) AS BIGINT)
+               AS mean_before_c,
+             CAST(floor((t.tot - p.cum) * 10000.0 / (t.n - p.i))
+                  AS BIGINT) AS mean_after_c
+      FROM pref p CROSS JOIN totals t
+      WHERE p.i >= 7 AND p.i <= t.n - 7
+    )
+    SELECT * FROM scored ORDER BY score_e6 DESC, changepoint_day
+    LIMIT 1
+    """,
+)
+
+
+register(
+    "quality_drift_ks",
+    lambda spark, sf: quality.drift_ks(_t(spark, sf, "events")[0]),
+    """
+    WITH mids AS (
+      SELECT event_type,
+             CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2)
+                  AS BIGINT) AS mid_us
+      FROM events GROUP BY 1
+    ), per_cent AS (
+      SELECT e.event_type,
+             CAST(round(e.value * 100) AS BIGINT) AS v_c,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < m.mid_us
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < m.mid_us
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM events e JOIN mids m USING (event_type)
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type,
+             CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v_c
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum1,
+             CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v_c
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum2
+      FROM per_cent
+    ), totals AS (
+      SELECT event_type, CAST(sum(c1) AS BIGINT) AS n_first,
+             CAST(sum(c2) AS BIGINT) AS n_second
+      FROM per_cent GROUP BY 1
+    ), ks AS (
+      SELECT c.event_type, t.n_first, t.n_second,
+             CAST(max(abs(c.cum1 * t.n_second - c.cum2 * t.n_first))
+                  AS BIGINT) AS num
+      FROM cum c JOIN totals t USING (event_type)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, n_first, n_second,
+           CAST(floor(num * 1000000.0 / (n_first * n_second)) AS BIGINT)
+             AS ks_e6,
+           (CAST(floor(num * 1000000.0 / (n_first * n_second)) AS BIGINT)
+            > 100000) AS drifted
+    FROM ks ORDER BY event_type
+    """,
+)

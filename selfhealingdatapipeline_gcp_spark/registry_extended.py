@@ -998,3 +998,70 @@ register(
     FROM hist CROSS JOIN tot ORDER BY n_versions
     """,
 )
+
+
+register(
+    "funnel_time_to_convert",
+    lambda spark, sf: analytics.funnel_time_to_convert(
+        *_t(spark, sf, "events")),
+    """
+    WITH first_view AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)
+               AS view_ts
+      FROM events GROUP BY 1
+      HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+    ), conv AS (
+      SELECT v.user_id,
+             CAST(floor((epoch_us(min(p.ts)) - epoch_us(v.view_ts))
+                        / 1000000.0) AS BIGINT) AS lat_s
+      FROM first_view v
+      JOIN events p ON p.user_id = v.user_id
+                    AND p.event_type = 'purchase'
+                    AND p.ts > v.view_ts
+      GROUP BY v.user_id, v.view_ts
+    ), nv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM first_view
+    )
+    SELECT nv.n_viewers,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           CAST(floor(count(*) * 1000000.0 / nv.n_viewers) AS BIGINT)
+             AS conversion_e6,
+           CAST(floor(quantile_cont(lat_s, 0.5)) AS BIGINT)
+             AS p50_latency_s,
+           CAST(floor(quantile_cont(lat_s, 0.9)) AS BIGINT)
+             AS p90_latency_s,
+           CAST(floor(avg(lat_s)) AS BIGINT) AS mean_latency_s
+    FROM conv CROSS JOIN nv
+    GROUP BY nv.n_viewers
+    """,
+)
+
+
+register(
+    "event_audience_overlap",
+    lambda spark, sf: analytics.event_audience_overlap(
+        *_t(spark, sf, "events")),
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+      FROM tu GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           i.n_both,
+           CAST(floor(i.n_both * 1000000.0
+                      / (sa.n_users + sb.n_users - i.n_both)) AS BIGINT)
+             AS jaccard_e6
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    ORDER BY type_a, type_b
+    """,
+)

@@ -46,6 +46,8 @@ ORACLE_CHECKED = [
     "embedding_coreset_sample",
     "ivf_nprobe_sweep",
     "knn_label_propagation",
+    "token_heavy_hitters",
+    "dedup_weighted_sample",
 ]
 
 
@@ -1876,3 +1878,38 @@ def test_streaming_churn_guard_chop_invariance(spark, tmp_path):
                      F.col("event_type") == "purchase"),
                  "user_id").collect()}
     assert streamed == batch and len(batch) > 0
+
+
+def test_token_heavy_hitters_cms_bounds(spark):
+    """CMS estimate must never under-count (estimate >= exact — the
+    one-sided Count-Min guarantee), ranks must order by exact count,
+    and a planted flood token must land at rank 1."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    rows = [(i, "flood " * 5, "s") for i in range(40)]
+    rows += [(100 + i, f"uniq{i} word word", "s") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = textanalysis.token_heavy_hitters(df).collect()
+    assert out and out[0].token == "flood" and out[0].exact_count == 200
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    counts = [r.exact_count for r in out]
+    assert counts == sorted(counts, reverse=True)
+    for r in out:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_dedup_weighted_sample_cluster_weights(spark):
+    """Unique texts always survive with weight 1e6; a 1000-copy
+    cluster gets weight_e6=1000 and keeps ~1/1000 of its members
+    (deterministic in the doc_id hashes, bounded loosely here)."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    rows = [(i, "the same flood text", "spam") for i in range(1000)]
+    rows += [(10_000 + i, f"unique text {i}", "clean") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = dedup.dedup_weighted_sample(df).collect()
+    uniq = [r for r in out if r.source == "clean"]
+    assert len(uniq) == 5
+    assert all(r.weight_e6 == 1_000_000 and r.n_copies == 1 for r in uniq)
+    flood = [r for r in out if r.source == "spam"]
+    assert all(r.weight_e6 == 1000 and r.n_copies == 1000 for r in flood)
+    assert len(flood) <= 20  # E[keep] = 1; P(>20) is astronomically small

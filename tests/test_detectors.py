@@ -331,3 +331,62 @@ def test_user_burstiness_parity(spark, duck):
     assert_parity(registry.queries()["user_burstiness"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["user_burstiness"])
+
+
+def test_revenue_changepoint_planted_step(spark):
+    """30 days at $100/day then 30 at $200/day: the argmax split must
+    name the last day of the low regime with the exact segment
+    means."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+    base = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        price = 100.0 if i < 30 else 200.0
+        rows.append((i, base + dt.timedelta(days=i), price))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double")
+    out = detectors.revenue_changepoint(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.changepoint_day == base + dt.timedelta(days=29)
+    assert (r.n_days, r.mean_before_c, r.mean_after_c) \
+        == (60, 10_000, 20_000)
+    assert r.score_e6 > 0
+
+
+def test_revenue_changepoint_parity(spark, duck):
+    assert_parity(registry.queries()["revenue_changepoint"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["revenue_changepoint"])
+
+
+def test_quality_drift_ks_planted_shift(spark):
+    """Type 'shift' moves every value 1.0→2.0 across the time
+    midpoint (KS = 1e6, drifted); type 'same' keeps the identical
+    distribution in both halves (KS = 0)."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(20):
+        rows.append((eid, t0 + dt.timedelta(hours=i), 1,
+                     "shift", 1.0 if i < 10 else 2.0, "{}")); eid += 1
+    for i in range(20):
+        rows.append((eid, t0 + dt.timedelta(hours=i), 1,
+                     "same", float(i % 2), "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {r.event_type: r for r in quality.drift_ks(df).collect()}
+    s = out["shift"]
+    assert (s.n_first, s.n_second, s.ks_e6, bool(s.drifted)) \
+        == (10, 10, 1_000_000, True)
+    z = out["same"]
+    assert z.ks_e6 == 0 and not z.drifted
+
+
+def test_quality_drift_ks_parity(spark, duck):
+    assert_parity(registry.queries()["quality_drift_ks"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["quality_drift_ks"])

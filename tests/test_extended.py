@@ -24,6 +24,8 @@ EXTENDED = [
     "brand_price_trend",
     "supplier_concentration_hhi",
     "cdc_churn_report",
+    "funnel_time_to_convert",
+    "event_audience_overlap",
 ]
 
 
@@ -259,3 +261,53 @@ def test_cdc_churn_report_known_histogram(spark):
     assert out[1].keys_share_e6 == 500000
     assert out[5].changes_share_e6 == 416666
     assert sum(r.n_changes for r in out.values()) == 12
+
+
+def test_funnel_time_to_convert_fabricated(spark):
+    """3 viewers, exactly one converts 100 s after the view; a
+    pre-view purchase must NOT count as a conversion."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(seconds=100), 1, "purchase", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=500), 1, "purchase", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 - dt.timedelta(seconds=10), 3, "purchase", 1.0, "{}"),
+        (5, t0, 3, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = analytics.funnel_time_to_convert(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_viewers, r.n_converters, r.conversion_e6) \
+        == (3, 1, 333333)
+    assert (r.p50_latency_s, r.p90_latency_s, r.mean_latency_s) \
+        == (100, 100, 100)
+
+
+def test_event_audience_overlap_fabricated(spark):
+    """view={1,2}, click={2,3}, purchase={3}: jaccard(click,view)=1/3,
+    jaccard(click,purchase)=1/2; disjoint pairs are absent."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 1, "view", 1.0, "{}"),
+            (1, t0, 2, "view", 1.0, "{}"),
+            (2, t0, 2, "click", 1.0, "{}"),
+            (3, t0, 3, "click", 1.0, "{}"),
+            (4, t0, 3, "purchase", 1.0, "{}"),
+            (5, t0, 3, "purchase", 2.0, "{}")]  # dup (type,user) row
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r.type_a, r.type_b): r
+           for r in analytics.event_audience_overlap(df).collect()}
+    assert set(out) == {("click", "view"), ("click", "purchase")}
+    cv = out[("click", "view")]
+    assert (cv.n_a, cv.n_b, cv.n_both, cv.jaccard_e6) == (2, 2, 1, 333333)
+    cp = out[("click", "purchase")]
+    assert (cp.n_a, cp.n_b, cp.n_both, cp.jaccard_e6) == (2, 1, 1, 500000)
