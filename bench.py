@@ -148,6 +148,12 @@ HEADLINE = [
     "cdc_churn_report",
     "hard_negative_mining",
     "streaming_churn_guard",
+    "token_heavy_hitters",
+    "funnel_time_to_convert",
+    "revenue_changepoint",
+    "dedup_weighted_sample",
+    "event_audience_overlap",
+    "quality_drift_ks",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -575,6 +575,24 @@ _FINGERPRINTS = {
     # the cell pair pipeline + the bidirectional union's per-anchor
     # rank window — pairs are the bounded near-dup relation
     "hard_negative_mining": (8, 0, 0, 0),
+    # one token explode feeds the ≤4096-cell CMS agg and the vocab
+    # top-k (TakeOrdered, no global window); the sketch broadcasts
+    "token_heavy_hitters": (4, 1, 0, 0),
+    # user_id agg + viewer⋈purchase join (BHJ at tiny SF, SMJ at
+    # scale); BNLJ = the 1-row viewer-count anchor
+    "funnel_time_to_convert": (4, 1, 0, 1),
+    # day-grain agg + prefix window + TakeOrdered argmax; BNLJ = the
+    # 1-row totals anchor
+    "revenue_changepoint": (4, 0, 0, 1),
+    # one digest groupBy + the join-back on h (BHJ at tiny SF, SMJ
+    # on 16-byte digests at scale)
+    "dedup_weighted_sample": (2, 1, 0, 0),
+    # distinct (type,user) relation + per-user T² pair explode; both
+    # size joins broadcast O(T) rows
+    "event_audience_overlap": (7, 2, 0, 0),
+    # (type,cent) map-side collapse, per-type cumulative window over
+    # distinct cents, broadcast mid/total joins
+    "quality_drift_ks": (7, 3, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",

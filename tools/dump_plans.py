@@ -117,6 +117,20 @@ SHOW = {
                        "aggregate — the window partition key IS "
                        "the groupBy key, so the agg reuses the "
                        "window's exchange",
+    "token_heavy_hitters": "the CMS aggregate is <=4096 cells "
+                           "however large the corpus and broadcasts "
+                           "onto the top-k probes; the vocabulary "
+                           "top-k is TakeOrdered, never a global "
+                           "window",
+    "revenue_changepoint": "day-grain prefix window + TakeOrdered "
+                           "argmax; the totals anchor is a 1-row "
+                           "broadcast",
+    "dedup_weighted_sample": "the size relation and the join-back "
+                             "both key on 16-byte digests — "
+                             "document text never shuffles",
+    "quality_drift_ks": "the corpus collapses map-side to "
+                        "(type, cent) counts; the cumulative window "
+                        "orders DISTINCT cents per type, not rows",
 }
 
 
