@@ -858,43 +858,58 @@ def token_heavy_hitters(documents: DataFrame, depth: int = 4,
     textfn.py); no engine-native hash(). CMS guarantees estimate ≥
     exact, so ``overestimate`` is provably ≥ 0 (asserted in tests).
 
-    Scale shape: one token explode feeds BOTH relations map-side;
-    the CMS groupBy shuffles ≤ depth·width counter cells (partial
-    aggregation absorbs the token stream before the exchange); the
-    exact side shuffles the (token, count) vocabulary — already the
-    cost of any top-k — and only ``top_k`` survivors join the sketch,
-    which broadcasts (≤ 4096 rows however large the corpus)."""
-    toks = _spread(documents).select(
-        F.explode(textfn.tokens("text")).alias("w"))
-    cells = toks.select(
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                (textfn.md5int(F.concat(F.lit(f"{j}:"), F.col("w")))
-                 % width).alias("bucket"))
-            for j in range(depth)
-        ])).alias("c"))
+    Scale shape: one token explode collapses map-side to the
+    (token, count) vocabulary relation — already the cost of any
+    top-k; the CMS cells then derive from that relation (a ×depth
+    explode over DISTINCT tokens, summed to ≤ depth·width counter
+    cells), only ``top_k`` survivors probe the sketch, and the sketch
+    broadcasts (≤ 4096 rows however large the corpus)."""
+    counts = (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return heavy_hitters_from_counts(counts, depth=depth, width=width,
+                                     top_k=top_k)
+
+
+def heavy_hitters_from_counts(counts: DataFrame, depth: int = 4,
+                              width: int = 1024,
+                              top_k: int = 20) -> DataFrame:
+    """The heavy-hitter report from a (w, exact_count) token-count
+    relation. Factored out so the batch operator and the streaming
+    admission form (streaming/monitors.py streaming_heavy_hitters)
+    are ROW-IDENTICAL by construction: token counts are associative
+    sums, so summed per-epoch partials feed the same code path and
+    the two share one SQL oracle.
+
+    The CMS cell counts derive from the count relation (cell = Σ
+    counts of tokens hashing there — exactly the per-occurrence
+    count, by associativity), so the ×``depth`` explode runs over
+    DISTINCT tokens, not every occurrence."""
+    bucket_structs = lambda col: F.array(*[  # noqa: E731
+        F.struct(
+            F.lit(j).alias("j"),
+            (textfn.md5int(F.concat(F.lit(f"{j}:"), col))
+             % width).alias("bucket"))
+        for j in range(depth)
+    ])
+    cells = counts.select(
+        "exact_count", F.explode(bucket_structs(F.col("w"))).alias("c"))
     cms = (cells.groupBy(F.col("c.j").alias("j"),
                          F.col("c.bucket").alias("bucket"))
-           .agg(F.count(F.lit(1)).alias("cnt")))
-    exact = toks.groupBy("w").agg(F.count(F.lit(1)).alias("exact_count"))
+           .agg(F.sum("exact_count").alias("cnt")))
     # TakeOrderedAndProject (per-partition top-k merged at the driver)
     # — NOT a global row_number window, which would funnel the whole
     # vocabulary through one task; the rank window then runs on the
     # ``top_k`` survivors only.
-    top = (exact.orderBy(F.desc("exact_count"), F.col("w"))
+    top = (counts.orderBy(F.desc("exact_count"), F.col("w"))
            .limit(top_k)
            .withColumn("rank", F.row_number().over(
                Window.orderBy(F.desc("exact_count"), F.col("w")))))
     probes = top.select(
         "w", "exact_count", "rank",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                (textfn.md5int(F.concat(F.lit(f"{j}:"), F.col("w")))
-                 % width).alias("bucket"))
-            for j in range(depth)
-        ])).alias("p"))
+        F.explode(bucket_structs(F.col("w"))).alias("p"))
     est = (
         probes.join(F.broadcast(cms),
                     (F.col("p.j") == F.col("j"))

@@ -3387,6 +3387,47 @@ register(
 
 
 register(
+    "streaming_heavy_hitters",
+    monitors.streaming_heavy_hitters,
+    # chop-invariant by associativity: shares the batch oracle
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKENS}) AS w FROM documents
+    ), cms AS (
+      SELECT j, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT d.j,
+               ({_md5int("CAST(d.j AS VARCHAR) || ':' || w")} % 1024)
+                 AS bucket
+        FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+      ) GROUP BY 1, 2
+    ), exact AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_count
+      FROM toks GROUP BY 1
+    ), top AS (
+      SELECT w, exact_count,
+             CAST(row_number() OVER (ORDER BY exact_count DESC, w)
+                  AS INT) AS rank
+      FROM exact ORDER BY exact_count DESC, w LIMIT 20
+    ), probes AS (
+      SELECT t.w, t.exact_count, t.rank, d.j,
+             ({_md5int("CAST(d.j AS VARCHAR) || ':' || t.w")} % 1024)
+               AS bucket
+      FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+    ), est AS (
+      SELECT p.rank, p.w, p.exact_count,
+             CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+      FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+      GROUP BY 1, 2, 3
+    )
+    SELECT rank, w AS token, exact_count, cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY rank
+    """,
+)
+
+
+register(
     "token_heavy_hitters",
     lambda spark, sf: textanalysis.token_heavy_hitters(
         *_t(spark, sf, "documents")),

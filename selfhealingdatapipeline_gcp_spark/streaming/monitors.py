@@ -762,3 +762,58 @@ def streaming_churn_guard(spark: SparkSession, sf_dir: str,
                .groupBy("user_id")
                .agg(F.sum("n").alias("n_versions")))
     return cdc.churn_from_version_counts(per_key)
+
+
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str,
+                            max_files_per_trigger: int | None = None
+                            ) -> DataFrame:
+    """Streaming ADMISSION form of token_heavy_hitters: per-epoch
+    token-count partials accumulate through the idempotent epoch-dir
+    sink, and the Count-Min audit re-derives over the running totals
+    — the token-drift monitor a live ingest runs while admitting
+    documents, deciding from a fixed-size sketch whether the incoming
+    mix is flooding a token before the batch pipeline would see it.
+
+    Chop-invariance is by ASSOCIATIVITY, not recomputation: token
+    counts are plain sums, and the CMS cell counts are sums of token
+    counts — so summed per-epoch partials feed the SAME factored
+    core (textanalysis.heavy_hitters_from_counts) and the report
+    equals the batch operator row for row regardless of how the
+    stream chops; hence the shared SQL oracle.
+
+    Scale: each epoch shuffles its own (token, count) vocabulary
+    partials; the cross-epoch re-aggregate reads count relations
+    bounded by |vocabulary|, never re-reading documents. A
+    production deployment that only needs the sketch keeps the
+    ≤ depth·width cell partials per epoch instead — the exact side
+    exists because the AUDIT (estimate vs exact) is the operator's
+    point."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("heavy_hitters")
+    epochs = []
+
+    def count_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df
+         .select(F.explode(textfn.tokens("text")).alias("w"))
+         .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(count_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "rank int, token string, exact_count bigint, "
+                "cms_estimate bigint, overestimate bigint")
+    counts = (spark.read.parquet(out_dir)
+              .groupBy("w").agg(F.sum("n").alias("exact_count")))
+    return textanalysis.heavy_hitters_from_counts(counts)

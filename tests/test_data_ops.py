@@ -1913,3 +1913,31 @@ def test_dedup_weighted_sample_cluster_weights(spark):
     flood = [r for r in out if r.source == "spam"]
     assert all(r.weight_e6 == 1000 and r.n_copies == 1000 for r in flood)
     assert len(flood) <= 20  # E[keep] = 1; P(>20) is astronomically small
+
+
+def test_streaming_heavy_hitters_parity(spark, duck):
+    assert_parity(
+        registry.queries()["streaming_heavy_hitters"](
+            spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_heavy_hitters"])
+
+
+def test_streaming_heavy_hitters_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; token counts are associative, so the summed
+    epochs must reproduce batch token_heavy_hitters row for row."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_hh")
+    os.makedirs(src)
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    docs.repartition(3).write.parquet(f"{src}/documents.parquet")
+
+    streamed = [tuple(r) for r in monitors.streaming_heavy_hitters(
+        spark, src, max_files_per_trigger=1).collect()]
+    batch = [tuple(r) for r in textanalysis.token_heavy_hitters(
+        catalog.load(spark, src, "documents")).collect()]
+    assert streamed == batch and len(batch) == 20

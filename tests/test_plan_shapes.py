@@ -575,9 +575,11 @@ _FINGERPRINTS = {
     # the cell pair pipeline + the bidirectional union's per-anchor
     # rank window — pairs are the bounded near-dup relation
     "hard_negative_mining": (8, 0, 0, 0),
-    # one token explode feeds the ≤4096-cell CMS agg and the vocab
-    # top-k (TakeOrdered, no global window); the sketch broadcasts
-    "token_heavy_hitters": (4, 1, 0, 0),
+    # the corpus collapses once to the vocab count relation; the CMS
+    # derives from it (×depth explode over DISTINCT tokens → ≤4096
+    # cells), top-k is TakeOrdered (no global window), sketch
+    # broadcasts
+    "token_heavy_hitters": (5, 1, 0, 0),
     # user_id agg + viewer⋈purchase join (BHJ at tiny SF, SMJ at
     # scale); BNLJ = the 1-row viewer-count anchor
     "funnel_time_to_convert": (4, 1, 0, 1),
