@@ -154,6 +154,8 @@ HEADLINE = [
     "dedup_weighted_sample",
     "event_audience_overlap",
     "quality_drift_ks",
+    "streaming_heavy_hitters",
+    "doc_perplexity_buckets",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -180,8 +182,8 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "embedding_top_component",
                   # LPA materializes its kNN edge leaf in the builder
                   "knn_label_propagation",
-                  # foreachBatch streaming guard runs in the builder
-                  "streaming_churn_guard"}
+                  # foreachBatch streaming guards run in the builder
+                  "streaming_churn_guard", "streaming_heavy_hitters"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

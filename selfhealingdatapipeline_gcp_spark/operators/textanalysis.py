@@ -927,3 +927,63 @@ def heavy_hitters_from_counts(counts: DataFrame, depth: int = 4,
              .cast("bigint").alias("overestimate"))
         .orderBy("rank")
     )
+
+
+def doc_perplexity_buckets(documents: DataFrame,
+                           bucket_micro_nats: int = 2_000_000,
+                           max_bucket: int = 15) -> DataFrame:
+    """Per-source histogram of the unigram perplexity proxy — the
+    table a threshold-picking decision reads (the CCNet-style
+    "perplexity bucket" view): how much of each source sits in each
+    2-nat-wide band of avg negative log-probability. A source whose
+    mass piles into the lowest buckets is boilerplate; a long high
+    tail is OCR noise / wrong-language contamination. Composes the
+    text_unigram_logprob scoring discipline; the histogram grain is
+    what makes the score actionable per source.
+
+    Determinism: per-token nll floors to integer micro-nats BEFORE
+    the per-doc sum (bigint, order-independent); the per-doc average
+    floors to integer micro-nats; bucket = that integer divided by
+    ``bucket_micro_nats`` (pure integer ops), capped at
+    ``max_bucket``.
+
+    Scale shape: vocabulary groupBy + one corpus-sized token⋈vocab
+    join (8-byte keys + counts, never text) — the
+    text_unigram_logprob plan — then doc-grain and (source, bucket)
+    aggregates, each partial-aggregated; the source-total join
+    broadcasts O(|sources|) rows. Output ≤ |sources|·(max_bucket+1)."""
+    toks = (
+        _spread(documents)
+        .select("doc_id", "source",
+                F.explode(textfn.tokens("text")).alias("w"))
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    per_doc = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "source",
+            F.floor(-F.log(F.col("tf") / F.col("n_total")) * 1e6)
+             .cast("bigint").alias("nll_micro"))
+        .groupBy("doc_id", "source")
+        .agg(F.floor(F.sum("nll_micro") / F.count(F.lit(1)))
+              .cast("bigint").alias("avg_nll_micro"))
+    )
+    bucketed = per_doc.select(
+        "source",
+        F.least(F.lit(max_bucket),
+                F.floor(F.col("avg_nll_micro") / bucket_micro_nats))
+         .cast("int").alias("bucket"))
+    hist = bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    totals = bucketed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("source_docs"))
+    return (
+        hist.join(F.broadcast(totals), "source")
+        .select(
+            "source", "bucket", "n_docs",
+            F.floor(F.col("n_docs") * 1e6 / F.col("source_docs"))
+             .cast("bigint").alias("share_e6"))
+        .orderBy("source", "bucket")
+    )

@@ -3487,3 +3487,42 @@ register(
     ORDER BY k.doc_id
     """,
 )
+
+
+register(
+    "doc_perplexity_buckets",
+    lambda spark, sf: textanalysis.doc_perplexity_buckets(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKENS}) AS w FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS tf FROM toks GROUP BY w
+    ), total AS (
+      SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab
+    ), per_doc AS (
+      SELECT doc_id, source,
+             CAST(floor(sum(CAST(floor(-ln(tf / n_total) * 1e6)
+                                 AS BIGINT))
+                        / count(*)) AS BIGINT) AS avg_nll_micro
+      FROM toks JOIN vocab USING (w), total
+      GROUP BY doc_id, source
+    ), bucketed AS (
+      SELECT source,
+             CAST(least(15, floor(avg_nll_micro / 2000000)) AS INT)
+               AS bucket
+      FROM per_doc
+    ), hist AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM bucketed GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+      FROM bucketed GROUP BY 1
+    )
+    SELECT h.source, h.bucket, h.n_docs,
+           CAST(floor(h.n_docs * 1000000.0 / t.source_docs) AS BIGINT)
+             AS share_e6
+    FROM hist h JOIN totals t USING (source)
+    ORDER BY source, bucket
+    """,
+)

@@ -48,6 +48,7 @@ ORACLE_CHECKED = [
     "knn_label_propagation",
     "token_heavy_hitters",
     "dedup_weighted_sample",
+    "doc_perplexity_buckets",
 ]
 
 
@@ -1941,3 +1942,26 @@ def test_streaming_heavy_hitters_chop_invariance(spark, tmp_path):
     batch = [tuple(r) for r in textanalysis.token_heavy_hitters(
         catalog.load(spark, src, "documents")).collect()]
     assert streamed == batch and len(batch) == 20
+
+
+def test_doc_perplexity_buckets_boilerplate_vs_rare(spark):
+    """A boilerplate source (docs = the corpus's dominant tokens)
+    must concentrate in strictly LOWER nll buckets than a source of
+    one-off tokens; per-source shares must sum to ~1e6."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    rows = [(i, "common words repeated always", "boiler")
+            for i in range(50)]
+    rows += [(100 + i, f"rare{i} token{i} once{i}", "rare")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = textanalysis.doc_perplexity_buckets(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == {"boiler", "rare"}
+    max_boiler = max(r.bucket for r in by_src["boiler"])
+    min_rare = min(r.bucket for r in by_src["rare"])
+    assert max_boiler < min_rare
+    for src, rs in by_src.items():
+        assert sum(r.n_docs for r in rs) == (50 if src == "boiler" else 10)
+        assert abs(sum(r.share_e6 for r in rs) - 1_000_000) <= len(rs)
