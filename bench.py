@@ -156,6 +156,7 @@ HEADLINE = [
     "quality_drift_ks",
     "streaming_heavy_hitters",
     "doc_perplexity_buckets",
+    "dedup_bloom_audit",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1687,3 +1687,74 @@ def dedup_weighted_sample(documents: DataFrame) -> DataFrame:
         .select("doc_id", "source", "n_copies", "weight_e6")
         .orderBy("doc_id")
     )
+
+
+def dedup_bloom_audit(documents: DataFrame, m_bits: int = 262_144,
+                      k_hashes: int = 4) -> DataFrame:
+    """Bloom-filter membership audit — the fixed-state counterpart of
+    token_heavy_hitters' Count-Min audit, for the DEDUP side: an
+    incremental ingest at 100 TB cannot semi-join every arriving
+    batch against the full corpus hash set, it tests a Bloom filter
+    (``m_bits`` bits TOTAL, however large the corpus) and only the
+    hits pay the exact check. This operator builds the filter over
+    one deterministic half of the corpus, streams the other half
+    through it, and measures the false-positive rate the fixed-state
+    path would pay against the exact semi-join ground truth — the
+    number that sizes m for a target precision.
+
+    Determinism: the split is md5int(doc_id) mod 2 (seedless,
+    retry-stable); bit j for text-hash h is md5int(j || ':' || h)
+    mod ``m_bits`` — the engine-portable discipline. Bloom filters
+    have NO false negatives, so hits ⊇ true duplicates (asserted in
+    tests and visible as n_false_pos ≥ 0).
+
+    Scale shape: the filter relation is ≤ ``m_bits`` distinct
+    positions (broadcastable at any corpus size — 2^18 ints ≈ 2 MB);
+    both corpus passes collapse map-side to 16-byte digests; the
+    membership test is k broadcast probes per query doc + one
+    doc-grain count; everything downstream is a single-row
+    aggregate."""
+    keyed = documents.select(
+        "doc_id", F.md5("text").alias("h"),
+        (textfn.md5int(F.col("doc_id").cast("string")) % 2 == 0)
+        .alias("is_ref"))
+    refh = keyed.filter("is_ref").select("h").distinct()
+    positions = lambda col: F.array(*[  # noqa: E731
+        (textfn.md5int(F.concat(F.lit(f"{j}:"), col)) % m_bits)
+        for j in range(k_hashes)
+    ])
+    bits = (refh.select(F.explode(positions(F.col("h"))).alias("pos"))
+            .distinct())
+    qdocs = keyed.filter(~F.col("is_ref")).select("doc_id", "h")
+    probe = qdocs.select(
+        "doc_id", "h", F.explode(positions(F.col("h"))).alias("pos"))
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k_hashes)
+        .select("doc_id", "h")
+    )
+    true_dups = qdocs.join(refh, "h", "left_semi")
+    counts = (
+        qdocs.agg(F.count(F.lit(1)).cast("bigint").alias("n_query_docs"))
+        .crossJoin(F.broadcast(refh.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ref_distinct"))))
+        .crossJoin(F.broadcast(bits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("bits_set"))))
+        .crossJoin(F.broadcast(hits.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bloom_hits"))))
+        .crossJoin(F.broadcast(true_dups.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true_dups"))))
+    )
+    return counts.select(
+        "n_ref_distinct", "n_query_docs", "n_true_dups", "n_bloom_hits",
+        (F.col("n_bloom_hits") - F.col("n_true_dups")).cast("bigint")
+         .alias("n_false_pos"),
+        F.floor((F.col("n_bloom_hits") - F.col("n_true_dups")) * 1e6
+                / F.greatest(F.lit(1),
+                             F.col("n_query_docs") - F.col("n_true_dups")))
+         .cast("bigint").alias("fp_rate_e6"),
+        "bits_set",
+        F.floor(F.col("bits_set") * 1e6 / m_bits).cast("bigint")
+         .alias("fill_e6"))

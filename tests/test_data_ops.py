@@ -1965,3 +1965,33 @@ def test_doc_perplexity_buckets_boilerplate_vs_rare(spark):
     for src, rs in by_src.items():
         assert sum(r.n_docs for r in rs) == (50 if src == "boiler" else 10)
         assert abs(sum(r.share_e6 for r in rs) - 1_000_000) <= len(rs)
+
+
+def test_dedup_bloom_audit_no_false_negatives(spark):
+    """Planted exact duplicates straddling the md5 doc_id split must
+    ALL be bloom hits (no false negatives — the Bloom guarantee);
+    false positives are >= 0 and the fill fraction is sane."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    # 200 shared texts spread over 400 docs (two doc_ids each) + 100
+    # singletons: whichever side each twin lands on, every query-side
+    # twin with a ref-side partner is a true duplicate
+    rows = []
+    for i in range(200):
+        rows.append((2 * i, f"shared text number {i}", "s"))
+        rows.append((2 * i + 1, f"shared text number {i}", "s"))
+    rows += [(1000 + i, f"only once {i}", "s") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    r = dedup.dedup_bloom_audit(df).collect()[0]
+    assert r.n_ref_distinct > 0 and r.n_query_docs > 0
+    assert r.n_bloom_hits >= r.n_true_dups          # no false negatives
+    assert r.n_false_pos == r.n_bloom_hits - r.n_true_dups
+    assert 0 < r.bits_set <= 4 * r.n_ref_distinct
+    assert 0 <= r.fill_e6 <= 1_000_000
+    # m=262144 bits for <=300 distinct keys: fp rate must be tiny
+    assert r.fp_rate_e6 < 10_000
+
+
+def test_dedup_bloom_audit_parity(spark, duck):
+    assert_parity(registry.queries()["dedup_bloom_audit"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["dedup_bloom_audit"])
