@@ -157,6 +157,7 @@ HEADLINE = [
     "streaming_heavy_hitters",
     "doc_perplexity_buckets",
     "dedup_bloom_audit",
+    "streaming_bloom_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -184,7 +185,8 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # LPA materializes its kNN edge leaf in the builder
                   "knn_label_propagation",
                   # foreachBatch streaming guards run in the builder
-                  "streaming_churn_guard", "streaming_heavy_hitters"}
+                  "streaming_churn_guard", "streaming_heavy_hitters",
+                  "streaming_bloom_guard"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

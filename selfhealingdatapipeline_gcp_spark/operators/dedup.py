@@ -1718,6 +1718,18 @@ def dedup_bloom_audit(documents: DataFrame, m_bits: int = 262_144,
         "doc_id", F.md5("text").alias("h"),
         (textfn.md5int(F.col("doc_id").cast("string")) % 2 == 0)
         .alias("is_ref"))
+    return bloom_audit_from_keyed(keyed, m_bits=m_bits,
+                                  k_hashes=k_hashes)
+
+
+def bloom_audit_from_keyed(keyed: DataFrame, m_bits: int = 262_144,
+                           k_hashes: int = 4) -> DataFrame:
+    """The Bloom membership report from a (doc_id, h, is_ref) keyed
+    relation. Factored out so the streaming admission form
+    (streaming/monitors.py streaming_bloom_guard) feeds its
+    epoch-accumulated state into the SAME code path: bit sets and
+    hash sets are unions, so summed epochs equal the batch build and
+    the two share one SQL oracle."""
     refh = keyed.filter("is_ref").select("h").distinct()
     positions = lambda col: F.array(*[  # noqa: E731
         (textfn.md5int(F.concat(F.lit(f"{j}:"), col)) % m_bits)

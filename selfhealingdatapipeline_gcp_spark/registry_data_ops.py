@@ -3529,6 +3529,55 @@ register(
 
 
 register(
+    "streaming_bloom_guard",
+    monitors.streaming_bloom_guard,
+    # chop-invariant by union associativity: shares the batch oracle
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(text) AS h,
+             ({_md5int("CAST(doc_id AS VARCHAR)")} % 2 = 0) AS is_ref
+      FROM documents
+    ), refh AS (
+      SELECT DISTINCT h FROM keyed WHERE is_ref
+    ), bits AS (
+      SELECT DISTINCT
+             ({_md5int("CAST(d.j AS VARCHAR) || ':' || h")} % 262144)
+               AS pos
+      FROM refh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+    ), qdocs AS (
+      SELECT doc_id, h FROM keyed WHERE NOT is_ref
+    ), probe AS (
+      SELECT q.doc_id, q.h,
+             ({_md5int("CAST(d.j AS VARCHAR) || ':' || q.h")} % 262144)
+               AS pos
+      FROM qdocs q CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) d
+    ), hits AS (
+      SELECT doc_id FROM probe p JOIN bits b USING (pos)
+      GROUP BY doc_id, h HAVING count(*) = 4
+    ), agg AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM refh) AS n_ref_distinct,
+        (SELECT CAST(count(*) AS BIGINT) FROM qdocs) AS n_query_docs,
+        (SELECT CAST(count(*) AS BIGINT) FROM qdocs q
+          WHERE EXISTS (SELECT 1 FROM refh r WHERE r.h = q.h))
+          AS n_true_dups,
+        (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+        (SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set
+    )
+    SELECT n_ref_distinct, n_query_docs, n_true_dups, n_bloom_hits,
+           CAST(n_bloom_hits - n_true_dups AS BIGINT) AS n_false_pos,
+           CAST(floor((n_bloom_hits - n_true_dups) * 1000000.0
+                      / greatest(1, n_query_docs - n_true_dups))
+                AS BIGINT) AS fp_rate_e6,
+           bits_set,
+           CAST(floor(bits_set * 1000000.0 / 262144) AS BIGINT)
+             AS fill_e6
+    FROM agg
+    """,
+)
+
+
+register(
     "dedup_bloom_audit",
     lambda spark, sf: dedup.dedup_bloom_audit(
         *_t(spark, sf, "documents")),

@@ -817,3 +817,58 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str,
     counts = (spark.read.parquet(out_dir)
               .groupBy("w").agg(F.sum("n").alias("exact_count")))
     return textanalysis.heavy_hitters_from_counts(counts)
+
+
+def streaming_bloom_guard(spark: SparkSession, sf_dir: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """Streaming ADMISSION form of dedup_bloom_audit: the Bloom bit
+    set and the reference hash set accumulate per micro-batch through
+    the idempotent epoch-dir sink, and the membership audit re-derives
+    over the running union — the ingest-time structure the batch
+    operator sizes, exercised AS an ingest: each arriving epoch
+    contributes its reference-half positions, and the final pass
+    measures what the accumulated filter would answer for the
+    query half.
+
+    Chop-invariance is by ASSOCIATIVITY: a bit set is a UNION of
+    per-epoch distinct-position sets and the reference hash set is a
+    union of per-epoch hash sets, so however the stream chops, the
+    accumulated state equals the batch build bit for bit and the
+    report row matches dedup_bloom_audit exactly — hence the shared
+    SQL oracle.
+
+    Scale: each epoch ships ≤ m_bits distinct positions + its
+    digest partials; the cross-epoch re-aggregate reads position/
+    digest relations, never documents."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("bloom_guard")
+    epochs = []
+
+    def keyed_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df
+         .select("doc_id", F.md5("text").alias("h"),
+                 (textfn.md5int(F.col("doc_id").cast("string")) % 2 == 0)
+                 .alias("is_ref"))
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(keyed_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "n_ref_distinct bigint, n_query_docs bigint, "
+                "n_true_dups bigint, n_bloom_hits bigint, "
+                "n_false_pos bigint, fp_rate_e6 bigint, "
+                "bits_set bigint, fill_e6 bigint")
+    keyed = spark.read.parquet(out_dir).select("doc_id", "h", "is_ref")
+    return dedup.bloom_audit_from_keyed(keyed)

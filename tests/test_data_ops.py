@@ -1995,3 +1995,32 @@ def test_dedup_bloom_audit_parity(spark, duck):
     assert_parity(registry.queries()["dedup_bloom_audit"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["dedup_bloom_audit"])
+
+
+def test_streaming_bloom_guard_parity(spark, duck):
+    assert_parity(
+        registry.queries()["streaming_bloom_guard"](
+            spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_bloom_guard"])
+
+
+def test_streaming_bloom_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; bit sets and hash sets are unions, so the
+    accumulated epochs must reproduce batch dedup_bloom_audit row
+    for row."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_bloom")
+    os.makedirs(src)
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    docs.repartition(3).write.parquet(f"{src}/documents.parquet")
+
+    streamed = [tuple(r) for r in monitors.streaming_bloom_guard(
+        spark, src, max_files_per_trigger=1).collect()]
+    batch = [tuple(r) for r in dedup.dedup_bloom_audit(
+        catalog.load(spark, src, "documents")).collect()]
+    assert streamed == batch and len(batch) == 1
