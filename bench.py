@@ -158,6 +158,7 @@ HEADLINE = [
     "doc_perplexity_buckets",
     "dedup_bloom_audit",
     "streaming_bloom_guard",
+    "ann_pq_distortion_report",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1702,3 +1702,60 @@ def hard_negative_mining(embeddings: DataFrame, n_neg: int = 3,
         .filter(F.col("rank") <= n_neg)
         .orderBy("anchor_id", "rank")
     )
+
+
+def ann_pq_distortion_report(embeddings: DataFrame, n_sub: int = 8,
+                             n_codes: int = 16) -> DataFrame:
+    """Per-subspace product-quantization distortion — the third leg
+    of the ANN tuning triple (ann_recall_report answers "how good is
+    the search", ivf_nprobe_sweep "how deep must it probe", this one
+    "how lossy is the COMPRESSION"): for each subspace, the mean and
+    worst squared error between subvectors and their nearest
+    codeword. A subspace whose distortion dwarfs the others is where
+    the code budget should move (or where per-subspace k-means beats
+    the shared codebook) — decided from this table, before anyone
+    re-encodes a 10^9-vector corpus.
+
+    Determinism: per-vector minimum distances floor to e6 integer
+    units BEFORE the per-subspace sum (order-independent partials);
+    the mean floors against the exact count.
+
+    Scale shape: one corpus pass against the broadcast K-row
+    codebook (the encode cost itself — n_codes·n_sub slice distances
+    per vector, no joins, no shuffle of vectors); the per-(vec, m)
+    argmin folds map-side and only (m, d_u) partials reach the
+    single O(n_sub)-row aggregate."""
+    dim = _dim_or_none(embeddings)
+    if dim is None or dim % n_sub:
+        return embeddings.sparkSession.createDataFrame(
+            [], "m int, n_vectors bigint, mean_sq_err_u bigint, "
+                "max_sq_err_u bigint")
+    dsub = dim // n_sub
+    cb = fixed_k_centroids_raw(embeddings, n_codes)
+
+    def sub(col: str, m: int):
+        return F.slice(F.col(col), m * dsub + 1, dsub)
+
+    per_vec_sub = (
+        embeddings
+        .select("vec_id", vectorfn.to_double(F.col("embedding")).alias("v"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", "cent_id",
+            F.posexplode(F.array(*[
+                F.floor(vectorfn.l2sq(sub("v", m), sub("cv", m)) * 1e6)
+                 .cast("bigint") for m in range(n_sub)])).alias("m", "d_u"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("d_u").alias("dmin_u"))
+    )
+    return (
+        per_vec_sub.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.floor(F.sum("dmin_u") / F.count(F.lit(1))).cast("bigint")
+             .alias("mean_sq_err_u"),
+            F.max("dmin_u").cast("bigint").alias("max_sq_err_u"))
+        .select(F.col("m").cast("int").alias("m"),
+                "n_vectors", "mean_sq_err_u", "max_sq_err_u")
+        .orderBy("m")
+    )

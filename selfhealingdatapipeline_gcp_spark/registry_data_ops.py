@@ -3624,3 +3624,31 @@ register(
     FROM agg
     """,
 )
+
+
+register(
+    "ann_pq_distortion_report",
+    lambda spark, sf: similarity.ann_pq_distortion_report(
+        *_t(spark, sf, "embeddings")),
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS ({_PQ_CENTS}),
+    subm AS (SELECT unnest(range(0, 8)) AS m),
+    enc AS (
+      SELECT n.vec_id, subm.m,
+             CAST(floor({_l2sq('(n.v[(subm.m*8+1):(subm.m*8+8)])',
+                               '(cents.cv[(subm.m*8+1):(subm.m*8+8)])')}
+                        * 1000000.0) AS BIGINT) AS d_u
+      FROM n, cents, subm
+    ), per_vec AS (
+      SELECT vec_id, m, CAST(min(d_u) AS BIGINT) AS dmin_u
+      FROM enc GROUP BY vec_id, m
+    )
+    SELECT CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(floor(CAST(sum(dmin_u) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_sq_err_u,
+           CAST(max(dmin_u) AS BIGINT) AS max_sq_err_u
+    FROM per_vec GROUP BY m ORDER BY m
+    """,
+)

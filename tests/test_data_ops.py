@@ -49,6 +49,7 @@ ORACLE_CHECKED = [
     "token_heavy_hitters",
     "dedup_weighted_sample",
     "doc_perplexity_buckets",
+    "ann_pq_distortion_report",
 ]
 
 
@@ -2024,3 +2025,27 @@ def test_streaming_bloom_guard_chop_invariance(spark, tmp_path):
     batch = [tuple(r) for r in dedup.dedup_bloom_audit(
         catalog.load(spark, src, "documents")).collect()]
     assert streamed == batch and len(batch) == 1
+
+
+def test_ann_pq_distortion_zero_when_corpus_is_codebook(spark):
+    """With <= n_codes vectors every vector is its own codeword, so
+    distortion must be exactly 0 in every subspace; on a larger
+    corpus mean <= max and both are non-negative."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    rows = [(i, [float(i * 64 + d) for d in range(64)], "a")
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, "
+                                     "label string")
+    out = similarity.ann_pq_distortion_report(df).collect()
+    assert len(out) == 8
+    assert all(r.n_vectors == 16 for r in out)
+    assert all(r.mean_sq_err_u == 0 and r.max_sq_err_u == 0 for r in out)
+
+    rows2 = rows + [(100 + i, [float((i * 7 + d * 3) % 11)
+                               for d in range(64)], "b")
+                    for i in range(50)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<double>, label string")
+    out2 = similarity.ann_pq_distortion_report(df2).collect()
+    assert all(0 <= r.mean_sq_err_u <= r.max_sq_err_u for r in out2)
+    assert any(r.max_sq_err_u > 0 for r in out2)
