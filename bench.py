@@ -159,6 +159,7 @@ HEADLINE = [
     "dedup_bloom_audit",
     "streaming_bloom_guard",
     "ann_pq_distortion_report",
+    "hybrid_search_rrf",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -987,3 +987,53 @@ def doc_perplexity_buckets(documents: DataFrame,
              .cast("bigint").alias("share_e6"))
         .orderBy("source", "bucket")
     )
+
+
+def hybrid_search_rrf(documents: DataFrame,
+                      terms: tuple[str, ...] = ("spark", "query", "fast"),
+                      k: int = 20, rrf_k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of the two registered retrievers
+    (bm25_search and keyword_search_tfidf) — the standard hybrid-
+    search combiner: score(d) = Σ_rankers 1/(rrf_k + rank_r(d)).
+    RRF needs no score calibration between rankers (only ranks),
+    which is exactly why production retrieval stacks use it to merge
+    lexical and second-stage rankers with incomparable score scales.
+
+    Determinism: each ranker's rank is a row_number over its own
+    (score desc, doc_id) order; contributions floor to e6 integers
+    before the sum; the fused order ties-break on doc_id.
+
+    Scale shape: both parents already bound their output to ``k``
+    rows, so the fusion is a full-outer join + window over ≤ 2k rows
+    — plan-constant whatever the corpus; the corpus-sized work is
+    the parents', unchanged."""
+    def ranked(df: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+        return df.select("doc_id", "score").withColumn(
+            name, F.row_number().over(w)).drop("score")
+
+    bm = ranked(bm25_search(documents, terms=terms, k=k), "rank_bm25")
+    tf = ranked(keyword_search_tfidf(documents, terms=terms, k=k),
+                "rank_tfidf")
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(),
+        F.floor(F.lit(1_000_000) / (F.lit(rrf_k) + F.col(c)))).otherwise(0)
+    fused = (
+        bm.join(tf, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("int").alias("rank_bm25"),
+            F.col("rank_tfidf").cast("int").alias("rank_tfidf"),
+            (contrib("rank_bm25") + contrib("rank_tfidf"))
+            .cast("bigint").alias("rrf_e6"))
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf_e6"), F.col("doc_id")))
+            .cast("int"))
+        .select("fused_rank", "doc_id", "rank_bm25", "rank_tfidf",
+                "rrf_e6")
+        .orderBy("fused_rank")
+    )

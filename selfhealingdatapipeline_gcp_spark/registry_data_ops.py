@@ -3652,3 +3652,76 @@ register(
     FROM per_vec GROUP BY m ORDER BY m
     """,
 )
+
+
+register(
+    "hybrid_search_rrf",
+    lambda spark, sf: textanalysis.hybrid_search_rrf(
+        *_t(spark, sf, "documents")),
+    """
+    WITH bm_base AS (WITH toks AS (
+      SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x != '')) AS w FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+    ), st AS (
+      SELECT CAST(sum(dl) AS BIGINT) AS sum_dl, count(*) AS n_docs FROM dl
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM toks
+      WHERE w IN ('spark', 'query', 'fast') GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT t.doc_id,
+             CAST(floor(ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                  * (t.tf * 2.2)
+                  / (t.tf + 1.2 * (1.0 - 0.75
+                                   + 0.75 * l.dl / (st.sum_dl / st.n_docs)))
+                  * 1000000.0) AS BIGINT) AS c_e6
+      FROM tf t JOIN dfc d USING (w) JOIN dl l USING (doc_id), st
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+           (floor(sum(c_e6) / 100.0) / 10000.0) AS score
+    FROM sc GROUP BY 1
+    ORDER BY score DESC, doc_id
+    LIMIT 20),
+    tf_base AS (WITH ex AS (
+      SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x != '')) AS w FROM documents
+    ), fex AS (
+      SELECT doc_id, w FROM ex WHERE w IN ('spark', 'query', 'fast')
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM fex GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id,
+           (floor(sum(tf * ln(n_docs * 1.0 / df)) * 10000.0) / 10000.0)
+             AS score
+    FROM tf JOIN dfc USING (w), n
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20),
+    bm AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS INT) AS rank_bm25
+      FROM bm_base
+    ), tfr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS INT) AS rank_tfidf
+      FROM tf_base
+    ), fused AS (
+      SELECT coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+             bm.rank_bm25, tfr.rank_tfidf,
+             CAST(coalesce(CAST(floor(1000000.0 / (60 + bm.rank_bm25))
+                                AS BIGINT), 0)
+                  + coalesce(CAST(floor(1000000.0 / (60 + tfr.rank_tfidf))
+                                  AS BIGINT), 0) AS BIGINT) AS rrf_e6
+      FROM bm FULL OUTER JOIN tfr ON bm.doc_id = tfr.doc_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id)
+                AS INT) AS fused_rank,
+           doc_id, rank_bm25, rank_tfidf, rrf_e6
+    FROM fused ORDER BY fused_rank
+""",
+)

@@ -50,6 +50,7 @@ ORACLE_CHECKED = [
     "dedup_weighted_sample",
     "doc_perplexity_buckets",
     "ann_pq_distortion_report",
+    "hybrid_search_rrf",
 ]
 
 
@@ -2049,3 +2050,24 @@ def test_ann_pq_distortion_zero_when_corpus_is_codebook(spark):
     out2 = similarity.ann_pq_distortion_report(df2).collect()
     assert all(0 <= r.mean_sq_err_u <= r.max_sq_err_u for r in out2)
     assert any(r.max_sq_err_u > 0 for r in out2)
+
+
+def test_hybrid_search_rrf_consistency(spark):
+    """Fused rows must carry at least one parent rank, rrf_e6 must
+    equal the recomputed contributions, fused ranks are sequential,
+    and a doc topping BOTH parent lists must top the fusion."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    rows = [(0, "spark query fast " * 20, "s")]          # tops both
+    rows += [(1 + i, "spark " * (10 - i) + "filler " * (5 * i), "s")
+             for i in range(8)]
+    rows += [(100 + i, f"noise{i} only here", "s") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = textanalysis.hybrid_search_rrf(df).collect()
+    assert out and out[0].doc_id == 0 and out[0].fused_rank == 1
+    assert [r.fused_rank for r in out] == list(range(1, len(out) + 1))
+    for r in out:
+        assert r.rank_bm25 is not None or r.rank_tfidf is not None
+        want = sum(1_000_000 // (60 + rk)
+                   for rk in (r.rank_bm25, r.rank_tfidf)
+                   if rk is not None)
+        assert r.rrf_e6 == want
