@@ -160,6 +160,7 @@ HEADLINE = [
     "streaming_bloom_guard",
     "ann_pq_distortion_report",
     "hybrid_search_rrf",
+    "temporal_split_plan",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

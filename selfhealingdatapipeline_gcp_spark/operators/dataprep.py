@@ -771,3 +771,77 @@ def split_balance_report(documents: DataFrame,
         )
         .orderBy("source")
     )
+
+
+def temporal_split_plan(events: DataFrame, train_frac_e6: int = 800_000,
+                        embargo_us: int = 86_400_000_000) -> DataFrame:
+    """Time-embargo train/val split plan — the TEMPORAL counterpart
+    of train_val_split (hash split) and leakage_safe_split (cluster
+    split): train = everything before the cutoff, an embargo gap is
+    DISCARDED, val = everything after the gap. The embargo is what
+    makes a temporal split honest for forecasting-style training:
+    without it, an event straddling the boundary leaks near-future
+    state into train. The report also counts ENTITY leakage — users
+    active on both sides — because a temporal split never promises
+    user disjointness, and a modeler needs that rate before treating
+    val as out-of-sample users.
+
+    Determinism: the cutoff is t0 + train_frac of the observed
+    microsecond range (pure integer arithmetic on unix_micros) —
+    content-derived, seedless, identical on retry.
+
+    Scale shape: one pass for the 2-value time bounds (broadcast),
+    one partial-agg pass for the split counts, one distinct
+    (user, side) relation for the leakage counts — user_id grain,
+    shuffled once."""
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"))
+    tagged = (
+        events.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "cut_us",
+            (F.col("t0") + F.floor((F.col("t1") - F.col("t0"))
+                                   * train_frac_e6 / 1_000_000))
+            .cast("bigint"))
+        .withColumn(
+            "side",
+            F.when(F.unix_micros("ts") < F.col("cut_us"), F.lit("train"))
+             .when(F.unix_micros("ts") < F.col("cut_us") + embargo_us,
+                   F.lit("embargo"))
+             .otherwise(F.lit("val")))
+    )
+    counts = tagged.groupBy().pivot(
+        "side", ["train", "embargo", "val"]).count()
+    su = tagged.filter(F.col("side") != "embargo") \
+               .select("user_id", "side").distinct()
+    users = (
+        su.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sides"),
+             F.max(F.when(F.col("side") == "val", 1).otherwise(0))
+              .alias("in_val"))
+        .agg(
+            F.sum(F.when(F.col("n_sides") == 2, 0)
+                   .when(F.col("in_val") == 0, 1).otherwise(0))
+             .cast("bigint").alias("train_only_users"),
+            F.sum(F.when(F.col("n_sides") == 2, 0)
+                   .when(F.col("in_val") == 1, 1).otherwise(0))
+             .cast("bigint").alias("val_only_users"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+             .cast("bigint").alias("leaky_users"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(users))
+        .select(
+            F.coalesce(F.col("train"), F.lit(0)).cast("bigint")
+             .alias("n_train"),
+            F.coalesce(F.col("embargo"), F.lit(0)).cast("bigint")
+             .alias("n_embargoed"),
+            F.coalesce(F.col("val"), F.lit(0)).cast("bigint")
+             .alias("n_val"),
+            "train_only_users", "val_only_users", "leaky_users",
+            F.floor(F.col("leaky_users") * 1e6
+                    / F.greatest(F.lit(1), F.col("leaky_users")
+                                 + F.col("val_only_users")))
+             .cast("bigint").alias("val_user_leak_e6"))
+    )

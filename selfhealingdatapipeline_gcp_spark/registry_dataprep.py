@@ -616,3 +616,62 @@ register(
     FROM per ORDER BY source
     """,
 )
+
+
+register(
+    "temporal_split_plan",
+    lambda spark, sf: dataprep.temporal_split_plan(
+        *_t(spark, sf, "events")),
+    """
+    WITH bounds AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+      FROM events
+    ), tagged AS (
+      SELECT e.user_id,
+             CASE WHEN epoch_us(e.ts)
+                       < b.t0 + CAST(floor((b.t1 - b.t0) * 800000
+                                           / 1000000.0) AS BIGINT)
+                  THEN 'train'
+                  WHEN epoch_us(e.ts)
+                       < b.t0 + CAST(floor((b.t1 - b.t0) * 800000
+                                           / 1000000.0) AS BIGINT)
+                         + 86400000000
+                  THEN 'embargo'
+                  ELSE 'val' END AS side
+      FROM events e CROSS JOIN bounds b
+    ), counts AS (
+      SELECT
+        CAST(sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_train,
+        CAST(sum(CASE WHEN side = 'embargo' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_embargoed,
+        CAST(sum(CASE WHEN side = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_val
+      FROM tagged
+    ), su AS (
+      SELECT DISTINCT user_id, side FROM tagged WHERE side != 'embargo'
+    ), per_user AS (
+      SELECT user_id, count(*) AS n_sides,
+             max(CASE WHEN side = 'val' THEN 1 ELSE 0 END) AS in_val
+      FROM su GROUP BY 1
+    ), users AS (
+      SELECT
+        CAST(sum(CASE WHEN n_sides = 2 THEN 0
+                      WHEN in_val = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS train_only_users,
+        CAST(sum(CASE WHEN n_sides = 2 THEN 0
+                      WHEN in_val = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS val_only_users,
+        CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS leaky_users
+      FROM per_user
+    )
+    SELECT c.n_train, c.n_embargoed, c.n_val,
+           u.train_only_users, u.val_only_users, u.leaky_users,
+           CAST(floor(u.leaky_users * 1000000.0
+                      / greatest(1, u.leaky_users + u.val_only_users))
+                AS BIGINT) AS val_user_leak_e6
+    FROM counts c CROSS JOIN users u
+    """,
+)

@@ -31,6 +31,7 @@ DATAPREP = [
     "decontamination_manifest",
     "drop_reason_matrix",
     "split_balance_report",
+    "temporal_split_plan",
 ]
 
 
@@ -395,3 +396,39 @@ def test_split_balance_report_exact_shares(spark):
             == (td, vd, tt, vt)
         assert r.val_doc_share_e6 == vd * 1_000_000 // len(docs)
         assert r.val_token_share_e6 == vt * 1_000_000 // (tt + vt)
+
+
+def test_temporal_split_plan_fabricated(spark):
+    """10 days of events, 80% cutoff at day 8, 1-day embargo: day-9
+    events are discarded, day-10 events are val; user 1 (active both
+    sides) is leaky, user 2 (train only) and user 3 (val only) are
+    not."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # span exactly 10 days: t0 .. t0+10d
+    for d in range(9):                              # days 0..8 -> train side
+        rows.append((eid, t0 + dt.timedelta(days=d), 1, "view", 1.0, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=d), 2, "view", 1.0, "{}"))
+        eid += 1
+    rows.append((eid, t0 + dt.timedelta(days=8, hours=6), 1,
+                 "view", 1.0, "{}")); eid += 1      # embargo zone
+    for h in (0, 6):                                # val side (day 10)
+        rows.append((eid, t0 + dt.timedelta(days=9, hours=12 + h), 1,
+                     "view", 1.0, "{}")); eid += 1
+        rows.append((eid, t0 + dt.timedelta(days=9, hours=12 + h), 3,
+                     "view", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    r = dataprep.temporal_split_plan(df).collect()[0]
+    # range = 9.75 days -> cutoff at 7.8 days: days 0..7 train (16
+    # events), day 8 + embargo-zone event inside cutoff+1d embargo
+    assert r.n_train == 16
+    assert r.n_embargoed == 3
+    assert r.n_val == 4
+    assert (r.train_only_users, r.val_only_users, r.leaky_users) \
+        == (1, 1, 1)
+    assert r.val_user_leak_e6 == 500_000
