@@ -161,6 +161,7 @@ HEADLINE = [
     "ann_pq_distortion_report",
     "hybrid_search_rrf",
     "temporal_split_plan",
+    "quality_expectations",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

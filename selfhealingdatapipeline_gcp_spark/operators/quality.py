@@ -332,3 +332,58 @@ def drift_ks(events: DataFrame, threshold_e6: int = 100_000) -> DataFrame:
         .withColumn("drifted", F.col("ks_e6") > threshold_e6)
         .orderBy("event_type")
     )
+
+
+def expectations_orders(orders: DataFrame) -> DataFrame:
+    """Declarative expectation suite over the orders feed — the
+    one-pass generalization of the reference's rule-style quality
+    gate (utils/data_quality.py builds per-column COUNTIF SQL;
+    setup_bigquery.sql's checks are fixed rules): every rule is a
+    conditional aggregate, so the WHOLE suite costs one scan +
+    one 1-row partial-agg however many rules run, then stacks to a
+    long per-rule report a gate or alert router consumes directly.
+
+    Rules (fixed for registry determinism — the production entry
+    point takes a rule list): key non-null, key uniqueness, positive
+    amounts, status domain, date sanity window.
+
+    Determinism: observed rates floor to e6 against exact counts;
+    uniqueness compares exact distinct to exact rows.
+
+    Scale shape: one scan, map-side partials for every rule, a
+    single distinct-count shuffle (the uniqueness rule) — nothing
+    row-grain leaves the scan; output O(|rules|)."""
+    wide = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").isNotNull().cast("bigint")).alias("r1"),
+        F.countDistinct("o_orderkey").alias("r2"),
+        F.sum((F.col("o_totalprice") > 0).cast("bigint")).alias("r3"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("bigint"))
+         .alias("r4"),
+        F.sum(F.col("o_orderdate").between("1992-01-01", "2026-12-31")
+              .cast("bigint")).alias("r5"),
+    )
+    rules = [
+        ("r1", "o_orderkey_not_null", 1_000_000),
+        ("r2", "o_orderkey_unique", 1_000_000),
+        ("r3", "o_totalprice_positive", 999_000),
+        ("r4", "o_orderstatus_in_domain", 1_000_000),
+        ("r5", "o_orderdate_in_window", 1_000_000),
+    ]
+    stack = ", ".join(
+        f"'{rid}', '{name}', {thr}L, `{rid}`" for rid, name, thr in rules)
+    return (
+        wide.selectExpr(
+            "n",
+            f"stack({len(rules)}, {stack}) "
+            "AS (rule_id, rule, threshold_e6, hits)")
+        .select(
+            "rule_id", "rule",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.floor(F.col("hits") * 1e6
+                    / F.greatest(F.lit(1), F.col("n")))
+             .cast("bigint").alias("observed_e6"),
+            F.col("threshold_e6").cast("bigint").alias("threshold_e6"))
+        .withColumn("passed", F.col("observed_e6") >= F.col("threshold_e6"))
+        .orderBy("rule_id")
+    )

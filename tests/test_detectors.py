@@ -390,3 +390,32 @@ def test_quality_drift_ks_parity(spark, duck):
     assert_parity(registry.queries()["quality_drift_ks"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["quality_drift_ks"])
+
+
+def test_quality_expectations_planted_violations(spark):
+    """A fabricated feed with one duplicate key, one negative amount,
+    and one out-of-domain status must fail exactly the uniqueness /
+    positivity / domain rules and pass the rest."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    base = dt.date(2024, 1, 1)
+    rows = [(i, base, 100.0, "O") for i in range(97)]
+    rows.append((0, base, 50.0, "O"))        # duplicate key
+    rows.append((200, base, -5.0, "O"))      # negative amount
+    rows.append((201, base, 10.0, "X"))      # bad status
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double, "
+              "o_orderstatus string")
+    out = {r.rule_id: r for r in quality.expectations_orders(df).collect()}
+    assert all(r.n_rows == 100 for r in out.values())
+    assert out["r1"].passed and out["r1"].observed_e6 == 1_000_000
+    assert not out["r2"].passed and out["r2"].observed_e6 == 990_000
+    assert not out["r3"].passed and out["r3"].observed_e6 == 990_000
+    assert not out["r4"].passed and out["r4"].observed_e6 == 990_000
+    assert out["r5"].passed
+
+
+def test_quality_expectations_parity(spark, duck):
+    assert_parity(registry.queries()["quality_expectations"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["quality_expectations"])
