@@ -131,6 +131,21 @@ SHOW = {
     "quality_drift_ks": "the corpus collapses map-side to "
                         "(type, cent) counts; the cumulative window "
                         "orders DISTINCT cents per type, not rows",
+    "dedup_bloom_audit": "the bit array (<= 2^18 positions) and the "
+                         "membership probe broadcast; both corpus "
+                         "passes collapse to digests",
+    "ann_pq_distortion_report": "one corpus pass vs the broadcast "
+                                "codebook — the encode cost itself; "
+                                "no joins, no vector shuffle",
+    "hybrid_search_rrf": "the fusion join runs over the parents' "
+                         "bounded top-k outputs — plan-constant "
+                         "whatever the corpus",
+    "quality_expectations": "the whole rule suite is one scan + one "
+                            "1-row aggregate; only the uniqueness "
+                            "rule shuffles",
+    "temporal_split_plan": "2-value time bounds broadcast; the "
+                           "leakage count runs on the (user, side) "
+                           "distinct relation",
 }
 
 
