@@ -162,6 +162,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "temporal_split_plan",
     "quality_expectations",
+    "streaming_expectations_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -190,7 +191,8 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "knn_label_propagation",
                   # foreachBatch streaming guards run in the builder
                   "streaming_churn_guard", "streaming_heavy_hitters",
-                  "streaming_bloom_guard"}
+                  "streaming_bloom_guard",
+                  "streaming_expectations_guard"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

@@ -363,6 +363,18 @@ def expectations_orders(orders: DataFrame) -> DataFrame:
         F.sum(F.col("o_orderdate").between("1992-01-01", "2026-12-31")
               .cast("bigint")).alias("r5"),
     )
+    return expectations_report_from_wide(wide)
+
+
+def expectations_report_from_wide(wide: DataFrame) -> DataFrame:
+    """The per-rule report from the 1-row (n, r1..r5) counter
+    relation. Factored out so the streaming admission form
+    (streaming/monitors.py streaming_expectations_guard) feeds its
+    epoch-accumulated counters into the SAME stack/threshold path:
+    the four conditional counts and n are plain sums and the
+    uniqueness count is a distinct over the union of per-epoch key
+    sets, so the accumulated state equals the batch aggregate and
+    the two share one SQL oracle."""
     rules = [
         ("r1", "o_orderkey_not_null", 1_000_000),
         ("r2", "o_orderkey_unique", 1_000_000),

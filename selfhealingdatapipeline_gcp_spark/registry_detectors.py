@@ -995,6 +995,53 @@ register(
 )
 
 
+from selfhealingdatapipeline_gcp_spark.streaming import monitors as _monitors  # noqa: E402
+
+
+register(
+    "streaming_expectations_guard",
+    _monitors.streaming_expectations_guard,
+    # chop-invariant by associativity (sums + distinct-of-union):
+    # shares the batch oracle
+    """
+    WITH wide AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS r2,
+             CAST(sum(CASE WHEN o_totalprice > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+             CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+             CAST(sum(CASE WHEN o_orderdate
+                           BETWEEN DATE '1992-01-01'
+                               AND DATE '2026-12-31'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r5
+      FROM orders
+    ), long AS (
+      SELECT 'r1' AS rule_id, 'o_orderkey_not_null' AS rule,
+             CAST(1000000 AS BIGINT) AS threshold_e6, r1 AS hits, n
+      FROM wide
+      UNION ALL
+      SELECT 'r2', 'o_orderkey_unique', 1000000, r2, n FROM wide
+      UNION ALL
+      SELECT 'r3', 'o_totalprice_positive', 999000, r3, n FROM wide
+      UNION ALL
+      SELECT 'r4', 'o_orderstatus_in_domain', 1000000, r4, n FROM wide
+      UNION ALL
+      SELECT 'r5', 'o_orderdate_in_window', 1000000, r5, n FROM wide
+    )
+    SELECT rule_id, rule, n AS n_rows,
+           CAST(floor(hits * 1000000.0 / greatest(1, n)) AS BIGINT)
+             AS observed_e6,
+           threshold_e6,
+           (CAST(floor(hits * 1000000.0 / greatest(1, n)) AS BIGINT)
+            >= threshold_e6) AS passed
+    FROM long ORDER BY rule_id
+    """,
+)
+
+
 register(
     "quality_expectations",
     lambda spark, sf: quality.expectations_orders(

@@ -872,3 +872,68 @@ def streaming_bloom_guard(spark: SparkSession, sf_dir: str,
                 "bits_set bigint, fill_e6 bigint")
     keyed = spark.read.parquet(out_dir).select("doc_id", "h", "is_ref")
     return dedup.bloom_audit_from_keyed(keyed)
+
+
+def streaming_expectations_guard(spark: SparkSession, sf_dir: str,
+                                 max_files_per_trigger: int | None = None
+                                 ) -> DataFrame:
+    """Streaming ADMISSION form of quality_expectations: the rule
+    counters accumulate per micro-batch and the expectation report
+    re-derives over the running totals — the gate a live feed runs
+    WHILE admitting orders, failing the suite before bad data lands
+    in the batch table (the reference's quality gate moved to the
+    ingest edge).
+
+    Chop-invariance is by ASSOCIATIVITY: four rule counts and the
+    row count are plain sums; the uniqueness rule's distinct-key
+    count is a distinct over the UNION of per-epoch key sets — so
+    however the stream chops, the accumulated counters equal the
+    batch aggregate and the report matches quality_expectations row
+    for row (shared SQL oracle, via the factored
+    quality.expectations_report_from_wide).
+
+    Scale: each epoch ships a 1-row counter relation plus its
+    distinct-key partials (key grain — the irreducible state of an
+    exact uniqueness rule; swap in approx_count_distinct partials
+    when exactness can yield)."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("expect_guard")
+    epochs = []
+
+    def count_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_orderkey").isNotNull().cast("bigint"))
+             .alias("r1"),
+            F.sum((F.col("o_totalprice") > 0).cast("bigint")).alias("r3"),
+            F.sum(F.col("o_orderstatus").isin("O", "F", "P")
+                  .cast("bigint")).alias("r4"),
+            F.sum(F.col("o_orderdate").between("1992-01-01", "2026-12-31")
+                  .cast("bigint")).alias("r5"))
+         .write.mode("overwrite").parquet(f"{out_dir}/counters/epoch={epoch_id}"))
+        (batch_df.select("o_orderkey").distinct()
+         .write.mode("overwrite").parquet(f"{out_dir}/keys/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(count_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "rule_id string, rule string, n_rows bigint, "
+                "observed_e6 bigint, threshold_e6 bigint, passed boolean")
+    counters = (spark.read.parquet(f"{out_dir}/counters")
+                .agg(F.sum("n").alias("n"), F.sum("r1").alias("r1"),
+                     F.sum("r3").alias("r3"), F.sum("r4").alias("r4"),
+                     F.sum("r5").alias("r5")))
+    distinct_keys = (spark.read.parquet(f"{out_dir}/keys")
+                     .agg(F.countDistinct("o_orderkey").alias("r2")))
+    wide = counters.crossJoin(F.broadcast(distinct_keys))
+    return quality.expectations_report_from_wide(wide)

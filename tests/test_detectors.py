@@ -419,3 +419,41 @@ def test_quality_expectations_parity(spark, duck):
     assert_parity(registry.queries()["quality_expectations"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["quality_expectations"])
+
+
+def test_streaming_expectations_guard_parity(spark, duck):
+    assert_parity(
+        registry.queries()["streaming_expectations_guard"](
+            spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_expectations_guard"])
+
+
+def test_streaming_expectations_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; rule counts are sums and uniqueness is a distinct
+    over the key union — including a DUPLICATE KEY SPLIT ACROSS
+    EPOCHS, which per-epoch distinct counts alone would miss; the
+    accumulated report must equal batch quality_expectations row
+    for row."""
+    import os
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_expect")
+    os.makedirs(src)
+    orders = catalog.load(spark, SF_ORACLE, "orders")
+    # plant a cross-file duplicate: copy one order row, force the two
+    # copies into different files via repartition on a synthetic col
+    dup = orders.limit(1)
+    (orders.unionByName(dup).repartition(3)
+     .write.parquet(f"{src}/orders.parquet"))
+
+    streamed = [tuple(r) for r in monitors.streaming_expectations_guard(
+        spark, src, max_files_per_trigger=1).collect()]
+    batch = [tuple(r) for r in quality.expectations_orders(
+        catalog.load(spark, src, "orders")).collect()]
+    assert streamed == batch and len(batch) == 5
+    by_rule = {t[0]: t for t in streamed}
+    assert by_rule["r2"][5] is False  # the planted dup fails uniqueness
