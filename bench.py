@@ -163,6 +163,7 @@ HEADLINE = [
     "temporal_split_plan",
     "quality_expectations",
     "streaming_expectations_guard",
+    "quantile_sketch_audit",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

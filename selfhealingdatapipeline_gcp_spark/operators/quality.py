@@ -399,3 +399,88 @@ def expectations_report_from_wide(wide: DataFrame) -> DataFrame:
         .withColumn("passed", F.col("observed_e6") >= F.col("threshold_e6"))
         .orderBy("rule_id")
     )
+
+
+def quantile_sketch_audit(events: DataFrame, n_buckets: int = 1024,
+                          targets: tuple[int, ...] = (50, 90, 99)
+                          ) -> DataFrame:
+    """Fixed-state QUANTILE sketch audit — the third leg of the
+    sketch trilogy (token_heavy_hitters audits counts,
+    dedup_bloom_audit audits membership, this audits quantiles): a
+    ``n_buckets`` equal-width histogram is the fixed-size state a
+    streaming monitor can keep per key (engine-portable, unlike
+    t-digest/GK internals); this operator computes each event type's
+    p50/p90/p99 both exactly and from the histogram and reports the
+    error — the number that says whether the fixed-state monitor can
+    replace the exact percentile job at 100 TB.
+
+    Determinism: values quantize to exact bigint cents; bucket
+    assignment and the sketch estimate (bucket midpoint) are pure
+    integer arithmetic; the exact side floors the interpolated
+    percentile to cents. The estimate definition is "smallest bucket
+    whose cumulative count reaches ceil(q·n/100), read at its
+    midpoint" — deterministic on any engine.
+
+    Scale shape: one pass for per-type bounds (broadcast), one
+    map-side collapse to ≤ n_buckets cells per type (THE fixed
+    state), windows/joins over the cell grid only; the exact
+    percentile is the one corpus-grain aggregate — the cost the
+    sketch exists to avoid, run here to measure what avoiding it
+    costs in accuracy."""
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bounds = (
+        events.groupBy("event_type")
+        .agg(F.min(cents).alias("mn"), F.max(cents).alias("mx"),
+             F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    exact = (
+        events.groupBy("event_type")
+        .agg(*[F.floor(F.percentile(cents, q / 100.0)).cast("bigint")
+                .alias(f"exact_p{q}") for q in targets])
+    )
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((cents - F.col("mn")) * n_buckets
+                        / (F.col("mx") - F.col("mn")))).cast("int"))
+    hist = (
+        events.join(F.broadcast(bounds), "event_type")
+        .select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select("event_type", "b", F.sum("cnt").over(w).alias("cum"))
+    tq = events.sparkSession.createDataFrame(
+        [(q,) for q in targets], "q int")
+    est = (
+        cum.join(F.broadcast(bounds), "event_type")
+        .crossJoin(F.broadcast(tq))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("event_type", "q", "mn", "mx", "n")
+        .agg(F.min("b").alias("b_hit"))
+        .select(
+            "event_type", "q", "n",
+            F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+                F.col("mn")
+                + F.floor((2 * F.col("b_hit") + 1) * (F.col("mx") - F.col("mn"))
+                          / (2 * n_buckets)))
+             .cast("bigint").alias("est_c"))
+    )
+    long_exact = exact.select(
+        "event_type",
+        F.explode(F.array(*[
+            F.struct(F.lit(q).alias("q"),
+                     F.col(f"exact_p{q}").alias("exact_c"))
+            for q in targets])).alias("e")
+    ).select("event_type", F.col("e.q").alias("q"),
+             F.col("e.exact_c").alias("exact_c"))
+    return (
+        est.join(long_exact, ["event_type", "q"])
+        .select(
+            "event_type", F.col("q").cast("int").alias("q"), "n",
+            "exact_c", "est_c",
+            F.abs(F.col("est_c") - F.col("exact_c")).cast("bigint")
+             .alias("abs_err_c"))
+        .orderBy("event_type", "q")
+    )

@@ -1083,3 +1083,70 @@ register(
     FROM long ORDER BY rule_id
     """,
 )
+
+
+register(
+    "quantile_sketch_audit",
+    lambda spark, sf: quality.quantile_sketch_audit(
+        _t(spark, sf, "events")[0]),
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
+      FROM events
+    ), bounds AS (
+      SELECT event_type, CAST(min(v_c) AS BIGINT) AS mn,
+             CAST(max(v_c) AS BIGINT) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY 1
+    ), exact AS (
+      SELECT event_type,
+             CAST(floor(quantile_cont(v_c, 0.50)) AS BIGINT) AS e50,
+             CAST(floor(quantile_cont(v_c, 0.90)) AS BIGINT) AS e90,
+             CAST(floor(quantile_cont(v_c, 0.99)) AS BIGINT) AS e99
+      FROM c GROUP BY 1
+    ), hist AS (
+      SELECT c.event_type,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE CAST(least(1023,
+                       CAST(floor(((c.v_c - b.mn) * 1024)
+                                  / (b.mx - b.mn)) AS BIGINT)) AS INT)
+             END AS bkt,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM c JOIN bounds b USING (event_type)
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bkt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM hist
+    ), est AS (
+      SELECT m.event_type, t.q, m.n, m.mn, m.mx,
+             CAST(min(m.bkt) AS BIGINT) AS b_hit
+      FROM (SELECT cu.*, b.mn, b.mx, b.n
+            FROM cum cu JOIN bounds b USING (event_type)) m
+      CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) t
+      WHERE m.cum * 100 >= t.q * m.n
+      GROUP BY 1, 2, 3, 4, 5
+    ), scored AS (
+      SELECT event_type, q, n,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + CAST(floor(((2 * b_hit + 1) * (mx - mn))
+                                       / 2048) AS BIGINT)
+             END AS est_c
+      FROM est
+    ), long_exact AS (
+      SELECT event_type, 50 AS q, e50 AS exact_c FROM exact
+      UNION ALL
+      SELECT event_type, 90, e90 FROM exact
+      UNION ALL
+      SELECT event_type, 99, e99 FROM exact
+    )
+    SELECT s.event_type, CAST(s.q AS INT) AS q, s.n,
+           x.exact_c, CAST(s.est_c AS BIGINT) AS est_c,
+           CAST(abs(CAST(s.est_c AS BIGINT) - x.exact_c) AS BIGINT)
+             AS abs_err_c
+    FROM scored s JOIN long_exact x USING (event_type, q)
+    ORDER BY s.event_type, s.q
+    """,
+)

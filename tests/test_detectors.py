@@ -457,3 +457,32 @@ def test_streaming_expectations_guard_chop_invariance(spark, tmp_path):
     assert streamed == batch and len(batch) == 5
     by_rule = {t[0]: t for t in streamed}
     assert by_rule["r2"][5] is False  # the planted dup fails uniqueness
+
+
+def test_quantile_sketch_audit_known_distribution(spark):
+    """Uniform 1..1000-cent values: with 1024 buckets over a ~999-cent
+    span each bucket holds <1 cent, so the histogram estimate must sit
+    within one bucket width (<=1 cent) of the exact percentile; a
+    constant-valued type degenerates to zero error by definition."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    rows = [("uni", i / 100.0) for i in range(1, 1001)]
+    rows += [("flat", 7.77)] * 50
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = quality.quantile_sketch_audit(df).collect()
+    assert [(r.event_type, r.q) for r in out] == [
+        ("flat", 50), ("flat", 90), ("flat", 99),
+        ("uni", 50), ("uni", 90), ("uni", 99)]
+    for r in out:
+        if r.event_type == "flat":
+            assert r.exact_c == 777 and r.est_c == 777 and r.abs_err_c == 0
+        else:
+            assert r.n == 1000
+            # exact p50 of 1..1000 cents = 500 (floor of 500.5)
+            assert r.abs_err_c <= 1
+
+
+def test_quantile_sketch_audit_parity(spark, duck):
+    assert_parity(registry.queries()["quantile_sketch_audit"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["quantile_sketch_audit"])
