@@ -562,6 +562,10 @@ _FINGERPRINTS = {
     "ivf_nprobe_sweep": (16, 2, 0, 6),
     # ONE conditional-sum aggregate of |sources| partial rows
     "split_balance_report": (2, 0, 0, 0),
+    # histogram collapses to ≤1024 cells/type before any shuffle;
+    # BHJs broadcast the |types|-row bounds relation; the BNLJ is the
+    # 3-row percentile-target grid — a plan constant, never the corpus
+    "quantile_sketch_audit": (6, 3, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
