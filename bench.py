@@ -164,6 +164,7 @@ HEADLINE = [
     "quality_expectations",
     "streaming_expectations_guard",
     "quantile_sketch_audit",
+    "streaming_quantile_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

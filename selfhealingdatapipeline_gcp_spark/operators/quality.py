@@ -421,37 +421,54 @@ def quantile_sketch_audit(events: DataFrame, n_buckets: int = 1024,
     whose cumulative count reaches ceil(q·n/100), read at its
     midpoint" — deterministic on any engine.
 
-    Scale shape: one pass for per-type bounds (broadcast), one
-    map-side collapse to ≤ n_buckets cells per type (THE fixed
-    state), windows/joins over the cell grid only; the exact
-    percentile is the one corpus-grain aggregate — the cost the
-    sketch exists to avoid, run here to measure what avoiding it
-    costs in accuracy."""
+    Scale shape: ONE corpus-grain shuffle — the (type, cent)
+    collapse (map-side partial agg) — then everything runs at
+    distinct-cent grain: bounds, the weighted exact percentile
+    (F.percentile with a frequency column — identical to the
+    row-expanded percentile), and the ≤ n_buckets histogram (THE
+    fixed state). The cent relation is also the associative unit the
+    streaming admission form accumulates per epoch."""
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    counts = (
+        events.select("event_type", cents.alias("v_c"))
+        .groupBy("event_type", "v_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return quantile_audit_from_counts(counts, n_buckets, targets)
+
+
+def quantile_audit_from_counts(counts: DataFrame, n_buckets: int = 1024,
+                               targets: tuple[int, ...] = (50, 90, 99)
+                               ) -> DataFrame:
+    """Factored core of quantile_sketch_audit over the associative
+    (event_type, v_c, cnt) value-count relation — per-epoch partials
+    sum into exactly this shape, so the batch operator and
+    streaming_quantile_guard share it (and the SQL oracle)."""
     bounds = (
-        events.groupBy("event_type")
-        .agg(F.min(cents).alias("mn"), F.max(cents).alias("mx"),
-             F.count(F.lit(1)).cast("bigint").alias("n"))
+        counts.groupBy("event_type")
+        .agg(F.min("v_c").alias("mn"), F.max("v_c").alias("mx"),
+             F.sum("cnt").cast("bigint").alias("n"))
     )
     exact = (
-        events.groupBy("event_type")
-        .agg(*[F.floor(F.percentile(cents, q / 100.0)).cast("bigint")
+        counts.groupBy("event_type")
+        .agg(*[F.floor(F.percentile(F.col("v_c"), q / 100.0,
+                                    F.col("cnt"))).cast("bigint")
                 .alias(f"exact_p{q}") for q in targets])
     )
     bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(F.lit(n_buckets - 1),
-                F.floor((cents - F.col("mn")) * n_buckets
+                F.floor((F.col("v_c") - F.col("mn")) * n_buckets
                         / (F.col("mx") - F.col("mn")))).cast("int"))
     hist = (
-        events.join(F.broadcast(bounds), "event_type")
-        .select("event_type", bucket.alias("b"))
+        counts.join(F.broadcast(bounds), "event_type")
+        .select("event_type", bucket.alias("b"), "cnt")
         .groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
     w = (Window.partitionBy("event_type").orderBy("b")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.select("event_type", "b", F.sum("cnt").over(w).alias("cum"))
-    tq = events.sparkSession.createDataFrame(
+    tq = counts.sparkSession.createDataFrame(
         [(q,) for q in targets], "q int")
     est = (
         cum.join(F.broadcast(bounds), "event_type")

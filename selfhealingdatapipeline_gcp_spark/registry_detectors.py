@@ -1085,11 +1085,7 @@ register(
 )
 
 
-register(
-    "quantile_sketch_audit",
-    lambda spark, sf: quality.quantile_sketch_audit(
-        _t(spark, sf, "events")[0]),
-    """
+_QUANTILE_AUDIT_SQL = """
     WITH c AS (
       SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_c
       FROM events
@@ -1148,5 +1144,19 @@ register(
              AS abs_err_c
     FROM scored s JOIN long_exact x USING (event_type, q)
     ORDER BY s.event_type, s.q
-    """,
+    """
+
+register(
+    "quantile_sketch_audit",
+    lambda spark, sf: quality.quantile_sketch_audit(
+        _t(spark, sf, "events")[0]),
+    _QUANTILE_AUDIT_SQL,
+)
+
+register(
+    "streaming_quantile_guard",
+    _monitors.streaming_quantile_guard,
+    # chop-invariant by associativity (value-count partials sum into
+    # the factored core's input relation): shares the batch oracle
+    _QUANTILE_AUDIT_SQL,
 )

@@ -937,3 +937,60 @@ def streaming_expectations_guard(spark: SparkSession, sf_dir: str,
                      .agg(F.countDistinct("o_orderkey").alias("r2")))
     wide = counters.crossJoin(F.broadcast(distinct_keys))
     return quality.expectations_report_from_wide(wide)
+
+
+def streaming_quantile_guard(spark: SparkSession, sf_dir: str,
+                             max_files_per_trigger: int | None = None
+                             ) -> DataFrame:
+    """Streaming ADMISSION form of quantile_sketch_audit: per-epoch
+    (event_type, cent, count) value-count partials accumulate through
+    the idempotent epoch-dir sink, and the histogram-vs-exact
+    percentile audit re-derives over the running totals — the
+    latency/value-distribution monitor a live ingest runs while
+    admitting events, measuring from fixed state whether p50/p90/p99
+    are moving before the batch percentile job would see it.
+
+    Chop-invariance is by ASSOCIATIVITY: value-counts are plain sums,
+    and every downstream relation (bounds, weighted exact percentile,
+    ≤1024-bucket histogram) derives from the summed (type, cent,
+    count) relation — so however the stream chops, the report equals
+    quantile_sketch_audit row for row (shared SQL oracle, via the
+    factored quality.quantile_audit_from_counts).
+
+    Scale: each epoch ships distinct-cent partials, never raw events;
+    the cross-epoch re-aggregate reads cent relations. A deployment
+    needing only the sketch keeps ≤ n_buckets cells per type per
+    epoch instead — the exact side exists because the AUDIT is the
+    operator's point."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("quantile_guard")
+    epochs = []
+
+    def count_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df
+         .select("event_type",
+                 F.round(F.col("value") * 100, 0).cast("bigint")
+                  .alias("v_c"))
+         .groupBy("event_type", "v_c")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(count_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "event_type string, q int, n bigint, exact_c bigint, "
+                "est_c bigint, abs_err_c bigint")
+    counts = (spark.read.parquet(out_dir)
+              .groupBy("event_type", "v_c")
+              .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+    return quality.quantile_audit_from_counts(counts)

@@ -486,3 +486,31 @@ def test_quantile_sketch_audit_parity(spark, duck):
     assert_parity(registry.queries()["quantile_sketch_audit"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["quantile_sketch_audit"])
+
+
+def test_streaming_quantile_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; (type, cent, count) partials are associative, so
+    the summed epochs must reproduce batch quantile_sketch_audit row
+    for row."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_qg")
+    os.makedirs(src)
+    events = catalog.load(spark, SF_ORACLE, "events")
+    events.repartition(3).write.parquet(f"{src}/events.parquet")
+
+    streamed = [tuple(r) for r in monitors.streaming_quantile_guard(
+        spark, src, max_files_per_trigger=1).collect()]
+    batch = [tuple(r) for r in quality.quantile_sketch_audit(
+        catalog.load(spark, src, "events")).collect()]
+    assert streamed == batch and len(batch) == 15
+
+
+def test_streaming_quantile_guard_parity(spark, duck):
+    assert_parity(registry.queries()["streaming_quantile_guard"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_quantile_guard"])

@@ -562,10 +562,13 @@ _FINGERPRINTS = {
     "ivf_nprobe_sweep": (16, 2, 0, 6),
     # ONE conditional-sum aggregate of |sources| partial rows
     "split_balance_report": (2, 0, 0, 0),
-    # histogram collapses to ≤1024 cells/type before any shuffle;
-    # BHJs broadcast the |types|-row bounds relation; the BNLJ is the
-    # 3-row percentile-target grid — a plan constant, never the corpus
-    "quantile_sketch_audit": (6, 3, 0, 1),
+    # the three branches (bounds / weighted exact percentile /
+    # histogram) each statically repeat the (type, cent) collapse —
+    # at runtime AQE folds them to ONE corpus scan + shuffle
+    # (2 ReusedExchange, asserted below); BHJs broadcast the
+    # |types|-row bounds relation; the BNLJ is the 3-row
+    # percentile-target grid — a plan constant, never the corpus
+    "quantile_sketch_audit": (9, 3, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
@@ -626,3 +629,15 @@ def test_headline_plan_no_cartesian(spark):
     for name in _FINGERPRINTS:
         plan = _plan(registry.queries()[name](spark, SF_TINY))
         assert "CartesianProduct" not in plan, name
+
+
+def test_quantile_audit_runtime_exchange_reuse(spark):
+    """The audit's three counts-relation consumers must collapse at
+    runtime to ONE corpus-grain (type, cent) shuffle: AQE reuses the
+    identical collapse Exchange for the other two branches. Losing
+    this reuse (e.g. by making the branch subtrees diverge) would
+    triple the corpus scan at 100 TB while staying correct."""
+    df = registry.queries()["quantile_sketch_audit"](spark, SF_TINY)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 2
