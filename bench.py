@@ -165,6 +165,7 @@ HEADLINE = [
     "streaming_expectations_guard",
     "quantile_sketch_audit",
     "streaming_quantile_guard",
+    "zorder_layout_plan",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

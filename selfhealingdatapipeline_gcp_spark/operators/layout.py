@@ -1,0 +1,114 @@
+"""Storage-layout advisors: the file-clustering decisions that drive
+min-max scan pruning — at 100 TB the dominant cost lever is not the
+plan but which files a predicate lets the scan SKIP (parquet
+row-group / file statistics pruning; Delta/Iceberg OPTIMIZE ZORDER is
+this exact operation productized).
+
+Everything is exact integer arithmetic over quantized dimension
+values: layout assignment is a deterministic function of the row (no
+rand(), no global sort — cell membership comes from the TOP BITS of
+the interleaved z-value, so the "optimize" pass is one scan + one
+cell-grain aggregate, not a total order), and the report is the
+per-file min-max span a pruning-capable reader would see.
+
+Reference scope note: the reference pipeline materializes transformed
+tables with no layout control (scripts/transform_script writes
+straight to the warehouse); this family adds the layout QA a 100 TB
+deployment of the same pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_QBITS = 16  # per-dimension quantization width
+_CELL_BITS = 3  # top bits per dimension -> 2^(2*3) = 64 files
+
+
+def _interleave_top(b1, b2, bits: int):
+    """Interleave the low ``bits`` bits of b1 (odd positions) and b2
+    (even positions) — the classic Morton/z-order key, as a plain sum
+    of shift-and-mask terms (codegen-friendly, engine-portable)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)),
+                           2 * i + 1)
+             + F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)),
+                           2 * i))
+    return z
+
+
+def zorder_layout_plan(lineitem: DataFrame, n_cell_bits: int = _CELL_BITS
+                       ) -> DataFrame:
+    """Z-order clustering benefit report: lay lineitem out two ways —
+    'natural' (equal-width slices of l_orderkey, the insertion-order
+    proxy) and 'zorder' (cells = top bits of the Morton interleave of
+    quantized (ship-date, partkey)) — and report each file's row count
+    and min-max SPAN of both dimensions in quantized units. The span
+    is what parquet/Delta/Iceberg min-max pruning sees: a point or
+    range predicate must read every file whose span covers it, so
+    sum-of-spans per dimension is proportional to the files scanned.
+    Natural order leaves the partkey span near-full in every file
+    (pruning skips nothing); z-order bounds BOTH dimensions, which is
+    the whole argument for OPTIMIZE ZORDER before a 100 TB backfill.
+
+    Determinism: quantization and cell assignment are pure integer
+    functions of the row and the broadcast 1-row bounds; no rand(),
+    no rank. Scale shape: ONE corpus pass (bounds broadcast in), the
+    two layout labels exploded from the same row, then a ≤ 2·4^bits
+    cell-grain aggregate — no global sort, unlike rank-based
+    binning (a real OPTIMIZE rewrite would range-partition on the
+    z-key; the REPORT never needs the sort)."""
+    n_files = 1 << (2 * n_cell_bits)
+    dt = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+    pk = F.col("l_partkey")
+    ok = F.col("l_orderkey")
+    bounds = lineitem.agg(
+        F.min(dt).cast("long").alias("mn_dt"),
+        F.max(dt).cast("long").alias("mx_dt"),
+        F.min(pk).cast("long").alias("mn_pk"),
+        F.max(pk).cast("long").alias("mx_pk"),
+        F.min(ok).cast("long").alias("mn_ok"),
+        F.max(ok).cast("long").alias("mx_ok"),
+    )
+
+    def _q(v, mn, mx):
+        # equal-width 16-bit quantization; (mx-mn)*65536 < 2^53 keeps
+        # the double division exact-floorable
+        return F.floor((v.cast("long") - F.col(mn)) * (1 << _QBITS)
+                       / (F.col(mx) - F.col(mn) + 1)).cast("long")
+
+    q_dt = _q(dt, "mn_dt", "mx_dt")
+    q_pk = _q(pk, "mn_pk", "mx_pk")
+    cell = _interleave_top(F.shiftright(q_dt, _QBITS - n_cell_bits),
+                           F.shiftright(q_pk, _QBITS - n_cell_bits),
+                           n_cell_bits)
+    nat = F.floor((ok.cast("long") - F.col("mn_ok")) * n_files
+                  / (F.col("mx_ok") - F.col("mn_ok") + 1)).cast("long")
+    labeled = (
+        lineitem.join(F.broadcast(bounds))
+        .select(q_dt.alias("q_dt"), q_pk.alias("q_pk"),
+                F.explode(F.array(
+                    F.struct(F.lit("natural").alias("layout"),
+                             nat.cast("int").alias("file_id")),
+                    F.struct(F.lit("zorder").alias("layout"),
+                             cell.cast("int").alias("file_id")),
+                )).alias("f"))
+        .select(F.col("f.layout").alias("layout"),
+                F.col("f.file_id").alias("file_id"), "q_dt", "q_pk")
+    )
+    return (
+        labeled.groupBy("layout", "file_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.min("q_dt").alias("dt_min"), F.max("q_dt").alias("dt_max"),
+             F.min("q_pk").alias("pk_min"), F.max("q_pk").alias("pk_max"))
+        .select("layout", "file_id", "n_rows", "dt_min", "dt_max",
+                "pk_min", "pk_max",
+                (F.col("dt_max") - F.col("dt_min") + 1).cast("bigint")
+                 .alias("dt_span"),
+                (F.col("pk_max") - F.col("pk_min") + 1).cast("bigint")
+                 .alias("pk_span"))
+        .orderBy("layout", "file_id")
+    )

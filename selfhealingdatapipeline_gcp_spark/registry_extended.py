@@ -1065,3 +1065,56 @@ register(
     ORDER BY type_a, type_b
     """,
 )
+
+
+from selfhealingdatapipeline_gcp_spark.operators import layout as _layout  # noqa: E402
+
+register(
+    "zorder_layout_plan",
+    lambda spark, sf: _layout.zorder_layout_plan(
+        *_t(spark, sf, "lineitem")),
+    """
+    WITH b AS (
+      SELECT CAST(min(datediff('day', DATE '1992-01-01', l_shipdate))
+                  AS BIGINT) AS mn_dt,
+             CAST(max(datediff('day', DATE '1992-01-01', l_shipdate))
+                  AS BIGINT) AS mx_dt,
+             CAST(min(l_partkey) AS BIGINT) AS mn_pk,
+             CAST(max(l_partkey) AS BIGINT) AS mx_pk,
+             CAST(min(l_orderkey) AS BIGINT) AS mn_ok,
+             CAST(max(l_orderkey) AS BIGINT) AS mx_ok
+      FROM lineitem
+    ), q AS (
+      SELECT CAST(floor((datediff('day', DATE '1992-01-01', l_shipdate)
+                         - b.mn_dt) * 65536
+                        / (b.mx_dt - b.mn_dt + 1)) AS BIGINT) AS q_dt,
+             CAST(floor((l_partkey - b.mn_pk) * 65536
+                        / (b.mx_pk - b.mn_pk + 1)) AS BIGINT) AS q_pk,
+             CAST(floor((l_orderkey - b.mn_ok) * 64
+                        / (b.mx_ok - b.mn_ok + 1)) AS BIGINT) AS nat
+      FROM lineitem, b
+    ), z AS (
+      SELECT q_dt, q_pk, nat,
+             ((((q_dt >> 13) >> 0) & 1) << 1) + ((((q_pk >> 13) >> 0) & 1) << 0)
+           + ((((q_dt >> 13) >> 1) & 1) << 3) + ((((q_pk >> 13) >> 1) & 1) << 2)
+           + ((((q_dt >> 13) >> 2) & 1) << 5) + ((((q_pk >> 13) >> 2) & 1) << 4)
+               AS cell
+      FROM q
+    ), labeled AS (
+      SELECT 'natural' AS layout, CAST(nat AS INT) AS file_id,
+             q_dt, q_pk FROM z
+      UNION ALL
+      SELECT 'zorder', CAST(cell AS INT), q_dt, q_pk FROM z
+    )
+    SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(q_dt) AS BIGINT) AS dt_min,
+           CAST(max(q_dt) AS BIGINT) AS dt_max,
+           CAST(min(q_pk) AS BIGINT) AS pk_min,
+           CAST(max(q_pk) AS BIGINT) AS pk_max,
+           CAST(max(q_dt) - min(q_dt) + 1 AS BIGINT) AS dt_span,
+           CAST(max(q_pk) - min(q_pk) + 1 AS BIGINT) AS pk_span
+    FROM labeled
+    GROUP BY layout, file_id
+    ORDER BY layout, file_id
+    """,
+)

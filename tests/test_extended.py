@@ -311,3 +311,36 @@ def test_event_audience_overlap_fabricated(spark):
     assert (cv.n_a, cv.n_b, cv.n_both, cv.jaccard_e6) == (2, 2, 1, 333333)
     cp = out[("click", "purchase")]
     assert (cp.n_a, cp.n_b, cp.n_both, cp.jaccard_e6) == (2, 1, 1, 500000)
+
+
+def test_zorder_layout_plan_bounds_both_dimensions(spark):
+    """The point of z-ordering: with 64 files on an 8x8 grid, each
+    zorder cell bounds BOTH quantized dimensions to ~1/8 of their
+    range, while natural (orderkey) order leaves partkey AND shipdate
+    spans near-full per file — so per-dimension sum-of-spans (the
+    min-max pruning cost proxy) must drop by several x. Both layouts
+    must also partition every row exactly once."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import layout
+
+    li = catalog.load(spark, SF_ORACLE, "lineitem")
+    rows = layout.zorder_layout_plan(li).collect()
+    n_li = li.count()
+    by = {"natural": [r for r in rows if r.layout == "natural"],
+          "zorder": [r for r in rows if r.layout == "zorder"]}
+    for name, rs in by.items():
+        assert sum(r.n_rows for r in rs) == n_li, name
+        assert all(0 <= r.file_id < 64 for r in rs), name
+        assert all(r.pk_span == r.pk_max - r.pk_min + 1 for r in rs)
+    nat_pk = sum(r.pk_span for r in by["natural"])
+    z_pk = sum(r.pk_span for r in by["zorder"])
+    nat_dt = sum(r.dt_span for r in by["natural"])
+    z_dt = sum(r.dt_span for r in by["zorder"])
+    assert z_pk * 4 < nat_pk, (z_pk, nat_pk)
+    assert z_dt * 4 < nat_dt, (z_dt, nat_dt)
+
+
+def test_zorder_layout_plan_parity(spark, duck):
+    assert_parity(registry.queries()["zorder_layout_plan"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["zorder_layout_plan"])

@@ -569,6 +569,10 @@ _FINGERPRINTS = {
     # |types|-row bounds relation; the BNLJ is the 3-row
     # percentile-target grid — a plan constant, never the corpus
     "quantile_sketch_audit": (9, 3, 0, 1),
+    # ONE corpus pass: the BNLJ is the 1-row bounds broadcast, both
+    # layout labels explode from the same row (Generate), then a
+    # ≤128-cell aggregate — rank-free layout assignment, no sort
+    "zorder_layout_plan": (3, 0, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
