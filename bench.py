@@ -166,6 +166,8 @@ HEADLINE = [
     "quantile_sketch_audit",
     "streaming_quantile_guard",
     "zorder_layout_plan",
+    "takedown_manifest",
+    "distinct_kmv_audit",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -845,3 +845,76 @@ def temporal_split_plan(events: DataFrame, train_frac_e6: int = 800_000,
                                  + F.col("val_only_users")))
              .cast("bigint").alias("val_user_leak_e6"))
     )
+
+
+def takedown_manifest(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, events: DataFrame,
+                      erase_pct: int = 5) -> DataFrame:
+    """Right-to-erasure propagation manifest: a deterministic
+    person-key delete list (md5int(key) mod 100 < erase_pct — stands
+    in for an uploaded takedown/DSAR list) is propagated through the
+    FK graph, and each table reports how much of it the purge will
+    touch: customer and orders by their custkey, events by user_id
+    (same person-key domain), and lineitem by the CASCADE — rows
+    whose order belongs to an erased customer. The manifest is what a
+    compliance pipeline reviews before running the actual deletes,
+    and re-running it post-purge must return zero affected rows.
+
+    Scale shape: three tables test the erase predicate at SCAN level
+    (a pure md5 projection — no delete-list materialization or
+    join); the cascade hop is ONE semi-join of lineitem against the
+    erased orders' keys (broadcast at small SF, sort-merge on the
+    orderkey at 100 TB — the same join the purge itself needs, so
+    the manifest costs what one purge pass costs). Output is four
+    1-row aggregates unioned.
+
+    n_keys is the distinct purge-key count at each table's own
+    grain: custkeys for customer/orders, user_ids for events,
+    orderkeys for lineitem — the size of the delete predicate the
+    purge executor ships to that table."""
+    def _erased(key):
+        return textfn.md5int(key.cast("string")) % 100 < F.lit(erase_pct)
+
+    def _row(df, table, key, affected):
+        return (
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(affected.cast("bigint")).cast("bigint")
+                 .alias("n_affected"),
+                F.count_distinct(F.when(affected, key)).cast("bigint")
+                 .alias("n_keys"))
+            .select(F.lit(table).alias("tbl"), "n_rows", "n_affected",
+                    F.floor(F.col("n_affected") * 1_000_000
+                            / F.greatest(F.lit(1), F.col("n_rows")))
+                     .cast("bigint").alias("share_e6"),
+                    "n_keys")
+        )
+
+    erased_orders = (orders
+                     .filter(_erased(F.col("o_custkey")))
+                     .select("o_orderkey"))
+    li_hit = lineitem.join(
+        erased_orders, lineitem.l_orderkey == erased_orders.o_orderkey,
+        "left_semi")
+    li_row = (
+        lineitem.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(li_hit.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_affected"),
+            F.count_distinct(F.col("l_orderkey")).cast("bigint")
+             .alias("n_keys")))
+        .select(F.lit("lineitem").alias("tbl"), "n_rows", "n_affected",
+                F.floor(F.col("n_affected") * 1_000_000
+                        / F.greatest(F.lit(1), F.col("n_rows")))
+                 .cast("bigint").alias("share_e6"),
+                "n_keys")
+    )
+    return (
+        _row(customer, "customer", F.col("c_custkey"),
+             _erased(F.col("c_custkey")))
+        .unionByName(_row(orders, "orders", F.col("o_custkey"),
+                          _erased(F.col("o_custkey"))))
+        .unionByName(li_row)
+        .unionByName(_row(events, "events", F.col("user_id"),
+                          _erased(F.col("user_id"))))
+        .orderBy("tbl")
+    )

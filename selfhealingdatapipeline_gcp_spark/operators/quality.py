@@ -501,3 +501,72 @@ def quantile_audit_from_counts(counts: DataFrame, n_buckets: int = 1024,
              .alias("abs_err_c"))
         .orderBy("event_type", "q")
     )
+
+
+def distinct_kmv_audit(events: DataFrame, k: int = 64, n_salt: int = 32
+                       ) -> DataFrame:
+    """Fixed-state DISTINCT-COUNT sketch audit — fourth leg of the
+    sketch family (CMS=counts, Bloom=membership, histogram=quantiles,
+    this=cardinality): a K-Minimum-Values sketch (the k smallest
+    48-bit md5 hashes of the key) is the O(k) state whose estimator
+    (k-1)·2^48 div h_k approximates the distinct count; unlike
+    approx_count_distinct's HLL (implementation-defined registers,
+    engine-specific), KMV over md5 is bit-reproducible on ANY engine
+    — so the audit (estimate vs exact per event_type) gets a real SQL
+    oracle instead of a rows-only check.
+
+    Determinism: hashes are md5int (48-bit, nonnegative), the
+    estimator is pure integer division, and when a type has fewer
+    than k distinct keys the sketch holds them all and the estimate
+    IS the exact count. int64 bound: err_e6's abs_err·1e6 product
+    needs abs_err ≲ 9e12 — holds for any corpus up to trillions of
+    distinct keys; beyond that widen through the functions/money.py
+    decimal discipline.
+
+    Scale shape: ONE corpus-grain shuffle — the (type, hash)
+    distinct — then the min-k selection runs two-phase like
+    cap_per_source (rank within (type, salt) keeping ≤ k, exact rank
+    over ≤ n_salt·k survivors), so a billion-key type never lands in
+    a single sort task; exact distinct count is the corpus-grain
+    aggregate the sketch exists to avoid, run here to measure the
+    trade."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+
+    d = (events
+         .select("event_type",
+                 textfn.md5int(F.col("user_id").cast("string")).alias("h"))
+         .distinct())
+    exact = (d.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct")))
+    w1 = Window.partitionBy("event_type", "__salt").orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("__salt", F.pmod(F.col("h"), F.lit(n_salt)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") == k)
+        .select("event_type", F.col("h").alias("h_k"))
+    )
+    num = (k - 1) * (1 << 48)
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type", "exact_distinct",
+            # explicit NULL branch, NOT greatest(h_k, 1) alone:
+            # greatest() IGNORES nulls (both engines), so a missing
+            # h_k would divide by 1 and fabricate a ~2^54 estimate
+            F.when(F.col("h_k").isNull(), F.col("exact_distinct"))
+             .otherwise(
+                F.expr(f"CAST({num} div greatest(h_k, 1) AS BIGINT)"))
+             .alias("kmv_estimate"))
+        .select(
+            "event_type", "exact_distinct", "kmv_estimate",
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+             .cast("bigint").alias("abs_err"),
+            F.floor(F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+                    * 1_000_000
+                    / F.greatest(F.lit(1), F.col("exact_distinct")))
+             .cast("bigint").alias("err_e6"))
+        .orderBy("event_type")
+    )

@@ -675,3 +675,57 @@ register(
     FROM counts c CROSS JOIN users u
     """,
 )
+
+
+register(
+    "takedown_manifest",
+    lambda spark, sf: dataprep.takedown_manifest(
+        *_t(spark, sf, "customer", "orders", "lineitem", "events")),
+    f"""
+    WITH cust AS (
+      SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN ({_md5int("CAST(c_custkey AS VARCHAR)")}
+                                 % 100) < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_affected,
+             CAST(count(DISTINCT CASE
+                 WHEN ({_md5int("CAST(c_custkey AS VARCHAR)")} % 100) < 5
+                 THEN c_custkey END) AS BIGINT) AS n_keys
+      FROM customer
+    ), ords AS (
+      SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN ({_md5int("CAST(o_custkey AS VARCHAR)")}
+                                 % 100) < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_affected,
+             CAST(count(DISTINCT CASE
+                 WHEN ({_md5int("CAST(o_custkey AS VARCHAR)")} % 100) < 5
+                 THEN o_custkey END) AS BIGINT) AS n_keys
+      FROM orders
+    ), eords AS (
+      SELECT o_orderkey FROM orders
+      WHERE ({_md5int("CAST(o_custkey AS VARCHAR)")} % 100) < 5
+    ), li AS (
+      SELECT 'lineitem' AS tbl,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_affected,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+      FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM eords)
+    ), ev AS (
+      SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN ({_md5int("CAST(user_id AS VARCHAR)")}
+                                 % 100) < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_affected,
+             CAST(count(DISTINCT CASE
+                 WHEN ({_md5int("CAST(user_id AS VARCHAR)")} % 100) < 5
+                 THEN user_id END) AS BIGINT) AS n_keys
+      FROM events
+    ), stacked AS (
+      SELECT * FROM cust UNION ALL SELECT * FROM ords
+      UNION ALL SELECT * FROM li UNION ALL SELECT * FROM ev
+    )
+    SELECT tbl, n_rows, n_affected,
+           CAST(floor(n_affected * 1000000.0 / greatest(1, n_rows))
+                AS BIGINT) AS share_e6,
+           n_keys
+    FROM stacked ORDER BY tbl
+    """,
+)

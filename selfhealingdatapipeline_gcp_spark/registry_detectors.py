@@ -1160,3 +1160,44 @@ register(
     # the factored core's input relation): shares the batch oracle
     _QUANTILE_AUDIT_SQL,
 )
+
+
+from selfhealingdatapipeline_gcp_spark.registry_data_ops import _md5int as _m  # noqa: E402
+
+register(
+    "distinct_kmv_audit",
+    lambda spark, sf: quality.distinct_kmv_audit(
+        _t(spark, sf, "events")[0]),
+    # the Spark side's salted two-phase min-k provably equals the
+    # single-window form, so the oracle uses the latter
+    f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             ({_m("CAST(user_id AS VARCHAR)")}) AS h
+      FROM events
+    ), exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM d GROUP BY 1
+    ), kth AS (
+      SELECT event_type, h AS h_k FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                 AS r2
+        FROM d
+      ) WHERE r2 = 64
+    ), est AS (
+      SELECT e.event_type, e.exact_distinct,
+             CASE WHEN k.h_k IS NULL THEN e.exact_distinct
+                  ELSE CAST(17732923532771328 // greatest(k.h_k, 1)
+                            AS BIGINT)
+             END AS kmv_estimate
+      FROM exact e LEFT JOIN kth k USING (event_type)
+    )
+    SELECT event_type, exact_distinct, kmv_estimate,
+           CAST(abs(kmv_estimate - exact_distinct) AS BIGINT) AS abs_err,
+           CAST(floor(abs(kmv_estimate - exact_distinct) * 1000000.0
+                      / greatest(1, exact_distinct)) AS BIGINT)
+             AS err_e6
+    FROM est ORDER BY event_type
+    """,
+)

@@ -432,3 +432,40 @@ def test_temporal_split_plan_fabricated(spark):
     assert (r.train_only_users, r.val_only_users, r.leaky_users) \
         == (1, 1, 1)
     assert r.val_user_leak_e6 == 500_000
+
+
+def test_takedown_manifest_purge_reaches_zero(spark):
+    """The manifest's defining property: applying the purge it
+    describes (drop erased persons from the three keyed tables, drop
+    lineitem rows of erased orders) and re-running the manifest must
+    report ZERO affected rows everywhere; the cascade count must also
+    cohere (lineitem purge keys = erased orders that have lines)."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    from pyspark.sql import functions as F
+
+    cu, o, li, ev = [catalog.load(spark, SF_ORACLE, t)
+                     for t in ("customer", "orders", "lineitem", "events")]
+    before = {r.tbl: r for r in
+              dataprep.takedown_manifest(cu, o, li, ev).collect()}
+    assert set(before) == {"customer", "orders", "lineitem", "events"}
+    assert before["customer"].n_affected > 0
+    assert before["lineitem"].n_keys <= before["orders"].n_affected
+
+    def keep(df, key):
+        return df.filter(textfn.md5int(key.cast("string")) % 100 >= 5)
+
+    eo = keep(o, F.col("o_custkey"))
+    purged_li = li.join(eo.select("o_orderkey"),
+                        li.l_orderkey == F.col("o_orderkey"), "left_semi")
+    after = dataprep.takedown_manifest(
+        keep(cu, F.col("c_custkey")), eo, purged_li,
+        keep(ev, F.col("user_id"))).collect()
+    assert all(r.n_affected == 0 and r.n_keys == 0 for r in after)
+
+
+def test_takedown_manifest_parity(spark, duck):
+    assert_parity(registry.queries()["takedown_manifest"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["takedown_manifest"])

@@ -514,3 +514,27 @@ def test_streaming_quantile_guard_parity(spark, duck):
     assert_parity(registry.queries()["streaming_quantile_guard"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["streaming_quantile_guard"])
+
+
+def test_distinct_kmv_audit_small_exact_large_bounded(spark):
+    """A type with fewer distinct keys than k must be answered
+    EXACTLY (the sketch holds every hash); a 5000-key type must land
+    within the KMV error envelope (rsd ~ 1/sqrt(k-2) ~ 13% at k=64;
+    assert a generous 3-sigma-ish 50%). Deterministic md5 hashes make
+    the measured error itself reproducible."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    rows = [("small", i % 40) for i in range(200)]
+    rows += [("big", 1000 + i) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["event_type", "user_id"])
+    out = {r.event_type: r for r in quality.distinct_kmv_audit(df).collect()}
+    assert out["small"].exact_distinct == 40
+    assert out["small"].kmv_estimate == 40 and out["small"].err_e6 == 0
+    assert out["big"].exact_distinct == 5000
+    assert out["big"].err_e6 < 500_000
+
+
+def test_distinct_kmv_audit_parity(spark, duck):
+    assert_parity(registry.queries()["distinct_kmv_audit"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["distinct_kmv_audit"])

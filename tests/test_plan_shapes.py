@@ -573,6 +573,14 @@ _FINGERPRINTS = {
     # layout labels explode from the same row (Generate), then a
     # ≤128-cell aggregate — rank-free layout assignment, no sort
     "zorder_layout_plan": (3, 0, 0, 1),
+    # three scan-level md5 erase tests (no delete-list join); the one
+    # LeftSemi BHJ is the cascade hop (SMJ on orderkey at scale); the
+    # BNLJ is the 1-row lineitem-total × cascade-total crossJoin
+    "takedown_manifest": (9, 1, 0, 1),
+    # one (type, hash) distinct shuffle, then the salted two-phase
+    # min-k (<= n_salt·k rows/type in the exact rank) and a
+    # |types|-row BHJ — no per-type global sort of the key space
+    "distinct_kmv_audit": (6, 1, 0, 0),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
