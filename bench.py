@@ -168,6 +168,7 @@ HEADLINE = [
     "zorder_layout_plan",
     "takedown_manifest",
     "distinct_kmv_audit",
+    "streaming_kmv_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

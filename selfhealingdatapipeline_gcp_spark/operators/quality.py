@@ -536,6 +536,15 @@ def distinct_kmv_audit(events: DataFrame, k: int = 64, n_salt: int = 32
          .select("event_type",
                  textfn.md5int(F.col("user_id").cast("string")).alias("h"))
          .distinct())
+    return kmv_audit_from_distinct(d, k, n_salt)
+
+
+def kmv_audit_from_distinct(d: DataFrame, k: int = 64, n_salt: int = 32
+                            ) -> DataFrame:
+    """Factored core of distinct_kmv_audit over the associative
+    (event_type, h) DISTINCT-hash relation — per-epoch distinct
+    partials union into exactly this shape, so the batch operator and
+    streaming_kmv_guard share it (and the SQL oracle)."""
     exact = (d.groupBy("event_type")
              .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct")))
     w1 = Window.partitionBy("event_type", "__salt").orderBy("h")

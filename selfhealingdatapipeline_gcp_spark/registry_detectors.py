@@ -1164,13 +1164,9 @@ register(
 
 from selfhealingdatapipeline_gcp_spark.registry_data_ops import _md5int as _m  # noqa: E402
 
-register(
-    "distinct_kmv_audit",
-    lambda spark, sf: quality.distinct_kmv_audit(
-        _t(spark, sf, "events")[0]),
-    # the Spark side's salted two-phase min-k provably equals the
-    # single-window form, so the oracle uses the latter
-    f"""
+# the Spark side's salted two-phase min-k provably equals the
+# single-window form, so the oracle uses the latter
+_KMV_AUDIT_SQL = f"""
     WITH d AS (
       SELECT DISTINCT event_type,
              ({_m("CAST(user_id AS VARCHAR)")}) AS h
@@ -1199,5 +1195,19 @@ register(
                       / greatest(1, exact_distinct)) AS BIGINT)
              AS err_e6
     FROM est ORDER BY event_type
-    """,
+    """
+
+register(
+    "distinct_kmv_audit",
+    lambda spark, sf: quality.distinct_kmv_audit(
+        _t(spark, sf, "events")[0]),
+    _KMV_AUDIT_SQL,
+)
+
+register(
+    "streaming_kmv_guard",
+    _monitors.streaming_kmv_guard,
+    # chop-invariant by associativity (distinct of a union of
+    # per-epoch distinct sets): shares the batch oracle
+    _KMV_AUDIT_SQL,
 )

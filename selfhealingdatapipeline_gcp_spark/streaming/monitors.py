@@ -994,3 +994,55 @@ def streaming_quantile_guard(spark: SparkSession, sf_dir: str,
               .groupBy("event_type", "v_c")
               .agg(F.sum("cnt").cast("bigint").alias("cnt")))
     return quality.quantile_audit_from_counts(counts)
+
+
+def streaming_kmv_guard(spark: SparkSession, sf_dir: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """Streaming ADMISSION form of distinct_kmv_audit: per-epoch
+    DISTINCT (event_type, hash) partials accumulate through the
+    idempotent epoch-dir sink, and the KMV-vs-exact cardinality audit
+    re-derives over the running union — the cardinality monitor a
+    live ingest runs while admitting events, asking from O(k) state
+    whether the distinct-user count is moving.
+
+    Chop-invariance is by ASSOCIATIVITY: a distinct-hash set is the
+    UNION of per-epoch distinct sets, so the accumulated relation
+    equals the batch distinct exactly and the report matches
+    distinct_kmv_audit row for row (shared SQL oracle, via the
+    factored quality.kmv_audit_from_distinct). A deployment needing
+    only the sketch keeps the k smallest hashes per type per epoch
+    (min-k of unions = min-k of concatenated min-ks); the exact side
+    exists because the AUDIT is the operator's point.
+
+    Scale: each epoch ships its distinct (type, hash) partials —
+    16-byte-hash grain, never raw events."""
+    from selfhealingdatapipeline_gcp_spark.functions import textfn
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("kmv_guard")
+    epochs = []
+
+    def distinct_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df
+         .select("event_type",
+                 textfn.md5int(F.col("user_id").cast("string")).alias("h"))
+         .distinct()
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(distinct_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "event_type string, exact_distinct bigint, "
+                "kmv_estimate bigint, abs_err bigint, err_e6 bigint")
+    d = spark.read.parquet(out_dir).select("event_type", "h").distinct()
+    return quality.kmv_audit_from_distinct(d)

@@ -538,3 +538,31 @@ def test_distinct_kmv_audit_parity(spark, duck):
     assert_parity(registry.queries()["distinct_kmv_audit"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["distinct_kmv_audit"])
+
+
+def test_streaming_kmv_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; the distinct-hash relation is a union of per-epoch
+    distinct sets, so the accumulated state must reproduce batch
+    distinct_kmv_audit row for row."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_kmv")
+    os.makedirs(src)
+    events = catalog.load(spark, SF_ORACLE, "events")
+    events.repartition(3).write.parquet(f"{src}/events.parquet")
+
+    streamed = [tuple(r) for r in monitors.streaming_kmv_guard(
+        spark, src, max_files_per_trigger=1).collect()]
+    batch = [tuple(r) for r in quality.distinct_kmv_audit(
+        catalog.load(spark, src, "events")).collect()]
+    assert streamed == batch and len(batch) == 5
+
+
+def test_streaming_kmv_guard_parity(spark, duck):
+    assert_parity(registry.queries()["streaming_kmv_guard"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["streaming_kmv_guard"])

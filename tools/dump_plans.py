@@ -146,6 +146,19 @@ SHOW = {
     "temporal_split_plan": "2-value time bounds broadcast; the "
                            "leakage count runs on the (user, side) "
                            "distinct relation",
+    "quantile_sketch_audit": "ONE (type, cent) collapse shuffle "
+                             "reused (AQE) by bounds / weighted "
+                             "percentile / histogram; BNLJ is the "
+                             "3-row target grid",
+    "zorder_layout_plan": "rank-free layout: 1-row bounds BNLJ, "
+                          "both layout labels from one Generate, "
+                          "≤128-cell aggregate — no global sort",
+    "takedown_manifest": "erase predicate at SCAN level on 3 "
+                         "tables; one LeftSemi cascade hop onto "
+                         "lineitem",
+    "distinct_kmv_audit": "one (type, hash) distinct shuffle; "
+                          "salted two-phase min-k — no per-type "
+                          "global sort of the key space",
 }
 
 
