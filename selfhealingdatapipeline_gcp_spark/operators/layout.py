@@ -112,3 +112,54 @@ def zorder_layout_plan(lineitem: DataFrame, n_cell_bits: int = _CELL_BITS
                  .alias("pk_span"))
         .orderBy("layout", "file_id")
     )
+
+
+def compaction_plan(df: DataFrame, target_rows_per_file: int = 1_000_000
+                    ) -> DataFrame:
+    """Small-files compaction advisor — the sizing half of the layout
+    family (zorder_layout_plan is the clustering half): assign every
+    underlying file of a parquet-backed DataFrame to a merge group by
+    CUMULATIVE-offset bin packing (group = cum_rows_before div
+    target), the same rule Delta/Iceberg OPTIMIZE bin-packing uses on
+    bytes. The output is the rewrite manifest: which files coalesce
+    into which target file, and how far each group lands from the
+    target (a group can exceed target only by part of one straddling
+    file).
+
+    Scale shape: input_file_name() resolves at the scan, the plan
+    carries (file, count) at FILE grain — O(files) rows through one
+    groupBy and one ordered window over file names (metadata-sized:
+    even 100 TB is ~1e5 files). Deterministic: files order by name,
+    no timestamps, no rand.
+
+    Non-query component: DuckDB's pre-registered views cannot see
+    file boundaries, so this is tested against fabricated multi-file
+    dirs rather than oracled (same class as input_files_profile)."""
+    per = (
+        df.select(F.element_at(
+            F.split(F.input_file_name(), "/"), -1).alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    from pyspark.sql import Window
+    w = (Window.orderBy("file_name")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    assigned = (
+        per.withColumn("cum_before",
+                       F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+        .withColumn("group_id",
+                    F.floor(F.col("cum_before") / target_rows_per_file)
+                     .cast("int"))
+    )
+    wg = Window.partitionBy("group_id")
+    return (
+        assigned
+        .select("file_name", "n_rows", "group_id",
+                F.count(F.lit(1)).over(wg).cast("bigint")
+                 .alias("group_n_files"),
+                F.sum("n_rows").over(wg).cast("bigint")
+                 .alias("group_rows"))
+        .withColumn("target_rows", F.lit(target_rows_per_file)
+                     .cast("bigint"))
+        .orderBy("group_id", "file_name")
+    )

@@ -201,3 +201,41 @@ def test_input_files_profile_matches_parquet_metadata(spark, tmp_path):
     got = {r.file_name: r.n_rows for r in rows}
     assert got == expected
     assert all(r.is_small_file == (r.n_rows < 10_000) for r in rows)
+
+
+def test_compaction_plan_bin_packing(spark, tmp_path):
+    """A 12-file source with a target of ~1/3 the total rows must
+    produce groups whose size stays within one straddling file of
+    target, cover every file exactly once, and assign files to
+    groups in deterministic name order (re-run identical)."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import layout
+
+    src = f"{tmp_path}/many_files.parquet"
+    orders = catalog.load(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(12).write.parquet(src)
+    df = spark.read.parquet(src)
+    total = df.count()
+    target = total // 3
+
+    rows = layout.compaction_plan(df, target_rows_per_file=target).collect()
+    assert sum(r.n_rows for r in rows) == total
+    assert len({r.file_name for r in rows}) == len(rows)  # each file once
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    max_file = max(r.n_rows for r in rows)
+    for gid, members in by_group.items():
+        grows = members[0].group_rows
+        assert grows == sum(r.n_rows for r in members)
+        assert members[0].group_n_files == len(members)
+        # next-fit by cumulative offset: a group exceeds target only
+        # by (part of) one straddling file
+        assert grows < target + max_file
+    # groups are contiguous in file-name order
+    ordered = sorted(rows, key=lambda r: r.file_name)
+    gids = [r.group_id for r in ordered]
+    assert gids == sorted(gids)
+    # deterministic re-run
+    rows2 = layout.compaction_plan(df, target_rows_per_file=target).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
