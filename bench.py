@@ -169,6 +169,7 @@ HEADLINE = [
     "takedown_manifest",
     "distinct_kmv_audit",
     "streaming_kmv_guard",
+    "join_skew_advisor",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -579,3 +579,56 @@ def kmv_audit_from_distinct(d: DataFrame, k: int = 64, n_salt: int = 32
              .cast("bigint").alias("err_e6"))
         .orderBy("event_type")
     )
+
+
+def join_skew_advisor(events: DataFrame, orders: DataFrame,
+                      top_k: int = 10) -> DataFrame:
+    """Pre-join skew measurement for a planned equi-join — the
+    two-sided companion of key_skew_profile (one table's key
+    distribution) for the join that actually blows up: per-key row
+    counts on BOTH sides, the per-key OUTPUT cardinality (na·nb — the
+    number a hot key materializes in the join), and for each of the
+    top-``top_k`` hottest keys the salting factor that would level it
+    back to the mean (ceil of its multiple of the mean output).
+    Run this on the join key BEFORE launching a 100 TB join; the salt
+    factor feeds functions/skew.py's salted-join toolbox directly.
+
+    Determinism: counts are exact; ranking orders by (out_rows DESC,
+    key); the salt recommendation is pure integer ceiling arithmetic.
+    int64 bound: Σ(na·nb) ≲ 9e18 join output rows.
+
+    Scale shape: one key-grain aggregate per side (map-side partials;
+    the shuffle carries keys+counts, never rows), an equi-join of the
+    two count relations at key grain, a 1-row total broadcast, and a
+    TakeOrdered top-k — no corpus-grain shuffle anywhere."""
+    a = (events.groupBy(F.col("user_id").alias("key"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("na")))
+    b = (orders.groupBy(F.col("o_custkey").alias("key"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("nb")))
+    per_key = (a.join(b, "key")
+               .select("key", "na", "nb",
+                       (F.col("na") * F.col("nb")).cast("bigint")
+                        .alias("out_rows")))
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("out_rows").cast("bigint").alias("total_out"))
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("out_rows").desc(), F.col("key"))
+        .limit(top_k)
+        .select(
+            F.row_number().over(
+                Window.orderBy(F.col("out_rows").desc(), F.col("key")))
+             .cast("int").alias("rank"),
+            "key", "na", "nb", "out_rows",
+            F.floor(F.col("out_rows") * 1_000_000 / F.col("total_out"))
+             .cast("bigint").alias("out_share_e6"),
+            # ceil(out_rows / mean_out) via integer div on the
+            # truncated mean — NOT ceil(out·n_keys/total): that
+            # product overflows int64 at scales where each factor is
+            # still fine
+            F.expr("CAST((out_rows + (total_out div n_keys) - 1) "
+                   "div (total_out div n_keys) AS BIGINT)")
+             .alias("salt_factor"))
+        .orderBy("rank")
+    )

@@ -1211,3 +1211,37 @@ register(
     # per-epoch distinct sets): shares the batch oracle
     _KMV_AUDIT_SQL,
 )
+
+
+register(
+    "join_skew_advisor",
+    lambda spark, sf: quality.join_skew_advisor(
+        *_t(spark, sf, "events", "orders")),
+    """
+    WITH a AS (
+      SELECT user_id AS key, CAST(count(*) AS BIGINT) AS na
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS nb
+      FROM orders GROUP BY 1
+    ), pk AS (
+      SELECT key, na, nb, CAST(na * nb AS BIGINT) AS out_rows
+      FROM a JOIN b USING (key)
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(out_rows) AS BIGINT) AS total_out
+      FROM pk
+    ), top AS (
+      SELECT pk.*, t.n_keys, t.total_out,
+             CAST(row_number() OVER (ORDER BY out_rows DESC, key)
+                  AS INT) AS rank
+      FROM pk, t ORDER BY out_rows DESC, key LIMIT 10
+    )
+    SELECT rank, key, na, nb, out_rows,
+           CAST(floor(out_rows * 1000000.0 / total_out) AS BIGINT)
+             AS out_share_e6,
+           CAST((out_rows + (total_out // n_keys) - 1)
+                // (total_out // n_keys) AS BIGINT) AS salt_factor
+    FROM top ORDER BY rank
+    """,
+)

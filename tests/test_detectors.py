@@ -566,3 +566,28 @@ def test_streaming_kmv_guard_parity(spark, duck):
     assert_parity(registry.queries()["streaming_kmv_guard"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["streaming_kmv_guard"])
+
+
+def test_join_skew_advisor_planted_hot_key(spark):
+    """One user with 100x the activity of everyone else must rank
+    first with a salt factor near its multiple of the mean; uniform
+    keys must recommend salt 1-2 (ceiling of ~1x mean)."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    ev = [(0, 9_999)] * 2000 + [(u, u) for u in range(1, 41)
+                                for _ in range(20)]
+    orders = [(k, k) for k in range(0, 41) for _ in range(3)]
+    edf = spark.createDataFrame(ev, ["user_id", "x"])
+    odf = spark.createDataFrame(orders, ["o_custkey", "y"])
+    out = quality.join_skew_advisor(edf, odf).collect()
+    assert out[0].key == 0 and out[0].rank == 1
+    assert out[0].out_rows == 6000 and out[0].na == 2000
+    # mean out = (6000 + 40*60)/41 = 205 -> salt ~ ceil(6000/205) = 30
+    assert 20 <= out[0].salt_factor <= 40
+    assert all(r.salt_factor <= 2 for r in out[1:])
+
+
+def test_join_skew_advisor_parity(spark, duck):
+    assert_parity(registry.queries()["join_skew_advisor"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["join_skew_advisor"])

@@ -581,6 +581,10 @@ _FINGERPRINTS = {
     # min-k (<= n_salt·k rows/type in the exact rank) and a
     # |types|-row BHJ — no per-type global sort of the key space
     "distinct_kmv_audit": (6, 1, 0, 0),
+    # both sides collapse to key-grain counts before the equi-join
+    # (BHJ at tiny SF, SMJ at scale); BNLJ = 1-row totals broadcast;
+    # TakeOrderedAndProject caps the output at top_k
+    "join_skew_advisor": (5, 2, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
