@@ -170,6 +170,7 @@ HEADLINE = [
     "distinct_kmv_audit",
     "streaming_kmv_guard",
     "join_skew_advisor",
+    "range_partition_plan",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

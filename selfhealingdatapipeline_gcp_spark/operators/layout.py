@@ -163,3 +163,65 @@ def compaction_plan(df: DataFrame, target_rows_per_file: int = 1_000_000
                      .cast("bigint"))
         .orderBy("group_id", "file_name")
     )
+
+
+def range_partition_plan(lineitem: DataFrame, n_partitions: int = 32,
+                         n_buckets: int = 1024) -> DataFrame:
+    """Range-shuffle balance audit — the partitioning third of the
+    layout family (zorder = clustering, compaction = sizing, this =
+    shuffle planning): plan repartitionByRange boundaries for
+    l_orderkey from a ``n_buckets`` equal-width histogram instead of
+    Spark's nondeterministic reservoir sample, and report the row
+    balance those boundaries would achieve. Each histogram bucket is
+    assigned the planned partition floor(cum_before·N/total) — whole
+    buckets never split, so bucket width is the planning fidelity —
+    and the report rolls the cell grid up to per-partition rows,
+    share, and signed deviation from the perfect 1/N split. A skewed
+    or clustered key shows up as partitions far off dev 0 BEFORE the
+    100 TB sort launches.
+
+    Determinism: bucket assignment, cumulative counts, and the
+    partition rule are pure integer arithmetic over the broadcast
+    1-row bounds; re-runs are byte-identical (unlike sampling).
+
+    Scale shape: one corpus pass collapses to ≤ n_buckets cells (the
+    same fixed state the quantile audit keeps), then windows and
+    aggregates run on the cell grid only."""
+    key = F.col("l_orderkey")
+    bounds = lineitem.agg(
+        F.min(key).cast("long").alias("mn"),
+        F.max(key).cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(n_buckets - 1),
+                F.floor((key.cast("long") - F.col("mn")) * n_buckets
+                        / (F.col("mx") - F.col("mn") + 1)))).cast("int")
+    hist = (
+        lineitem.join(F.broadcast(bounds), how="inner")
+        .select(bucket.alias("b"), "n")
+        .groupBy("b", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    assigned = (
+        hist.withColumn("cum_before",
+                        F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .withColumn("partition_id",
+                    F.floor(F.col("cum_before") * n_partitions
+                            / F.col("n")).cast("int"))
+    )
+    return (
+        assigned.groupBy("partition_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+             F.sum("cnt").cast("bigint").alias("n_rows"),
+             F.max("n").alias("__n"))
+        .select(
+            "partition_id", "n_buckets", "n_rows",
+            F.floor(F.col("n_rows") * 1_000_000 / F.col("__n"))
+             .cast("bigint").alias("share_e6"),
+            (F.floor(F.col("n_rows") * 1_000_000 / F.col("__n"))
+             - F.floor(F.lit(1_000_000) / F.lit(n_partitions)))
+             .cast("bigint").alias("dev_from_even_e6"))
+        .orderBy("partition_id")
+    )

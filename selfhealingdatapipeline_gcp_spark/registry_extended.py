@@ -1118,3 +1118,43 @@ register(
     ORDER BY layout, file_id
     """,
 )
+
+
+register(
+    "range_partition_plan",
+    lambda spark, sf: _layout.range_partition_plan(
+        *_t(spark, sf, "lineitem")),
+    """
+    WITH bo AS (
+      SELECT CAST(min(l_orderkey) AS BIGINT) AS mn,
+             CAST(max(l_orderkey) AS BIGINT) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+    ), h AS (
+      SELECT CAST(CASE WHEN bo.mx = bo.mn THEN 0
+                  ELSE least(1023, floor((l_orderkey - bo.mn) * 1024
+                                         / (bo.mx - bo.mn + 1)))
+             END AS INT) AS b,
+             bo.n, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem, bo GROUP BY 1, 2
+    ), a AS (
+      SELECT b, n, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM h
+    ), p AS (
+      SELECT CAST(floor(cum_before * 32 / n) AS INT) AS partition_id,
+             n, cnt
+      FROM a
+    )
+    SELECT partition_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(floor(sum(cnt) * 1000000.0 / max(n)) AS BIGINT)
+             AS share_e6,
+           CAST(floor(sum(cnt) * 1000000.0 / max(n))
+                - floor(1000000.0 / 32) AS BIGINT) AS dev_from_even_e6
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -344,3 +344,42 @@ def test_zorder_layout_plan_parity(spark, duck):
     assert_parity(registry.queries()["zorder_layout_plan"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["zorder_layout_plan"])
+
+
+def test_range_partition_plan_balance_on_uniform_key(spark):
+    """l_orderkey is near-uniform, so histogram-planned boundaries
+    must land every partition within ~one bucket of the even 1/32
+    split, rows must be conserved, and partitions must be contiguous
+    0..31."""
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import layout
+
+    li = catalog.load(spark, SF_ORACLE, "lineitem")
+    rows = layout.range_partition_plan(li).collect()
+    assert [r.partition_id for r in rows] == list(range(32))
+    assert sum(r.n_rows for r in rows) == li.count()
+    assert sum(r.n_buckets for r in rows) <= 1024
+    # even split = 31250 e6-share; allow one 1024-bucket granule
+    for r in rows:
+        assert abs(r.dev_from_even_e6) < 1_000_000 // 1024 + 2500, r
+
+
+def test_range_partition_plan_skew_visible(spark):
+    """A key distribution with half its mass on one hot value must
+    surface as one planned partition holding ~half the rows — the
+    audit's entire point is making this visible pre-shuffle."""
+    from selfhealingdatapipeline_gcp_spark.operators import layout
+
+    data = [(500_000,) for _ in range(5000)]
+    data += [(i,) for i in range(0, 1_000_000, 200)]
+    df = spark.createDataFrame(data, ["l_orderkey"])
+    rows = layout.range_partition_plan(df).collect()
+    hot = max(rows, key=lambda r: r.n_rows)
+    assert hot.share_e6 > 400_000
+    assert hot.dev_from_even_e6 > 300_000
+
+
+def test_range_partition_plan_parity(spark, duck):
+    assert_parity(registry.queries()["range_partition_plan"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["range_partition_plan"])

@@ -585,6 +585,9 @@ _FINGERPRINTS = {
     # (BHJ at tiny SF, SMJ at scale); BNLJ = 1-row totals broadcast;
     # TakeOrderedAndProject caps the output at top_k
     "join_skew_advisor": (5, 2, 0, 1),
+    # one corpus pass collapses to ≤1024 cells (BNLJ = 1-row bounds
+    # broadcast); boundary planning + balance rollup stay on the grid
+    "range_partition_plan": (3, 0, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
