@@ -171,6 +171,7 @@ HEADLINE = [
     "streaming_kmv_guard",
     "join_skew_advisor",
     "range_partition_plan",
+    "neyman_allocation_plan",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

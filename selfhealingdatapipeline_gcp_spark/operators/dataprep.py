@@ -918,3 +918,74 @@ def takedown_manifest(customer: DataFrame, orders: DataFrame,
                           _erased(F.col("user_id"))))
         .orderBy("tbl")
     )
+
+
+def neyman_allocation_plan(events: DataFrame, sample_budget: int = 10_000
+                           ) -> DataFrame:
+    """Variance-optimal (Neyman) sampling allocation across strata —
+    the labeling/eval budget design question of data curation: given
+    ``sample_budget`` rows to inspect, how many should each stratum
+    (event_type) get? Neyman allocation n_h ∝ N_h·S_h beats
+    proportional allocation exactly when strata differ in spread, so
+    the report carries both plans side by side; the caller compares
+    and ships the sample sizes to stratified_sample.
+
+    Determinism: one pass computes per-stratum N_h, Σx, Σx² in exact
+    integer cents (Σx² through money.sum_sq — decimal-safe at extreme
+    SF); S_h = floor(sqrt(·)) of the double variance — IEEE sqrt is
+    correctly rounded and the variance expression mirrors the
+    revenue_anomaly oracle pattern, so both engines floor the same
+    value. Allocations are integer floor arithmetic; every stratum's
+    Neyman share is capped at its own N_h (can't sample what isn't
+    there). All-zero-variance degenerates to weight 0 — the report
+    keeps the proportional column as the usable fallback.
+
+    Scale shape: ONE corpus-grain aggregate to |strata| rows; the
+    allocation math runs on that tiny relation against a broadcast
+    1-row total. int64 bound: N_h·S_h_c ≲ 9e18 (e.g. 1e12 rows ×
+    1e6-cent spread); widen via decimal mode past that."""
+    c = money.cents(F.col("value"))
+    per = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+             F.sum(money.acc(c)).alias("s"),
+             money.sum_sq(c).alias("s2"))
+    )
+    var_d = F.when(
+        F.col("n_rows") <= 1, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0),
+                   (F.col("s2").cast("double")
+                    - F.col("s").cast("double") * F.col("s").cast("double")
+                    / F.col("n_rows"))
+                   / (F.col("n_rows") - 1)))
+    scored = per.select(
+        "event_type", "n_rows",
+        F.floor(F.sqrt(var_d)).cast("bigint").alias("sd_c"))
+    scored = scored.withColumn(
+        "weight", (F.col("n_rows") * F.col("sd_c")).cast("bigint"))
+    tot = scored.agg(
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+        F.sum("weight").cast("bigint").alias("w_total"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "n_rows", "sd_c", "weight",
+            # budget enters as a DOUBLE literal: an int64
+            # budget·weight product would overflow under ANSI at the
+            # very weights the operator exists for; the double path
+            # is order-identical on both engines
+            F.least(
+                F.col("n_rows"),
+                F.when(F.col("w_total") > 0,
+                       F.floor(F.lit(float(sample_budget))
+                               * F.col("weight")
+                               / F.col("w_total")).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")))
+             .alias("alloc_neyman"),
+            F.least(
+                F.col("n_rows"),
+                F.floor(F.lit(float(sample_budget)) * F.col("n_rows")
+                        / F.col("n_total")).cast("bigint"))
+             .alias("alloc_proportional"))
+        .orderBy("event_type")
+    )

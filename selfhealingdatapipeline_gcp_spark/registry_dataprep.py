@@ -729,3 +729,50 @@ register(
     FROM stacked ORDER BY tbl
     """,
 )
+
+
+register(
+    "neyman_allocation_plan",
+    lambda spark, sf: dataprep.neyman_allocation_plan(
+        *_t(spark, sf, "events")),
+    """
+    WITH per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s2
+      FROM events GROUP BY 1
+    ), sc AS (
+      SELECT event_type, n_rows,
+             CAST(floor(sqrt(
+               CASE WHEN n_rows <= 1 THEN 0.0
+                    ELSE greatest(0.0,
+                         (CAST(s2 AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / n_rows)
+                         / (n_rows - 1))
+               END)) AS BIGINT) AS sd_c
+      FROM per
+    ), w AS (
+      SELECT event_type, n_rows, sd_c,
+             CAST(n_rows * sd_c AS BIGINT) AS weight
+      FROM sc
+    ), t AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS n_total,
+             CAST(sum(weight) AS BIGINT) AS w_total
+      FROM w
+    )
+    SELECT event_type, n_rows, sd_c, weight,
+           CAST(least(n_rows,
+                CASE WHEN w_total > 0
+                     THEN CAST(floor(10000.0 * weight / w_total)
+                               AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS alloc_neyman,
+           CAST(least(n_rows,
+                CAST(floor(10000.0 * n_rows / n_total) AS BIGINT))
+                AS BIGINT) AS alloc_proportional
+    FROM w, t ORDER BY event_type
+    """,
+)

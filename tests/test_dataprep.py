@@ -469,3 +469,29 @@ def test_takedown_manifest_parity(spark, duck):
     assert_parity(registry.queries()["takedown_manifest"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["takedown_manifest"])
+
+
+def test_neyman_allocation_favors_high_variance_strata(spark):
+    """Two equal-size strata, one constant-valued and one wide: the
+    constant stratum has sd 0 so Neyman sends it (near) nothing and
+    the wide stratum (almost) everything, while proportional splits
+    50/50 — the gap IS the operator's value. Allocations never exceed
+    the stratum size."""
+    rows = [("flat", 5.00)] * 1000
+    rows += [("wide", float(v)) for v in range(1000)]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    out = {r.event_type: r
+           for r in dataprep.neyman_allocation_plan(
+               df, sample_budget=500).collect()}
+    assert out["flat"].sd_c == 0 and out["flat"].alloc_neyman == 0
+    assert out["wide"].alloc_neyman == 500
+    assert out["flat"].alloc_proportional == 250
+    assert out["wide"].alloc_proportional == 250
+    for r in out.values():
+        assert r.alloc_neyman <= r.n_rows
+
+
+def test_neyman_allocation_plan_parity(spark, duck):
+    assert_parity(registry.queries()["neyman_allocation_plan"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["neyman_allocation_plan"])

@@ -588,6 +588,9 @@ _FINGERPRINTS = {
     # one corpus pass collapses to ≤1024 cells (BNLJ = 1-row bounds
     # broadcast); boundary planning + balance rollup stay on the grid
     "range_partition_plan": (3, 0, 0, 1),
+    # ONE corpus aggregate to |strata| rows; allocation math on that
+    # relation vs the 1-row totals broadcast (the BNLJ)
+    "neyman_allocation_plan": (4, 0, 0, 1),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
