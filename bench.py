@@ -172,6 +172,7 @@ HEADLINE = [
     "join_skew_advisor",
     "range_partition_plan",
     "neyman_allocation_plan",
+    "series_downsample_m4",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

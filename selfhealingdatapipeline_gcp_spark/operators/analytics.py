@@ -1346,3 +1346,58 @@ def event_audience_overlap(events: DataFrame) -> DataFrame:
              .cast("bigint").alias("jaccard_e6"))
         .orderBy("type_a", "type_b")
     )
+
+
+def series_downsample_m4(events: DataFrame, n_buckets: int = 256
+                         ) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    standard error-free line-chart reduction): per event type, bucket
+    the time axis into ``n_buckets`` equal-width spans and keep only
+    each bucket's FIRST, LAST, MIN-value and MAX-value points — the
+    four points per pixel column that reproduce the rendered line
+    exactly, turning a billion-point series into ≤ 4·W·|types| rows
+    for a dashboard. This is the read-side companion of
+    hypertable_rollup (which aggregates; M4 selects witnesses).
+
+    Determinism: bucket assignment is integer arithmetic over the
+    broadcast per-type time bounds; every role picks its witness by
+    row_number over a TOTAL order ((value, ts, id) for min, value
+    descending first for max, (ts, id) for first/last) so ties can
+    never flip between runs or engines.
+
+    Scale shape: one shuffle on (type, bucket) — the four role
+    windows share that partitioning (single Exchange, four sorts over
+    pixel-column-sized groups); output is plan-constant per pixel
+    budget regardless of corpus size."""
+    t_us = F.unix_micros(F.col("ts"))
+    v_c = F.round(F.col("value") * 100, 0).cast("bigint")
+    bounds = (events.groupBy("event_type")
+              .agg(F.min(t_us).alias("t0"), F.max(t_us).alias("t1")))
+    bkt = F.floor((t_us - F.col("t0")) * n_buckets
+                  / (F.col("t1") - F.col("t0") + 1)).cast("int")
+    base = (
+        events.join(F.broadcast(bounds), "event_type")
+        .select("event_type", t_us.alias("t_us"), v_c.alias("v_c"),
+                F.col("event_id").cast("bigint").alias("eid"),
+                bkt.alias("bkt"))
+    )
+    orders = {
+        "first": [F.col("t_us").asc(), F.col("eid").asc()],
+        "last": [F.col("t_us").desc(), F.col("eid").desc()],
+        "min": [F.col("v_c").asc(), F.col("t_us").asc(),
+                F.col("eid").asc()],
+        "max": [F.col("v_c").desc(), F.col("t_us").asc(),
+                F.col("eid").asc()],
+    }
+    parts = []
+    for role, order in orders.items():
+        w = Window.partitionBy("event_type", "bkt").orderBy(*order)
+        parts.append(
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("event_type", "bkt", F.lit(role).alias("role"),
+                    "t_us", "v_c", "eid"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("event_type", "bkt", "role")

@@ -1158,3 +1158,52 @@ register(
     FROM p GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+from selfhealingdatapipeline_gcp_spark.operators import analytics as _an2  # noqa: E402
+
+register(
+    "series_downsample_m4",
+    lambda spark, sf: _an2.series_downsample_m4(
+        *_t(spark, sf, "events")),
+    """
+    WITH bo AS (
+      SELECT event_type,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT e.event_type,
+             CAST(epoch_us(e.ts) AS BIGINT) AS t_us,
+             CAST(round(e.value * 100) AS BIGINT) AS v_c,
+             CAST(e.event_id AS BIGINT) AS eid,
+             CAST(floor((epoch_us(e.ts) - bo.t0) * 256
+                        / (bo.t1 - bo.t0 + 1)) AS INT) AS bkt
+      FROM events e JOIN bo USING (event_type)
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY event_type, bkt
+                           ORDER BY t_us, eid)             AS r_first,
+        row_number() OVER (PARTITION BY event_type, bkt
+                           ORDER BY t_us DESC, eid DESC)   AS r_last,
+        row_number() OVER (PARTITION BY event_type, bkt
+                           ORDER BY v_c, t_us, eid)        AS r_min,
+        row_number() OVER (PARTITION BY event_type, bkt
+                           ORDER BY v_c DESC, t_us, eid)   AS r_max
+      FROM base
+    )
+    SELECT event_type, bkt, role, t_us, v_c, eid FROM (
+      SELECT event_type, bkt, 'first' AS role, t_us, v_c, eid
+      FROM ranked WHERE r_first = 1
+      UNION ALL
+      SELECT event_type, bkt, 'last', t_us, v_c, eid
+      FROM ranked WHERE r_last = 1
+      UNION ALL
+      SELECT event_type, bkt, 'min', t_us, v_c, eid
+      FROM ranked WHERE r_min = 1
+      UNION ALL
+      SELECT event_type, bkt, 'max', t_us, v_c, eid
+      FROM ranked WHERE r_max = 1
+    ) ORDER BY event_type, bkt, role
+    """,
+)

@@ -591,6 +591,10 @@ _FINGERPRINTS = {
     # ONE corpus aggregate to |strata| rows; allocation math on that
     # relation vs the 1-row totals broadcast (the BNLJ)
     "neyman_allocation_plan": (4, 0, 0, 1),
+    # four role branches statically repeat the (type, bkt) shuffle —
+    # AQE folds them to ONE at runtime (3 ReusedExchange, asserted
+    # below); BHJs broadcast the |types|-row time bounds
+    "series_downsample_m4": (9, 4, 0, 0),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
@@ -663,3 +667,14 @@ def test_quantile_audit_runtime_exchange_reuse(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 2
+
+
+def test_m4_runtime_exchange_reuse(spark):
+    """The four M4 role branches must collapse at runtime to ONE
+    (type, bucket) shuffle: AQE reuses the identical partitioning
+    Exchange for the other three. Losing the reuse would scan the
+    corpus four times while staying correct."""
+    df = registry.queries()["series_downsample_m4"](spark, SF_TINY)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 3
