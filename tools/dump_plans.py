@@ -159,6 +159,19 @@ SHOW = {
     "distinct_kmv_audit": "one (type, hash) distinct shuffle; "
                           "salted two-phase min-k — no per-type "
                           "global sort of the key space",
+    "join_skew_advisor": "key-grain count relations on both sides; "
+                         "the join carries keys+counts, never rows; "
+                         "TakeOrdered caps output",
+    "range_partition_plan": "corpus collapses to ≤1024 cells; "
+                            "boundary planning and balance rollup "
+                            "never touch rows again",
+    "neyman_allocation_plan": "ONE corpus aggregate to |strata| "
+                              "rows; allocation math vs the 1-row "
+                              "totals broadcast",
+    "series_downsample_m4": "four role branches over ONE runtime "
+                            "(type, bkt) shuffle (ReusedExchange); "
+                            "output is plan-constant per pixel "
+                            "budget",
 }
 
 
