@@ -173,6 +173,7 @@ HEADLINE = [
     "range_partition_plan",
     "neyman_allocation_plan",
     "series_downsample_m4",
+    "asof_next_purchase",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -116,3 +116,53 @@ def range_join_purchase_context(events: DataFrame,
             F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
         )
     )
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
+                      left_ts: str, right_ts: str,
+                      right_cols: tuple[str, ...]) -> DataFrame:
+    """Forward as-of join: for each left row, attach the EARLIEST
+    right row with right_ts > left_ts (strict) within the same key —
+    the "next event" direction (kdb window joins, QuestDB LT JOIN
+    mirrored, DuckDB ``ASOF JOIN ... ON l.ts < r.ts``). Same
+    union-sort-carry shape as asof_join with the scan order
+    reversed: one shuffle on the key, carry the nearest FUTURE right
+    row backward with last(ignorenulls) over a descending window.
+
+    Left rows with no later right row keep NULLs (left join)."""
+    lhs = (left.withColumn("__kind", F.lit(0))
+           .withColumn("__ts", F.col(left_ts)))
+    rhs = (
+        right.select(
+            on,
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c).alias(f"__r_{c}") for c in right_cols])
+        .withColumn("__kind", F.lit(1))
+    )
+    lhs_aligned = lhs.select(
+        *[F.lit(None).cast(rhs.schema[f"__r_{c}"].dataType)
+          .alias(f"__r_{c}") for c in right_cols],
+        *[c for c in lhs.columns],
+    )
+    rhs_aligned = rhs.select(
+        *[f"__r_{c}" for c in right_cols],
+        *[F.lit(None).cast(dict(lhs.dtypes)[c]).alias(c)
+          if c not in (on, "__kind", "__ts") else F.col(c)
+          for c in lhs.columns],
+    )
+    unioned = lhs_aligned.unionByName(rhs_aligned)
+    # descending time; at equal __ts left rows sort FIRST (kind 0) so
+    # a same-instant right row is NOT visible — strict ">" semantics
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("__ts").desc(), F.col("__kind"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.select(
+        *lhs.columns,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w)
+          .alias(f"next_{c}") for c in right_cols],
+    )
+    return (
+        carried
+        .filter(F.col("__kind") == 0)
+        .drop("__kind", "__ts")
+    )

@@ -1207,3 +1207,42 @@ register(
     ) ORDER BY event_type, bkt, role
     """,
 )
+
+
+def _asof_next_purchase(spark, sf):
+    events = catalog.load(spark, sf, "events")
+    views = (events.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id")))
+    joined = asof.asof_join_forward(
+        views, purchases, on="user_id",
+        left_ts="ts", right_ts="p_ts", right_cols=("p_ts", "p_id"))
+    gap = (F.unix_micros("next_p_ts") - F.unix_micros("ts")) / 1e6
+    return joined.select(
+        "event_id", "user_id", "ts",
+        F.col("next_p_ts").alias("next_purchase_ts"),
+        F.col("next_p_id").alias("next_purchase_id"),
+        F.round(gap, 6).alias("gap_s"),
+    )
+
+
+register(
+    "asof_next_purchase",
+    _asof_next_purchase,
+    # forward direction: DuckDB ASOF with '<' picks the EARLIEST
+    # right row strictly after the probe — the next-event join
+    """
+    SELECT v.event_id, v.user_id, v.ts,
+           p.ts AS next_purchase_ts,
+           p.event_id AS next_purchase_id,
+           round((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6)
+             AS gap_s
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND v.ts < p.ts
+    """,
+)

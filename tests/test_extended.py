@@ -418,3 +418,43 @@ def test_series_downsample_m4_parity(spark, duck):
     assert_parity(registry.queries()["series_downsample_m4"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["series_downsample_m4"])
+
+
+def test_asof_forward_semantics(spark):
+    """Every matched next-purchase strictly FOLLOWS its view and is
+    the earliest such purchase for that user; a planted same-instant
+    purchase must NOT match (strict >), and the nearest later one
+    must win over farther ones."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import asof
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    views = spark.createDataFrame(
+        [(1, 7, t), (2, 7, t + 10 * s), (3, 8, t)],
+        ["event_id", "user_id", "ts"])
+    purchases = spark.createDataFrame(
+        [(100, 7, t),            # same instant as view 1: must NOT match
+         (101, 7, t + 5 * s),    # nearest future for view 1
+         (102, 7, t + 20 * s),   # nearest future for view 2
+         (103, 9, t + 1 * s)],   # other user: never matches
+        ["p_id", "user_id", "p_ts"])
+    out = {r.event_id: r for r in asof.asof_join_forward(
+        views, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        right_cols=("p_ts", "p_id")).collect()}
+    assert out[1].next_p_id == 101   # strict: 100 at t excluded
+    assert out[2].next_p_id == 102
+    assert out[3].next_p_id is None  # user 8 has no purchases
+
+    full = registry.queries()["asof_next_purchase"](spark, SF_ORACLE)
+    rows = full.collect()
+    assert any(r.next_purchase_ts is not None for r in rows)
+    for r in rows[:200]:
+        if r.next_purchase_ts is not None:
+            assert r.next_purchase_ts > r.ts and r.gap_s > 0
+
+
+def test_asof_next_purchase_parity(spark, duck):
+    assert_parity(registry.queries()["asof_next_purchase"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["asof_next_purchase"])

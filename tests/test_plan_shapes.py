@@ -595,6 +595,9 @@ _FINGERPRINTS = {
     # AQE folds them to ONE at runtime (3 ReusedExchange, asserted
     # below); BHJs broadcast the |types|-row time bounds
     "series_downsample_m4": (9, 4, 0, 0),
+    # union-sort-carry: ONE shuffle on the join key, no join node —
+    # the same shape as the backward as-of
+    "asof_next_purchase": (1, 0, 0, 0),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
