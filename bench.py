@@ -174,6 +174,9 @@ HEADLINE = [
     "neyman_allocation_plan",
     "series_downsample_m4",
     "asof_next_purchase",
+    "er_name_pairs",
+    "er_blocking_report",
+    "er_name_clusters",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -181,7 +184,9 @@ HEADLINE = [
 # PLAN, not driver-side row materialization (VERDICT r4 minor #2).
 # Aggregate-shaped queries keep collect() — their outputs are tiny
 # and collect matches how a user actually consumes them.
-LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff"}
+LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff",
+                # ~16 typo-links per serial key: output is corpus-scale
+                "er_name_pairs"}
 
 # Queries whose BUILDER executes the real work (localCheckpoint
 # materialization, foreachBatch streaming): the build call must sit
@@ -203,7 +208,9 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # foreachBatch streaming guards run in the builder
                   "streaming_churn_guard", "streaming_heavy_hitters",
                   "streaming_bloom_guard",
-                  "streaming_expectations_guard"}
+                  "streaming_expectations_guard",
+                  # component_labels loops eagerly in the builder
+                  "er_name_clusters"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

@@ -1,0 +1,167 @@
+"""Entity resolution / record linkage: typo-tolerant matching of
+ID-like string keys (serial numbers, account names, SKUs) via
+per-position masking + edit-distance verify.
+
+The reference pipeline reconciles records across feeds by exact keys
+(/root/reference/scripts/transform_script join keys;
+/root/reference/monitoring/detectors/reconciliation_detector.py);
+this module adds the fuzzy counterpart a real ingest needs when the
+SAME entity arrives with a typo'd key. Design is pigeonhole
+blocking, the discipline already proven by dedup_simhash /
+multimodal_ahash_pairs: for edit distance ≤ 1 (substitution), mask
+each of the last ``window`` positions in turn — two keys that differ
+by one substitution inside the masked region share the key with THAT
+position masked, so recall is exact for the covered region, and a
+block's members pairwise differ only at the masked position, so
+block size is bounded by the alphabet at that position (loud cap
+beyond). Pair generation is bucket-grouped — no self-join node, one
+corpus Exchange — the same shape the sf1 scaling runs forced on the
+LSH path (operators/dedup.py:440-468).
+
+Scale: keys explode ``window``× (window is 2-4), blocks carry only
+(id, name) structs, pairs ≈ true matches (sharp blocks), and the
+verify is JVM-side ``levenshtein`` on already-paired rows. No stage
+is quadratic in the corpus; the quadratic danger (a flood of
+identical names) hits the loud cap with a collapse-first remedy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+#: marker for a masked position — outside every real key alphabet
+_MASK = "\x01"
+
+
+def _masked_keys(recs: DataFrame, window: int) -> DataFrame:
+    """(id, name, p, k): for p = 1..window (position from the END),
+    k = name with that position replaced by the mask marker. Keys
+    keep full length, so equal keys ⟹ equal name lengths ⟹ the
+    pair differs ONLY at the masked position (edit distance ≤ 1)."""
+    masks = F.array(*[
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), F.length("name") - p),
+            F.lit(_MASK),
+            F.substring(F.col("name"),
+                        F.length("name") - p + 2, F.lit(p - 1)),
+        )
+        for p in range(1, window + 1)
+    ])
+    return (
+        recs.select("id", "name", F.posexplode(masks).alias("pos", "k"))
+        .filter(F.length("name") > F.col("pos") + 1)
+        .select("id", "name",
+                (F.col("pos") + 1).cast("int").alias("p"), "k")
+    )
+
+
+def er_name_pairs(customer: DataFrame, window: int = 4,
+                  max_block: int = 256) -> DataFrame:
+    """Typo-linked id pairs over ``c_name``: both ids of every pair
+    whose normalized names are equal up to ONE substitution in the
+    last ``window`` positions (edit distance 0 means distinct ids
+    carrying the SAME name — the strongest linkage signal).
+
+    One corpus Exchange to blocks, in-bucket pair emission, one
+    dedup Exchange across the ``window`` key families, then
+    ``levenshtein`` verify on the paired rows only."""
+    recs = customer.select(F.col("c_custkey").alias("id"),
+                           F.lower(F.col("c_name")).alias("name"))
+    overflow = F.concat(
+        F.lit("er_name_pairs: block holds "),
+        F.size("mem").cast("string"),
+        F.lit(f" records (> max_block={max_block}) — a flood of"
+              " identical names makes in-block pairing quadratic;"
+              " collapse exact-duplicate names to one representative"
+              " first, or raise max_block"))
+    blocks = (
+        _masked_keys(recs, window)
+        .groupBy("p", "k")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "name")))
+              .alias("mem"))
+        .filter(F.size("mem") >= 2)
+        .filter(F.when(F.size("mem") > max_block,
+                       F.raise_error(overflow))
+                 .otherwise(F.lit(True)))
+    )
+    pairs = (
+        blocks
+        .select(F.explode("mem").alias("a"), "mem")
+        .select(F.col("a.id").alias("id_a"),
+                F.col("a.name").alias("name_a"),
+                F.explode(F.filter(
+                    "mem", lambda m: m["id"] > F.col("a.id")))
+                 .alias("b"))
+        .select("id_a", "name_a",
+                F.col("b.id").alias("id_b"),
+                F.col("b.name").alias("name_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("edit_distance",
+                    F.levenshtein("name_a", "name_b").cast("int"))
+        # masked-key equality already implies ≤ 1; the filter is the
+        # verify discipline (blocking recall ≠ precision contract)
+        .filter(F.col("edit_distance") <= 1)
+    )
+    return pairs.select("id_a", "id_b", "name_a", "name_b",
+                        "edit_distance").orderBy("id_a", "id_b")
+
+
+def er_blocking_report(customer: DataFrame,
+                       window: int = 4) -> DataFrame:
+    """Blocking-quality audit, one row per masked position: how many
+    non-trivial blocks each key family produces, the largest block,
+    and the candidate-pair budget Σ C(size, 2) — the number a
+    deployment watches to catch a quadratic blow-up BEFORE running
+    the pair stage (the same role lsh_precision_report plays for the
+    MinHash bands)."""
+    recs = customer.select(F.col("c_custkey").alias("id"),
+                           F.lower(F.col("c_name")).alias("name"))
+    return (
+        _masked_keys(recs, window)
+        .groupBy("p", "k")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_blocks"),
+             F.max("sz").alias("max_block_size"),
+             F.sum(F.expr("sz * (sz - 1) DIV 2"))
+              .alias("n_candidate_pairs"))
+        .select("p",
+                F.col("n_blocks").cast("bigint").alias("n_blocks"),
+                F.col("max_block_size").cast("bigint")
+                 .alias("max_block_size"),
+                F.col("n_candidate_pairs").cast("bigint")
+                 .alias("n_candidate_pairs"))
+        .orderBy("p")
+    )
+
+
+def er_name_clusters(customer: DataFrame, window: int = 2,
+                     max_iterations: int = 15) -> DataFrame:
+    """Transitive typo-clusters: connected components over the
+    er_name_pairs edge relation — records reachable through chains
+    of single-substitution links resolve to ONE entity with the min
+    id as keeper (what a linkage pipeline actually merges on).
+
+    Reuses the pointer-doubling component_labels core
+    (operators/dedup.py:948): O(log diameter) rounds, bounded edge
+    relation. Default window=2 keeps components alphabet-bounded
+    (members share all but the last two positions) so the oracle's
+    transitive closure stays linear in the corpus."""
+    edges = (
+        er_name_pairs(customer, window=window)
+        .select(F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"))
+    )
+    labels = dedup.component_labels(edges, max_iterations)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cluster_size"),
+             F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("cluster_size") > 1)
+        .select(F.col("label").alias("cluster_id"),
+                "cluster_size", "keeper_id")
+        .orderBy("cluster_id")
+    )

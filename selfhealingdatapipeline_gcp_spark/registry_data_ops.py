@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from selfhealingdatapipeline_gcp_spark import catalog
 from selfhealingdatapipeline_gcp_spark.operators import (
-    dedup, detectors, graph, multimodal, similarity, textanalysis)
+    dedup, detectors, er, graph, multimodal, similarity, textanalysis)
 from selfhealingdatapipeline_gcp_spark.registry import register
 from selfhealingdatapipeline_gcp_spark.streaming import monitors
 
@@ -3724,4 +3724,80 @@ register(
            doc_id, rank_bm25, rank_tfidf, rrf_e6
     FROM fused ORDER BY fused_rank
 """,
+)
+
+
+# ---------------------------------------------------------------------------
+# entity resolution / record linkage (operators/er.py)
+# ---------------------------------------------------------------------------
+
+def _er_keys_sql(window: int) -> str:
+    """Masked-key relation twin of er._masked_keys: for p = 1..window
+    (position from the end), the name with that position replaced by
+    chr(1) — equal keys ⟹ the two names differ only there."""
+    return f"""
+      SELECT id, name, CAST(u.p AS INT) AS p,
+             substr(name, 1, length(name) - u.p) || chr(1) ||
+             substr(name, length(name) - u.p + 2, u.p - 1) AS k
+      FROM (SELECT c_custkey AS id, lower(c_name) AS name
+            FROM customer) r,
+           LATERAL (SELECT unnest(range(1, {window + 1})) AS p) u
+      WHERE length(name) > u.p
+    """
+
+
+def _er_pair_core_sql(window: int) -> str:
+    """Distinct candidate pairs sharing any masked key (flat — no
+    WITH — so _cc_oracle can embed it as its base CTE)."""
+    return f"""
+      SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+                      b.id AS id_b, b.name AS name_b
+      FROM ({_er_keys_sql(window)}) a
+      JOIN ({_er_keys_sql(window)}) b
+        ON a.p = b.p AND a.k = b.k AND b.id > a.id
+    """
+
+
+register(
+    "er_name_pairs",
+    lambda spark, sf: er.er_name_pairs(*_t(spark, sf, "customer")),
+    f"""
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_distance
+    FROM ({_er_pair_core_sql(4)}) cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+
+
+register(
+    "er_blocking_report",
+    lambda spark, sf: er.er_blocking_report(*_t(spark, sf, "customer")),
+    f"""
+    WITH b AS (
+      SELECT p, k, count(*) AS sz
+      FROM ({_er_keys_sql(4)}) keys
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(max(sz) AS BIGINT) AS max_block_size,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM b GROUP BY p ORDER BY p
+    """,
+)
+
+
+register(
+    "er_name_clusters",
+    # iterative pointer doubling on the Spark side; the oracle walks
+    # the same single-substitution edge relation to exact components
+    # (window=2 keeps components alphabet-bounded, so the closure is
+    # linear in the corpus)
+    lambda spark, sf: er.er_name_clusters(*_t(spark, sf, "customer")),
+    f"""
+    SELECT cluster_id, cluster_size, keeper_doc_id AS keeper_id
+    FROM ({_cc_oracle(_er_pair_core_sql(2), a="id_a", b="id_b")}) c
+    ORDER BY cluster_id
+    """,
 )

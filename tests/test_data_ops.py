@@ -2071,3 +2071,87 @@ def test_hybrid_search_rrf_consistency(spark):
                    for rk in (r.rank_bm25, r.rank_tfidf)
                    if rk is not None)
         assert r.rrf_e6 == want
+
+
+# ---------------------------------------------------------------------------
+# entity resolution (operators/er.py)
+# ---------------------------------------------------------------------------
+
+def test_er_name_pairs_planted_typos(spark):
+    """Pigeonhole contract: every pair within one SUBSTITUTION in the
+    last-4 window links (including exact-duplicate names at distance
+    0, transitively across all masked positions); a two-substitution
+    pair and a head-of-string typo (outside the window) do NOT —
+    the documented recall boundary, not a bug."""
+    from selfhealingdatapipeline_gcp_spark.operators import er
+
+    cust = spark.createDataFrame(
+        [(1, "Acct#0001", 0, 0.0, "A"),
+         (2, "Acct#0002", 0, 0.0, "A"),   # last digit: dist 1
+         (3, "Acct#0100", 0, 0.0, "A"),   # two subs: no link
+         (4, "Acct#0001", 0, 0.0, "A"),   # exact dup name: dist 0
+         (5, "Acct#9001", 0, 0.0, "A"),   # 4th-from-end: dist 1
+         (6, "Acct#extra01", 0, 0.0, "A"),  # length differs: no link
+         (7, "Bcct#0001", 0, 0.0, "A")],  # head typo: outside window
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+         "c_mktsegment"])
+    got = {(r.id_a, r.id_b): r.edit_distance
+           for r in er.er_name_pairs(cust).collect()}
+    assert got == {(1, 2): 1, (1, 4): 0, (2, 4): 1,
+                   (1, 5): 1, (4, 5): 1}
+
+    # window=2 drops the p=4 links: {1,2,4} clusters, 5 stays out
+    clusters = er.er_name_clusters(cust, window=2).collect()
+    assert len(clusters) == 1
+    assert clusters[0].cluster_id == 1
+    assert clusters[0].cluster_size == 3
+    assert clusters[0].keeper_id == 1
+
+
+def test_er_name_pairs_block_cap_raises(spark):
+    """A flood of identical names must fail loudly BEFORE quadratic
+    pair emission (same discipline as the LSH bucket cap)."""
+    import pytest as _pytest
+    from selfhealingdatapipeline_gcp_spark.operators import er
+
+    cust = spark.createDataFrame(
+        [(i, "Same#0000", 0, 0.0, "A") for i in range(300)],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+         "c_mktsegment"])
+    with _pytest.raises(Exception, match="max_block"):
+        er.er_name_pairs(cust).collect()
+
+
+def test_er_name_pairs_parity(spark, duck):
+    assert_parity(registry.queries()["er_name_pairs"](spark, SF_ORACLE),
+                  duck, registry.oracle_sql()["er_name_pairs"])
+
+
+def test_er_blocking_report_parity(spark, duck):
+    assert_parity(registry.queries()["er_blocking_report"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["er_blocking_report"])
+
+
+def test_er_name_clusters_parity(spark, duck):
+    assert_parity(registry.queries()["er_name_clusters"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["er_name_clusters"])
+
+
+def test_er_clusters_consistent_with_pairs(spark):
+    """Every window=2 pair's endpoints resolve to the SAME cluster,
+    and every non-singleton cluster is pair-supported."""
+    from selfhealingdatapipeline_gcp_spark.operators import er
+
+    cust = registry._t(spark, SF_ORACLE, "customer")[0]
+    pairs = {(r.id_a, r.id_b)
+             for r in er.er_name_pairs(cust, window=2).collect()}
+    clusters = er.er_name_clusters(cust, window=2).collect()
+    # keeper invariant: keeper_id is the min member and doubles as
+    # the cluster id; all pair endpoints are covered by clusters
+    ids = {i for p in pairs for i in p}
+    assert sum(c.cluster_size for c in clusters) == len(ids)
+    keepers = {c.keeper_id for c in clusters}
+    assert all(c.keeper_id == c.cluster_id for c in clusters)
+    assert keepers <= ids

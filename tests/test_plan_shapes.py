@@ -598,6 +598,12 @@ _FINGERPRINTS = {
     # union-sort-carry: ONE shuffle on the join key, no join node —
     # the same shape as the backward as-of
     "asof_next_purchase": (1, 0, 0, 0),
+    # bucket-grouped masked-key blocking, NO self-join node: blocks
+    # groupBy + pair dedup + output sort; a Join appearing here means
+    # the pair stage regressed to the quadratic self-join form
+    "er_name_pairs": (3, 0, 0, 0),
+    # same masked-key relation collapsed to per-position counts
+    "er_blocking_report": (3, 0, 0, 0),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
