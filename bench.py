@@ -177,6 +177,7 @@ HEADLINE = [
     "er_name_pairs",
     "er_blocking_report",
     "er_name_clusters",
+    "forecast_backtest_report",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

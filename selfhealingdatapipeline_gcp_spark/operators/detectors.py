@@ -1307,3 +1307,98 @@ def revenue_changepoint(orders: DataFrame, min_seg: int = 7) -> DataFrame:
         .orderBy(F.desc("score_e6"), "changepoint_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-origin forecast backtest
+# ---------------------------------------------------------------------------
+
+#: EWMA weights as e6 integers, most-recent lag first (α = 0.3, 14
+#: lags). Integer literals — the oracle inlines the SAME numbers, so
+#: both engines compute identical sums; e6 (not e9) keeps the
+#: Σ(rev_c · w) accumulator inside int64 to ~sf1000 daily revenue.
+EWMA_W_E6 = [int(1e6 * 0.3 * 0.7 ** (j - 1)) for j in range(1, 15)]
+
+
+def forecast_backtest_report(orders: DataFrame) -> DataFrame:
+    """Rolling-origin backtest of four one-step-ahead forecasters on
+    daily revenue: naive (previous observation), seasonal-naive
+    (7 observations back — the reference's weekly-pattern prior,
+    revenue_detector.py:284-314 forecasts FORWARD with a trailing
+    mean; this measures which rule one should trust, backward), a
+    trailing-28 mean, and an EWMA(α=0.3, 14 lags). One row per
+    method: days evaluated, MAE, signed bias, MAPE — the evidence for
+    choosing revenue_forecast's method instead of assuming it.
+
+    Positions are OBSERVATION-indexed (trading-day convention): lag k
+    = k observations back, not k calendar days; calendar gaps are
+    freshness_check / missing_order_days territory. Every method is
+    scored on the SAME eval days (full 28-observation history) so the
+    comparison is apples-to-apples.
+
+    Scale: one shuffle to day grain, then a single ordered window
+    over the bounded O(days) relation and a 4-row aggregate. All
+    error accumulation is exact integers; means are floor-divided via
+    the pmod idiom (sum − sum mod n)/n — engine-exact, no doubles
+    until the final division of exactly-divisible ints."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.cents(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    # unpartitioned day-grain window: already collapsed to O(days)
+    # rows; trailing frames must see consecutive observations
+    # (same deliberate single-partition as revenue_anomaly)
+    w = Window.orderBy("d")
+    w28 = w.rowsBetween(-28, -1)
+
+    def _floordiv(num, den):
+        return ((num - F.pmod(num, den)) / den).cast("bigint")
+
+    ewma_num = None
+    for j, we in enumerate(EWMA_W_E6, start=1):
+        term = F.lag("rev_c", j).over(w) * F.lit(we)
+        ewma_num = term if ewma_num is None else ewma_num + term
+    wsum = F.lit(sum(EWMA_W_E6))
+    base = (
+        daily
+        .withColumn("n28", F.count("rev_c").over(w28))
+        .withColumn("fc_naive", F.lag("rev_c", 1).over(w))
+        .withColumn("fc_seasonal7", F.lag("rev_c", 7).over(w))
+        .withColumn("fc_trail28",
+                    _floordiv(F.sum("rev_c").over(w28), F.lit(28)))
+        .withColumn("fc_ewma", _floordiv(ewma_num, wsum))
+        # every method scored on the same eval days: full history
+        .filter(F.col("n28") == 28)
+    )
+    long = (
+        base.select(
+            "d", "rev_c",
+            F.explode(F.array(*[
+                F.struct(F.lit(m).alias("method"),
+                         F.col(c).cast("bigint").alias("fc"))
+                for m, c in [("naive_1", "fc_naive"),
+                             ("seasonal_7", "fc_seasonal7"),
+                             ("trailing_mean_28", "fc_trail28"),
+                             ("ewma_14", "fc_ewma")]
+            ])).alias("m"))
+        .select("d", "rev_c",
+                F.col("m.method").alias("method"),
+                F.col("m.fc").alias("fc"))
+        .withColumn("err_c", F.col("fc") - F.col("rev_c"))
+        .withColumn("abs_c", F.abs("err_c"))
+        .withColumn(
+            "ape_e6",
+            F.when(F.col("rev_c") > 0,
+                   _floordiv(F.col("abs_c") * F.lit(1_000_000),
+                             F.col("rev_c"))))
+    )
+    n = F.count(F.lit(1))
+    return (
+        long.groupBy("method")
+        .agg(n.alias("n_days"),
+             _floordiv(F.sum("abs_c"), n).alias("mae_cents"),
+             _floordiv(F.sum("err_c"), n).alias("bias_cents"),
+             _floordiv(F.sum("ape_e6"), F.count("ape_e6"))
+              .alias("mape_e6"))
+        .orderBy("method")
+    )

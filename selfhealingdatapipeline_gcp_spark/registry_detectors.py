@@ -1245,3 +1245,73 @@ register(
     FROM top ORDER BY rank
     """,
 )
+
+
+def _backtest_sql() -> str:
+    """Twin of detectors.forecast_backtest_report: same EWMA_W_E6
+    integer literals, same pmod floor-division idiom (DuckDB % is
+    sign-of-dividend, so the pmod is spelled ((x % n) + n) % n where
+    the numerator can be negative)."""
+    w = detectors.EWMA_W_E6
+    ewma_num = " + ".join(
+        f"lag(rev_c, {j}) OVER (ORDER BY d) * {we}"
+        for j, we in enumerate(w, start=1))
+    wsum = sum(w)
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT d, rev_c,
+             count(rev_c) OVER w28 AS n28,
+             lag(rev_c, 1) OVER (ORDER BY d) AS fc_naive,
+             lag(rev_c, 7) OVER (ORDER BY d) AS fc_seasonal7,
+             sum(rev_c) OVER w28 AS s28,
+             {ewma_num} AS enum
+      FROM daily
+      WINDOW w28 AS (ORDER BY d ROWS BETWEEN 28 PRECEDING
+                     AND 1 PRECEDING)
+    ), fc AS (
+      SELECT d, rev_c,
+             CAST(fc_naive AS BIGINT) AS fc_naive,
+             CAST(fc_seasonal7 AS BIGINT) AS fc_seasonal7,
+             CAST((s28 - (s28 % 28)) / 28 AS BIGINT) AS fc_trail28,
+             CAST((enum - (enum % {wsum})) / {wsum} AS BIGINT)
+               AS fc_ewma
+      FROM win WHERE n28 = 28
+    ), long AS (
+      SELECT rev_c, 'naive_1' AS method, fc_naive AS fc FROM fc
+      UNION ALL
+      SELECT rev_c, 'seasonal_7', fc_seasonal7 FROM fc
+      UNION ALL
+      SELECT rev_c, 'trailing_mean_28', fc_trail28 FROM fc
+      UNION ALL
+      SELECT rev_c, 'ewma_14', fc_ewma FROM fc
+    ), err AS (
+      SELECT method, fc - rev_c AS err_c, abs(fc - rev_c) AS abs_c,
+             CASE WHEN rev_c > 0 THEN CAST(
+               ((abs(fc - rev_c) * 1000000)
+                - ((abs(fc - rev_c) * 1000000) % rev_c)) / rev_c
+               AS BIGINT) END AS ape_e6
+      FROM long
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST((sum(abs_c) - (sum(abs_c) % count(*))) / count(*)
+                AS BIGINT) AS mae_cents,
+           CAST((sum(err_c)
+                 - (((sum(err_c) % count(*)) + count(*)) % count(*)))
+                / count(*) AS BIGINT) AS bias_cents,
+           CAST((sum(ape_e6) - (sum(ape_e6) % count(ape_e6)))
+                / count(ape_e6) AS BIGINT) AS mape_e6
+    FROM err GROUP BY method ORDER BY method
+    """
+
+
+register(
+    "forecast_backtest_report",
+    lambda spark, sf: detectors.forecast_backtest_report(
+        *_t(spark, sf, "orders")),
+    _backtest_sql(),
+)

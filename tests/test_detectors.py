@@ -591,3 +591,38 @@ def test_join_skew_advisor_parity(spark, duck):
     assert_parity(registry.queries()["join_skew_advisor"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["join_skew_advisor"])
+
+
+def test_forecast_backtest_fabricated_series(spark):
+    """40 days of constant $100 revenue with a $200 spike on the last
+    day: every method forecasts the constant exactly, so all error
+    mass comes from the spike — MAE floor(10000/12)=833, signed bias
+    floor(-10000/12)=-834 (FLOOR, not truncation — the negative case
+    is exactly where engines diverge), MAPE floor(500000/12)=41666."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [(i, 1, "O", 200.0 if i == 39 else 100.0,
+             dt.datetime.combine(d0 + dt.timedelta(days=i),
+                                 dt.time()), "1-URGENT")
+            for i in range(40)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"])
+    out = {r.method: r
+           for r in detectors.forecast_backtest_report(orders).collect()}
+    assert set(out) == {"naive_1", "seasonal_7", "trailing_mean_28",
+                        "ewma_14"}
+    for m, r in out.items():
+        assert r.n_days == 12, m          # obs 29..40 have full history
+        assert r.mae_cents == 833, m
+        assert r.bias_cents == -834, m    # floor(-10000/12)
+        assert r.mape_e6 == 41666, m
+
+
+def test_forecast_backtest_parity(spark, duck):
+    from conftest import assert_parity
+    assert_parity(
+        registry.queries()["forecast_backtest_report"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["forecast_backtest_report"])

@@ -604,6 +604,9 @@ _FINGERPRINTS = {
     "er_name_pairs": (3, 0, 0, 0),
     # same masked-key relation collapsed to per-position counts
     "er_blocking_report": (3, 0, 0, 0),
+    # one day-grain collapse + the single-partition ordered window;
+    # the 4-method explode and final agg ride the same tiny relation
+    "forecast_backtest_report": (2, 0, 0, 0),
     # two unrolled LPA rounds on the checkpointed O(k·n) edge leaf:
     # per round one edges⋈labels join + one (node,label) vote agg;
     # joins broadcast at tiny SF (SMJ on node at scale is fine —
