@@ -178,6 +178,10 @@ HEADLINE = [
     "er_blocking_report",
     "er_name_clusters",
     "forecast_backtest_report",
+    "k_anonymity_audit",
+    "fk_orphan_audit",
+    "boilerplate_removal_report",
+    "series_sax_symbols",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -989,3 +989,82 @@ def neyman_allocation_plan(events: DataFrame, sample_budget: int = 10_000
              .alias("alloc_proportional"))
         .orderBy("event_type")
     )
+
+
+def boilerplate_removal_report(documents: DataFrame,
+                               seg_tokens: int = 8,
+                               min_count: int = 3) -> DataFrame:
+    """C4/CCNet-style boilerplate removal plan at SEGMENT grain:
+    partition every document into disjoint ``seg_tokens``-token
+    segments, count each segment's exact recurrence across the WHOLE
+    corpus, and mark segments occurring ``min_count``+ times as
+    boilerplate (navigation chrome, license headers, cookie banners —
+    the text that recurs verbatim across otherwise-distinct pages).
+    Output per source: docs, affected docs, total vs boilerplate
+    tokens, floor-e6 boilerplate rate, flagged-segment instances —
+    the measured cost of the cleanup BEFORE committing to it, the way
+    C4 reports its line-level filter. chunk_dedup_exact lists the
+    recurring windows themselves; this prices their removal.
+
+    Scale shape: one explode to segment grain, one hash-groupBy whose
+    shuffle carries 32-char digests + counts (never text), one
+    digest equi-join back (SMJ on digests at scale — the boilerplate
+    set is corpus-dependent, so no broadcast is assumed), then doc-
+    and source-grain aggregates. Segment lengths partition each
+    token list exactly, so Σseg_len reproduces token totals with no
+    second tokenize pass. Empty docs emit no segments; the per-source
+    doc count comes from a separate source-grain aggregate (tiny)
+    joined back, so they still count in n_docs."""
+    d = documents.select(
+        "doc_id", "source", textfn.tokens("text").alias("t"))
+    d = d.select("doc_id", "source", "t",
+                 F.size("t").cast("bigint").alias("nt"))
+    n_seg = F.floor((F.col("nt") + (seg_tokens - 1))
+                    / F.lit(float(seg_tokens))).cast("bigint")
+    seg = d.filter(F.col("nt") > 0).select(
+        "doc_id", "source", "t", "nt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             n_seg - 1)).alias("g"))
+    s = F.col("g") * seg_tokens
+    e = F.least(s + seg_tokens, F.col("nt"))
+    seg = seg.select(
+        "doc_id", "source",
+        (e - s).cast("bigint").alias("seg_len"),
+        F.md5(F.concat_ws(
+            " ", F.slice("t", (s + 1).cast("int"),
+                         (e - s).cast("int")))).alias("h"))
+    counts = seg.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    flagged = seg.join(counts, "h").withColumn(
+        "bp", (F.col("c") >= min_count).cast("bigint"))
+    per_doc = flagged.groupBy("source", "doc_id").agg(
+        F.sum("seg_len").cast("bigint").alias("tok"),
+        F.sum(F.col("seg_len") * F.col("bp")).cast("bigint")
+         .alias("bp_tok"),
+        F.max("bp").cast("bigint").alias("affected"),
+        F.sum("bp").cast("bigint").alias("n_bp_seg"))
+    per_src = per_doc.groupBy("source").agg(
+        F.sum("affected").cast("bigint").alias("n_docs_affected"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum("bp_tok").cast("bigint").alias("boilerplate_tokens"),
+        F.sum("n_bp_seg").cast("bigint").alias("n_boilerplate_segments"))
+    docs_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        docs_src.join(per_src, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce("n_docs_affected", F.lit(0)).cast("bigint")
+             .alias("n_docs_affected"),
+            F.coalesce("total_tokens", F.lit(0)).cast("bigint")
+             .alias("total_tokens"),
+            F.coalesce("boilerplate_tokens", F.lit(0)).cast("bigint")
+             .alias("boilerplate_tokens"),
+            F.floor(F.coalesce("boilerplate_tokens", F.lit(0)) * 1_000_000
+                    / F.greatest(F.lit(1),
+                                 F.coalesce("total_tokens", F.lit(0))))
+             .cast("bigint").alias("boilerplate_rate_e6"),
+            F.coalesce("n_boilerplate_segments", F.lit(0)).cast("bigint")
+             .alias("n_boilerplate_segments"))
+        .orderBy("source")
+    )

@@ -1402,3 +1402,85 @@ def forecast_backtest_report(orders: DataFrame) -> DataFrame:
               .alias("mape_e6"))
         .orderBy("method")
     )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of the daily-revenue series
+# ---------------------------------------------------------------------------
+
+#: N(0,1) equal-probability breakpoints for alphabet size 4, e6 ints
+#: (Lin/Keogh SAX): P(z < -0.6745) = P(-0.6745..0) = ... = 1/4.
+SAX_BREAKPOINTS_E6 = (-674_500, 0, 674_500)
+
+
+def series_sax_symbols(orders: DataFrame,
+                       paa_window: int = 7) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin & Keogh 2003)
+    symbolization of daily revenue: PAA-average the series over
+    disjoint ``paa_window``-observation windows, z-normalize against
+    the WHOLE series, and classify each window into a 4-letter
+    alphabet at the N(0,1) equal-probability breakpoints ±0.6745/0.
+    The output string is the motif/novelty substrate: repeated
+    symbol runs = recurring weekly regimes, a never-seen window
+    symbol = a shape anomaly that per-day z-detectors (revenue_anomaly)
+    and level-shift detectors (revenue_changepoint) don't name.
+
+    Determinism follows the revenue_anomaly discipline: daily cents →
+    $100 units by integer floor-division (keeps Σx² inside int64 to
+    ~sf300; past that ``money.set_decimal_mode`` widens BOTH
+    accumulators), exact integer sums, doubles only in the final
+    expression-mirrored z computation, symbol from the FLOORED e6
+    z — both engines bucket identical integers. Windows are
+    observation-indexed (trading-day convention, as
+    forecast_backtest_report).
+
+    Scale: one day-grain shuffle; the single-partition ordered window
+    rides the bounded O(days) relation (deliberate, as every series
+    detector here); stats broadcast as a 1-row anchor."""
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(money.acc(money.cents(F.col("o_totalprice"))))
+              .alias("rev_c"))
+    )
+    rev_usd = ((F.col("rev_c") - F.pmod("rev_c", 100)) / 100).cast("bigint")
+    daily = daily.select("d", rev_usd.alias("rev_usd"))
+    rev_h = ((F.col("rev_usd") - F.pmod("rev_usd", 100)) / 100).cast("bigint")
+    daily = daily.select("d", rev_h.alias("rev_h"))
+    w = Window.orderBy("d")
+    per_win = (
+        daily
+        .withColumn("win_idx",
+                    F.floor((F.row_number().over(w) - 1)
+                            / F.lit(float(paa_window))).cast("bigint"))
+        .groupBy("win_idx")
+        .agg(F.min("d").alias("start_day"),
+             F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+             F.sum(money.acc(F.col("rev_h"))).alias("p_h"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(money.acc(F.col("rev_h"))).alias("s_h"),
+        money.sum_sq(F.col("rev_h")).alias("q_h"))
+    nd = F.col("n").cast("double")
+    sd = F.col("s_h").cast("double")
+    qd = F.col("q_h").cast("double")
+    mean = sd / nd
+    sigma = F.sqrt(F.greatest((qd - sd * sd / nd) / nd, F.lit(0.0)))
+    paa = F.col("p_h").cast("double") / F.col("n_obs").cast("double")
+    z = F.when(sigma > 0, (paa - mean) / sigma).otherwise(F.lit(0.0))
+    lo, mid, hi = SAX_BREAKPOINTS_E6
+    out = (
+        per_win.crossJoin(F.broadcast(stats))
+        .withColumn("z_e6", F.floor(z * 1_000_000).cast("bigint"))
+        .select(
+            "win_idx", "start_day", "n_obs",
+            ((F.col("p_h") - F.pmod("p_h", F.col("n_obs")))
+             / F.col("n_obs")).cast("bigint").alias("paa_h"),
+            "z_e6",
+            F.when(F.col("z_e6") < lo, F.lit("a"))
+             .when(F.col("z_e6") < mid, F.lit("b"))
+             .when(F.col("z_e6") < hi, F.lit("c"))
+             .otherwise(F.lit("d")).alias("symbol"))
+        .orderBy("win_idx")
+    )
+    return out

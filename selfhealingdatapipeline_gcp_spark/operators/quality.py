@@ -632,3 +632,97 @@ def join_skew_advisor(events: DataFrame, orders: DataFrame,
              .alias("salt_factor"))
         .orderBy("rank")
     )
+
+
+def k_anonymity_audit(customer: DataFrame,
+                      thresholds: tuple[int, ...] = (2, 5, 10, 25)
+                      ) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance kilobucket): for each
+    privacy threshold k, how many QI equivalence classes — and how
+    many ROWS — sit in classes smaller than k, i.e. are
+    re-identifiable below that k. The pre-release privacy gate for
+    shipping customer-derived training data (Sweeney's k-anonymity;
+    same compliance family as takedown_manifest / pii_redact —
+    reference parity: the reference ships raw BigQuery rows with no
+    privacy QC at all, scripts/transform_script:11-24).
+
+    One QI-grain aggregate (map-side partials; the shuffle carries QI
+    tuples + counts, never rows), then one conditional aggregation
+    over the bounded class-size relation with every threshold
+    computed in the SAME pass and stacked to long format — class
+    sizes are never re-shuffled per threshold. Rates are floor-e6
+    integers; everything engine-exact.
+
+    Scale: the class-size relation is |distinct QI| rows — bounded by
+    the QI domain, not the corpus; at 100 TB this is the same shape
+    as key_skew_profile (aggregate, then tiny)."""
+    sizes = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+             .alias("qi_balance_kb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows")]
+    for k in thresholds:
+        below = (F.col("n") < k).cast("bigint")
+        aggs += [F.sum(below).cast("bigint").alias(f"g{k}"),
+                 F.sum(below * F.col("n")).cast("bigint").alias(f"r{k}")]
+    wide = sizes.agg(*aggs)
+    stack = ", ".join(f"{k}, `g{k}`, `r{k}`" for k in thresholds)
+    return (
+        wide.selectExpr(
+            "n_groups", "n_rows",
+            f"stack({len(thresholds)}, {stack}) "
+            "AS (k, n_groups_below_k, n_rows_below_k)")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_groups", "n_rows", "n_groups_below_k", "n_rows_below_k",
+            F.floor(F.col("n_rows_below_k") * 1_000_000 / F.col("n_rows"))
+             .cast("bigint").alias("at_risk_rate_e6"))
+        .orderBy("k")
+    )
+
+
+def fk_orphan_audit(edges: list[tuple[DataFrame, str, str,
+                                      DataFrame, str, str]]) -> DataFrame:
+    """Referential-integrity audit: one row per foreign-key edge
+    (child_table.fk_col → parent_table.pk_col) with the child row
+    count, the orphan count (child rows whose FK matches no parent
+    key), and the orphan rate. completeness_check covers the single
+    orders→customer edge inline; this walks the WHOLE declared
+    schema graph in one result — the post-load gate that catches a
+    partial dimension load before any join silently drops fact rows
+    (reference parity: the reference trusts BigQuery to hold
+    integrity it never declares, scripts/transform_script:11-24).
+
+    Per edge: the parent side collapses to DISTINCT keys first (for
+    dims that relation broadcasts; for a fact→fact edge like
+    lineitem→orders it shuffles keys only — never parent payloads),
+    then a left join + one conditional aggregate on the child. The
+    per-edge 1-row aggregates union into the report; Spark runs the
+    union's legs independently — no cross-edge barrier."""
+    reports = []
+    for child, child_name, fk, parent, parent_name, pk in edges:
+        pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+        rep = (
+            child.select(F.col(fk).alias("__fk"))
+            .join(pkeys, F.col("__fk") == F.col("__pk"), "left")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+                 F.sum(F.col("__pk").isNull().cast("bigint"))
+                  .cast("bigint").alias("n_orphans"))
+            .select(
+                F.lit(child_name).alias("child_table"),
+                F.lit(fk).alias("fk_col"),
+                F.lit(parent_name).alias("parent_table"),
+                "n_child_rows", "n_orphans",
+                F.floor(F.col("n_orphans") * 1_000_000
+                        / F.greatest(F.lit(1), F.col("n_child_rows")))
+                 .cast("bigint").alias("orphan_rate_e6")))
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("child_table", "fk_col")

@@ -776,3 +776,68 @@ register(
     FROM w, t ORDER BY event_type
     """,
 )
+
+
+register(
+    "boilerplate_removal_report",
+    # disjoint 8-token segments recurring >=3 times across the corpus
+    # = boilerplate; per-source removal cost (operators/dataprep.py
+    # boilerplate_removal_report)
+    lambda spark, sf: dataprep.boilerplate_removal_report(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS t FROM documents
+    ), base AS (
+      SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS nt FROM d
+    ), seg0 AS (
+      SELECT doc_id, source, t, nt,
+             unnest(range(0, CAST(floor((nt + 7) / 8.0) AS BIGINT)))
+               AS g
+      FROM base WHERE nt > 0
+    ), seg AS (
+      SELECT doc_id, source,
+             CAST(least(g * 8 + 8, nt) - g * 8 AS BIGINT) AS seg_len,
+             md5(array_to_string(
+               list_slice(t, g * 8 + 1, least(g * 8 + 8, nt)), ' '))
+               AS h
+      FROM seg0
+    ), counts AS (
+      SELECT h, CAST(count(*) AS BIGINT) AS c FROM seg GROUP BY h
+    ), flagged AS (
+      SELECT seg.doc_id, seg.source, seg.seg_len,
+             CASE WHEN c >= 3 THEN 1 ELSE 0 END AS bp
+      FROM seg JOIN counts USING (h)
+    ), per_doc AS (
+      SELECT source, doc_id,
+             CAST(sum(seg_len) AS BIGINT) AS tok,
+             CAST(sum(seg_len * bp) AS BIGINT) AS bp_tok,
+             CAST(max(bp) AS BIGINT) AS affected,
+             CAST(sum(bp) AS BIGINT) AS n_bp_seg
+      FROM flagged GROUP BY 1, 2
+    ), per_src AS (
+      SELECT source,
+             CAST(sum(affected) AS BIGINT) AS n_docs_affected,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(sum(bp_tok) AS BIGINT) AS boilerplate_tokens,
+             CAST(sum(n_bp_seg) AS BIGINT) AS n_boilerplate_segments
+      FROM per_doc GROUP BY 1
+    ), docs_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT ds.source, ds.n_docs,
+           CAST(coalesce(n_docs_affected, 0) AS BIGINT)
+             AS n_docs_affected,
+           CAST(coalesce(total_tokens, 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(boilerplate_tokens, 0) AS BIGINT)
+             AS boilerplate_tokens,
+           CAST(floor(coalesce(boilerplate_tokens, 0) * 1000000.0
+                      / greatest(1, coalesce(total_tokens, 0)))
+                AS BIGINT) AS boilerplate_rate_e6,
+           CAST(coalesce(n_boilerplate_segments, 0) AS BIGINT)
+             AS n_boilerplate_segments
+    FROM docs_src ds LEFT JOIN per_src ps ON ds.source = ps.source
+    ORDER BY ds.source
+    """,
+)

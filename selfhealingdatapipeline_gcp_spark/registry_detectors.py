@@ -1315,3 +1315,154 @@ register(
         *_t(spark, sf, "orders")),
     _backtest_sql(),
 )
+
+
+_KA_THRESHOLDS = (2, 5, 10, 25)
+_KA_STACK = "\n      UNION ALL\n      ".join(
+    f"SELECT {k} AS k, g{k} AS n_groups_below_k, r{k} AS n_rows_below_k, "
+    "n_groups, n_rows FROM w" for k in _KA_THRESHOLDS)
+_KA_AGGS = ",\n        ".join(
+    f"CAST(count(*) FILTER (n < {k}) AS BIGINT) AS g{k}, "
+    f"CAST(coalesce(sum(n) FILTER (n < {k}), 0) AS BIGINT) AS r{k}"
+    for k in _KA_THRESHOLDS)
+register(
+    "k_anonymity_audit",
+    # QI-class sizes in one aggregate, every threshold in the same
+    # pass over the bounded class-size relation (operators/quality.py
+    # k_anonymity_audit)
+    lambda spark, sf: quality.k_anonymity_audit(
+        *_t(spark, sf, "customer")),
+    f"""
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS kb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ), w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+        {_KA_AGGS}
+      FROM sizes
+    ), long AS (
+      {_KA_STACK}
+    )
+    SELECT CAST(k AS INT) AS k, n_groups, n_rows,
+           n_groups_below_k, n_rows_below_k,
+           CAST(floor(n_rows_below_k * 1000000.0 / n_rows) AS BIGINT)
+             AS at_risk_rate_e6
+    FROM long ORDER BY k
+    """,
+)
+
+
+#: the declared FK graph of the driver schema — child table, fk col,
+#: parent table, pk col (TPC-H edges + events→customer)
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_audit_spark(spark, sf):
+    edges = []
+    for child, fk, parent, pk in FK_EDGES:
+        c, p = _t(spark, sf, child, parent)
+        edges.append((c, child, fk, p, parent, pk))
+    return quality.fk_orphan_audit(edges)
+
+
+_FK_UNION = "\n      UNION ALL\n      ".join(
+    f"""SELECT '{child}' AS child_table, '{fk}' AS fk_col,
+             '{parent}' AS parent_table,
+             CAST(count(*) AS BIGINT) AS n_child_rows,
+             CAST(sum(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphans
+      FROM {child} c LEFT JOIN
+        (SELECT DISTINCT {pk} AS __pk FROM {parent}) p
+        ON c.{fk} = p.__pk"""
+    for child, fk, parent, pk in FK_EDGES)
+register(
+    "fk_orphan_audit",
+    # whole-schema referential-integrity report: one row per FK edge
+    # (operators/quality.py fk_orphan_audit)
+    _fk_audit_spark,
+    f"""
+    WITH legs AS (
+      {_FK_UNION}
+    )
+    SELECT child_table, fk_col, parent_table, n_child_rows, n_orphans,
+           CAST(floor(n_orphans * 1000000.0
+                      / greatest(1, n_child_rows)) AS BIGINT)
+             AS orphan_rate_e6
+    FROM legs ORDER BY child_table, fk_col
+    """,
+)
+
+
+register(
+    "series_sax_symbols",
+    # SAX symbolization of daily revenue (operators/detectors.py
+    # series_sax_symbols): PAA over 7-observation windows, whole-series
+    # z-normalization, 4-letter alphabet at +-0.6745/0 — expression-
+    # mirrored doubles, symbols bucketed on the FLOORED e6 z
+    lambda spark, sf: detectors.series_sax_symbols(
+        *_t(spark, sf, "orders")),
+    """
+    WITH daily0 AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ), daily1 AS (
+      SELECT d, CAST((rev_c - (rev_c % 100)) / 100 AS BIGINT) AS rev_usd
+      FROM daily0
+    ), daily AS (
+      SELECT d, CAST((rev_usd - (rev_usd % 100)) / 100 AS BIGINT) AS rev_h
+      FROM daily1
+    ), idx AS (
+      SELECT d, rev_h,
+             CAST(floor((row_number() OVER (ORDER BY d) - 1) / 7.0)
+                  AS BIGINT) AS win_idx
+      FROM daily
+    ), per_win AS (
+      SELECT win_idx, min(d) AS start_day,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(rev_h) AS BIGINT) AS p_h
+      FROM idx GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev_h) AS BIGINT) AS s_h,
+             CAST(sum(rev_h * rev_h) AS BIGINT) AS q_h
+      FROM daily
+    ), z AS (
+      SELECT win_idx, start_day, n_obs, p_h,
+             CASE WHEN sqrt(greatest(
+                    (CAST(q_h AS DOUBLE)
+                     - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+                    0.0)) > 0
+                  THEN (CAST(p_h AS DOUBLE) / CAST(n_obs AS DOUBLE)
+                        - CAST(s_h AS DOUBLE) / CAST(n AS DOUBLE))
+                       / sqrt(greatest(
+                           (CAST(q_h AS DOUBLE)
+                            - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE),
+                           0.0))
+                  ELSE 0.0 END AS zval
+      FROM per_win, stats
+    )
+    SELECT win_idx, start_day, n_obs,
+           CAST((p_h - (p_h % n_obs)) / n_obs AS BIGINT) AS paa_h,
+           CAST(floor(zval * 1000000) AS BIGINT) AS z_e6,
+           CASE WHEN floor(zval * 1000000) < -674500 THEN 'a'
+                WHEN floor(zval * 1000000) < 0 THEN 'b'
+                WHEN floor(zval * 1000000) < 674500 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z ORDER BY win_idx
+    """,
+)

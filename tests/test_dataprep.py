@@ -495,3 +495,36 @@ def test_neyman_allocation_plan_parity(spark, duck):
     assert_parity(registry.queries()["neyman_allocation_plan"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["neyman_allocation_plan"])
+
+
+def test_boilerplate_fabricated_corpus(spark):
+    """4 docs in one source: a 8-token banner prefixes three of them
+    (count 3 = boilerplate at min_count=3); the tails are unique.
+    Doc 3 is the banner alone; doc 4 is 4 unique tokens; an empty-text
+    doc still counts in n_docs. Segment grain is DISJOINT 8-token
+    windows, so the banner occupies exactly segment 0 of its docs."""
+    banner = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, banner + " " + " ".join(f"x{i}" for i in range(8)), "en", "s1", 0),
+        (2, banner + " " + " ".join(f"y{i}" for i in range(8)), "en", "s1", 0),
+        (3, banner, "en", "s1", 0),
+        (4, "u1 u2 u3 u4", "en", "s1", 0),
+        (5, "", "en", "s1", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = dataprep.boilerplate_removal_report(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5
+    assert r.n_docs_affected == 3
+    assert r.total_tokens == 8 + 8 + 8 + 8 + 8 + 4   # 44
+    assert r.boilerplate_tokens == 24                # 3 banner segments
+    assert r.n_boilerplate_segments == 3
+    assert r.boilerplate_rate_e6 == 545_454          # floor(24e6/44)
+
+
+def test_boilerplate_parity(spark, duck):
+    assert_parity(
+        registry.queries()["boilerplate_removal_report"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["boilerplate_removal_report"])

@@ -626,3 +626,105 @@ def test_forecast_backtest_parity(spark, duck):
     assert_parity(
         registry.queries()["forecast_backtest_report"](spark, SF_ORACLE),
         duck, registry.oracle_sql()["forecast_backtest_report"])
+
+
+def test_k_anonymity_fabricated_groups(spark):
+    """3 QI classes of sizes 1, 3, 6: k=2 flags the singleton (1 row),
+    k=5 flags sizes 1+3 (4 rows), k=10/25 flag all (10 rows)."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    rows = ([(i, "c", 0, 100.0, "SEG_A") for i in range(1)]
+            + [(10 + i, "c", 0, 2100.0, "SEG_A") for i in range(3)]
+            + [(20 + i, "c", 1, 100.0, "SEG_B") for i in range(6)])
+    cust = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+               "c_mktsegment"])
+    out = {r.k: r for r in quality.k_anonymity_audit(cust).collect()}
+    assert set(out) == {2, 5, 10, 25}
+    for r in out.values():
+        assert r.n_groups == 3 and r.n_rows == 10
+    assert (out[2].n_groups_below_k, out[2].n_rows_below_k) == (1, 1)
+    assert (out[5].n_groups_below_k, out[5].n_rows_below_k) == (2, 4)
+    assert (out[10].n_groups_below_k, out[10].n_rows_below_k) == (3, 10)
+    assert out[2].at_risk_rate_e6 == 100_000      # floor(1e6/10)
+    assert out[10].at_risk_rate_e6 == 1_000_000
+
+
+def test_k_anonymity_parity(spark, duck):
+    assert_parity(
+        registry.queries()["k_anonymity_audit"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["k_anonymity_audit"])
+
+
+def test_fk_orphan_fabricated_edges(spark):
+    """Two edges, one with 2 of 5 child rows orphaned, one clean —
+    and a duplicate parent key that must NOT double-count matches."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    child = spark.createDataFrame(
+        [(i, i % 5) for i in range(5)], ["id", "fk"])
+    # parent holds keys 0,1,2 with key 1 duplicated
+    parent = spark.createDataFrame(
+        [(0,), (1,), (1,), (2,)], ["pk"])
+    out = quality.fk_orphan_audit([
+        (child, "child", "fk", parent, "parent", "pk"),
+        (child, "child", "id", child, "child", "id"),
+    ]).collect()
+    by_edge = {(r.child_table, r.fk_col): r for r in out}
+    orphaned = by_edge[("child", "fk")]
+    assert orphaned.n_child_rows == 5          # dup parent key: still 5
+    assert orphaned.n_orphans == 2             # fks 3 and 4
+    assert orphaned.orphan_rate_e6 == 400_000
+    clean = by_edge[("child", "id")]
+    assert clean.n_orphans == 0 and clean.orphan_rate_e6 == 0
+
+
+def test_fk_orphan_parity(spark, duck):
+    assert_parity(
+        registry.queries()["fk_orphan_audit"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["fk_orphan_audit"])
+
+
+def test_sax_fabricated_two_level_series(spark):
+    """28 days: $100/day for 14, $500/day for 14 → rev_h ∈ {1, 5},
+    mean 3, population σ 2, so the four 7-day PAA windows z to
+    exactly -1, -1, +1, +1 → symbols a, a, d, d."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    d0 = dt.date(2024, 3, 1)
+    rows = [(i, 1, "O", 100.0 if i < 14 else 500.0,
+             dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time()),
+             "1-URGENT")
+            for i in range(28)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"])
+    out = detectors.series_sax_symbols(orders).collect()
+    assert [r.symbol for r in out] == ["a", "a", "d", "d"]
+    assert [r.n_obs for r in out] == [7, 7, 7, 7]
+    assert [r.paa_h for r in out] == [1, 1, 5, 5]
+    assert out[0].z_e6 == -1_000_000 and out[3].z_e6 == 1_000_000
+
+
+def test_sax_constant_series_is_all_c(spark):
+    """Zero variance → the σ=0 guard pins z to 0 → symbol 'c'."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    d0 = dt.date(2024, 3, 1)
+    rows = [(i, 1, "O", 250.0,
+             dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time()),
+             "1-URGENT") for i in range(10)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"])
+    out = detectors.series_sax_symbols(orders).collect()
+    assert len(out) == 2 and {r.symbol for r in out} == {"c"}
+    assert {r.z_e6 for r in out} == {0}
+
+
+def test_sax_parity(spark, duck):
+    assert_parity(
+        registry.queries()["series_sax_symbols"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["series_sax_symbols"])

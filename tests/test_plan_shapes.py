@@ -640,6 +640,17 @@ _FINGERPRINTS = {
     # (type,cent) map-side collapse, per-type cumulative window over
     # distinct cents, broadcast mid/total joins
     "quality_drift_ks": (7, 3, 0, 0),
+    # QI-class collapse + one wide agg; thresholds stack shuffle-free
+    "k_anonymity_audit": (2, 0, 0, 0),
+    # 8 FK edges × (parent distinct + child agg); parent-key joins
+    # broadcast at tiny SF (fact→fact edges go SMJ at scale)
+    "fk_orphan_audit": (16, 8, 0, 0),
+    # segment explode + digest groupBy + digest join-back (BHJ at
+    # tiny SF, SMJ on 32-char digests at scale), doc+source aggs
+    "boilerplate_removal_report": (5, 2, 0, 0),
+    # day-grain collapse + single-partition index window + window
+    # agg; the BNLJ is the 1-row whole-series stats anchor
+    "series_sax_symbols": (4, 0, 0, 1),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
