@@ -182,6 +182,7 @@ HEADLINE = [
     "fk_orphan_audit",
     "boilerplate_removal_report",
     "series_sax_symbols",
+    "cdc_incremental_agg",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

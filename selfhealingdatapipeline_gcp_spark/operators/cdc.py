@@ -201,3 +201,69 @@ def churn_from_version_counts(per_key: DataFrame) -> DataFrame:
         )
         .orderBy("n_versions")
     )
+
+
+def incremental_agg_maintain(view_old: DataFrame,
+                             minus: DataFrame, plus: DataFrame,
+                             new: DataFrame,
+                             group_col: str,
+                             amount_col: str) -> DataFrame:
+    """Incremental view maintenance of a (count, money-sum) aggregate
+    under a CDC log, SELF-VERIFIED against full recomputation: the
+    maintained view = old-snapshot aggregate + signed delta from the
+    log's old-images (``minus``) and new-images (``plus``); the
+    ``matches`` flag compares it per group against recomputing from
+    the new snapshot. At 100 TB this is the difference between
+    touching the delta (minutes) and rescanning the fact table
+    (hours) every refresh — and the flag is the trust gate an IVM
+    deployment runs on a sampled grain before it retires the
+    recompute job. Classic change-propagation for distributive
+    aggregates (count/sum propagate; min/max would need the log to
+    carry group maxima — deliberately out of scope here).
+
+    All four inputs aggregate INDEPENDENTLY at group grain (map-side
+    partials, shuffles carry group keys + two int64s); the maintained
+    view is two bounded full-outer joins over group-grain relations,
+    the verification one more. Money flows as exact integer cents —
+    maintained-vs-recomputed equality is bit-exact, never a tolerance.
+    Groups that vanish entirely (all rows deleted) survive as zero
+    rows rather than disappearing, so a recomputed-side absence still
+    compares (0 == absent-coalesced-0) instead of dropping the row."""
+    from selfhealingdatapipeline_gcp_spark.functions import money
+
+    def agg(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return (df.groupBy(F.col(group_col).alias("g"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias(n_name),
+                     F.sum(money.acc(money.cents(F.col(amount_col))))
+                      .cast("bigint").alias(c_name)))
+
+    base = agg(view_old, "n_old", "c_old")
+    dm = agg(minus, "n_minus", "c_minus")
+    dp = agg(plus, "n_plus", "c_plus")
+    maintained = (
+        base.join(dm, "g", "full_outer").join(dp, "g", "full_outer")
+        .select(
+            "g",
+            (F.coalesce("n_old", F.lit(0)) - F.coalesce("n_minus", F.lit(0))
+             + F.coalesce("n_plus", F.lit(0))).cast("bigint").alias("n_rows"),
+            (F.coalesce("c_old", F.lit(0)) - F.coalesce("c_minus", F.lit(0))
+             + F.coalesce("c_plus", F.lit(0))).cast("bigint")
+             .alias("amount_cents")))
+    rec = agg(new, "n_rec", "c_rec")
+    return (
+        maintained.join(rec, "g", "full_outer")
+        .select(
+            F.col("g").alias(group_col),
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce("amount_cents", F.lit(0)).cast("bigint")
+             .alias("amount_cents"),
+            F.coalesce("n_rec", F.lit(0)).cast("bigint")
+             .alias("n_rows_recomputed"),
+            F.coalesce("c_rec", F.lit(0)).cast("bigint")
+             .alias("amount_cents_recomputed"),
+            ((F.coalesce("n_rows", F.lit(0))
+              == F.coalesce("n_rec", F.lit(0)))
+             & (F.coalesce("amount_cents", F.lit(0))
+                == F.coalesce("c_rec", F.lit(0)))).alias("matches"))
+        .orderBy(group_col)
+    )

@@ -1246,3 +1246,87 @@ register(
       ON v.user_id = p.user_id AND v.ts < p.ts
     """,
 )
+
+
+def _ivm_inputs(spark, sf):
+    """Fabricated CDC episode over orders, day grain: deletes
+    (k%13==0), inserts (k%10==0), price updates +$10 (k%7==0) —
+    old snapshot, log old-images, log new-images, new snapshot."""
+    orders = _t(spark, sf, "orders")[0]
+    base = orders.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amt"))
+    old = base.filter("k % 10 != 0").withColumn(
+        "amt", F.when(F.col("k") % 7 == 0, F.col("amt") + 10.0)
+                .otherwise(F.col("amt")))
+    new = base.filter("k % 13 != 0")
+    minus = (old.filter("k % 13 = 0")
+             .unionByName(old.filter("k % 7 = 0 AND k % 13 != 0")))
+    plus = (new.filter("k % 10 = 0")
+            .unionByName(new.filter("k % 7 = 0 AND k % 10 != 0")))
+    return old, minus, plus, new
+
+
+register(
+    "cdc_incremental_agg",
+    # incremental view maintenance, self-verified: old agg + signed
+    # log delta vs recompute from the new snapshot (operators/cdc.py
+    # incremental_agg_maintain)
+    lambda spark, sf: cdc.incremental_agg_maintain(
+        *_ivm_inputs(spark, sf), "d", "amt"),
+    """
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_orderkey AS k,
+             o_totalprice AS amt
+      FROM orders
+    ), old AS (
+      SELECT d, k, CASE WHEN k % 7 = 0 THEN amt + 10.0 ELSE amt END AS amt
+      FROM base WHERE k % 10 != 0
+    ), neww AS (
+      SELECT d, k, amt FROM base WHERE k % 13 != 0
+    ), minus AS (
+      SELECT * FROM old WHERE k % 13 = 0
+      UNION ALL
+      SELECT * FROM old WHERE k % 7 = 0 AND k % 13 != 0
+    ), plus AS (
+      SELECT * FROM neww WHERE k % 10 = 0
+      UNION ALL
+      SELECT * FROM neww WHERE k % 7 = 0 AND k % 10 != 0
+    ), a_old AS (
+      SELECT d AS g, CAST(count(*) AS BIGINT) AS n_old,
+             CAST(sum(CAST(round(amt * 100) AS BIGINT)) AS BIGINT) AS c_old
+      FROM old GROUP BY 1
+    ), a_m AS (
+      SELECT d AS g, CAST(count(*) AS BIGINT) AS n_m,
+             CAST(sum(CAST(round(amt * 100) AS BIGINT)) AS BIGINT) AS c_m
+      FROM minus GROUP BY 1
+    ), a_p AS (
+      SELECT d AS g, CAST(count(*) AS BIGINT) AS n_p,
+             CAST(sum(CAST(round(amt * 100) AS BIGINT)) AS BIGINT) AS c_p
+      FROM plus GROUP BY 1
+    ), a_rec AS (
+      SELECT d AS g, CAST(count(*) AS BIGINT) AS n_rec,
+             CAST(sum(CAST(round(amt * 100) AS BIGINT)) AS BIGINT) AS c_rec
+      FROM neww GROUP BY 1
+    ), maintained AS (
+      SELECT coalesce(a_old.g, a_m.g, a_p.g) AS g,
+             CAST(coalesce(n_old, 0) - coalesce(n_m, 0)
+                  + coalesce(n_p, 0) AS BIGINT) AS n_rows,
+             CAST(coalesce(c_old, 0) - coalesce(c_m, 0)
+                  + coalesce(c_p, 0) AS BIGINT) AS amount_cents
+      FROM a_old
+      FULL JOIN a_m ON a_old.g = a_m.g
+      FULL JOIN a_p ON coalesce(a_old.g, a_m.g) = a_p.g
+    )
+    SELECT coalesce(m.g, r.g) AS d,
+           CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows,
+           CAST(coalesce(amount_cents, 0) AS BIGINT) AS amount_cents,
+           CAST(coalesce(n_rec, 0) AS BIGINT) AS n_rows_recomputed,
+           CAST(coalesce(c_rec, 0) AS BIGINT) AS amount_cents_recomputed,
+           (coalesce(n_rows, 0) = coalesce(n_rec, 0)
+            AND coalesce(amount_cents, 0) = coalesce(c_rec, 0)) AS matches
+    FROM maintained m FULL JOIN a_rec r ON m.g = r.g
+    ORDER BY d
+    """,
+)

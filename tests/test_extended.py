@@ -458,3 +458,37 @@ def test_asof_next_purchase_parity(spark, duck):
     assert_parity(registry.queries()["asof_next_purchase"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["asof_next_purchase"])
+
+
+def test_cdc_incremental_agg_fabricated_episode(spark):
+    """3-group episode: group A loses a $10 row (delete), B gains a
+    $20 row (insert), C has a $5→$7 update. Maintained = recomputed
+    everywhere; then a CORRUPTED log (the update's new-image lost)
+    must flip C's matches flag to False — the self-verification is
+    live, not vacuously true."""
+    from selfhealingdatapipeline_gcp_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [("A", 10.0), ("A", 1.0), ("B", 2.0), ("C", 5.0)], ["g", "amt"])
+    new = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("B", 20.0), ("C", 7.0)], ["g", "amt"])
+    minus = spark.createDataFrame([("A", 10.0), ("C", 5.0)], ["g", "amt"])
+    plus = spark.createDataFrame([("B", 20.0), ("C", 7.0)], ["g", "amt"])
+    out = {r.g: r for r in cdc.incremental_agg_maintain(
+        old, minus, plus, new, "g", "amt").collect()}
+    assert all(r.matches for r in out.values())
+    assert out["A"].n_rows == 1 and out["A"].amount_cents == 100
+    assert out["B"].n_rows == 2 and out["B"].amount_cents == 2200
+    assert out["C"].n_rows == 1 and out["C"].amount_cents == 700
+
+    plus_broken = spark.createDataFrame([("B", 20.0)], ["g", "amt"])
+    out2 = {r.g: r for r in cdc.incremental_agg_maintain(
+        old, minus, plus_broken, new, "g", "amt").collect()}
+    assert not out2["C"].matches          # maintained 0 rows vs 1
+    assert out2["A"].matches and out2["B"].matches
+
+
+def test_cdc_incremental_agg_parity(spark, duck):
+    assert_parity(registry.queries()["cdc_incremental_agg"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["cdc_incremental_agg"])

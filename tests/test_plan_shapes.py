@@ -651,6 +651,9 @@ _FINGERPRINTS = {
     # day-grain collapse + single-partition index window + window
     # agg; the BNLJ is the 1-row whole-series stats anchor
     "series_sax_symbols": (4, 0, 0, 1),
+    # four group-grain aggregates + three full-outer joins over the
+    # bounded group relations (full outer can't broadcast — SMJ)
+    "cdc_incremental_agg": (7, 0, 3, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
