@@ -183,6 +183,7 @@ HEADLINE = [
     "boilerplate_removal_report",
     "series_sax_symbols",
     "cdc_incremental_agg",
+    "streaming_er_guard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
@@ -215,6 +216,7 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "streaming_churn_guard", "streaming_heavy_hitters",
                   "streaming_bloom_guard",
                   "streaming_expectations_guard",
+                  "streaming_er_guard",
                   # component_labels loops eagerly in the builder
                   "er_name_clusters"}
 

@@ -69,6 +69,17 @@ def er_name_pairs(customer: DataFrame, window: int = 4,
     ``levenshtein`` verify on the paired rows only."""
     recs = customer.select(F.col("c_custkey").alias("id"),
                            F.lower(F.col("c_name")).alias("name"))
+    return pairs_from_masked(_masked_keys(recs, window), max_block)
+
+
+def pairs_from_masked(masked: DataFrame,
+                      max_block: int = 256) -> DataFrame:
+    """Block-group-verify over an already-masked (id, name, p, k)
+    relation — the shared core of er_name_pairs (batch) and
+    streaming_er_guard (per-epoch masking, pairing over the
+    accumulated key store). Masking is per-row, so the relation is
+    chop-invariant by construction; everything downstream of it is
+    one deterministic plan."""
     overflow = F.concat(
         F.lit("er_name_pairs: block holds "),
         F.size("mem").cast("string"),
@@ -77,7 +88,7 @@ def er_name_pairs(customer: DataFrame, window: int = 4,
               " collapse exact-duplicate names to one representative"
               " first, or raise max_block"))
     blocks = (
-        _masked_keys(recs, window)
+        masked
         .groupBy("p", "k")
         .agg(F.sort_array(F.collect_list(F.struct("id", "name")))
               .alias("mem"))

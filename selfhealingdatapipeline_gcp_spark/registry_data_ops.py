@@ -3801,3 +3801,20 @@ register(
     ORDER BY cluster_id
     """,
 )
+
+
+register(
+    "streaming_er_guard",
+    # admission-time er_name_pairs: per-epoch masked keys through the
+    # idempotent epoch-dir sink, block-group-verify over the
+    # accumulated store (chop-invariant by construction — masking is
+    # a per-row map); shares the batch operator's oracle
+    monitors.streaming_er_guard,
+    f"""
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_distance
+    FROM ({_er_pair_core_sql(4)}) cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY id_a, id_b
+    """,
+)

@@ -1046,3 +1046,56 @@ def streaming_kmv_guard(spark: SparkSession, sf_dir: str,
                 "kmv_estimate bigint, abs_err bigint, err_e6 bigint")
     d = spark.read.parquet(out_dir).select("event_type", "h").distinct()
     return quality.kmv_audit_from_distinct(d)
+
+
+def streaming_er_guard(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None
+                       ) -> DataFrame:
+    """Streaming ADMISSION form of er_name_pairs: each arriving
+    micro-batch of customer records lands its per-position masked
+    keys in the idempotent epoch-dir sink, and the typo-linkage
+    report re-derives by block-group-verify over the accumulated key
+    store — the duplicate-account watch a live signup/ingest feed
+    runs, catching a typo'd re-registration as it arrives instead of
+    in the nightly batch.
+
+    Chop-invariance is by CONSTRUCTION, not recomputation: masking is
+    a per-row map, so the union of per-epoch masked-key relations
+    equals the batch relation regardless of how the stream chops, and
+    the downstream pairing (operators/er.py pairs_from_masked, the
+    exact code path the batch operator runs) is a deterministic
+    function of that relation — the report equals batch er_name_pairs
+    row for row, hence the shared SQL oracle.
+
+    Scale: each epoch writes O(batch × window) masked keys (id + name
+    + 2 small cols, never payloads); the cross-epoch pairing reads
+    the key store, blocks stay alphabet-bounded with the batch
+    operator's loud cap. A production form would keep the key store
+    as a compacted table and pair only NEW keys against it per epoch
+    (delta-join); the full re-pair here keeps the audit exact."""
+    from selfhealingdatapipeline_gcp_spark.operators import er
+
+    path = f"{sf_dir}/customer.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("er_guard")
+    epochs = []
+
+    def mask_epoch(batch_df, epoch_id: int) -> None:
+        recs = batch_df.select(F.col("c_custkey").alias("id"),
+                               F.lower(F.col("c_name")).alias("name"))
+        (er._masked_keys(recs, window=4)
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(mask_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "id_a bigint, id_b bigint, name_a string, "
+                "name_b string, edit_distance int")
+    return er.pairs_from_masked(spark.read.parquet(out_dir))

@@ -2155,3 +2155,35 @@ def test_er_clusters_consistent_with_pairs(spark):
     keepers = {c.keeper_id for c in clusters}
     assert all(c.keeper_id == c.cluster_id for c in clusters)
     assert keepers <= ids
+
+
+def test_streaming_er_guard_chop_invariance(spark, tmp_path):
+    """A 3-file customer source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; masking is per-row, so pairing over the
+    accumulated masked-key store must reproduce batch er_name_pairs
+    row for row — including CROSS-EPOCH pairs (a typo'd key whose
+    partner arrived in an earlier micro-batch)."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import er
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+
+    src = str(tmp_path / "sf_er")
+    os.makedirs(src)
+    customer = catalog.load(spark, SF_ORACLE, "customer")
+    customer.repartition(3).write.parquet(f"{src}/customer.parquet")
+
+    streamed = {(r.id_a, r.id_b): (r.name_a, r.name_b, r.edit_distance)
+                for r in monitors.streaming_er_guard(
+                    spark, src, max_files_per_trigger=1).collect()}
+    batch = {(r.id_a, r.id_b): (r.name_a, r.name_b, r.edit_distance)
+             for r in er.er_name_pairs(
+                 catalog.load(spark, src, "customer")).collect()}
+    assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_er_guard_parity(spark, duck):
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(
+        registry.queries()["streaming_er_guard"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["streaming_er_guard"])
