@@ -172,6 +172,27 @@ SHOW = {
                             "(type, bkt) shuffle (ReusedExchange); "
                             "output is plan-constant per pixel "
                             "budget",
+    "er_name_pairs": "bucket-grouped pair emission (Generate over "
+                     "collected blocks, NO self-join node); "
+                     "levenshtein verify on paired rows only",
+    "forecast_backtest_report": "one day-grain collapse; the 4-method "
+                                "explode and error aggregation ride "
+                                "the bounded O(days) relation",
+    "k_anonymity_audit": "QI-class collapse, then every threshold in "
+                         "ONE pass over the bounded class-size "
+                         "relation (stack, no re-shuffle)",
+    "fk_orphan_audit": "per-edge parent DISTINCT-keys + child agg; "
+                       "legs union with no cross-edge barrier",
+    "boilerplate_removal_report": "digest-only shuffles; the digest "
+                                  "join-back is the only join — no "
+                                  "broadcast assumed (corpus-"
+                                  "dependent boilerplate set)",
+    "series_sax_symbols": "day-grain collapse + bounded ordered "
+                          "window; whole-series stats broadcast as "
+                          "a 1-row anchor",
+    "cdc_incremental_agg": "four independent group-grain aggregates; "
+                           "full-outer joins only over bounded "
+                           "group relations",
 }
 
 
