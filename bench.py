@@ -184,6 +184,9 @@ HEADLINE = [
     "series_sax_symbols",
     "cdc_incremental_agg",
     "streaming_er_guard",
+    "sax_motif_novelty",
+    "catalog_stats_report",
+    "detector_incident_rollup",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1484,3 +1484,82 @@ def series_sax_symbols(orders: DataFrame,
         .orderBy("win_idx")
     )
     return out
+
+
+def sax_motif_novelty(orders: DataFrame, motif_len: int = 4) -> DataFrame:
+    """Shape-novelty detector on top of series_sax_symbols: the SAX
+    word of each trailing ``motif_len``-window run (e.g. 'aadd') is a
+    MOTIF; a motif that occurs exactly once in the whole series is a
+    shape never seen before or since — the multi-week pattern break
+    that per-day z-scores (revenue_anomaly) normalize away and level
+    detectors (revenue_changepoint) only catch if the mean moved.
+    This is the SAX-discord idea (Keogh et al., HOT SAX) at word
+    grain: discord = rarest subsequence, here exact-count rarity on
+    the quantized alphabet. Output: every full-length window with its
+    motif, the motif's series-wide occurrence count, and the novelty
+    flag.
+
+    Scale: everything downstream of the day-grain collapse rides the
+    bounded O(weeks) symbol relation — the trailing-word lag window
+    and the motif-count partition window shuffle dozens of rows.
+    Concatenation is NULL-propagating (F.concat, not concat_ws, which
+    SKIPS nulls and would fabricate short words at the series head —
+    DuckDB twin uses || for the same reason); head windows without a
+    full history are dropped by the null filter."""
+    sym = series_sax_symbols(orders)
+    w = Window.orderBy("win_idx")
+    motif = F.concat(*[F.lag("symbol", motif_len - 1 - i).over(w)
+                       for i in range(motif_len)])
+    m = (sym.select("win_idx", "start_day",
+                    motif.alias("motif"))
+         .filter(F.col("motif").isNotNull()))
+    wc = Window.partitionBy("motif")
+    return (
+        m.withColumn("n_occurrences",
+                     F.count(F.lit(1)).over(wc).cast("bigint"))
+        .withColumn("is_novel", F.col("n_occurrences") == 1)
+        .orderBy("win_idx")
+    )
+
+
+def detector_incident_rollup(orders: DataFrame,
+                             events: DataFrame) -> DataFrame:
+    """The day-grain anomaly detectors' flagged rows as ONE incident
+    stream — the queryable form of what the reference's monitoring
+    loop does operationally (each detector posts to a shared alert
+    feed: monitoring/detectors/* → alert history; here plans/
+    alerts.py + plans/history.py own routing/severity, and this
+    operator is the batch query that backfills or audits that feed).
+    One row per (day, detector) incident: the observed value and the
+    detector's own score, on a unified schema.
+
+    Pure composition: each leg IS the registered detector (same code
+    path, same oracle SQL composed verbatim into this operator's
+    oracle — parity can't drift from the parents), filtered to its
+    flagged rows and projected to the shared schema. Legs union
+    barrier-free; each is a bounded day-grain relation. MAD carries
+    no comparable score — its score is NULL by design rather than a
+    fabricated pseudo-z."""
+    legs = [
+        (revenue_anomaly(orders).filter(F.col("is_anomaly"))
+         .select(F.col("d"), F.lit("revenue_z").alias("detector"),
+                 F.col("revenue").cast("double").alias("observed"),
+                 F.col("z_score").cast("double").alias("score"))),
+        (revenue_anomaly_deseasonal(orders).filter(F.col("is_anomaly"))
+         .select(F.col("d"),
+                 F.lit("revenue_z_deseasonal").alias("detector"),
+                 F.col("adj_revenue").cast("double").alias("observed"),
+                 F.col("z_score").cast("double").alias("score"))),
+        (event_rate_cusum(events).filter(F.col("is_alarm"))
+         .select(F.col("d"), F.lit("event_value_cusum").alias("detector"),
+                 F.col("total_value").cast("double").alias("observed"),
+                 F.col("cusum").cast("double").alias("score"))),
+        (event_anomaly_mad(events).filter(F.col("is_outlier"))
+         .select(F.col("d"), F.lit("event_value_mad").alias("detector"),
+                 F.col("total_value").cast("double").alias("observed"),
+                 F.lit(None).cast("double").alias("score"))),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("d", "detector")

@@ -1405,15 +1405,9 @@ register(
 )
 
 
-register(
-    "series_sax_symbols",
-    # SAX symbolization of daily revenue (operators/detectors.py
-    # series_sax_symbols): PAA over 7-observation windows, whole-series
-    # z-normalization, 4-letter alphabet at +-0.6745/0 — expression-
-    # mirrored doubles, symbols bucketed on the FLOORED e6 z
-    lambda spark, sf: detectors.series_sax_symbols(
-        *_t(spark, sf, "orders")),
-    """
+#: DuckDB twin of detectors.series_sax_symbols — shared by the
+#: symbol registration and the motif-novelty composition
+_SAX_SQL = """
     WITH daily0 AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
@@ -1464,5 +1458,127 @@ register(
                 WHEN floor(zval * 1000000) < 674500 THEN 'c'
                 ELSE 'd' END AS symbol
     FROM z ORDER BY win_idx
-    """,
+"""
+
+register(
+    "series_sax_symbols",
+    # SAX symbolization of daily revenue (operators/detectors.py
+    # series_sax_symbols): PAA over 7-observation windows, whole-series
+    # z-normalization, 4-letter alphabet at +-0.6745/0 — expression-
+    # mirrored doubles, symbols bucketed on the FLOORED e6 z
+    lambda spark, sf: detectors.series_sax_symbols(
+        *_t(spark, sf, "orders")),
+    _SAX_SQL,
+)
+
+
+register(
+    "sax_motif_novelty",
+    # SAX-discord at word grain: trailing 4-symbol motifs, series-wide
+    # occurrence counts, novelty = count 1 (operators/detectors.py
+    # sax_motif_novelty). || propagates NULL in DuckDB exactly like
+    # F.concat on the Spark side — head windows drop identically.
+    lambda spark, sf: detectors.sax_motif_novelty(
+        *_t(spark, sf, "orders")),
+    """
+    WITH sax AS ({_SAX_INNER}),
+    m AS (
+      SELECT win_idx, start_day,
+             lag(symbol, 3) OVER w || lag(symbol, 2) OVER w
+               || lag(symbol, 1) OVER w || symbol AS motif
+      FROM sax
+      WINDOW w AS (ORDER BY win_idx)
+    ), f AS (
+      SELECT * FROM m WHERE motif IS NOT NULL
+    )
+    SELECT win_idx, start_day, motif,
+           CAST(count(*) OVER (PARTITION BY motif) AS BIGINT)
+             AS n_occurrences,
+           (count(*) OVER (PARTITION BY motif) = 1) AS is_novel
+    FROM f ORDER BY win_idx
+    """.replace("{_SAX_INNER}", _SAX_SQL),
+)
+
+
+def _catalog_stats_sql() -> str:
+    """Twin of quality.catalog_stats_report: one single-pass wide
+    aggregate CTE per table, stacked to long by per-column SELECTs."""
+    derived_sql = {
+        "c_acctbal_cents": "CAST(round(c_acctbal * 100) AS BIGINT)",
+        "o_totalprice_cents": "CAST(round(o_totalprice * 100) AS BIGINT)",
+        "value_e6": "CAST(round(value * 1000000) AS BIGINT)",
+    }
+    ctes, legs = [], []
+    for tname, cols in quality.CATALOG_STATS_COLS.items():
+        proj = ["*"] + [f"{expr} AS {name}"
+                        for name, expr in derived_sql.items()
+                        if name in cols]
+        aggs = ["CAST(count(*) AS BIGINT) AS __n"]
+        for c in cols:
+            aggs += [
+                f"CAST(min({c}) AS VARCHAR) AS {c}__min",
+                f"CAST(max({c}) AS VARCHAR) AS {c}__max",
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS {c}__nd",
+                f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 "
+                f"ELSE 0 END), 0) AS BIGINT) AS {c}__nulls",
+            ]
+        ctes.append(
+            f"w_{tname} AS (SELECT {', '.join(aggs)} FROM "
+            f"(SELECT {', '.join(proj)} FROM {tname}))")
+        for c in cols:
+            legs.append(
+                f"SELECT '{tname}' AS table_name, '{c}' AS col_name, "
+                f"__n AS n_rows, {c}__nulls AS n_nulls, "
+                f"{c}__nd AS n_distinct, {c}__min AS min_value, "
+                f"{c}__max AS max_value FROM w_{tname}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(legs)
+            + "\nORDER BY table_name, col_name")
+
+
+register(
+    "catalog_stats_report",
+    # ANALYZE-style whole-catalog column statistics
+    # (operators/quality.py catalog_stats_report)
+    lambda spark, sf: quality.catalog_stats_report(
+        catalog.load_all(spark, sf)),
+    _catalog_stats_sql(),
+)
+
+
+def _incident_rollup_sql() -> str:
+    """Compose the parents' REGISTERED oracle SQL verbatim — the
+    rollup's oracle cannot drift from the detectors it unions."""
+    from selfhealingdatapipeline_gcp_spark.registry import _REGISTRY
+    o = {n: _REGISTRY[n].oracle for n in
+         ("revenue_anomaly", "revenue_anomaly_deseasonal",
+          "event_rate_cusum", "event_anomaly_mad")}
+    return f"""
+    SELECT d, 'revenue_z' AS detector,
+           CAST(revenue AS DOUBLE) AS observed,
+           CAST(z_score AS DOUBLE) AS score
+    FROM ({o['revenue_anomaly']}) WHERE is_anomaly
+    UNION ALL
+    SELECT d, 'revenue_z_deseasonal',
+           CAST(adj_revenue AS DOUBLE), CAST(z_score AS DOUBLE)
+    FROM ({o['revenue_anomaly_deseasonal']}) WHERE is_anomaly
+    UNION ALL
+    SELECT d, 'event_value_cusum',
+           CAST(total_value AS DOUBLE), CAST(cusum AS DOUBLE)
+    FROM ({o['event_rate_cusum']}) WHERE is_alarm
+    UNION ALL
+    SELECT d, 'event_value_mad',
+           CAST(total_value AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ({o['event_anomaly_mad']}) WHERE is_outlier
+    ORDER BY d, detector
+    """
+
+
+register(
+    "detector_incident_rollup",
+    # the detectors' flagged rows as one incident stream
+    # (operators/detectors.py detector_incident_rollup)
+    lambda spark, sf: detectors.detector_incident_rollup(
+        *_t(spark, sf, "orders", "events")),
+    _incident_rollup_sql(),
 )

@@ -728,3 +728,96 @@ def test_sax_parity(spark, duck):
     assert_parity(
         registry.queries()["series_sax_symbols"](spark, SF_ORACLE),
         duck, registry.oracle_sql()["series_sax_symbols"])
+
+
+def test_sax_motif_novelty_planted_discord(spark):
+    """35 days: weeks alternate $100/$500 except week 3 ($900 — a
+    level never repeated). Symbols: a c a d a → trailing 4-grams
+    'acad' (win 3) and 'cada' (win 4), each unique → both novel; the
+    series head (wins 0-2) has no full word and must NOT appear."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+
+    d0 = dt.date(2024, 5, 1)
+    week_price = [100.0, 500.0, 100.0, 900.0, 100.0]
+    rows = [(i, 1, "O", week_price[i // 7],
+             dt.datetime.combine(d0 + dt.timedelta(days=i), dt.time()),
+             "1-URGENT") for i in range(35)]
+    orders = spark.createDataFrame(
+        rows, ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"])
+    out = detectors.sax_motif_novelty(orders).collect()
+    assert [r.win_idx for r in out] == [3, 4]
+    assert all(r.is_novel and r.n_occurrences == 1 for r in out)
+    syms = {r.win_idx: r.symbol
+            for r in detectors.series_sax_symbols(orders).collect()}
+    assert "".join(syms[i] for i in range(5)) == out[0].motif + syms[4]
+
+
+def test_sax_motif_novelty_parity(spark, duck):
+    assert_parity(
+        registry.queries()["sax_motif_novelty"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["sax_motif_novelty"])
+
+
+def test_catalog_stats_fabricated_table(spark):
+    """Known stats: 4 rows, one NULL segment, money min/max as exact
+    cents strings — the planner-facing numbers are checkable by
+    hand."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 10.50, "AUTO"), (2, "b", 0, -3.25, "AUTO"),
+         (3, "c", 1, 99.99, None), (4, "d", 1, 10.50, "HOUSE")],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+         "c_mktsegment"])
+    out = {r.col_name: r for r in quality.catalog_stats_report(
+        {"customer": cust}).collect()}
+    assert set(out) == {"c_custkey", "c_nationkey", "c_mktsegment",
+                        "c_acctbal_cents"}
+    seg = out["c_mktsegment"]
+    assert (seg.n_rows, seg.n_nulls, seg.n_distinct) == (4, 1, 2)
+    bal = out["c_acctbal_cents"]
+    assert (bal.min_value, bal.max_value) == ("-325", "9999")
+    assert bal.n_distinct == 3
+
+
+def test_catalog_stats_parity(spark, duck):
+    assert_parity(
+        registry.queries()["catalog_stats_report"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["catalog_stats_report"])
+
+
+def test_incident_rollup_is_union_of_parents(spark):
+    """Internal consistency on real data: every rollup row appears in
+    its parent's flagged set, and the counts add up exactly."""
+    from selfhealingdatapipeline_gcp_spark.operators import detectors
+    from selfhealingdatapipeline_gcp_spark import catalog
+
+    orders = catalog.load(spark, SF_ORACLE, "orders")
+    events = catalog.load(spark, SF_ORACLE, "events")
+    roll = detectors.detector_incident_rollup(orders, events).collect()
+    by_det = {}
+    for r in roll:
+        by_det.setdefault(r.detector, set()).add(r.d)
+    parents = {
+        "revenue_z": {r.d for r in detectors.revenue_anomaly(orders)
+                      .collect() if r.is_anomaly},
+        "revenue_z_deseasonal": {
+            r.d for r in detectors.revenue_anomaly_deseasonal(orders)
+            .collect() if r.is_anomaly},
+        "event_value_cusum": {r.d for r in detectors.event_rate_cusum(
+            events).collect() if r.is_alarm},
+        "event_value_mad": {r.d for r in detectors.event_anomaly_mad(
+            events).collect() if r.is_outlier},
+    }
+    assert len(roll) == sum(len(v) for v in parents.values())
+    for det, days in by_det.items():
+        assert days == parents[det], det
+    assert roll == sorted(roll, key=lambda r: (r.d, r.detector))
+
+
+def test_incident_rollup_parity(spark, duck):
+    assert_parity(
+        registry.queries()["detector_incident_rollup"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["detector_incident_rollup"])

@@ -654,6 +654,15 @@ _FINGERPRINTS = {
     # four group-grain aggregates + three full-outer joins over the
     # bounded group relations (full outer can't broadcast — SMJ)
     "cdc_incremental_agg": (7, 0, 3, 0),
+    # SAX base plan + the motif-count partition window on the
+    # bounded symbol relation; BNLJ = the 1-row stats anchor
+    "sax_motif_novelty": (4, 0, 0, 1),
+    # one wide single-pass aggregate per table (10 legs), unioned —
+    # no joins anywhere
+    "catalog_stats_report": (20, 0, 0, 0),
+    # four detector legs composed verbatim; every BNLJ is a parent's
+    # 1-row anchor broadcast (annotated at each parent)
+    "detector_incident_rollup": (21, 1, 0, 5),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
