@@ -34,6 +34,10 @@ class Task:
     retry_backoff_s: float = 0.0       # keep 0 in tests; seconds on real runs
     # quality gate: called on the task result; raise to fail the task
     validate: Callable[[Any], None] | None = None
+    # opt-in plan preflight: when the task returns a (lazy) DataFrame,
+    # lint its physical plan for scale anti-patterns BEFORE validate
+    # or any downstream action executes it (plans/lint.py)
+    lint_plans: bool = False
 
 
 @dataclass
@@ -102,6 +106,12 @@ class Pipeline:
             res.attempts = attempt
             try:
                 out = task.fn(spark, context)
+                if task.lint_plans:
+                    from pyspark.sql import DataFrame as _DF
+
+                    from selfhealingdatapipeline_gcp_spark.plans import lint
+                    if isinstance(out, _DF):
+                        lint.assert_plan_clean(out)
                 if task.validate is not None:
                     task.validate(out)
                 res.status = "SUCCESS"

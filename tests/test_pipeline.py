@@ -897,3 +897,30 @@ def test_rocksdb_state_store_runs_stateful_query(spark, tmp_path):
         spark.conf.unset(provider_key)
     # 4 hours × one event_type per hour (h%2 tracks h) = 4 windows
     assert rocks == default and len(rocks) == 4
+
+
+def test_task_lint_preflight_blocks_cartesian(spark):
+    """A task that builds a cartesian plan with lint_plans=True must
+    fail BEFORE any action executes it; the same task without the
+    flag passes through (the preflight is opt-in)."""
+    def build_cartesian(s, ctx):
+        return s.range(5).crossJoin(
+            s.range(5).withColumnRenamed("id", "id2"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    # keep broadcast OFF through the lint call — planning is lazy, so
+    # the threshold must still be -1 when the preflight reads the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        linted = Pipeline("lint_on", [
+            Task("cart", build_cartesian, max_retries=0,
+                 lint_plans=True)])
+        res = linted.run(spark)["cart"]
+        assert res.status == "FAILED" and "cartesian" in res.error
+
+        unlinted = Pipeline("lint_off", [
+            Task("cart", build_cartesian, max_retries=0)])
+        assert unlinted.run(spark)["cart"].status == "SUCCESS"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

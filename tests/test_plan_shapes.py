@@ -713,3 +713,48 @@ def test_m4_runtime_exchange_reuse(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert final.count("ReusedExchange") >= 3
+
+
+# ------------------------------------------------------------------
+# plans/lint.py — the anti-pattern scan as an API
+# ------------------------------------------------------------------
+
+def test_plan_lint_flags_cartesian_and_python_udf(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+    from selfhealingdatapipeline_gcp_spark.plans import lint
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = a.crossJoin(b)
+        rules = {f.rule: f.severity for f in lint.lint_plan(cart)}
+        assert rules.get("cartesian") == lint.ERROR
+        try:
+            lint.assert_plan_clean(cart)
+        except ValueError as e:
+            assert "cartesian" in str(e)
+        else:
+            raise AssertionError(
+                "assert_plan_clean let a cartesian through")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    slow = a.withColumn(
+        "y", F.udf(lambda x: x + 1, LongType())(F.col("id")))
+    rules = {f.rule: f.severity for f in lint.lint_plan(slow)}
+    assert rules.get("python-row-udf") == lint.ERROR
+
+
+def test_plan_lint_headline_queries_have_no_errors(spark):
+    """Every fingerprinted headline query must lint ERROR-free (the
+    BNLJ anchors are warn-grade by design)."""
+    from selfhealingdatapipeline_gcp_spark.plans import lint
+
+    for name in _FINGERPRINTS:
+        df = registry.queries()[name](spark, SF_TINY)
+        errs = [f for f in lint.lint_plan(df) if f.severity == lint.ERROR]
+        assert not errs, (name, errs)
