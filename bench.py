@@ -187,6 +187,7 @@ HEADLINE = [
     "sax_motif_novelty",
     "catalog_stats_report",
     "detector_incident_rollup",
+    "er_name_links",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1060,7 +1060,11 @@ def boilerplate_removal_report(documents: DataFrame,
              .alias("total_tokens"),
             F.coalesce("boilerplate_tokens", F.lit(0)).cast("bigint")
              .alias("boilerplate_tokens"),
-            F.floor(F.coalesce("boilerplate_tokens", F.lit(0)) * 1_000_000
+            # numerator through the decimal funnel: token totals reach
+            # ~9e12 per source (×1e6 = int64 edge) around 40 TB of
+            # text in ONE source — decimal mode widens past it
+            F.floor(money.acc(F.coalesce("boilerplate_tokens", F.lit(0)))
+                    * 1_000_000
                     / F.greatest(F.lit(1),
                                  F.coalesce("total_tokens", F.lit(0))))
              .cast("bigint").alias("boilerplate_rate_e6"),

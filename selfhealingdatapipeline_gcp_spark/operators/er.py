@@ -176,3 +176,58 @@ def er_name_clusters(customer: DataFrame, window: int = 2,
                 "cluster_size", "keeper_id")
         .orderBy("cluster_id")
     )
+
+
+def er_name_links(customer: DataFrame, window: int = 4,
+                  max_block: int = 4096) -> DataFrame:
+    """The SCALE form of er_name_pairs: collapse exact-duplicate
+    names to ONE representative BEFORE blocking, pair DISTINCT names,
+    and report each typo link with both groups' sizes and the implied
+    id-pair multiplicity — instead of materializing every id×id
+    combination inside identical-name groups.
+
+    Why this form exists (measured): at sf1 er_name_pairs emits
+    26.4M id-pairs from 150k customers because identical-name group
+    sizes grow with the corpus, so id-pair output grows QUADRATICALLY
+    in SF and the block cap trips at sf10 — the same degenerate-mass
+    failure multimodal_ahash_pairs hit, fixed the same way (collapse
+    to distinct signatures, pair the distinct relation, carry
+    multiplicities). Block occupancy is bounded by DISTINCT names —
+    the alphabet bound the masking design actually promises — and
+    output is one row per distinct-name link at ANY scale. Exact-name
+    duplicate mass itself is er_name_clusters / dedup territory; the
+    implied_id_pairs column preserves the accounting.
+
+    Plan shape: one name-grain collapse (shuffle carries names +
+    counts), masked keys over the distinct-name relation, the same
+    bucket-grouped pairing (no self-join node), levenshtein verify on
+    paired rows. Every pair here has edit_distance exactly 1
+    (distinct names with equal full-length masked keys differ at
+    precisely the masked position)."""
+    names = (
+        customer.select(F.lower(F.col("c_name")).alias("name"),
+                        F.col("c_custkey").alias("ck"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+             F.min("ck").alias("keeper_id"))
+    )
+    # reuse the masking on the distinct-name relation: id := keeper
+    masked = _masked_keys(
+        names.select(F.col("keeper_id").alias("id"), "name"), window)
+    pairs = pairs_from_masked(masked, max_block)
+    a = names.select(F.col("name").alias("name_a"),
+                     F.col("n_ids").alias("n_ids_a"))
+    b = names.select(F.col("name").alias("name_b"),
+                     F.col("n_ids").alias("n_ids_b"))
+    return (
+        pairs.join(a, "name_a").join(b, "name_b")
+        .select(
+            "name_a", "name_b",
+            F.col("id_a").alias("keeper_id_a"),
+            F.col("id_b").alias("keeper_id_b"),
+            "n_ids_a", "n_ids_b",
+            (F.col("n_ids_a") * F.col("n_ids_b")).cast("bigint")
+             .alias("implied_id_pairs"),
+            "edit_distance")
+        .orderBy("name_a", "name_b")
+    )

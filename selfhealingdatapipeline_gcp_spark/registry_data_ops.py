@@ -3818,3 +3818,53 @@ register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+def _er_links_keys_sql(window: int) -> str:
+    """Masked keys over the DISTINCT-name relation (er_name_links
+    twin): id := keeper (min custkey of the name group)."""
+    return f"""
+      SELECT id, name, CAST(u.p AS INT) AS p,
+             substr(name, 1, length(name) - u.p) || chr(1) ||
+             substr(name, length(name) - u.p + 2, u.p - 1) AS k
+      FROM (SELECT min(c_custkey) AS id, lower(c_name) AS name
+            FROM customer GROUP BY lower(c_name)) r,
+           LATERAL (SELECT unnest(range(1, {window + 1})) AS p) u
+      WHERE length(name) > u.p
+    """
+
+
+register(
+    "er_name_links",
+    # scale form of er_name_pairs: distinct-name grain with implied
+    # id-pair multiplicities (operators/er.py er_name_links — the
+    # collapse-first remedy the sf1 26.4M-pair measurement forced)
+    lambda spark, sf: er.er_name_links(*_t(spark, sf, "customer")),
+    f"""
+    WITH names AS (
+      SELECT lower(c_name) AS name,
+             CAST(count(*) AS BIGINT) AS n_ids,
+             min(c_custkey) AS keeper_id
+      FROM customer GROUP BY 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, a.name AS name_a,
+                      b.id AS id_b, b.name AS name_b
+      FROM ({_er_links_keys_sql(4)}) a
+      JOIN ({_er_links_keys_sql(4)}) b
+        ON a.p = b.p AND a.k = b.k AND b.id > a.id
+    ), verified AS (
+      SELECT id_a, id_b, name_a, name_b,
+             CAST(levenshtein(name_a, name_b) AS INT) AS edit_distance
+      FROM cand WHERE levenshtein(name_a, name_b) <= 1
+    )
+    SELECT v.name_a, v.name_b,
+           v.id_a AS keeper_id_a, v.id_b AS keeper_id_b,
+           na.n_ids AS n_ids_a, nb.n_ids AS n_ids_b,
+           CAST(na.n_ids * nb.n_ids AS BIGINT) AS implied_id_pairs,
+           v.edit_distance
+    FROM verified v
+    JOIN names na ON v.name_a = na.name
+    JOIN names nb ON v.name_b = nb.name
+    ORDER BY v.name_a, v.name_b
+    """,
+)

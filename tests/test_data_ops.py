@@ -2187,3 +2187,35 @@ def test_streaming_er_guard_parity(spark, duck):
     assert_parity(
         registry.queries()["streaming_er_guard"](spark, SF_ORACLE),
         duck, registry.oracle_sql()["streaming_er_guard"])
+
+
+def test_er_name_links_collapses_duplicate_name_mass(spark):
+    """3 ids named 'acct_11' + 2 ids named 'acct_12' (one substitution
+    apart) + 1 unrelated: er_name_pairs emits C(3,2)+C(2,2-ish)
+    id-pairs PLUS 6 cross pairs; er_name_links emits exactly ONE link
+    row carrying n_ids 3x2 and implied_id_pairs 6 — the quadratic
+    identical-name mass rides the multiplicity columns, not rows."""
+    from selfhealingdatapipeline_gcp_spark.operators import er
+
+    rows = ([(i, "acct_11") for i in (1, 2, 3)]
+            + [(i, "acct_12") for i in (10, 11)]
+            + [(99, "zzz_99")])
+    cust = spark.createDataFrame(rows, ["c_custkey", "c_name"])
+    links = er.er_name_links(cust).collect()
+    assert len(links) == 1
+    ln = links[0]
+    assert (ln.name_a, ln.name_b) == ("acct_11", "acct_12")
+    assert (ln.keeper_id_a, ln.keeper_id_b) == (1, 10)
+    assert (ln.n_ids_a, ln.n_ids_b, ln.implied_id_pairs) == (3, 2, 6)
+    assert ln.edit_distance == 1
+
+    pairs = er.er_name_pairs(cust).collect()
+    # id grain: 3 within acct_11 + 1 within acct_12 + 6 across = 10
+    assert len(pairs) == 10
+
+
+def test_er_name_links_parity(spark, duck):
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(
+        registry.queries()["er_name_links"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["er_name_links"])

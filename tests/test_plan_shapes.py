@@ -663,6 +663,9 @@ _FINGERPRINTS = {
     # four detector legs composed verbatim; every BNLJ is a parent's
     # 1-row anchor broadcast (annotated at each parent)
     "detector_incident_rollup": (21, 1, 0, 5),
+    # name collapse + masked blocks (bucket-grouped, no self-join) +
+    # two n_ids join-backs on the bounded name relation
+    "er_name_links": (6, 2, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
