@@ -193,6 +193,16 @@ SHOW = {
     "cdc_incremental_agg": "four independent group-grain aggregates; "
                            "full-outer joins only over bounded "
                            "group relations",
+    "sax_motif_novelty": "everything below the day-grain collapse "
+                         "rides the bounded symbol relation",
+    "catalog_stats_report": "one wide single-pass aggregate per "
+                            "table; no joins anywhere",
+    "detector_incident_rollup": "four detector legs composed "
+                                "verbatim; BNLJs are the parents' "
+                                "1-row anchors",
+    "er_name_links": "name collapse BEFORE blocking — block "
+                     "occupancy bounded by distinct names; "
+                     "multiplicities ride columns, not rows",
 }
 
 
