@@ -157,20 +157,39 @@ def er_name_clusters(customer: DataFrame, window: int = 2,
     id as keeper (what a linkage pipeline actually merges on).
 
     Reuses the pointer-doubling component_labels core
-    (operators/dedup.py:948): O(log diameter) rounds, bounded edge
-    relation. Default window=2 keeps components alphabet-bounded
-    (members share all but the last two positions) so the oracle's
+    (operators/dedup.py:948): O(log diameter) rounds. Since the
+    er_name_links scale measurement (26.4M id-pairs at sf1 — id-pair
+    edges grow ~SF² with identical-name mass) the CC runs at
+    DISTINCT-NAME grain: edges are keeper-to-keeper typo links from
+    er_name_links, identical-name groups ride each name's n_ids, and
+    dup-names with no typo link enter as singleton components — the
+    id-grain output (min-id keeper, id-count sizes, clusters > 1) is
+    IDENTICAL, the edge relation is linear in distinct names. Default
+    window=2 keeps components alphabet-bounded so the oracle's
     transitive closure stays linear in the corpus."""
-    edges = (
-        er_name_pairs(customer, window=window)
-        .select(F.col("id_a").alias("doc_a"),
-                F.col("id_b").alias("doc_b"))
+    names = (
+        customer.select(F.lower(F.col("c_name")).alias("name"),
+                        F.col("c_custkey").alias("ck"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+             F.min("ck").alias("keeper_id"))
     )
+    links = er_name_links(customer, window=window)
+    edges = links.select(F.col("keeper_id_a").alias("doc_a"),
+                         F.col("keeper_id_b").alias("doc_b"))
     labels = dedup.component_labels(edges, max_iterations)
+    # every name keyed by its component label; unlinked names label
+    # themselves (their dup group is a component iff n_ids > 1)
+    named = (
+        names.join(labels.withColumnRenamed("doc_id", "keeper_id"),
+                   "keeper_id", "left")
+        .select(F.coalesce("label", "keeper_id").alias("label"),
+                "n_ids", "keeper_id")
+    )
     return (
-        labels.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("cluster_size"),
-             F.min("doc_id").alias("keeper_id"))
+        named.groupBy("label")
+        .agg(F.sum("n_ids").cast("bigint").alias("cluster_size"),
+             F.min("keeper_id").alias("keeper_id"))
         .filter(F.col("cluster_size") > 1)
         .select(F.col("label").alias("cluster_id"),
                 "cluster_size", "keeper_id")
