@@ -3788,18 +3788,76 @@ register(
 )
 
 
+def _er_links_keys_sql(window: int) -> str:
+    """Masked keys over the DISTINCT-name relation (er_name_links
+    twin): id := keeper (min custkey of the name group)."""
+    return f"""
+      SELECT id, name, CAST(u.p AS INT) AS p,
+             substr(name, 1, length(name) - u.p) || chr(1) ||
+             substr(name, length(name) - u.p + 2, u.p - 1) AS k
+      FROM (SELECT min(c_custkey) AS id, lower(c_name) AS name
+            FROM customer GROUP BY lower(c_name)) r,
+           LATERAL (SELECT unnest(range(1, {window + 1})) AS p) u
+      WHERE length(name) > u.p
+    """
+
+
+def _er_clusters_name_grain_sql() -> str:
+    """Name-grain CC oracle twin of the rewritten er_name_clusters:
+    closure over keeper-to-keeper typo links of DISTINCT names (the
+    id-grain edge relation is ~SF² under identical-name mass — the
+    26.4M-pairs-at-sf1 measurement), identical-name groups ride
+    n_ids, unlinked dup-names are singleton components. Output is
+    id-grain-identical: Σ n_ids sizes, min-keeper labels/keepers."""
+    links_core = f"""
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM ({_er_links_keys_sql(2)}) a
+      JOIN ({_er_links_keys_sql(2)}) b
+        ON a.p = b.p AND a.k = b.k AND b.id > a.id
+      WHERE levenshtein(a.name, b.name) <= 1
+    """
+    return f"""
+    WITH RECURSIVE names AS (
+      SELECT lower(c_name) AS name,
+             CAST(count(*) AS BIGINT) AS n_ids,
+             min(c_custkey) AS keeper_id
+      FROM customer GROUP BY 1
+    ), base AS (
+      {links_core}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM base
+      UNION ALL
+      SELECT id_b, id_a FROM base
+    ), walk(src, reach) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ), comp AS (
+      SELECT src AS keeper_id, least(src, min(reach)) AS label
+      FROM walk GROUP BY src
+    ), labeled AS (
+      SELECT coalesce(c.label, n.keeper_id) AS label,
+             n.n_ids, n.keeper_id
+      FROM names n LEFT JOIN comp c ON c.keeper_id = n.keeper_id
+    )
+    SELECT label AS cluster_id,
+           CAST(sum(n_ids) AS BIGINT) AS cluster_size,
+           min(keeper_id) AS keeper_id
+    FROM labeled
+    GROUP BY label
+    HAVING sum(n_ids) > 1
+    ORDER BY cluster_id
+    """
+
+
 register(
     "er_name_clusters",
     # iterative pointer doubling on the Spark side; the oracle walks
-    # the same single-substitution edge relation to exact components
+    # the DISTINCT-NAME keeper-link relation to exact components
     # (window=2 keeps components alphabet-bounded, so the closure is
-    # linear in the corpus)
+    # linear in distinct names — never in ids)
     lambda spark, sf: er.er_name_clusters(*_t(spark, sf, "customer")),
-    f"""
-    SELECT cluster_id, cluster_size, keeper_doc_id AS keeper_id
-    FROM ({_cc_oracle(_er_pair_core_sql(2), a="id_a", b="id_b")}) c
-    ORDER BY cluster_id
-    """,
+    _er_clusters_name_grain_sql(),
 )
 
 
@@ -3818,20 +3876,6 @@ register(
     ORDER BY id_a, id_b
     """,
 )
-
-
-def _er_links_keys_sql(window: int) -> str:
-    """Masked keys over the DISTINCT-name relation (er_name_links
-    twin): id := keeper (min custkey of the name group)."""
-    return f"""
-      SELECT id, name, CAST(u.p AS INT) AS p,
-             substr(name, 1, length(name) - u.p) || chr(1) ||
-             substr(name, length(name) - u.p + 2, u.p - 1) AS k
-      FROM (SELECT min(c_custkey) AS id, lower(c_name) AS name
-            FROM customer GROUP BY lower(c_name)) r,
-           LATERAL (SELECT unnest(range(1, {window + 1})) AS p) u
-      WHERE length(name) > u.p
-    """
 
 
 register(
