@@ -188,6 +188,7 @@ HEADLINE = [
     "catalog_stats_report",
     "detector_incident_rollup",
     "er_name_links",
+    "doc_keyphrases",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1037,3 +1037,47 @@ def hybrid_search_rrf(documents: DataFrame,
                 "rrf_e6")
         .orderBy("fused_rank")
     )
+
+
+def doc_keyphrases(documents: DataFrame, top_n: int = 3) -> DataFrame:
+    """Per-document keyphrase extraction: the ``top_n`` non-stopword
+    tokens by TF-IDF within each document — the doc-tagging primitive
+    (faceting, routing, weak topic labels) next to the corpus-level
+    retrieval forms (keyword_search_tfidf scores docs for GIVEN
+    terms; this finds each doc's own terms).
+
+    Same determinism treatment as the retrieval pair: the only double
+    is ln(N/df) (bit-identical inputs, single call — no accumulation
+    ordering), and the score is FLOORED to an e4 integer before
+    ranking, with the token as tie-break, so both engines rank
+    identical integers. Scale shape: token explode → (doc, token) tf
+    collapse → token-grain df collapse → join back on token (SMJ at
+    vocabulary scale; nothing assumes the vocabulary broadcasts) →
+    per-doc window over ≤ |doc vocabulary| rows. Output is exactly
+    ≤ top_n rows per doc."""
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    ex = (
+        _spread(documents)
+        .select("doc_id", F.explode(textfn.tokens("text")).alias("w"))
+        .filter(~F.array_contains(stop_arr, F.col("w")))
+    )
+    tf = ex.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf"))
+    dfc = tf.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_e4"), F.col("w"))
+    return (
+        tf.join(dfc, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_e4",
+                    F.floor(F.col("tf")
+                            * F.log(F.col("n") / F.col("df")) * 1e4)
+                     .cast("bigint"))
+        .withColumn("rank", F.row_number().over(w_doc).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", F.col("w").alias("token"),
+                "tf", "df", "score_e4")
+        .orderBy("doc_id", "rank")
+    )

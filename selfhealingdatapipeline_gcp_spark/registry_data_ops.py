@@ -3912,3 +3912,41 @@ register(
     ORDER BY v.name_a, v.name_b
     """,
 )
+
+
+register(
+    "doc_keyphrases",
+    # per-doc top-3 TF-IDF terms (operators/textanalysis.py
+    # doc_keyphrases); ln on bit-identical inputs, e4-floored BEFORE
+    # ranking, token tie-break
+    lambda spark, sf: textanalysis.doc_keyphrases(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKENS}) AS w FROM documents
+    ), ex2 AS (
+      SELECT doc_id, w FROM ex
+      WHERE NOT list_contains({_STOPS}, w)
+    ), tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM ex2 GROUP BY 1, 2
+    ), dfc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    ), scored AS (
+      SELECT doc_id, tf.w AS w, tf, df,
+             CAST(floor(tf * ln(CAST(n AS DOUBLE) / df) * 10000)
+                  AS BIGINT) AS score_e4
+      FROM tf, dfc, nd WHERE tf.w = dfc.w
+    ), ranked AS (
+      SELECT doc_id, w, tf, df, score_e4,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_e4 DESC, w) AS INT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, w AS token, tf, df, score_e4
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)

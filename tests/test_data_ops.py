@@ -2219,3 +2219,34 @@ def test_er_name_links_parity(spark, duck):
     assert_parity(
         registry.queries()["er_name_links"](spark, SF_ORACLE),
         duck, registry.oracle_sql()["er_name_links"])
+
+
+def test_doc_keyphrases_planted_term(spark):
+    """A term unique to one doc and repeated there must be its rank-1
+    keyphrase; a corpus-wide term (df = N) scores ln(1) = 0 and can
+    never outrank it; stopwords never appear."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+
+    rows = [(1, "zebra zebra zebra common the the", "en", "s", 0),
+            (2, "common alpha beta", "en", "s", 0),
+            (3, "common gamma delta", "en", "s", 0)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    out = textanalysis.doc_keyphrases(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    top1 = by_doc[1][0]
+    assert top1.token == "zebra" and top1.tf == 3 and top1.df == 1
+    assert all(r.token != "the" for r in out)          # stopword
+    for rows_ in by_doc.values():                      # df=N scores 0
+        for r in rows_:
+            if r.token == "common":
+                assert r.score_e4 == 0
+
+
+def test_doc_keyphrases_parity(spark, duck):
+    from selfhealingdatapipeline_gcp_spark import registry
+    assert_parity(
+        registry.queries()["doc_keyphrases"](spark, SF_ORACLE),
+        duck, registry.oracle_sql()["doc_keyphrases"])

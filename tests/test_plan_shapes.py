@@ -666,6 +666,10 @@ _FINGERPRINTS = {
     # name collapse + masked blocks (bucket-grouped, no self-join) +
     # two n_ids join-backs on the bounded name relation
     "er_name_links": (6, 2, 0, 0),
+    # explode → tf collapse → df collapse → token join-back (BHJ at
+    # tiny SF, SMJ at vocab scale) → per-doc window; BNLJ = the
+    # 1-row N anchor
+    "doc_keyphrases": (5, 1, 0, 1),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
