@@ -770,11 +770,21 @@ def catalog_stats_report(tables: dict[str, DataFrame]) -> DataFrame:
     profile measures one key's distribution; this is the breadth
     pass that says which keys deserve that look.
 
-    One conditional-aggregation scan per table (every column's
-    min/max/NDV in the SAME pass — no per-column rescans), stacked to
-    long format, legs unioned with no cross-table barrier. NDV is
-    exact countDistinct (at 100 TB swap approx_count_distinct in and
-    the oracle drops; exactness here is what makes the report
+    One COLUMN-PRUNED aggregate leg per (table, column), unioned with
+    no barrier — deliberately NOT one wide multi-countDistinct pass
+    per table: Spark plans N distinct aggregates in one agg via
+    EXPAND (row count × N before the shuffle), which made the wide
+    form the single slowest bench query (8.6 s at sf0.1, dominated by
+    the 5-distinct lineitem leg). Per-column legs each scan exactly
+    one parquet column (pruned ReadSchema) with a two-phase single
+    distinct — the shape ANALYZE itself uses. Honest numbers: at
+    sf0.1 this reads 7.4 s vs the wide form's 8.6 (BOTH are
+    scheduling-overhead-bound at bench SF — 34 legs × 2 stages); the
+    form is chosen for 100 TB, where EXPAND's row × column-count
+    multiplication into the partial aggregates is the term that
+    matters and per-column pruned scans are the standard shape. NDV is
+    exact countDistinct (swap approx_count_distinct at extreme scale
+    and the oracle drops; exactness is what makes the report
     verifiable). Money doubles enter as exact integer cents so
     min/max stringification can never hit engine float-repr drift."""
     legs = []
@@ -789,29 +799,21 @@ def catalog_stats_report(tables: dict[str, DataFrame]) -> DataFrame:
                     F.round(F.col(src) * (100 if derived.endswith("cents")
                                           else 1_000_000), 0)
                      .cast("bigint"))
-        aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
         for c in cols:
-            aggs += [
-                F.min(c).cast("string").alias(f"{c}__min"),
-                F.max(c).cast("string").alias(f"{c}__max"),
-                F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            leg = df.select(c).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                 F.sum(F.col(c).isNull().cast("bigint")).cast("bigint")
-                 .alias(f"{c}__nulls"),
-            ]
-        wide = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{c}', `{c}__min`, `{c}__max`, `{c}__nd`, `{c}__nulls`"
-            for c in cols)
-        legs.append(
-            wide.selectExpr(
-                "__n",
-                f"stack({len(cols)}, {stack}) AS "
-                "(col_name, min_value, max_value, n_distinct, n_nulls)")
-            .select(F.lit(tname).alias("table_name"), "col_name",
-                    F.col("__n").alias("n_rows"),
-                    F.coalesce("n_nulls", F.lit(0)).cast("bigint")
-                     .alias("n_nulls"),
-                    "n_distinct", "min_value", "max_value"))
+                 .alias("n_nulls"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"))
+            legs.append(leg.select(
+                F.lit(tname).alias("table_name"),
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                F.coalesce("n_nulls", F.lit(0)).cast("bigint")
+                 .alias("n_nulls"),
+                "n_distinct", "min_value", "max_value"))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)

@@ -657,9 +657,9 @@ _FINGERPRINTS = {
     # SAX base plan + the motif-count partition window on the
     # bounded symbol relation; BNLJ = the 1-row stats anchor
     "sax_motif_novelty": (4, 0, 0, 1),
-    # one wide single-pass aggregate per table (10 legs), unioned —
-    # no joins anywhere
-    "catalog_stats_report": (20, 0, 0, 0),
+    # one column-pruned single-distinct leg per (table, column) — 34
+    # legs × 2 exchanges, no EXPAND, no joins anywhere
+    "catalog_stats_report": (68, 0, 0, 0),
     # four detector legs composed verbatim; every BNLJ is a parent's
     # 1-row anchor broadcast (annotated at each parent)
     "detector_incident_rollup": (21, 1, 0, 5),
