@@ -189,6 +189,7 @@ HEADLINE = [
     "detector_incident_rollup",
     "er_name_links",
     "doc_keyphrases",
+    "supplier_scorecard",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of

@@ -1401,3 +1401,48 @@ def series_downsample_m4(events: DataFrame, n_buckets: int = 256
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("event_type", "bkt", "role")
+
+
+def supplier_scorecard(lineitem: DataFrame, supplier: DataFrame,
+                       nation: DataFrame) -> DataFrame:
+    """Per-supplier fulfillment scorecard: line count, exact revenue,
+    return rate (returnflag = 'R' share, floor-e6), distinct parts
+    carried, and mean discount (floor-e4) — the vendor-health
+    dashboard the reference's revenue_breakdown slices by region ×
+    brand, re-cut along the supply axis (revenue_detector.py:171's
+    breakdown family). One lineitem shuffle on l_suppkey (map-side
+    partials; the distinct-parts agg rides the same grain), then a
+    join to the supplier dim (broadcast at test SF — supplier grows
+    with SF but stays ~1e-4 of lineitem, AQE decides at scale) and
+    the constant nation dim."""
+    per_supp = (
+        lineitem.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+             money.sum_revenue_e4(F.col("l_extendedprice"),
+                                  F.col("l_discount")).alias("revenue"),
+             F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+              .cast("bigint").alias("n_returned"),
+             F.countDistinct("l_partkey").cast("bigint")
+              .alias("n_distinct_parts"),
+             F.sum(money.cents(F.col("l_discount"))).cast("bigint")
+              .alias("disc_c"))
+    )
+    return (
+        per_supp
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name",
+                                          "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            "n_lines", "revenue", "n_distinct_parts",
+            F.floor(F.col("n_returned") * 1_000_000 / F.col("n_lines"))
+             .cast("bigint").alias("return_rate_e6"),
+            # mean discount in e4: disc_c is e2 per line; ×100 / n
+            F.floor(F.col("disc_c") * 100 / F.col("n_lines"))
+             .cast("bigint").alias("avg_discount_e4"))
+        .orderBy("supplier_key")
+    )

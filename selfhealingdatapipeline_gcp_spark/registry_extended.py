@@ -1330,3 +1330,39 @@ register(
     ORDER BY d
     """,
 )
+
+
+register(
+    "supplier_scorecard",
+    # per-supplier fulfillment dashboard (operators/analytics.py
+    # supplier_scorecard)
+    lambda spark, sf: analytics.supplier_scorecard(
+        *_t(spark, sf, "lineitem", "supplier", "nation")),
+    """
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             (sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              / 10000.0) AS revenue,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returned,
+             CAST(count(DISTINCT l_partkey) AS BIGINT)
+               AS n_distinct_parts,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  AS BIGINT) AS disc_c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT s_suppkey AS supplier_key, s_name AS supplier_name,
+           n_name AS nation,
+           n_lines, revenue, n_distinct_parts,
+           CAST(floor(n_returned * 1000000.0 / n_lines) AS BIGINT)
+             AS return_rate_e6,
+           CAST(floor(disc_c * 100.0 / n_lines) AS BIGINT)
+             AS avg_discount_e4
+    FROM per_supp
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY supplier_key
+    """,
+)

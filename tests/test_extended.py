@@ -492,3 +492,42 @@ def test_cdc_incremental_agg_parity(spark, duck):
     assert_parity(registry.queries()["cdc_incremental_agg"](
         spark, SF_ORACLE), duck,
         registry.oracle_sql()["cdc_incremental_agg"])
+
+
+def test_supplier_scorecard_fabricated(spark):
+    """One supplier, 4 lines ($100 each, one 'R', discounts 0/.1/.2/.1,
+    2 distinct parts): revenue Σ price·(1-d) = 360, return rate
+    250000 e6, avg discount 1000 e4."""
+    import datetime as dt
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+
+    li = spark.createDataFrame(
+        [(1, 10, 7, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 1)),
+         (2, 10, 7, 1, 1.0, 100.0, 0.1, 0.0, "R", "O",
+          dt.datetime(2024, 1, 2)),
+         (3, 11, 7, 1, 1.0, 100.0, 0.2, 0.0, "N", "O",
+          dt.datetime(2024, 1, 3)),
+         (4, 11, 7, 1, 1.0, 100.0, 0.1, 0.0, "N", "O",
+          dt.datetime(2024, 1, 4))],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+         "l_returnflag", "l_linestatus", "l_shipdate"])
+    supp = spark.createDataFrame([(7, "Acme", 0)],
+                                 ["s_suppkey", "s_name", "s_nationkey"])
+    nat = spark.createDataFrame([(0, "FRANCE", 0)],
+                                ["n_nationkey", "n_name", "n_regionkey"])
+    out = analytics.supplier_scorecard(li, supp, nat).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.supplier_key, r.nation, r.n_lines) == (7, "FRANCE", 4)
+    assert r.revenue == 360.0
+    assert r.n_distinct_parts == 2
+    assert r.return_rate_e6 == 250_000
+    assert r.avg_discount_e4 == 1000
+
+
+def test_supplier_scorecard_parity(spark, duck):
+    assert_parity(registry.queries()["supplier_scorecard"](
+        spark, SF_ORACLE), duck,
+        registry.oracle_sql()["supplier_scorecard"])

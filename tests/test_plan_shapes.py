@@ -670,6 +670,9 @@ _FINGERPRINTS = {
     # tiny SF, SMJ at vocab scale) → per-doc window; BNLJ = the
     # 1-row N anchor
     "doc_keyphrases": (5, 1, 0, 1),
+    # one l_suppkey collapse (distinct-parts agg on the same grain),
+    # supplier + nation broadcast
+    "supplier_scorecard": (3, 2, 0, 0),
 }
 
 _FP_NODES = ("Exchange", "BroadcastHashJoin", "SortMergeJoin",
