@@ -26,10 +26,14 @@ identical names) hits the loud cap with a collapse-first remedy."""
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+_log = logging.getLogger(__name__)
 
 #: marker for a masked position — outside every real key alphabet
 _MASK = "\x01"
@@ -58,7 +62,8 @@ def _masked_keys(recs: DataFrame, window: int) -> DataFrame:
 
 
 def er_name_pairs(customer: DataFrame, window: int = 4,
-                  max_block: int = 256) -> DataFrame:
+                  max_block: int = 256,
+                  force_id_grain: bool = False) -> DataFrame:
     """Typo-linked id pairs over ``c_name``: both ids of every pair
     whose normalized names are equal up to ONE substitution in the
     last ``window`` positions (edit distance 0 means distinct ids
@@ -66,10 +71,48 @@ def er_name_pairs(customer: DataFrame, window: int = 4,
 
     One corpus Exchange to blocks, in-bucket pair emission, one
     dedup Exchange across the ``window`` key families, then
-    ``levenshtein`` verify on the paired rows only."""
+    ``levenshtein`` verify on the paired rows only.
+
+    Scale auto-fallback (VERDICT r7 #1): id-grain pair output grows
+    QUADRATICALLY in identical-name mass (26.4M pairs at sf1, cap-
+    refused at sf10). Before pairing, the measured block budget —
+    the same max-block-size number ``er_blocking_report`` publishes —
+    is checked with one cheap aggregate; above ``max_block`` the
+    operator routes to KEEPER grain: identical names collapse to
+    their min-id representative first (``er_name_links`` discipline),
+    and pairs are emitted between keeper ids with the SAME output
+    schema. The trade, stated plainly: keeper grain drops the
+    within-identical-name-group edit-distance-0 pairs (dedup_exact /
+    er_name_clusters territory) and one row stands for the whole
+    n_ids_a × n_ids_b id-pair family (use ``er_name_links`` for the
+    multiplicity accounting). ``force_id_grain=True`` restores the
+    old loud per-block raise instead of falling back."""
     recs = customer.select(F.col("c_custkey").alias("id"),
                            F.lower(F.col("c_name")).alias("name"))
-    return pairs_from_masked(_masked_keys(recs, window), max_block)
+    masked = _masked_keys(recs, window)
+    if not force_id_grain:
+        budget = (masked.groupBy("p", "k")
+                  .agg(F.count(F.lit(1)).alias("sz"))
+                  .agg(F.max("sz")).first()[0]) or 0
+        if budget > max_block:
+            _log.warning(
+                "er_name_pairs: largest block holds %d records "
+                "(> max_block=%d) — auto-routing to keeper grain "
+                "(identical names collapsed to min-id representative; "
+                "pass force_id_grain=True for the strict id-grain "
+                "form, er_name_links for multiplicity accounting)",
+                budget, max_block)
+            names = (
+                recs.groupBy("name")
+                .agg(F.min("id").alias("id"))
+                .select("id", "name")
+            )
+            # distinct-name grain: block occupancy is alphabet-bounded
+            # (the masking design's real promise) — 4096 matches the
+            # er_name_links cap that gates green at sf10
+            return pairs_from_masked(_masked_keys(names, window),
+                                     max_block=4096)
+    return pairs_from_masked(masked, max_block)
 
 
 def pairs_from_masked(masked: DataFrame,

@@ -310,11 +310,27 @@ def _fix_cell_overflow(m: re.Match[str]) -> Fix:
 def _fix_allpairs(m: re.Match[str]) -> Fix:
     return Fix(
         fix_type="MANUAL",
-        root_cause="all-pairs escape requested over a corpus above "
-                   "max_all_pairs_rows",
-        suggested_fix="use the cell-bounded default or pass bounded "
-                      "candidates; raise max_all_pairs_rows only for "
-                      "a deliberate exact verification run",
+        root_cause="all-pairs escape FORCED (force_all_pairs=True) "
+                   "over a corpus above max_all_pairs_rows",
+        suggested_fix="drop force_all_pairs so the call auto-routes "
+                      "to the cell-bounded form, pass bounded "
+                      "candidates, or raise max_all_pairs_rows only "
+                      "for a deliberate exact verification run",
+        retryable=False,
+    )
+
+
+@_rule("er_block_overflow", r"er_name_pairs: block holds")
+def _fix_er_block(m: re.Match[str]) -> Fix:
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="an ER block exceeds max_block (a flood of "
+                   "identical or near-identical keys makes in-block "
+                   "pairing quadratic)",
+        suggested_fix="drop force_id_grain so er_name_pairs "
+                      "auto-routes to keeper grain, or use "
+                      "er_name_links (distinct-name grain with "
+                      "implied_id_pairs multiplicity accounting)",
         retryable=False,
     )
 

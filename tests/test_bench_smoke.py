@@ -54,6 +54,33 @@ def test_bench_harness_smoke(spark):
         assert got[0] > 0
 
 
+def test_bench_final_line_is_bounded():
+    """The driver parses the LAST stdout line from a bounded (~3 KB)
+    tail window; r07 shipped `parsed: null` because the final line
+    grew with the registry. Pin: the compact final object serializes
+    under 2000 bytes no matter how many queries ran."""
+    import json
+
+    fake_out = {
+        "metric": "headline_queries_total_time",
+        "value": 123.456,
+        "unit": "sec",
+        # worst case: every registered query present with a timing
+        "queries": {n: 99.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "shuffle_bytes_total": 10**12,
+        "shuffle_rows_total": 10**10,
+        "errors": {f"q{i}": "x" * 500 for i in range(50)},
+    }
+    final = bench.compact_final(fake_out, "/root/repo/BENCH.json")
+    line = json.dumps(final, separators=(",", ":"))
+    assert len(line) < 2000, f"final line {len(line)} bytes — too big"
+    # contract shape the driver expects
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert key in final
+    assert set(final["queries"]) == set(bench.CORE)
+
+
 def test_bench_shuffle_metrics_zero_shuffle(spark):
     """A plain scan-filter has no exchange: the metrics reader must
     report (0, 0), not None (None means traversal broke)."""

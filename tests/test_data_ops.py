@@ -353,15 +353,25 @@ def test_ann_pq_codes_are_deterministic(spark):
 
 
 def test_dedup_embedding_all_pairs_guard(spark):
-    """The quadratic escape must refuse oversized corpora loudly
-    (VERDICT r2 #3) instead of launching a corpus-squared join."""
+    """Above max_all_pairs_rows the quadratic escape AUTO-ROUTES to
+    the cell-bounded form (VERDICT r7 #2) — the query still runs at
+    any scale; force_all_pairs=True restores the hard refusal
+    (VERDICT r2 #3) for callers who need exactness-or-error."""
     from selfhealingdatapipeline_gcp_spark import catalog
     from selfhealingdatapipeline_gcp_spark.operators import dedup
 
     emb = catalog.load(spark, SF_ORACLE, "embeddings")
     with pytest.raises(ValueError, match="corpus-squared"):
         dedup.dedup_embedding(emb, allow_all_pairs=True,
-                              max_all_pairs_rows=100)
+                              max_all_pairs_rows=100,
+                              force_all_pairs=True)
+    # without force, the over-limit escape degrades to cell-bounded —
+    # identical rows to the cell-mode call on this corpus
+    routed = dedup.dedup_embedding(emb, allow_all_pairs=True,
+                                   max_all_pairs_rows=100)
+    cells = dedup.dedup_embedding(emb)
+    assert [tuple(r) for r in routed.collect()] == \
+           [tuple(r) for r in cells.collect()]
     # under the limit the escape still works
     assert dedup.dedup_embedding(emb, allow_all_pairs=True).count() > 0
 
@@ -2108,18 +2118,28 @@ def test_er_name_pairs_planted_typos(spark):
     assert clusters[0].keeper_id == 1
 
 
-def test_er_name_pairs_block_cap_raises(spark):
-    """A flood of identical names must fail loudly BEFORE quadratic
-    pair emission (same discipline as the LSH bucket cap)."""
+def test_er_name_pairs_block_cap_fallback(spark):
+    """A flood of identical names must NOT launch quadratic id-grain
+    pair emission: the measured block budget routes the operator to
+    keeper grain (VERDICT r7 #1) where identical names collapse to
+    one representative. force_id_grain=True keeps the old loud raise
+    (same discipline as the LSH bucket cap)."""
     import pytest as _pytest
     from selfhealingdatapipeline_gcp_spark.operators import er
 
+    rows = [(i, "Same#0000", 0, 0.0, "A") for i in range(300)]
+    # plus one typo'd name one substitution away from the flood
+    rows.append((900, "Same#0001", 0, 0.0, "A"))
     cust = spark.createDataFrame(
-        [(i, "Same#0000", 0, 0.0, "A") for i in range(300)],
-        ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
-         "c_mktsegment"])
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+               "c_mktsegment"])
     with _pytest.raises(Exception, match="max_block"):
-        er.er_name_pairs(cust).collect()
+        er.er_name_pairs(cust, force_id_grain=True).collect()
+    # auto-fallback: the 300-id flood collapses to keeper 0; the one
+    # cross-name typo link survives at keeper grain with ed=1
+    got = er.er_name_pairs(cust).collect()
+    assert [(r.id_a, r.id_b, r.edit_distance) for r in got] == \
+           [(0, 900, 1)]
 
 
 def test_er_name_pairs_parity(spark, duck):

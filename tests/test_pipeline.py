@@ -745,13 +745,17 @@ def test_healer_catches_own_scale_guards(spark):
     assert "max_bucket_docs" in fix.root_cause
     assert "dedup_exact" in fix.suggested_fix
 
-    # all-pairs escape over the guard limit
+    # all-pairs escape over the guard limit: the raise now sits under
+    # force_all_pairs=True (without it the call auto-routes to the
+    # cell-bounded form, VERDICT r7 #2) — the healer rule still maps
+    # the forced failure
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0], 0) for i in range(5)],
         "vec_id long, embedding array<float>, label int")
     with pytest.raises(ValueError) as e2:
         dedup.dedup_embedding(emb, allow_all_pairs=True,
-                              max_all_pairs_rows=2)
+                              max_all_pairs_rows=2,
+                              force_all_pairs=True)
     fix = healer.analyze_error(str(e2.value))
     assert "max_all_pairs_rows" in fix.root_cause
 
