@@ -199,6 +199,48 @@ def run_monitoring_sweep(spark: SparkSession, sf_dir: str,
     }
 
 
+def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
+                         state_root: str,
+                         interval_s: float = 3600.0,
+                         max_runs: int | None = None,
+                         alert_dir: str | None = None,
+                         sleep=None) -> list[dict[str, Any]]:
+    """The monitoring sweep on a recurring schedule — the in-process
+    counterpart of the reference's daily cron
+    (dag/financial_monitoring_complete.py:176
+    ``schedule_interval='0 17 * * *'``) and hourly pipeline DAG.
+    Each tick runs the full sweep through the self-healing runner;
+    alert suppression across ticks rides the persisted
+    monitoring_alerts history at ``state_root`` (a repeat firing
+    within the dedup window delivers NOTHING on later ticks — the
+    reference's ``_is_duplicate`` check, restart-proof).
+
+    ``state_root`` is required: scheduled sweeps without persisted
+    history would re-alert every tick. Returns one sweep-output dict
+    per tick."""
+    import time as _time
+
+    from selfhealingdatapipeline_gcp_spark.plans.pipeline import (
+        Pipeline as _P, Task as _T)
+
+    outputs: list[dict[str, Any]] = []
+
+    def sweep(s: SparkSession, ctx: dict[str, Any]):
+        out = run_monitoring_sweep(s, sf_dir, state_root=state_root,
+                                   alert_dir=alert_dir)
+        failed = {k: v for k, v in out["statuses"].items()
+                  if v != "SUCCESS"}
+        if failed:
+            raise RuntimeError(f"sweep tasks failed: {failed}")
+        outputs.append(out)
+        return out
+
+    pipe = _P("scheduled_monitoring", [_T("sweep", sweep)])
+    pipe.run_every(spark, interval_s, max_runs=max_runs,
+                   sleep=sleep if sleep is not None else _time.sleep)
+    return outputs
+
+
 def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
                      dup_rate_alert_e6: int = 200_000) -> dict[str, Any]:
     """The training-data curation pipeline end to end, through the

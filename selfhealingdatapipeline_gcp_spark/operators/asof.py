@@ -43,8 +43,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, left_ts: str,
     unioned = lhs_aligned.unionByName(rhs_aligned)
     # at equal __ts, left rows sort FIRST (kind 0) so a same-instant
     # right row is NOT visible — strict "<" semantics, matching
-    # ASOF JOIN ... ON l.ts > r.ts
-    w = (Window.partitionBy(on).orderBy("__ts", "__kind")
+    # ASOF JOIN ... ON l.ts > r.ts. Third key: when SEVERAL right rows
+    # share (key, ts), the carried row is the struct-MIN over
+    # right_cols (ties sort desc, last() takes the window-nearest) —
+    # deterministic instead of partition-order-dependent (ADVICE r7).
+    tie = F.struct(*[F.col(f"__r_{c}") for c in right_cols]).desc()
+    w = (Window.partitionBy(on).orderBy("__ts", "__kind", tie)
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = unioned.select(
         *lhs.columns,
@@ -152,9 +156,15 @@ def asof_join_forward(left: DataFrame, right: DataFrame, on: str,
     )
     unioned = lhs_aligned.unionByName(rhs_aligned)
     # descending time; at equal __ts left rows sort FIRST (kind 0) so
-    # a same-instant right row is NOT visible — strict ">" semantics
+    # a same-instant right row is NOT visible — strict ">" semantics.
+    # Third key: when SEVERAL right rows share (key, ts), carry the
+    # struct-MIN over right_cols (ties sort desc, last() takes the
+    # window-nearest) — deterministic instead of
+    # partition-order-dependent (ADVICE r7: latent parity flake on
+    # asof_next_purchase's next_purchase_id).
+    tie = F.struct(*[F.col(f"__r_{c}") for c in right_cols]).desc()
     w = (Window.partitionBy(on)
-         .orderBy(F.col("__ts").desc(), F.col("__kind"))
+         .orderBy(F.col("__ts").desc(), F.col("__kind"), tie)
          .rowsBetween(Window.unboundedPreceding, 0))
     carried = unioned.select(
         *lhs.columns,

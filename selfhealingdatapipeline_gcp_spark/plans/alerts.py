@@ -62,29 +62,77 @@ class AlertRule:
     # lazily-built Column overriding the deviation ladder (lazy so the
     # module imports without an active SparkSession)
     severity_factory: object | None = None
+    # recommended actions carried on every alert from this rule
+    # (alert_manager.py:24,90-94 formats `recommendations` into every
+    # delivered alert; each reference detector ships a fallback
+    # recommended_actions list when its LLM analysis is absent —
+    # feed_detector.py:179, revenue_detector.py:270, etc.)
+    recommendations: tuple[str, ...] = ()
 
 
 DEFAULT_RULES = (
-    AlertRule("revenue_anomaly", "is_anomaly", "z_score", ("d",)),
-    AlertRule("transaction_volume_anomaly", "is_anomaly", "z_score", ("hour",)),
-    AlertRule("pattern_break_region", "is_break", "deviation_pct", ("region",)),
-    AlertRule("pattern_break_product", "is_break", "deviation_pct", ("brand",)),
+    # per-rule actions mirror the reference detectors' fallback
+    # recommended_actions lists (revenue_detector.py:270,
+    # pattern_detector.py:231, reconciliation_detector.py:202,
+    # freshness_detector.py:168, feed_detector.py:179,
+    # quality_detector.py:222), tied where possible to this repo's
+    # healer remedies so the action is executable here
+    AlertRule("revenue_anomaly", "is_anomaly", "z_score", ("d",),
+              recommendations=("investigate transaction data for the "
+                               "flagged day", "check for system issues",
+                               "review recent pricing changes")),
+    AlertRule("transaction_volume_anomaly", "is_anomaly", "z_score",
+              ("hour",),
+              recommendations=("check upstream ingest for the flagged "
+                               "hour", "compare against the weekly "
+                               "seasonality profile")),
+    AlertRule("pattern_break_region", "is_break", "deviation_pct",
+              ("region",),
+              recommendations=("investigate data sources for the "
+                               "region", "check for fraud patterns",
+                               "review recent changes")),
+    AlertRule("pattern_break_product", "is_break", "deviation_pct",
+              ("brand",),
+              recommendations=("investigate data sources for the "
+                               "brand", "check for fraud patterns",
+                               "review recent changes")),
     AlertRule("reconciliation_orders_lineitem", "is_mismatch",
-              "discrepancy_pct", ("d",)),
-    AlertRule("freshness_check", "is_stale", None, ("source",)),
-    AlertRule("sla_processing_velocity", "sla_breach", None, ()),
+              "discrepancy_pct", ("d",),
+              recommendations=("review ETL logs for the flagged day",
+                               "check for processing errors",
+                               "reprocess affected data")),
+    AlertRule("freshness_check", "is_stale", None, ("source",),
+              recommendations=("check upstream systems",
+                               "verify network connectivity",
+                               "review data pipeline logs")),
+    AlertRule("sla_processing_velocity", "sla_breach", None, (),
+              recommendations=("scale processing resources",
+                               "review stage timings for the slow "
+                               "window")),
     AlertRule("feed_status", "is_missing", None, ("feed_id",),
-              severity_factory=feed_missing_severity),
+              severity_factory=feed_missing_severity,
+              recommendations=("check upstream systems",
+                               "contact data providers",
+                               "use backup data if available")),
     AlertRule("quality_null_trend", "is_degraded", None, ("col_name",),
-              severity_factory=quality_increase_severity("delta_pct")),
+              severity_factory=quality_increase_severity("delta_pct"),
+              recommendations=("investigate upstream data sources",
+                               "review ETL processes",
+                               "check data validation rules")),
     AlertRule("quality_duplicate_trend", "is_degraded", None, ("d",),
-              severity_factory=quality_increase_severity("increase_pct")),
+              severity_factory=quality_increase_severity("increase_pct"),
+              recommendations=("investigate upstream data sources",
+                               "run dedup_exact on the affected day",
+                               "check data validation rules")),
 )
 
 
 def alerts_from(detector_name: str, df: DataFrame, rule: AlertRule) -> DataFrame:
     """Project a detector output into the uniform alert schema:
-    (detector, alert_key, severity, detail). Only firing rows."""
+    (detector, alert_key, severity, detail, recommendations). Only
+    firing rows. ``recommendations`` is the rule's recommended-action
+    list (array<string>), the reference's alert payload field
+    (alert_manager.py:24) every sender formats into its delivery."""
     detail_cols = list(df.columns)
     if rule.severity_factory is not None:
         # computed BEFORE the firing filter: ratio ladders (feed
@@ -99,11 +147,15 @@ def alerts_from(detector_name: str, df: DataFrame, rule: AlertRule) -> DataFrame
     key = (F.concat_ws("|", *[F.col(c).cast("string") for c in rule.key_columns])
            if rule.key_columns else F.lit(""))
     detail = F.to_json(F.struct(*[F.col(c) for c in detail_cols]))
+    recs = (F.array(*[F.lit(r) for r in rule.recommendations])
+            if rule.recommendations
+            else F.array().cast("array<string>"))
     return fired.select(
         F.lit(detector_name).alias("detector"),
         key.alias("alert_key"),
         severity.alias("severity"),
         detail.alias("detail"),
+        recs.alias("recommendations"),
     )
 
 
@@ -240,6 +292,8 @@ class WebhookAlertSender(AlertSender):
             "detector": row.detector,
             "alert_key": row.alert_key,
             "detail": row.detail,
+            "recommendations": list(getattr(row, "recommendations",
+                                            None) or []),
         }).encode("utf-8")
         req = urllib.request.Request(
             self.url, data=payload,
@@ -282,6 +336,8 @@ class FileAlertSender(AlertSender):
                 "alert_key": row.alert_key,
                 "severity": row.severity,
                 "detail": row.detail,
+                "recommendations": list(getattr(row, "recommendations",
+                                                None) or []),
             }) + "\n")
 
     def read_back(self, channel: str) -> list[dict]:
@@ -335,12 +391,21 @@ class SmtpAlertSender(AlertSender):
         msg["To"] = ", ".join(self.to_addresses)
         msg["Subject"] = f"[{row.severity}] {row.detector}: {row.alert_key}"
         color = "#FF0000" if row.severity == "CRITICAL" else "#FF6600"
+        # numbered Recommended Actions block — the reference appends
+        # the same list to every formatted alert
+        # (alert_manager.py:90-94 `_format_alert`)
+        recs = list(getattr(row, "recommendations", None) or [])
+        rec_html = ""
+        if recs:
+            items = "".join(f"<li>{r}</li>" for r in recs)
+            rec_html = (f"<h3>Recommended Actions</h3><ol>{items}</ol>")
         html = (
             "<html><body style=\"font-family: Arial, sans-serif;\">"
             f"<h2 style=\"color: {color};\">"
             f"{row.detector}: {row.alert_key}</h2>"
             f"<pre style=\"background-color: #f5f5f5; padding: 15px;"
             f" border-radius: 5px;\">{row.detail}</pre>"
+            f"{rec_html}"
             "<p style=\"color: #666; font-size: 12px;\">"
             "Sent by the pipeline monitoring suite</p>"
             "</body></html>"

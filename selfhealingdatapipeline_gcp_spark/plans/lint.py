@@ -78,15 +78,42 @@ def lint_plan(df: DataFrame, max_exchanges: int = 12) -> list[Finding]:
             f"{n_bnlj} BroadcastNestedLoopJoin node(s): fine for a "
             "1-row anchor broadcast, quadratic for anything bigger — "
             "verify the build side is plan-constant"))
-    n_ex = plan.count("Exchange")
+    # count SHUFFLE exchanges only: a bare "Exchange" substring also
+    # matches BroadcastExchange / ReusedExchange, which move no
+    # shuffle data — a broadcast-heavy but shuffle-light plan would
+    # fire spuriously (ADVICE r7)
+    n_ex = (plan.count("Exchange hashpartitioning")
+            + plan.count("Exchange rangepartitioning")
+            + plan.count("Exchange RoundRobinPartitioning")
+            + plan.count("Exchange SinglePartition"))
     if n_ex > max_exchanges:
         findings.append(Finding(
             WARN, "exchange-count",
-            f"{n_ex} Exchange nodes (> {max_exchanges}): check for "
-            "missed ReusedExchange, bucketing, or pre-aggregation"))
-    first_nodes = [ln.strip("*+- ").split(" ")[0]
-                   for ln in plan.splitlines()[:4] if ln.strip()]
-    if any(n.startswith("Sort") for n in first_nodes):
+            f"{n_ex} shuffle Exchange nodes (> {max_exchanges}): "
+            "check for missed ReusedExchange, bucketing, or "
+            "pre-aggregation"))
+    # exact node name: startswith("Sort") also matched SortMergeJoin /
+    # SortAggregate near the root — false findings (ADVICE r7). Node
+    # extraction strips tree art, the whole-stage-codegen "*(n)"
+    # marker, and skips AQE wrapper/stage lines so the rule sees the
+    # first REAL operator.
+    import re as _re
+
+    _wrappers = {"AdaptiveSparkPlan", "ResultQueryStage",
+                 "ShuffleQueryStage", "BroadcastQueryStage",
+                 "AQEShuffleRead", "TableCacheQueryStage",
+                 "InMemoryTableScan", "CollectLimit"}
+    first_node = None
+    for ln in plan.splitlines()[:12]:
+        s = ln.strip().lstrip("*+- ")
+        if not s or s.startswith("=="):
+            continue
+        s = _re.sub(r"^\(\d+\)\s*", "", s)
+        node = _re.split(r"[ \[(]", s, maxsplit=1)[0]
+        if node and node not in _wrappers:
+            first_node = node
+            break
+    if first_node == "Sort":
         findings.append(Finding(
             INFO, "single-partition-sort",
             "global Sort at the plan root: harmless for a bounded "

@@ -99,6 +99,47 @@ class Pipeline:
                 context[task.name] = results[task.name].result
         return results
 
+    def run_every(self, spark: SparkSession, interval_s: float,
+                  max_runs: int | None = None,
+                  context: dict[str, Any] | None = None,
+                  sleep: Callable[[float], None] = time.sleep,
+                  stop_when: Callable[[dict[str, TaskResult]], bool]
+                  | None = None) -> list[dict[str, TaskResult]]:
+        """Scheduled recurring execution — the reference runs its
+        monitoring DAG on a cron (``schedule_interval='0 17 * * *'``,
+        dag/financial_monitoring_complete.py:176) and its pipeline
+        hourly (dag/self_healing_pipeline.py:154-165). On a real
+        deployment the scheduler is external (cron/Airflow submits
+        one run); this surface is the in-process recurring shape:
+        run → sleep(interval_s) → run, every run with the full
+        per-task healing protocol. Cross-run alert suppression is NOT
+        in-memory state here — it rides the persisted alert-history
+        sink (plans/history.py), so a sweep that lands after a
+        restart still suppresses repeats, exactly like the
+        reference's BigQuery-backed history.
+
+        ``max_runs=None`` loops forever; tests inject a finite
+        ``max_runs`` and a recording ``sleep``. ``stop_when(results)``
+        returning True ends the loop after that run. Each run's
+        context carries ``run_index`` (0-based) and, from the second
+        run on, ``prev_statuses``."""
+        all_results: list[dict[str, TaskResult]] = []
+        i = 0
+        while max_runs is None or i < max_runs:
+            ctx = dict(context or {})
+            ctx["run_index"] = i
+            if all_results:
+                ctx["prev_statuses"] = {
+                    k: v.status for k, v in all_results[-1].items()}
+            results = self.run(spark, ctx)
+            all_results.append(results)
+            i += 1
+            if stop_when is not None and stop_when(results):
+                break
+            if (max_runs is None or i < max_runs) and interval_s > 0:
+                sleep(interval_s)
+        return all_results
+
     def _run_task(self, spark: SparkSession, task: Task,
                   context: dict[str, Any]) -> TaskResult:
         res = TaskResult(task.name, "FAILED")

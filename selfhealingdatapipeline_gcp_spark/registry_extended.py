@@ -172,16 +172,29 @@ def _asof_purchase_attribution(spark, sf):
 register(
     "asof_purchase_attribution",
     _asof_purchase_attribution,
+    # ASOF picks the latest prior ts; the cmin join-back resolves
+    # SEVERAL clicks at that tied (user, ts) to min event_id — the
+    # Spark side's struct-MIN tiebreaker (ADVICE r7: ASOF alone picks
+    # arbitrarily on ties)
     """
-    SELECT p.event_id, p.user_id, p.ts,
-           c.ts AS prev_click_ts,
-           c.event_id AS prev_click_id,
-           round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6) AS gap_s
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
-                    WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts > c.ts
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    cmin AS (SELECT user_id, ts, min(event_id) AS c_id
+             FROM c GROUP BY user_id, ts),
+    nxt AS (
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_click_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts > c.ts
+    )
+    SELECT n.event_id, n.user_id, n.ts, n.prev_click_ts,
+           cmin.c_id AS prev_click_id,
+           round((epoch_us(n.ts) - epoch_us(n.prev_click_ts))
+                 / 1000000.0, 6) AS gap_s
+    FROM nxt n
+    LEFT JOIN cmin ON cmin.user_id = n.user_id
+                  AND cmin.ts = n.prev_click_ts
     """,
 )
 
@@ -1021,18 +1034,25 @@ register(
       GROUP BY v.user_id, v.view_ts
     ), nv AS (
       SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM first_view
+    ), cagg AS (
+      -- global aggregate FIRST (one row even when conv is empty),
+      -- then cross join: the old GROUP BY nv.n_viewers over an empty
+      -- conv emitted ZERO rows while Spark's global agg emits one
+      -- (n_converters=0, null percentiles) — ADVICE r7 degenerate-
+      -- input parity
+      SELECT CAST(count(*) AS BIGINT) AS n_converters,
+             CAST(floor(quantile_cont(lat_s, 0.5)) AS BIGINT)
+               AS p50_latency_s,
+             CAST(floor(quantile_cont(lat_s, 0.9)) AS BIGINT)
+               AS p90_latency_s,
+             CAST(floor(avg(lat_s)) AS BIGINT) AS mean_latency_s
+      FROM conv
     )
-    SELECT nv.n_viewers,
-           CAST(count(*) AS BIGINT) AS n_converters,
-           CAST(floor(count(*) * 1000000.0 / nv.n_viewers) AS BIGINT)
-             AS conversion_e6,
-           CAST(floor(quantile_cont(lat_s, 0.5)) AS BIGINT)
-             AS p50_latency_s,
-           CAST(floor(quantile_cont(lat_s, 0.9)) AS BIGINT)
-             AS p90_latency_s,
-           CAST(floor(avg(lat_s)) AS BIGINT) AS mean_latency_s
-    FROM conv CROSS JOIN nv
-    GROUP BY nv.n_viewers
+    SELECT nv.n_viewers, cagg.n_converters,
+           CAST(floor(cagg.n_converters * 1000000.0 / nv.n_viewers)
+                AS BIGINT) AS conversion_e6,
+           cagg.p50_latency_s, cagg.p90_latency_s, cagg.mean_latency_s
+    FROM cagg CROSS JOIN nv
     """,
 )
 
@@ -1232,18 +1252,29 @@ register(
     "asof_next_purchase",
     _asof_next_purchase,
     # forward direction: DuckDB ASOF with '<' picks the EARLIEST
-    # right row strictly after the probe — the next-event join
+    # right row strictly after the probe — the next-event join. The
+    # pmin join-back resolves SEVERAL purchases at that tied
+    # (user, ts) to min event_id — the Spark side's struct-MIN
+    # tiebreaker (ADVICE r7: ASOF alone picks arbitrarily on ties)
     """
-    SELECT v.event_id, v.user_id, v.ts,
-           p.ts AS next_purchase_ts,
-           p.event_id AS next_purchase_id,
-           round((epoch_us(p.ts) - epoch_us(v.ts)) / 1000000.0, 6)
-             AS gap_s
-    FROM (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'view') v
-    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
-                    WHERE event_type = 'purchase') p
-      ON v.user_id = p.user_id AND v.ts < p.ts
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    pmin AS (SELECT user_id, ts, min(event_id) AS p_id
+             FROM p GROUP BY user_id, ts),
+    nxt AS (
+      SELECT v.event_id, v.user_id, v.ts, p.ts AS next_purchase_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view') v
+      ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.ts < p.ts
+    )
+    SELECT n.event_id, n.user_id, n.ts, n.next_purchase_ts,
+           pmin.p_id AS next_purchase_id,
+           round((epoch_us(n.next_purchase_ts) - epoch_us(n.ts))
+                 / 1000000.0, 6) AS gap_s
+    FROM nxt n
+    LEFT JOIN pmin ON pmin.user_id = n.user_id
+                  AND pmin.ts = n.next_purchase_ts
     """,
 )
 

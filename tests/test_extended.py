@@ -446,6 +446,22 @@ def test_asof_forward_semantics(spark):
     assert out[2].next_p_id == 102
     assert out[3].next_p_id is None  # user 8 has no purchases
 
+    # deterministic tie resolution (ADVICE r7): TWO purchases at the
+    # same (user, ts) — the struct-MIN (here: smaller p_id) is carried,
+    # not whichever row a partition happened to order first
+    tied = spark.createDataFrame(
+        [(201, 7, t + 5 * s), (200, 7, t + 5 * s)],
+        ["p_id", "user_id", "p_ts"])
+    got = {r.event_id: r for r in asof.asof_join_forward(
+        views, tied, on="user_id", left_ts="ts", right_ts="p_ts",
+        right_cols=("p_ts", "p_id")).collect()}
+    assert got[1].next_p_id == 200
+    back = {r.event_id: r for r in asof.asof_join(
+        views.filter("event_id = 2"), tied, on="user_id",
+        left_ts="ts", right_ts="p_ts",
+        right_cols=("p_ts", "p_id")).collect()}
+    assert back[2].asof_p_id == 200
+
     full = registry.queries()["asof_next_purchase"](spark, SF_ORACLE)
     rows = full.collect()
     assert any(r.next_purchase_ts is not None for r in rows)

@@ -216,11 +216,18 @@ def test_alerts_routing(spark):
     }
     out = alerts.collect_alerts(outputs)
     rows = out.collect()
-    assert set(out.columns) == {"detector", "alert_key", "severity", "detail"}
+    assert set(out.columns) == {"detector", "alert_key", "severity",
+                                "detail", "recommendations"}
     assert all(r.severity in alerts.SEVERITIES for r in rows)
     # dedup key is unique
     keys = [(r.detector, r.alert_key) for r in rows]
     assert len(keys) == len(set(keys))
+    # every alert carries its rule's recommended actions (reference
+    # alert_manager.py:24 `recommendations` parity)
+    by_rule = {r.detector: r.recommendations for r in alerts.DEFAULT_RULES}
+    for r in rows:
+        assert list(r.recommendations) == list(by_rule[r.detector])
+        assert len(r.recommendations) >= 2
 
 
 def test_run_etl_job_end_to_end(spark, tmp_path):
@@ -372,7 +379,8 @@ def test_sweep_routes_feed_and_quality_alerts(spark):
                for n in ("feed_status", "quality_null_trend",
                          "quality_duplicate_trend")}
     out = alerts.collect_alerts(outputs)  # plan builds + executes clean
-    assert set(out.columns) == {"detector", "alert_key", "severity", "detail"}
+    assert set(out.columns) == {"detector", "alert_key", "severity",
+                                "detail", "recommendations"}
     assert all(r.severity in alerts.SEVERITIES for r in out.collect())
 
 
@@ -405,6 +413,53 @@ def test_sweep_persists_history_and_suppresses_repeats(spark, tmp_path):
     assert len(rows) == 2                              # one snapshot per sweep
     r = rows[0]
     assert r.sample_size > 0 and r.min_value <= r.baseline_value <= r.max_value
+
+
+def test_run_every_schedules_and_paces(spark):
+    """Pipeline.run_every: N runs, injectable sleep between them (the
+    reference DAG's cron interval, in-process), run_index/prev_statuses
+    in context, stop_when early exit."""
+    from selfhealingdatapipeline_gcp_spark.plans.pipeline import (
+        Pipeline, Task)
+
+    seen = []
+    naps = []
+
+    def tick(s, ctx):
+        seen.append((ctx["run_index"], ctx.get("prev_statuses")))
+        return ctx["run_index"]
+
+    pipe = Pipeline("sched", [Task("tick", tick)])
+    runs = pipe.run_every(spark, interval_s=60.0, max_runs=3,
+                          sleep=naps.append)
+    assert len(runs) == 3
+    assert [r["tick"].result for r in runs] == [0, 1, 2]
+    # sleeps BETWEEN runs only (2 gaps for 3 runs), at the interval
+    assert naps == [60.0, 60.0]
+    assert seen[0] == (0, None)
+    assert seen[1] == (1, {"tick": "SUCCESS"})
+    # stop_when ends the loop after the matching run
+    runs = pipe.run_every(spark, interval_s=0, max_runs=10,
+                          stop_when=lambda r: r["tick"].result >= 1)
+    assert len(runs) == 2
+
+
+def test_scheduled_sweeps_suppress_repeats_across_ticks(spark, tmp_path):
+    """Three scheduled sweeps over the same (static) data: tick 1
+    delivers the firing alerts and persists them; ticks 2-3 read the
+    history back and suppress EVERY repeat (VERDICT r7 #4 done-gate:
+    dedup_against_history works across scheduled runs)."""
+    from selfhealingdatapipeline_gcp_spark import jobs
+
+    naps = []
+    outs = jobs.run_scheduled_sweeps(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "state"),
+        interval_s=3600.0, max_runs=3, sleep=naps.append)
+    assert len(outs) == 3
+    assert naps == [3600.0, 3600.0]
+    assert outs[0]["alerts"]["n_delivered"] >= 1
+    assert outs[1]["alerts"]["n_delivered"] == 0
+    assert outs[2]["alerts"]["n_delivered"] == 0
 
 
 def test_read_alert_history_empty_when_absent(spark, tmp_path):
@@ -474,7 +529,17 @@ def test_monitoring_sweep_delivers_to_alert_dir(spark, tmp_path):
         with open(tmp_path / "al" / fn, encoding="utf-8") as f:
             rows += [json.loads(line) for line in f]
     assert len(rows) >= out["alerts"]["n_delivered"]
-    assert {"detector", "alert_key", "severity", "detail"} <= set(rows[0])
+    assert {"detector", "alert_key", "severity", "detail",
+            "recommendations"} <= set(rows[0])
+    # the delivered payload carries the rule's recommended actions
+    # (reference alert_manager.py:24 — every channel format includes
+    # the recommendations list); every DEFAULT_RULES detector has one
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+    by_rule = {r.detector: list(r.recommendations)
+               for r in alerts.DEFAULT_RULES}
+    for r in rows:
+        assert r["recommendations"] == by_rule[r["detector"]]
+        assert r["recommendations"]
 
 
 def test_fix_script_file_object_store_via_opener_hook():
@@ -684,10 +749,12 @@ def test_smtp_alert_sender_delivers_routed_alerts(spark):
     t.start()
     try:
         fired = spark.createDataFrame(
-            [("revenue_anomaly", "2024-03-01", "HIGH", "{}"),
-             ("freshness_check", "events", "CRITICAL", "{}")],
+            [("revenue_anomaly", "2024-03-01", "HIGH", "{}",
+              ["check for system issues"]),
+             ("freshness_check", "events", "CRITICAL", "{}",
+              ["check upstream systems", "verify network connectivity"])],
             "detector string, alert_key string, severity string, "
-            "detail string")
+            "detail string, recommendations array<string>")
         sender = A.SmtpAlertSender(
             "127.0.0.1", smtp_port=port,
             to_addresses=("ops@example.com",), use_tls=False)
@@ -703,6 +770,15 @@ def test_smtp_alert_sender_delivers_routed_alerts(spark):
         assert "#FF0000" in joined  # critical heading color
         assert "#FF6600" in joined  # non-critical heading color
         assert "ops@example.com" in joined
+        # the Recommended Actions block rides in the email body
+        # (reference alert_manager.py:90-94 _format_alert parity) —
+        # the body is base64/quoted-printable MIME, so check the
+        # decoded message built for a row instead
+        msg = sender.build_message(fired.collect()[1])
+        body = msg.get_payload()[0].get_payload(decode=True).decode()
+        assert "Recommended Actions" in body
+        assert "check upstream systems" in body
+        assert "verify network connectivity" in body
         assert ("email", "freshness_check:events") in sender.sent
     finally:
         sock.close()

@@ -759,6 +759,55 @@ def test_plan_lint_flags_cartesian_and_python_udf(spark):
     assert rules.get("python-row-udf") == lint.ERROR
 
 
+def test_plan_lint_counts_only_shuffle_exchanges(spark):
+    """ADVICE r7: plan.count('Exchange') also matched
+    BroadcastExchange/ReusedExchange — a broadcast-heavy but
+    shuffle-light plan fired the exchange-count warn spuriously."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.plans import lint
+
+    big = spark.range(1000).withColumn("k", F.col("id") % 7)
+    # 3 broadcast joins, zero shuffles of the big side
+    df = big
+    for i in range(3):
+        dim = spark.range(7).select(
+            F.col("id").alias("k"), F.lit(i).alias(f"v{i}"))
+        df = df.join(F.broadcast(dim), "k")
+    df.collect()
+    plan = lint._plan_string(df)
+    assert "BroadcastExchange" in plan
+    rules = {f.rule for f in lint.lint_plan(df, max_exchanges=2)}
+    assert "exchange-count" not in rules
+
+
+def test_plan_lint_sort_rule_is_exact_node_match(spark):
+    """ADVICE r7: startswith('Sort') matched SortMergeJoin/
+    SortAggregate near the root — false single-partition-sort info."""
+    from pyspark.sql import functions as F
+    from selfhealingdatapipeline_gcp_spark.plans import lint
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(100).withColumn("k", F.col("id") % 10)
+        b = spark.range(100).select((F.col("id") % 10).alias("k"),
+                                    F.col("id").alias("v"))
+        smj = a.join(b, "k")            # SortMergeJoin at/near root
+        smj.collect()
+        assert "SortMergeJoin" in lint._plan_string(smj)
+        rules = {f.rule for f in lint.lint_plan(smj)}
+        assert "single-partition-sort" not in rules
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # a genuine presentation ORDER BY still flags (sort key must not
+    # match the Range's natural ordering or Catalyst elides the Sort)
+    ordered = spark.range(100).withColumn(
+        "r", F.col("id") % 7).orderBy("r")
+    ordered.collect()
+    rules = {f.rule for f in lint.lint_plan(ordered)}
+    assert "single-partition-sort" in rules
+
+
 def test_plan_lint_headline_queries_have_no_errors(spark):
     """Every fingerprinted headline query must lint ERROR-free (the
     BNLJ anchors are warn-grade by design)."""
