@@ -32,3 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return registry.oracle_sql()
+
+
+def queries_by_family() -> dict[str, list[str]]:
+    """Optional metadata surface: registry names grouped by operator
+    family (tiers via ``registry.entries()``) — lets a driver or user
+    sample the 247-query namespace by structure instead of position."""
+    return registry.queries_by_family()

@@ -47,17 +47,9 @@ from selfhealingdatapipeline_gcp_spark.session import get_spark  # noqa: E402
 
 # The r1 core set: the final stdout line's "queries" map is pinned to
 # these 19 so its size never grows with the registry (driver tail
-# window is bounded; see module docstring).
-CORE = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
-    "q10_returned_items", "revenue_anomaly", "transaction_volume_anomaly",
-    "pattern_break_product", "reconciliation_orders_lineitem",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "ann_bruteforce_topk", "text_quality_score", "doc_fingerprint",
-    "asof_purchase_attribution", "q7_nation_trade_volume",
-    "funnel_view_click_purchase", "dedup_lsh_verified",
-    "embedding_centroids",
-]
+# window is bounded; see module docstring). Single source of truth:
+# registry.FLAGSHIP (these are exactly the tier="flagship" entries).
+CORE = list(registry.FLAGSHIP)
 
 HEADLINE = [
     "q1_pricing_summary",

@@ -25,15 +25,88 @@ Builder = Callable[[SparkSession, str], DataFrame]
 class Entry:
     builder: Builder
     oracle: str | None
+    family: str = "analytics"          # operator family (see _FAMILY_RULES)
+    tier: str = "standard"             # flagship | standard | diagnostic
 
 
 _REGISTRY: dict[str, Entry] = {}
 
+#: the bench headline core — the 19 r1 queries every round's floor is
+#: pinned to (bench.py imports this; one source of truth)
+FLAGSHIP = (
+    "q1_pricing_summary", "q3_shipping_priority", "q5_regional_revenue",
+    "q10_returned_items", "revenue_anomaly", "transaction_volume_anomaly",
+    "pattern_break_product", "reconciliation_orders_lineitem",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "ann_bruteforce_topk", "text_quality_score", "doc_fingerprint",
+    "asof_purchase_attribution", "q7_nation_trade_volume",
+    "funnel_view_click_purchase", "dedup_lsh_verified",
+    "embedding_centroids",
+)
 
-def register(name: str, builder: Builder, oracle: str | None) -> None:
+#: valid tiers: flagship = bench core headliners; standard = the
+#: default; diagnostic = small-scale exact forms with a registered
+#: scale alternative (kept for verification, not for 100 TB runs)
+TIERS = ("flagship", "standard", "diagnostic")
+
+# name-prefix → family, first match wins (checked in order). The
+# fallback is "analytics". Registrations may override with family=.
+_FAMILY_RULES: tuple[tuple[tuple[str, ...], str], ...] = (
+    (("streaming_",), "streaming"),
+    (("dedup_", "chunk_dedup", "verbatim_overlap", "cross_source_",
+      "source_dup_rate", "minhash_estimate", "lsh_precision",
+      "lsh_recall", "leakage_safe_split"), "dedup"),
+    (("ann_", "ivf_", "knn_", "pagerank_knn", "more_like_this",
+      "hard_negative", "vector_quantize"), "similarity"),
+    (("embedding_",), "embedding"),
+    (("multimodal_",), "multimodal"),
+    (("er_",), "entity-resolution"),
+    (("cdc_",), "cdc"),
+    (("bm25_", "keyword_search", "hybrid_search", "doc_keyphrases"),
+     "search"),
+    (("text_", "token_", "ngram_", "vocab_", "doc_", "source_",
+      "boilerplate_", "repetition_", "tokenizer_"), "text"),
+    (("quality_",), "quality"),
+    (("revenue_", "transaction_", "pattern_break", "reconciliation_",
+      "feed_", "freshness_", "sla_", "event_anomaly", "event_rate",
+      "value_outlier", "benford_", "orders_backlog", "key_skew",
+      "join_skew", "forecast_backtest", "detector_incident",
+      "catalog_stats", "distinct_kmv", "quantile_sketch", "sax_",
+      "series_", "fk_orphan", "user_burstiness"), "monitoring"),
+    (("split_", "train_val_split", "temporal_split", "contamination_",
+      "decontamination_", "stratified_sample", "cap_per_source",
+      "neyman_", "takedown_", "k_anonymity", "pii_redact",
+      "temperature_mixing", "seq_pack", "packing_efficiency",
+      "drop_reason"), "dataprep"),
+    (("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
+      "etl_orders", "order_priority", "top_customers",
+      "customers_without", "parts_supplier", "supplier_",
+      "brand_"), "tpch"),
+    (("asof_", "range_join", "range_partition", "zorder_",
+      "hypertable_", "rollup_", "cube_", "pivot_"), "analytics"),
+    (("funnel_", "cohort_", "customer_rfm", "session_",
+      "sliding_event", "user_", "event_", "missing_order"),
+     "product-analytics"),
+)
+
+
+def _infer_family(name: str) -> str:
+    for prefixes, family in _FAMILY_RULES:
+        if any(name.startswith(p) for p in prefixes):
+            return family
+    return "analytics"
+
+
+def register(name: str, builder: Builder, oracle: str | None, *,
+             family: str | None = None, tier: str | None = None) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate query name {name!r}")
-    _REGISTRY[name] = Entry(builder, oracle)
+    resolved_tier = tier or ("flagship" if name in FLAGSHIP
+                             else "standard")
+    if resolved_tier not in TIERS:
+        raise ValueError(f"unknown tier {resolved_tier!r} for {name!r}")
+    _REGISTRY[name] = Entry(builder, oracle,
+                            family or _infer_family(name), resolved_tier)
 
 
 def queries() -> dict[str, Builder]:
@@ -44,6 +117,24 @@ def queries() -> dict[str, Builder]:
 def oracle_sql() -> dict[str, str]:
     _ensure_loaded()
     return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle}
+
+
+def entries() -> dict[str, Entry]:
+    """The full registry with metadata (family/tier/oracle presence) —
+    what the bench headline set and any principled driver sampling
+    should select over, instead of positional name lists."""
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries_by_family() -> dict[str, list[str]]:
+    """Registry grouped by operator family, names sorted — the
+    navigable view of the 247-query flat namespace."""
+    _ensure_loaded()
+    out: dict[str, list[str]] = {}
+    for name, e in sorted(_REGISTRY.items()):
+        out.setdefault(e.family, []).append(name)
+    return out
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

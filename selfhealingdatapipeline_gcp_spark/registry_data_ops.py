@@ -176,6 +176,10 @@ register(
     WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
     ORDER BY vec_a, vec_b
     """,
+    # exact all-pairs verifier; above max_all_pairs_rows it
+    # auto-routes to the cell-bounded form (dedup_embedding_cells is
+    # the registered scale default)
+    tier="diagnostic",
 )
 
 register(
@@ -3768,6 +3772,10 @@ register(
     WHERE levenshtein(name_a, name_b) <= 1
     ORDER BY id_a, id_b
     """,
+    # id-grain pair output grows ~SF² with identical-name mass; above
+    # the block budget the operator auto-routes to keeper grain
+    # (er_name_links is the registered scale form)
+    tier="diagnostic",
 )
 
 
