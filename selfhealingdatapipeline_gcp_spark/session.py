@@ -79,7 +79,12 @@ def get_spark(app_name: str = "selfhealingdatapipeline_gcp_spark",
         # Spark's reader rejects natively; read as long and convert in
         # the catalog (micros, floor — same as DuckDB's ns→us cast).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless bench/test runs); the scale demo
+        # (tools/scale_demo.py) sets SPARK_GRAFT_UI=1 to read
+        # per-stage shuffle totals from the public REST monitoring API
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1"
+                else "false")
         # Console progress bars write \r-spam to stderr/stdout that
         # buries the bench's machine-readable JSON tail (BENCH_r06
         # came back parsed:null because the driver's tail capture
