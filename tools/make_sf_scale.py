@@ -102,10 +102,28 @@ def scale_copy(spark, table: str, copy: int):
         if c == 0:
             return df
         sub = _perm(f"doc|{c}", LOWER)
+        # Stopword-preserving cipher: a blanket letter substitution
+        # turns function words into gibberish, so stopword-ratio
+        # quality filters reject ~96% of replica docs (measured at
+        # sf10: 3.8% keep vs 84.8% at sf0.1) and the downstream
+        # pipeline stages see a COLLAPSED workload instead of a 100×
+        # one. Restore the engine's STOPWORDS after the cipher:
+        # translate is a letter bijection, so a standalone ciphered
+        # token has exactly one preimage — replacing \b cipher(w) \b
+        # with w is exact, never touches content words, and keeps the
+        # quality/keep profile SF-invariant while copies remain
+        # non-near-duplicates (content shingles still differ).
+        from selfhealingdatapipeline_gcp_spark.operators.textanalysis \
+            import STOPWORDS
+        t = F.translate("text", LOWER + UPPER, sub + sub.upper())
+        tr = str.maketrans(LOWER + UPPER, sub + sub.upper())
+        for w in STOPWORDS:
+            for form in (w, w.capitalize()):
+                t = F.regexp_replace(
+                    t, r"\b" + form.translate(tr) + r"\b", form)
         return df.select(
             _offset("doc_id", "doc_id", c),
-            F.translate("text", LOWER + UPPER, sub + sub.upper())
-             .alias("text"),
+            t.alias("text"),
             "lang", "source", "n_chars")
     if table == "embeddings":
         if c == 0:
