@@ -274,3 +274,52 @@ def test_make_slice_deterministic_md5_subset(spark, tmp_path):
     emb2 = spark.read.parquet(str(tmp_path / "slice2/embeddings.parquet"))
     assert sorted(r.vec_id for r in emb2.select("vec_id").collect()) \
         == sorted(ids)
+
+
+def test_scale_copy_cipher_preserves_quality_profile(spark):
+    """tools/make_sf_scale.py documents cipher: a replica copy must
+    (a) keep the engine's STOPWORDS verbatim (the r8 fix — a blanket
+    letter substitution destroyed function words, collapsing the
+    quality filter's keep rate from 84.8% to 3.8% at sf10), so the
+    per-doc keep/drop decision is copy-invariant; and (b) still not
+    be a near-duplicate of its source (content words ciphered)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tools import make_sf_scale as M
+    from selfhealingdatapipeline_gcp_spark.operators import (
+        dataprep, dedup)
+
+    base = M.scale_copy(spark, "documents", 0)
+    copy = M.scale_copy(spark, "documents", 3)
+    stride = M.STRIDE["doc_id"] * 3
+
+    # stopwords survive the cipher verbatim
+    sw_base = base.filter(F.col("text").rlike(r"\bthe\b")).count()
+    sw_copy = copy.filter(F.col("text").rlike(r"\bthe\b")).count()
+    assert sw_base > 0 and sw_copy == sw_base
+
+    # keep/drop decision is copy-invariant doc by doc
+    keep0 = {r.doc_id for r in dataprep.quality_filter_pipeline(base)
+             .filter(F.col("keep")).select("doc_id").collect()}
+    keep3 = {r.doc_id - stride
+             for r in dataprep.quality_filter_pipeline(copy)
+             .filter(F.col("keep")).select("doc_id").collect()}
+    assert keep3 == keep0
+
+    # copies are NOT near-duplicates of their sources: texts differ
+    # on every row and n-gram Jaccard finds no source↔copy pair
+    same_text = (base.alias("a")
+                 .join(copy.withColumn(
+                     "doc_id", F.col("doc_id") - F.lit(stride)).alias("b"),
+                     "doc_id")
+                 .filter(F.col("a.text") == F.col("b.text")).count())
+    assert same_text == 0
+    re_keyed = base.select("doc_id", "text", "source").unionByName(
+        copy.select("doc_id", "text", "source"))
+    cross = dedup.dedup_ngram_jaccard(re_keyed).filter(
+        (F.col("doc_a") % M.STRIDE["doc_id"])
+        == (F.col("doc_b") % M.STRIDE["doc_id"]))
+    assert cross.count() == 0
