@@ -193,6 +193,58 @@ def ngram_frequencies(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def bpe_merge_candidates(documents: DataFrame,
+                         top_n: int = 50) -> DataFrame:
+    """First byte-pair-encoding training round, corpus-wide: the
+    frequency of every adjacent character pair inside whitespace
+    tokens, weighted by token occurrences — the ranked merge table a
+    BPE tokenizer's first iteration commits. Pairs with the broadest
+    support also report how many DISTINCT words contain them (a merge
+    that fires in one hot word vs across the vocabulary). The
+    reference pipeline consumes pre-tokenized feeds; inducing the
+    vocabulary from the corpus itself is the step a training-data
+    engine adds in front (text_token_estimate's ~4 chars/token cost
+    model is exactly what this table's merge depth calibrates).
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD relation
+    first (one vocabulary-sized shuffle with map-side combine — the
+    token_heavy_hitters exact-leg discipline); the bigram explosion
+    runs over distinct words only (vocab × avg-word-length rows,
+    corpus-size-independent), and the final aggregate is bounded by
+    |alphabet|² distinct pairs — a few thousand rows at ANY corpus
+    size, so the global rank sort is trivially safe."""
+    words = (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # guard length >= 2: Spark's sequence(1, 0) DESCENDS ([1, 0])
+    # instead of returning empty, which would fabricate pairs for
+    # single-char words (DuckDB's generate_series(1, 0) is empty)
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w", "n",
+            F.explode(F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))")).alias("pair"),
+        )
+    )
+    agg = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("n_occurrences"),
+             F.countDistinct("w").cast("bigint").alias("n_distinct_words"))
+    )
+    w_rank = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .orderBy("rank")
+        .limit(top_n)
+        .select("rank", "pair", "n_occurrences", "n_distinct_words")
+    )
+
+
 def text_token_estimate(documents: DataFrame) -> DataFrame:
     """BPE-ish token estimate per document (the cost model every
     training-data pipeline needs before the real tokenizer runs):

@@ -795,6 +795,34 @@ register(
     """,
 )
 
+register(
+    "bpe_merge_candidates",
+    lambda spark, sf: textanalysis.bpe_merge_candidates(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY w
+    ), pairs AS (
+      SELECT w, substr(w, CAST(gs AS INT), 2) AS pair, n
+      FROM (SELECT w, n,
+                   unnest(generate_series(1, length(w) - 1)) AS gs
+            FROM words WHERE length(w) >= 2)
+    ), agg AS (
+      SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_words
+      FROM pairs GROUP BY pair
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+                AS INT) AS rank,
+           pair, n_occurrences, n_distinct_words
+    FROM agg ORDER BY rank LIMIT 50
+    """,
+    family="textanalysis",
+)
+
+
 def _cc_oracle(pair_sql: str, a: str = "doc_a", b: str = "doc_b") -> str:
     """Connected-components oracle over ANY candidate-pair subquery
     via a DuckDB recursive CTE (VERDICT r6 #3: upgrades the iterative

@@ -237,11 +237,31 @@ def test_multimodal_resize_plan(spark):
 
 
 @pytest.mark.parametrize("name", ["keyword_search_tfidf",
-                                  "ngram_frequencies"])
+                                  "ngram_frequencies",
+                                  "bpe_merge_candidates"])
 def test_parity_search(name, spark, duck):
     q = registry.queries()[name]
     sql = registry.oracle_sql()[name]
     assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_bpe_merge_candidates_fabricated(spark):
+    """Pair counts on a hand-checked corpus: in-word repeats count
+    per position ('aaa' → 'aa' twice), single-char words contribute
+    nothing (the Spark sequence(1,0) DESCENDS — the guard this pins),
+    and occurrence weights multiply by word frequency."""
+    from selfhealingdatapipeline_gcp_spark.operators import textanalysis
+    docs = spark.createDataFrame(
+        [(1, "aaa bb b"), (2, "aaa")], "doc_id bigint, text string")
+    rows = {r.pair: r for r in
+            textanalysis.bpe_merge_candidates(docs).collect()}
+    # 'aaa' appears twice -> positions (1,2) each time -> 4; one word
+    assert rows["aa"].n_occurrences == 4
+    assert rows["aa"].n_distinct_words == 1
+    assert rows["aa"].rank == 1
+    assert rows["bb"].n_occurrences == 1
+    # the single-char word 'b' fabricates no pair
+    assert set(rows) == {"aa", "bb"}
 
 
 def test_dedup_clusters_consistent_with_pairs(spark):
