@@ -217,7 +217,15 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
 
     ``state_root`` is required: scheduled sweeps without persisted
     history would re-alert every tick. Returns one sweep-output dict
-    per tick."""
+    per tick — INCLUDING failed ticks (``tick`` index + ``statuses``
+    carry the failure), so outputs[i] always corresponds to tick i
+    and a caller pairing outputs with schedule times never
+    mis-attributes later ticks. The outer task is NON-retryable
+    (max_retries=0): the inner sweep already ran every detector
+    through the per-task healing protocol, and it has SIDE EFFECTS
+    (alert delivery, history/baseline appends) — re-running the
+    whole sweep on one failed detector would append duplicate
+    baseline rows and re-deliver alerts."""
     import time as _time
 
     from selfhealingdatapipeline_gcp_spark.plans.pipeline import (
@@ -228,14 +236,16 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
     def sweep(s: SparkSession, ctx: dict[str, Any]):
         out = run_monitoring_sweep(s, sf_dir, state_root=state_root,
                                    alert_dir=alert_dir)
+        out["tick"] = ctx.get("run_index", len(outputs))
+        outputs.append(out)
         failed = {k: v for k, v in out["statuses"].items()
                   if v != "SUCCESS"}
         if failed:
             raise RuntimeError(f"sweep tasks failed: {failed}")
-        outputs.append(out)
         return out
 
-    pipe = _P("scheduled_monitoring", [_T("sweep", sweep)])
+    pipe = _P("scheduled_monitoring",
+              [_T("sweep", sweep, max_retries=0)])
     pipe.run_every(spark, interval_s, max_runs=max_runs,
                    sleep=sleep if sleep is not None else _time.sleep)
     return outputs

@@ -626,6 +626,7 @@ def dedup_embedding(embeddings: DataFrame,
       would be worse than failure."""
     from selfhealingdatapipeline_gcp_spark.operators import similarity
 
+    n_rows = None
     if candidates is None and allow_all_pairs:
         n_rows = embeddings.count()
         if n_rows > max_all_pairs_rows:
@@ -679,8 +680,13 @@ def dedup_embedding(embeddings: DataFrame,
         # (see knn_graph_cells' docstring for the full analysis)
         if n_centroids == "auto":
             import math
+            # the auto-routed escape already counted the corpus for
+            # its guard — don't run a second full-scan job for the
+            # same number
+            if n_rows is None:
+                n_rows = embeddings.count()
             n_centroids = max(16, min(4_096,
-                                      math.ceil(embeddings.count()
+                                      math.ceil(n_rows
                                                 / target_cell_rows)))
         cents = similarity.fixed_k_centroids_raw(embeddings, n_centroids)
         assigned = similarity.assign_cells_arrow(

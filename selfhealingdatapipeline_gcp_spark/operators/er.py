@@ -109,27 +109,44 @@ def er_name_pairs(customer: DataFrame, window: int = 4,
             )
             # distinct-name grain: block occupancy is alphabet-bounded
             # (the masking design's real promise) — 4096 matches the
-            # er_name_links cap that gates green at sf10
-            return pairs_from_masked(_masked_keys(names, window),
-                                     max_block=4096)
+            # er_name_links cap that gates green at sf10; a caller
+            # who budgeted HIGHER than that keeps their budget
+            return pairs_from_masked(
+                _masked_keys(names, window),
+                max_block=max(4096, max_block),
+                op_name="er_name_pairs[keeper-grain]")
     return pairs_from_masked(masked, max_block)
 
 
 def pairs_from_masked(masked: DataFrame,
-                      max_block: int = 256) -> DataFrame:
+                      max_block: int = 256,
+                      op_name: str = "er_name_pairs") -> DataFrame:
     """Block-group-verify over an already-masked (id, name, p, k)
     relation — the shared core of er_name_pairs (batch) and
     streaming_er_guard (per-epoch masking, pairing over the
     accumulated key store). Masking is per-row, so the relation is
     chop-invariant by construction; everything downstream of it is
-    one deterministic plan."""
+    one deterministic plan.
+
+    ``op_name`` labels the overflow raise: the DISTINCT-NAME-grain
+    callers (er_name_links, the keeper-grain fallback) must not emit
+    the id-grain message, whose healer remedy — "drop force_id_grain
+    so er_name_pairs auto-routes to keeper grain" — is circular when
+    the failure already happened AT keeper grain."""
+    if op_name == "er_name_pairs":
+        remedy = (" — a flood of identical names makes in-block"
+                  " pairing quadratic; collapse exact-duplicate names"
+                  " to one representative first, or raise max_block")
+    else:
+        remedy = (" at distinct-name grain — the exact-duplicate"
+                  " flood is already collapsed, so this block is"
+                  " genuinely that many DISTINCT near-identical"
+                  " names; shrink the masking window or raise"
+                  " max_block deliberately")
     overflow = F.concat(
-        F.lit("er_name_pairs: block holds "),
+        F.lit(f"{op_name}: block holds "),
         F.size("mem").cast("string"),
-        F.lit(f" records (> max_block={max_block}) — a flood of"
-              " identical names makes in-block pairing quadratic;"
-              " collapse exact-duplicate names to one representative"
-              " first, or raise max_block"))
+        F.lit(f" records (> max_block={max_block})" + remedy))
     blocks = (
         masked
         .groupBy("p", "k")
@@ -276,7 +293,8 @@ def er_name_links(customer: DataFrame, window: int = 4,
     # reuse the masking on the distinct-name relation: id := keeper
     masked = _masked_keys(
         names.select(F.col("keeper_id").alias("id"), "name"), window)
-    pairs = pairs_from_masked(masked, max_block)
+    pairs = pairs_from_masked(masked, max_block,
+                              op_name="er_name_links")
     a = names.select(F.col("name").alias("name_a"),
                      F.col("n_ids").alias("n_ids_a"))
     b = names.select(F.col("name").alias("name_b"),

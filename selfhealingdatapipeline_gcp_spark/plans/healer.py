@@ -335,6 +335,25 @@ def _fix_er_block(m: re.Match[str]) -> Fix:
     )
 
 
+@_rule("er_block_overflow_name_grain",
+       r"(?:er_name_links|er_name_pairs\[keeper-grain\]): block holds")
+def _fix_er_block_name_grain(m: re.Match[str]) -> Fix:
+    # the id-grain remedy ("drop force_id_grain") is circular here:
+    # the overflow already happened AT distinct-name grain, so the
+    # block genuinely holds that many distinct near-identical names
+    return Fix(
+        fix_type="MANUAL",
+        root_cause="a distinct-name ER block exceeds max_block — "
+                   "the corpus really contains that many DISTINCT "
+                   "near-identical names in one masked-key bucket "
+                   "(exact duplicates are already collapsed)",
+        suggested_fix="shrink the masking window (fewer positions "
+                      "per key family) or raise max_block "
+                      "deliberately for this corpus",
+        retryable=False,
+    )
+
+
 @_rule("cc_no_convergence",
        r"(?:component_labels|dedup_clusters) did not converge")
 def _fix_cc_convergence(m: re.Match[str]) -> Fix:

@@ -99,10 +99,15 @@ def lint_plan(df: DataFrame, max_exchanges: int = 12) -> list[Finding]:
     # first REAL operator.
     import re as _re
 
+    # Project is presentation-only: a global Sort under a root
+    # Project (df.orderBy(...).select(...)) is still a corpus-sized
+    # serial sort — skipping it keeps the pre-r7 rule's reach
+    # without re-admitting the SortMergeJoin/SortAggregate false
+    # positives (those are real operators, never skipped).
     _wrappers = {"AdaptiveSparkPlan", "ResultQueryStage",
                  "ShuffleQueryStage", "BroadcastQueryStage",
                  "AQEShuffleRead", "TableCacheQueryStage",
-                 "InMemoryTableScan", "CollectLimit"}
+                 "InMemoryTableScan", "CollectLimit", "Project"}
     first_node = None
     for ln in plan.splitlines()[:12]:
         s = ln.strip().lstrip("*+- ")

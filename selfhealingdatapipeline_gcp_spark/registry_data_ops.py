@@ -819,7 +819,7 @@ register(
            pair, n_occurrences, n_distinct_words
     FROM agg ORDER BY rank LIMIT 50
     """,
-    family="textanalysis",
+    family="text",
 )
 
 

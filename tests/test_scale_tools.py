@@ -301,6 +301,25 @@ def test_scale_copy_cipher_preserves_quality_profile(spark):
     sw_copy = copy.filter(F.col("text").rlike(r"\bthe\b")).count()
     assert sw_base > 0 and sw_copy == sw_base
 
+    # copy 49 is the collision copy: cipher('in') == 'of' under its
+    # md5 perm, so a CHAINED restore would corrupt already-restored
+    # 'of' tokens into 'in'. The synthetic corpus happens to use only
+    # 'the'/'a' from STOPWORDS, so pin the two-phase marker restore
+    # on fabricated text instead: every stopword must survive
+    # verbatim on the collision copies.
+    fab = spark.createDataFrame(
+        [(1, "the quick a of and to in is end Of In The")],
+        "doc_id bigint, text string")
+    for c in (49, 84):
+        out = fab.select(M.cipher_text_expr(c).alias("text")).first()[0]
+        toks = out.split(" ")
+        src = fab.first()["text"].split(" ")
+        for a, b in zip(src, toks):
+            if a.lower() in ("the", "a", "of", "and", "to", "in", "is"):
+                assert b == a, (c, a, b)
+            else:
+                assert b != a, (c, a, b)
+
     # keep/drop decision is copy-invariant doc by doc
     keep0 = {r.doc_id for r in dataprep.quality_filter_pipeline(base)
              .filter(F.col("keep")).select("doc_id").collect()}

@@ -45,7 +45,7 @@ _KEYS = """
   FROM (SELECT min(c_custkey) AS id, lower(c_name) AS name
         FROM customer GROUP BY lower(c_name)) r,
        (SELECT unnest(generate_series(1, 4)) AS p) u
-  WHERE length(name) >= u.p
+  WHERE length(name) > u.p
 """
 
 _ORACLE = f"""

@@ -70,6 +70,46 @@ def _offset(col: str, kind: str, copy: int):
     return (F.col(col) + F.lit(copy * STRIDE[kind]).cast("long")).alias(col)
 
 
+def cipher_text_expr(c: int, col: str = "text"):
+    """Stopword-preserving substitution cipher for copy ``c``.
+
+    A blanket letter substitution turns function words into
+    gibberish, so stopword-ratio quality filters reject ~96% of
+    replica docs (measured at sf10: 3.8% keep vs 84.8% at sf0.1) and
+    the downstream pipeline stages see a COLLAPSED workload instead
+    of a 100× one. So the engine's STOPWORDS are restored after the
+    cipher: translate is a letter bijection, so a standalone ciphered
+    token has exactly one preimage — the restore is exact, never
+    touches content words, and keeps the quality/keep profile
+    SF-invariant while copies remain non-near-duplicates (content
+    shingles still differ).
+
+    The restore is TWO-PHASE: chaining regexp_replace(cipher(w) -> w)
+    directly corrupts the text whenever cipher(w1) happens to EQUAL
+    another stopword w2 already restored by an earlier pass (copy 49
+    maps cipher('in')=='of', copy 84 maps cipher('of')=='is' under
+    the md5 perms) — the later pattern would rewrite the earlier
+    pass's output. Phase 1 moves each cipher image to a
+    non-alphabetic marker (\\x02<i>_<j>\\x02 — invisible to every
+    letter-only \\b pattern), phase 2 lands the originals, so no
+    pattern ever sees another's output."""
+    from selfhealingdatapipeline_gcp_spark.operators.textanalysis \
+        import STOPWORDS
+
+    sub = _perm(f"doc|{c}", LOWER)
+    tr = str.maketrans(LOWER + UPPER, sub + sub.upper())
+    t = F.translate(col, LOWER + UPPER, sub + sub.upper())
+    for i, w in enumerate(STOPWORDS):
+        for j, form in enumerate((w, w.capitalize())):
+            t = F.regexp_replace(
+                t, r"\b" + form.translate(tr) + r"\b",
+                f"\x02{i}_{j}\x02")
+    for i, w in enumerate(STOPWORDS):
+        for j, form in enumerate((w, w.capitalize())):
+            t = F.regexp_replace(t, f"\x02{i}_{j}\x02", form)
+    return t
+
+
 def scale_copy(spark, table: str, copy: int):
     df = catalog.load(spark, SRC, table)
     c = copy
@@ -101,29 +141,9 @@ def scale_copy(spark, table: str, copy: int):
     if table == "documents":
         if c == 0:
             return df
-        sub = _perm(f"doc|{c}", LOWER)
-        # Stopword-preserving cipher: a blanket letter substitution
-        # turns function words into gibberish, so stopword-ratio
-        # quality filters reject ~96% of replica docs (measured at
-        # sf10: 3.8% keep vs 84.8% at sf0.1) and the downstream
-        # pipeline stages see a COLLAPSED workload instead of a 100×
-        # one. Restore the engine's STOPWORDS after the cipher:
-        # translate is a letter bijection, so a standalone ciphered
-        # token has exactly one preimage — replacing \b cipher(w) \b
-        # with w is exact, never touches content words, and keeps the
-        # quality/keep profile SF-invariant while copies remain
-        # non-near-duplicates (content shingles still differ).
-        from selfhealingdatapipeline_gcp_spark.operators.textanalysis \
-            import STOPWORDS
-        t = F.translate("text", LOWER + UPPER, sub + sub.upper())
-        tr = str.maketrans(LOWER + UPPER, sub + sub.upper())
-        for w in STOPWORDS:
-            for form in (w, w.capitalize()):
-                t = F.regexp_replace(
-                    t, r"\b" + form.translate(tr) + r"\b", form)
         return df.select(
             _offset("doc_id", "doc_id", c),
-            t.alias("text"),
+            cipher_text_expr(c).alias("text"),
             "lang", "source", "n_chars")
     if table == "embeddings":
         if c == 0:
