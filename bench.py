@@ -200,6 +200,8 @@ HEADLINE = [
     "er_name_links",
     "doc_keyphrases",
     "supplier_scorecard",
+    # r8 additions (floor starts at BENCH_r08)
+    "bpe_merge_candidates",
 ]
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
