@@ -234,9 +234,19 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
     outputs: list[dict[str, Any]] = []
 
     def sweep(s: SparkSession, ctx: dict[str, Any]):
-        out = run_monitoring_sweep(s, sf_dir, state_root=state_root,
-                                   alert_dir=alert_dir)
-        out["tick"] = ctx.get("run_index", len(outputs))
+        tick = ctx.get("run_index", len(outputs))
+        try:
+            out = run_monitoring_sweep(s, sf_dir, state_root=state_root,
+                                       alert_dir=alert_dir)
+        except Exception as e:  # noqa: BLE001
+            # a tick whose sweep itself raises (e.g. filesystem error
+            # reading state_root) still occupies its slot, so
+            # outputs[i] == tick i holds on EVERY path, not just the
+            # statuses-failed one
+            outputs.append({"tick": tick,
+                            "error": f"{type(e).__name__}: {e}"})
+            raise
+        out["tick"] = tick
         outputs.append(out)
         failed = {k: v for k, v in out["statuses"].items()
                   if v != "SUCCESS"}

@@ -108,7 +108,7 @@ def lint_plan(df: DataFrame, max_exchanges: int = 12) -> list[Finding]:
                  "ShuffleQueryStage", "BroadcastQueryStage",
                  "AQEShuffleRead", "TableCacheQueryStage",
                  "InMemoryTableScan", "CollectLimit", "Project"}
-    first_node = None
+    first_node, first_line = None, ""
     for ln in plan.splitlines()[:12]:
         s = ln.strip().lstrip("*+- ")
         if not s or s.startswith("=="):
@@ -116,9 +116,12 @@ def lint_plan(df: DataFrame, max_exchanges: int = 12) -> list[Finding]:
         s = _re.sub(r"^\(\d+\)\s*", "", s)
         node = _re.split(r"[ \[(]", s, maxsplit=1)[0]
         if node and node not in _wrappers:
-            first_node = node
+            first_node, first_line = node, s
             break
-    if first_node == "Sort":
+    # physical Sort prints as `Sort [keys...], <global>, 0` — only a
+    # GLOBAL sort (`, true`) is the serial bottleneck; a root
+    # sortWithinPartitions (`, false`) is per-partition and fine
+    if first_node == "Sort" and "], true" in first_line:
         findings.append(Finding(
             INFO, "single-partition-sort",
             "global Sort at the plan root: harmless for a bounded "

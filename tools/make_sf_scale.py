@@ -79,10 +79,12 @@ def cipher_text_expr(c: int, col: str = "text"):
     the downstream pipeline stages see a COLLAPSED workload instead
     of a 100× one. So the engine's STOPWORDS are restored after the
     cipher: translate is a letter bijection, so a standalone ciphered
-    token has exactly one preimage — the restore is exact, never
-    touches content words, and keeps the quality/keep profile
-    SF-invariant while copies remain non-near-duplicates (content
-    shingles still differ).
+    token has exactly one preimage — the restore is exact FOR THE
+    RESTORED SURFACE FORMS (lowercase / Capitalized / ALL-CAPS; other
+    mixed-case occurrences stay ciphered), never touches content
+    words, and keeps the quality/keep profile SF-invariant while
+    copies remain non-near-duplicates (content shingles still
+    differ).
 
     The restore is TWO-PHASE: chaining regexp_replace(cipher(w) -> w)
     directly corrupts the text whenever cipher(w1) happens to EQUAL
@@ -99,13 +101,21 @@ def cipher_text_expr(c: int, col: str = "text"):
     sub = _perm(f"doc|{c}", LOWER)
     tr = str.maketrans(LOWER + UPPER, sub + sub.upper())
     t = F.translate(col, LOWER + UPPER, sub + sub.upper())
+    # restored surface forms: lowercase, Capitalized, ALL-CAPS (the
+    # engine's stopword check is case-sensitive lowercase, so only
+    # the first form affects the keep profile — the other two keep
+    # the restore claim honest for shouty corpora). MiXeD-case
+    # occurrences beyond these three stay ciphered: still a letter
+    # bijection, still exactly-one-preimage, just not restored.
+    def _forms(w):
+        return list(dict.fromkeys((w, w.capitalize(), w.upper())))
     for i, w in enumerate(STOPWORDS):
-        for j, form in enumerate((w, w.capitalize())):
+        for j, form in enumerate(_forms(w)):
             t = F.regexp_replace(
                 t, r"\b" + form.translate(tr) + r"\b",
                 f"\x02{i}_{j}\x02")
     for i, w in enumerate(STOPWORDS):
-        for j, form in enumerate((w, w.capitalize())):
+        for j, form in enumerate(_forms(w)):
             t = F.regexp_replace(t, f"\x02{i}_{j}\x02", form)
     return t
 
