@@ -79,11 +79,148 @@ def _hash_rows(cols, rows):
 # on record (BASELINE.md).
 MAX_HASH_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_HASH_ROWS", "0") or 0)
 
+# ---------------------------------------------------------------------------
+# Sampled-slice VALUE mode (VERDICT r8 #1). At scale (MAX_HASH_ROWS
+# set) a query can land rows-only (output above the hash cap) or be
+# oracle-infeasible outright (DuckDB closure/pair CTE spills past
+# disk, or an auto-fallback changes the output grain away from the
+# registered oracle). Every such query gets a VALUE-level check on a
+# deterministic md5 INPUT slice instead: tools/make_slice filters the
+# named driver table to ids whose md5 starts with one of the given
+# prefixes (content-addressed, no RNG) and symlinks every other table
+# unchanged, so BOTH engines see the same sliced input and the full
+# dtype-strict hash applies end-to-end — unlike filtering the OUTPUT,
+# which would silently change graph-global / pair-global semantics.
+#
+# name -> (table, id_col, {sf-basename -> md5-prefixes}). The "*"
+# entry is the fallback. Fractions are tuned per SF so the sliced
+# OUTPUT stays under the hash cap AND the sliced oracle stays
+# feasible: identical-key groups shrink linearly with the slice, so
+# pair outputs shrink ~quadratically in the sliced table's row count
+# (e.g. er id-grain pairs: sf10 would be ~2.6e9; a 1/128 customer
+# slice lands ~1.6e5 — and drops the largest masked block back under
+# max_block so the operator stays on the id-grain path the
+# registered oracle describes).
+SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
+    "dedup_simhash": (
+        "documents", "doc_id", {"sf10": "00,01,02,03", "*": "0123"}),
+    "dedup_simhash_multitable": (
+        "documents", "doc_id", {"sf10": "00,01,02,03", "*": "0123"}),
+    "multimodal_ahash_pairs": (
+        "documents", "doc_id", {"sf10": "00,01", "*": "01"}),
+    "er_name_pairs": (
+        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+    "streaming_er_guard": (
+        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+    "embedding_clusters": ("embeddings", "vec_id", {"*": "012"}),
+    "pagerank_knn": ("embeddings", "vec_id", {"*": "012"}),
+    "knn_clustering_coefficient": (
+        "embeddings", "vec_id", {"*": "012"}),
+    "dedup_embedding": (
+        "embeddings", "vec_id", {"sf10": "00,01", "*": "01"}),
+    "etl_orders_enriched": (
+        "orders", "o_orderkey", {"sf10": "00,01", "*": "0"}),
+    "streaming_sessionize": ("events", "event_id", {"*": "0"}),
+}
+
+
+def _resolve_prefixes(by_sf: dict[str, str]) -> str:
+    base = os.path.basename(os.path.normpath(SF))
+    return by_sf.get(base, by_sf["*"])
+
+# Queries whose FULL-corpus oracle must not even be attempted at the
+# current scale (recursive-closure disk blowup, >40 min pair CTE, or
+# an auto-fallback that changes the output grain away from the
+# registered id-grain oracle). Spark still executes the full query
+# (count recorded); correctness comes from the slice check. Set by
+# the sweep orchestration, e.g. for sf10:
+#   SPARK_GRAFT_ORACLE_SKIP=pagerank_knn,knn_clustering_coefficient,...
+ORACLE_SKIP = {
+    n for n in os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "").split(",")
+    if n}
+
+SLICE_ROOT = os.environ.get("SPARK_GRAFT_SLICE_ROOT",
+                            "/root/repo/.testdata/slices")
+
+
+def _slice_dir(table: str, id_col: str, prefixes: str) -> str:
+    """Build (or reuse) the md5-sliced replica of SF for ``table``."""
+    base = os.path.basename(os.path.normpath(SF))
+    tag = prefixes.replace(",", "+")
+    dst = os.path.join(SLICE_ROOT, f"{base}_{table}_{tag}")
+    marker = os.path.join(dst, ".slice_ok")
+    if not os.path.exists(marker):
+        from tools.make_slice import make_slice
+        stats = make_slice(SF, dst, table=table, id_col=id_col,
+                           hex_digits=prefixes)
+        with open(marker, "w") as f:
+            json.dump(stats, f)
+    return dst
+
+
+def check_slice(spark, name, builder, sql):
+    """Full dtype-strict check of ``name`` on its md5 input slice."""
+    table, id_col, by_sf = SLICE_SPECS[name]
+    prefixes = _resolve_prefixes(by_sf)
+    out = {"table": table, "prefixes": prefixes,
+           "spark_rows": None, "oracle_rows": None,
+           "rows_match": None, "schema_match": None,
+           "hash_match": None, "err": None}
+    try:
+        sdir = _slice_dir(table, id_col, prefixes)
+        out["dir"] = sdir
+        sdf = builder(spark, sdir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        out["spark_rows"] = len(srows)
+        duck = duckdb.connect()
+        try:
+            duck.execute("SET memory_limit='48GiB'")
+            duck.execute("SET temp_directory='/tmp/duckdb_spill'")
+        except Exception:  # noqa: BLE001
+            pass
+        for t in catalog.TABLES:
+            p = os.path.join(sdir, f"{t}.parquet")
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            elif not os.path.exists(p):
+                continue
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        res = duck.execute(sql)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        duck.close()
+        out["oracle_rows"] = len(drows)
+        out["rows_match"] = len(srows) == len(drows)
+        out["schema_match"] = sorted(scols) == sorted(dcols)
+        if out["rows_match"] and out["schema_match"]:
+            out["hash_match"] = (_hash_rows(scols, srows)
+                                 == _hash_rows(dcols, drows))
+        else:
+            out["hash_match"] = False
+    except Exception as e:  # noqa: BLE001
+        out["err"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
 
 def check_one(spark, duck, name, builder, sql):
     out = {"rows_match": None, "schema_match": None, "hash_match": None,
            "spark_rows": None, "oracle_rows": None, "err": None}
     try:
+        if MAX_HASH_ROWS and name in ORACLE_SKIP:
+            # full-corpus oracle infeasible at this scale (or the
+            # operator's auto-fallback changes the output grain away
+            # from the registered oracle): Spark still executes the
+            # full query; value correctness comes from the slice
+            # check the caller attaches.
+            try:
+                out["spark_rows"] = builder(spark, SF).count()
+                out["err"] = "oracle_skip_at_scale"
+            except Exception as e:  # noqa: BLE001
+                out["err"] = ("oracle_skip_at_scale; spark: "
+                              + f"{type(e).__name__}: {e}"[:160])
+            return out
         sdf = builder(spark, SF)
         if MAX_HASH_ROWS:
             n = sdf.count()
@@ -195,17 +332,38 @@ def main(argv):
     results, bad = {}, []
     for name in names:
         r = check_one(spark, duck, name, qs[name], oracles.get(name))
+        err = r["err"] or ""
+        # sampled-slice VALUE mode: any scale-mode row that could not
+        # get a full value hash (above the cap, or oracle skipped)
+        # gets the full dtype-strict check on its md5 input slice —
+        # "rows-only" alone is never green when a slice spec exists.
+        if (MAX_HASH_ROWS and name in SLICE_SPECS
+                and oracles.get(name) is not None
+                and (err.startswith("rows_only_gt_")
+                     or err.startswith("oracle_skip_at_scale"))):
+            r["slice"] = check_slice(spark, name, qs[name],
+                                     oracles[name])
         results[name] = r
-        ok = r["hash_match"] or (r["err"] == "no_oracle"
-                                 and r["spark_rows"] is not None) \
-            or (r["err"] is not None and r["err"].startswith("rows_only_gt_")
-                and r["rows_match"] and r["schema_match"])
+        slice_ok = (r.get("slice") or {}).get("hash_match") is True
+        rows_only_ok = (err.startswith("rows_only_gt_")
+                        and r["rows_match"] and r["schema_match"]
+                        and (not MAX_HASH_ROWS
+                             or name not in SLICE_SPECS or slice_ok))
+        ok = r["hash_match"] \
+            or (err == "no_oracle" and r["spark_rows"] is not None) \
+            or rows_only_ok \
+            or (err.startswith("oracle_skip_at_scale") and slice_ok)
         tag = "OK  " if ok else "BAD "
         if not ok:
             bad.append(name)
+        sl = r.get("slice")
+        sl_msg = (f" slice[{sl['prefixes']}]="
+                  f"{sl['spark_rows']}/{sl['oracle_rows']} "
+                  f"hash={sl['hash_match']} err={sl['err']}"
+                  if sl else "")
         print(f"{tag} {name}: rows={r['spark_rows']}/{r['oracle_rows']} "
               f"schema={r['schema_match']} hash={r['hash_match']} "
-              f"err={r['err']}")
+              f"err={r['err']}{sl_msg}", flush=True)
     with open("/tmp/driver_check.json", "w") as f:
         json.dump(results, f, indent=1)
     if json_out:

@@ -63,15 +63,23 @@ def make_slice(src: str, dst: str, table: str = "embeddings",
             continue
         glob = (f"{src_path}/*.parquet" if os.path.isdir(src_path)
                 else src_path)
-        keep = ", ".join(f"'{h}'" for h in hex_digits)
+        # hex_digits: either a string of single hex chars ("012" =
+        # 3/16) or a comma-separated list of equal-length md5
+        # PREFIXES ("00,01" = 2/256) for finer slice fractions
+        prefixes = (hex_digits.split(",") if "," in hex_digits
+                    else list(hex_digits))
+        plen = len(prefixes[0])
+        if any(len(p) != plen for p in prefixes):
+            raise ValueError(
+                f"mixed-length md5 prefixes: {prefixes}")
+        keep = ", ".join(f"'{p}'" for p in prefixes)
+        pred = (f"substr(md5(CAST({id_col} AS VARCHAR)), 1, {plen}) "
+                f"IN ({keep})")
         n = duck.execute(
-            f"SELECT count(*) FROM '{glob}' "
-            f"WHERE substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) "
-            f"IN ({keep})").fetchone()[0]
+            f"SELECT count(*) FROM '{glob}' WHERE {pred}").fetchone()[0]
         duck.execute(
-            f"COPY (SELECT * FROM '{glob}' "
-            f"WHERE substr(md5(CAST({id_col} AS VARCHAR)), 1, 1) "
-            f"IN ({keep}) ORDER BY {id_col}) "
+            f"COPY (SELECT * FROM '{glob}' WHERE {pred} "
+            f"ORDER BY {id_col}) "
             f"TO '{dst_path}' (FORMAT PARQUET)")
         total = duck.execute(
             f"SELECT count(*) FROM '{glob}'").fetchone()[0]
