@@ -195,7 +195,8 @@ def check_slice(spark, name, builder, sql):
         out["rows_match"] = len(srows) == len(drows)
         out["schema_match"] = sorted(scols) == sorted(dcols)
         if out["rows_match"] and out["schema_match"]:
-            out["hash_match"] = (_hash_rows(scols, srows)
+            out["value_sha"] = _hash_rows(scols, srows)
+            out["hash_match"] = (out["value_sha"]
                                  == _hash_rows(dcols, drows))
         else:
             out["hash_match"] = False
@@ -250,7 +251,8 @@ def check_one(spark, duck, name, builder, sql):
         out["rows_match"] = len(srows) == len(drows)
         out["schema_match"] = sorted(scols) == sorted(dcols)
         if out["rows_match"] and out["schema_match"]:
-            out["hash_match"] = _hash_rows(scols, srows) == _hash_rows(
+            out["value_sha"] = _hash_rows(scols, srows)
+            out["hash_match"] = out["value_sha"] == _hash_rows(
                 dcols, drows)
         else:
             out["hash_match"] = False
