@@ -51,158 +51,14 @@ from selfhealingdatapipeline_gcp_spark.session import get_spark  # noqa: E402
 # registry.FLAGSHIP (these are exactly the tier="flagship" entries).
 CORE = list(registry.FLAGSHIP)
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "q10_returned_items",
-    "revenue_anomaly",
-    "transaction_volume_anomaly",
-    "pattern_break_product",
-    "reconciliation_orders_lineitem",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_bruteforce_topk",
-    "text_quality_score",
-    "doc_fingerprint",
-    "asof_purchase_attribution",
-    "q7_nation_trade_volume",
-    "funnel_view_click_purchase",
-    "dedup_lsh_verified",
-    "embedding_centroids",
-    # r2 additions (baseline floor starts at BENCH_r02)
-    "dedup_embedding_cells",
-    "contamination_check",
-    "quality_filter_pipeline",
-    "vector_quantize",
-    "multimodal_features",
-    "revenue_forecast",
-    # r3 additions (floor starts at BENCH_r03)
-    "ann_pq_topk",
-    # r4 additions (floor starts at BENCH_r04)
-    "ann_rp_lsh_topk",
-    "text_token_estimate",
-    "dedup_prefix_hash",
-    "ann_ivf_pq_topk",
-    # r5 additions (floor starts at BENCH_r05)
-    "q12_ship_delay_priority",
-    "q16_part_supplier_variety",
-    "q21_waiting_suppliers",
-    "seq_pack_plan",
-    "knn_graph_cells",
-    "pagerank_knn",
-    "quality_drift_tv",
-    "dedup_incremental",
-    "cdc_scd2_from_log",
-    "dedup_containment",
-    "cross_source_overlap",
-    "bm25_search",
-    "doc_chunk_plan",
-    "event_rate_cusum",
-    "multimodal_ahash_groups",
-    "label_centroid_distances",
-    "token_collocations",
-    "more_like_this",
-    "split_leakage_check",
-    "knn_degree_stats",
-    "cdc_snapshot_diff",
-    "packing_efficiency_report",
-    "revenue_weekly_seasonality",
-    "knn_clustering_coefficient",
-    "streaming_cdc_apply",
-    # r6 additions (floor starts at BENCH_r06)
-    "minhash_estimate_report",
-    "embedding_outliers",
-    "verbatim_overlap_pairs",
-    "tokenizer_fertility_by_source",
-    "quality_schema_drift",
-    "revenue_volume_correlation",
-    "ann_recall_report",
-    "embedding_centroid_drift",
-    "dedup_exact_normalized",
-    "user_activity_salted",
-    "source_language_mix",
-    "brand_affinity",
-    # r7 additions (floor starts at BENCH_r07)
-    "doc_length_profile_by_source",
-    "source_zipf_slope",
-    "revenue_autocorrelation",
-    "cross_source_dup_matrix",
-    "dedup_cluster_size_histogram",
-    "dedup_drop_list",
-    "leakage_safe_split",
-    "source_topic_mix",
-    "dedup_rate_report",
-    "chunk_dedup_exact",
-    "embedding_covariance",
-    "source_divergence_matrix",
-    "embedding_top_component",
-    "doc_language_confusion",
-    "embedding_intrinsic_dim",
-    "dedup_threshold_sweep",
-    "dedup_cascade_report",
-    "source_epoch_plan",
-    "source_quality_calibration",
-    "event_trigram_paths",
-    "decontamination_manifest",
-    "drop_reason_matrix",
-    "multimodal_byte_entropy",
-    "source_dup_rate",
-    "split_embedding_leakage",
-    "embedding_coreset_sample",
-    "ivf_nprobe_sweep",
-    "split_balance_report",
-    "knn_label_propagation",
-    "user_burstiness",
-    "cdc_churn_report",
-    "hard_negative_mining",
-    "streaming_churn_guard",
-    "token_heavy_hitters",
-    "funnel_time_to_convert",
-    "revenue_changepoint",
-    "dedup_weighted_sample",
-    "event_audience_overlap",
-    "quality_drift_ks",
-    "streaming_heavy_hitters",
-    "doc_perplexity_buckets",
-    "dedup_bloom_audit",
-    "streaming_bloom_guard",
-    "ann_pq_distortion_report",
-    "hybrid_search_rrf",
-    "temporal_split_plan",
-    "quality_expectations",
-    "streaming_expectations_guard",
-    "quantile_sketch_audit",
-    "streaming_quantile_guard",
-    "zorder_layout_plan",
-    "takedown_manifest",
-    "distinct_kmv_audit",
-    "streaming_kmv_guard",
-    "join_skew_advisor",
-    "range_partition_plan",
-    "neyman_allocation_plan",
-    "series_downsample_m4",
-    "asof_next_purchase",
-    "er_name_pairs",
-    "er_blocking_report",
-    "er_name_clusters",
-    "forecast_backtest_report",
-    "k_anonymity_audit",
-    "fk_orphan_audit",
-    "boilerplate_removal_report",
-    "series_sax_symbols",
-    "cdc_incremental_agg",
-    "streaming_er_guard",
-    "sax_motif_novelty",
-    "catalog_stats_report",
-    "detector_incident_rollup",
-    "er_name_links",
-    "doc_keyphrases",
-    "supplier_scorecard",
-    # r8 additions (floor starts at BENCH_r08)
-    "bpe_merge_candidates",
-]
+# Derived from registry tier metadata (VERDICT r8 #5): flagship (the
+# pinned 19-query r1 core) + headline (each family's scale-path
+# representative — see registry.HEADLINE for how a query earns the
+# tier). Registering a query with tier="headline" IS adding it to
+# this bench; nothing here to hand-maintain. Note: er_name_pairs
+# left the set in r9 — it is tier="diagnostic" by design (id-grain
+# pair output grows ~SF^2; er_name_links is the benched scale form).
+HEADLINE = registry.headline_names()
 
 # Queries whose result set is corpus-sized (hundreds of thousands of
 # rows at sf0.1): drive them with count() so the measurement is the
@@ -436,11 +292,19 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3,
         errors["fact_join_bucketed"] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
+    # per-family subtotals (VERDICT r8 #5): where the benched seconds
+    # actually go, at the family grain SURVEY §2 is organized by
+    ents = registry.entries()
+    family_sec: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = ents[name].family if name in ents else "synthetic"
+        family_sec[fam] = round(family_sec.get(fam, 0.0) + sec, 3)
     out = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "family_sec": dict(sorted(family_sec.items())),
         "sf": float(sf),
         "shuffle_bytes_total": sum(v[0] for v in shuffles.values()),
         "shuffle_rows_total": sum(v[1] for v in shuffles.values()),

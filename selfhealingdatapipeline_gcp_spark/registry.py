@@ -44,10 +44,74 @@ FLAGSHIP = (
     "embedding_centroids",
 )
 
-#: valid tiers: flagship = bench core headliners; standard = the
-#: default; diagnostic = small-scale exact forms with a registered
-#: scale alternative (kept for verification, not for 100 TB runs)
-TIERS = ("flagship", "standard", "diagnostic")
+#: the rest of the bench headline set (the per-round perf floor in
+#: BENCH_r*.json). A query EARNS headline tier when it is its
+#: family's scale-path representative: the form you would actually
+#: run at 100 TB (broadcast/bucket/cell-bounded variants, not the
+#: exact diagnostic twins), with a pinned oracle and a recorded
+#: per-round floor. Names here resolve to tier="headline" at
+#: registration; bench.py derives its query set from this metadata
+#: (registry.headline_names()) instead of a hand-maintained list,
+#: so registering a query with the tier IS adding it to the bench.
+HEADLINE = (
+    "dedup_embedding_cells", "contamination_check",
+    "quality_filter_pipeline", "vector_quantize", "multimodal_features",
+    "revenue_forecast", "ann_pq_topk", "ann_rp_lsh_topk",
+    "text_token_estimate", "dedup_prefix_hash", "ann_ivf_pq_topk",
+    "q12_ship_delay_priority", "q16_part_supplier_variety",
+    "q21_waiting_suppliers", "seq_pack_plan", "knn_graph_cells",
+    "pagerank_knn", "quality_drift_tv", "dedup_incremental",
+    "cdc_scd2_from_log", "dedup_containment", "cross_source_overlap",
+    "bm25_search", "doc_chunk_plan", "event_rate_cusum",
+    "multimodal_ahash_groups", "label_centroid_distances",
+    "token_collocations", "more_like_this", "split_leakage_check",
+    "knn_degree_stats", "cdc_snapshot_diff", "packing_efficiency_report",
+    "revenue_weekly_seasonality", "knn_clustering_coefficient",
+    "streaming_cdc_apply", "minhash_estimate_report", "embedding_outliers",
+    "verbatim_overlap_pairs", "tokenizer_fertility_by_source",
+    "quality_schema_drift", "revenue_volume_correlation",
+    "ann_recall_report", "embedding_centroid_drift",
+    "dedup_exact_normalized", "user_activity_salted",
+    "source_language_mix", "brand_affinity",
+    "doc_length_profile_by_source", "source_zipf_slope",
+    "revenue_autocorrelation", "cross_source_dup_matrix",
+    "dedup_cluster_size_histogram", "dedup_drop_list",
+    "leakage_safe_split", "source_topic_mix", "dedup_rate_report",
+    "chunk_dedup_exact", "embedding_covariance",
+    "source_divergence_matrix", "embedding_top_component",
+    "doc_language_confusion", "embedding_intrinsic_dim",
+    "dedup_threshold_sweep", "dedup_cascade_report", "source_epoch_plan",
+    "source_quality_calibration", "event_trigram_paths",
+    "decontamination_manifest", "drop_reason_matrix",
+    "multimodal_byte_entropy", "source_dup_rate",
+    "split_embedding_leakage", "embedding_coreset_sample",
+    "ivf_nprobe_sweep", "split_balance_report", "knn_label_propagation",
+    "user_burstiness", "cdc_churn_report", "hard_negative_mining",
+    "streaming_churn_guard", "token_heavy_hitters",
+    "funnel_time_to_convert", "revenue_changepoint",
+    "dedup_weighted_sample", "event_audience_overlap", "quality_drift_ks",
+    "streaming_heavy_hitters", "doc_perplexity_buckets",
+    "dedup_bloom_audit", "streaming_bloom_guard",
+    "ann_pq_distortion_report", "hybrid_search_rrf", "temporal_split_plan",
+    "quality_expectations", "streaming_expectations_guard",
+    "quantile_sketch_audit", "streaming_quantile_guard",
+    "zorder_layout_plan", "takedown_manifest", "distinct_kmv_audit",
+    "streaming_kmv_guard", "join_skew_advisor", "range_partition_plan",
+    "neyman_allocation_plan", "series_downsample_m4", "asof_next_purchase",
+    "er_name_pairs", "er_blocking_report", "er_name_clusters",
+    "forecast_backtest_report", "k_anonymity_audit", "fk_orphan_audit",
+    "boilerplate_removal_report", "series_sax_symbols",
+    "cdc_incremental_agg", "streaming_er_guard", "sax_motif_novelty",
+    "catalog_stats_report", "detector_incident_rollup", "er_name_links",
+    "doc_keyphrases", "supplier_scorecard", "bpe_merge_candidates",
+)
+
+#: valid tiers: flagship = the pinned 19-query r1 core (the
+#: cross-round comparable floor); headline = benched per-round;
+#: standard = the default (verified, not benched); diagnostic =
+#: small-scale exact forms with a registered scale alternative
+#: (kept for verification, not for 100 TB runs)
+TIERS = ("flagship", "headline", "standard", "diagnostic")
 
 # name-prefix → family, first match wins (checked in order). The
 # fallback is "analytics". Registrations may override with family=.
@@ -102,6 +166,7 @@ def register(name: str, builder: Builder, oracle: str | None, *,
     if name in _REGISTRY:
         raise ValueError(f"duplicate query name {name!r}")
     resolved_tier = tier or ("flagship" if name in FLAGSHIP
+                             else "headline" if name in HEADLINE
                              else "standard")
     if resolved_tier not in TIERS:
         raise ValueError(f"unknown tier {resolved_tier!r} for {name!r}")
@@ -125,6 +190,16 @@ def entries() -> dict[str, Entry]:
     should select over, instead of positional name lists."""
     _ensure_loaded()
     return dict(_REGISTRY)
+
+
+def headline_names() -> list[str]:
+    """Bench set, derived from tier metadata in registration order —
+    flagship (the pinned cross-round core) + headline (each family's
+    scale-path representative). bench.py consumes this; the driver's
+    sampling tooling can too."""
+    _ensure_loaded()
+    return [n for n, e in _REGISTRY.items()
+            if e.tier in ("flagship", "headline")]
 
 
 def queries_by_family() -> dict[str, list[str]]:
@@ -306,3 +381,10 @@ def _ensure_loaded() -> None:
     from selfhealingdatapipeline_gcp_spark import registry_extended  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_dataprep  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_tpch  # noqa: F401
+    # tier metadata must not go stale: every name in the FLAGSHIP /
+    # HEADLINE sets has to resolve to a real registration (a typo or
+    # a renamed query would silently shrink the bench otherwise)
+    missing = [n for n in (*FLAGSHIP, *HEADLINE) if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"tier metadata names unregistered queries: {missing}")

@@ -31,7 +31,39 @@ def test_diagnostic_tier_names_have_scale_forms():
     assert diag == {"er_name_pairs", "dedup_embedding"}
     assert "er_name_links" in ents
     assert "dedup_embedding_cells" in ents
-    assert ents["er_name_links"].tier == "standard"
+    # both scale forms are benched (headline tier) since r9
+    assert ents["er_name_links"].tier == "headline"
+    assert ents["dedup_embedding_cells"].tier == "headline"
+
+
+def test_bench_headline_is_tier_derived():
+    """VERDICT r8 #5: the bench set is registry metadata, not a
+    bench.py literal — flagship + headline tiers, in registration
+    order, and explicit diagnostic registrations stay OUT even if a
+    stale list would have benched them (er_name_pairs)."""
+    import bench
+    ents = registry.entries()
+    derived = registry.headline_names()
+    assert bench.HEADLINE == derived
+    assert [n for n in derived
+            if ents[n].tier not in ("flagship", "headline")] == []
+    assert set(registry.FLAGSHIP) <= set(derived)
+    assert "er_name_pairs" not in derived          # tier="diagnostic"
+    assert "dedup_embedding" not in derived        # tier="diagnostic"
+    # every first-class family keeps at least one benched query
+    fam_benched = {ents[n].family for n in derived}
+    for fam in ("dedup", "similarity", "embedding", "multimodal",
+                "text", "streaming", "monitoring", "quality",
+                "dataprep", "entity-resolution", "cdc", "search",
+                "tpch", "product-analytics"):
+        assert fam in fam_benched, f"family {fam} unbenched"
+
+
+def test_tier_metadata_validates_names():
+    """A typo in FLAGSHIP/HEADLINE must fail loudly at load, not
+    silently shrink the bench."""
+    assert all(n in registry.entries()
+               for n in (*registry.FLAGSHIP, *registry.HEADLINE))
 
 
 def test_queries_by_family_partitions_registry():
