@@ -67,7 +67,9 @@ HEADLINE = registry.headline_names()
 # and collect matches how a user actually consumes them.
 LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff",
                 # ~16 typo-links per serial key: output is corpus-scale
-                "er_name_pairs"}
+                "er_name_pairs",
+                # token-grain output (every subword of every doc)
+                "bpe_token_ids"}
 
 # Queries whose BUILDER executes the real work (localCheckpoint
 # materialization, foreachBatch streaming): the build call must sit
@@ -94,7 +96,10 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   # component_labels loops eagerly in the builder
                   "er_name_clusters",
                   # the r8 block-budget probe aggregates in the builder
-                  "er_name_pairs"}
+                  "er_name_pairs",
+                  # the BPE learn loop (argmax + checkpoint per merge
+                  # round) runs in the builder
+                  "bpe_vocab", "bpe_token_ids"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:

@@ -245,6 +245,142 @@ def bpe_merge_candidates(documents: DataFrame,
     )
 
 
+def _bpe_apply_merge(syms, p1: str, p2: str):
+    """One BPE merge rule (p1, p2) -> p1||p2 applied greedily
+    left-to-right over a symbol array — the exact classic-BPE
+    semantics: a left fold where the freshly merged symbol can never
+    re-match as the left element in the same pass (p1||p2 == p1 would
+    need p2 = "", and empty symbols never exist), so e.g. pair (a, a)
+    turns "aaaa" into [aa, aa] and "aaa" into [aa, a]."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (s == F.lit(p2)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.concat(F.element_at(acc, -1), s))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_learn(documents: DataFrame, n_merges: int):
+    """Induce ``n_merges`` BPE rules from the corpus; returns
+    (final word->symbols state, merge records).
+
+    The kmeans/pagerank unrolled-round discipline: the corpus
+    collapses ONCE to the distinct-word relation (one vocab-sized
+    shuffle with map-side combine, then an eager localCheckpoint so
+    no round re-reads the corpus); every round after that is one
+    vocab×avg-word-length pair aggregate (a few thousand distinct
+    pairs at ANY corpus size) + a map-side fold, re-checkpointed to
+    keep lineage flat. The only driver traffic is ONE row per round
+    (the argmax pair) — state never leaves the cluster."""
+    state = (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("syms", F.expr(
+            "transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1))"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        best = (
+            state.filter(F.size("syms") >= 2)
+            .select("n", F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(element_at(syms, i) AS p1, "
+                "element_at(syms, i + 1) AS p2))")).alias("pr"))
+            .groupBy("pr.p1", "pr.p2")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((r, best["p1"], best["p2"], best["cnt"]))
+        state = (
+            state.withColumn(
+                "syms", _bpe_apply_merge(F.col("syms"),
+                                         best["p1"], best["p2"]))
+            .localCheckpoint(eager=True)
+        )
+    return state, merges
+
+
+def bpe_vocab(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Multi-round BPE vocabulary induction (the real tokenizer-
+    training loop ``bpe_merge_candidates`` is round 1 of): commit the
+    highest-count adjacent symbol pair each round (ties broken by
+    pair lexicographically — deterministic on both engines), merge it
+    corpus-wide, repeat. Output is the ordered merge table a BPE
+    tokenizer ships: one row per round with the committed pair and
+    its support at commit time.
+
+    Scale shape: see ``_bpe_learn`` — corpus read once, per-round
+    state is the distinct-word relation, per-round driver traffic is
+    one row. The reference pipeline consumes pre-tokenized feeds;
+    inducing the tokenizer from the corpus itself is the step a
+    training-data engine adds in front (same rationale as
+    ``bpe_merge_candidates``, which this generalizes)."""
+    spark = documents.sparkSession
+    _, merges = _bpe_learn(documents, n_merges)
+    rows = [(r, p1, p2, p1 + p2, cnt) for r, p1, p2, cnt in merges]
+    return spark.createDataFrame(
+        rows, "merge_round int, left_sym string, right_sym string, "
+              "merged string, pair_count bigint")
+
+
+def bpe_token_ids(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Tokenizer APPLY: segment every document with the
+    ``bpe_vocab``-induced merges and emit per-doc token ids — the
+    loop-closer for ``text_token_estimate``'s ~4-chars/token cost
+    model (compare count(*) per doc here against its estimate).
+
+    Token ids are frequency ranks over the induced vocabulary
+    (row_number by descending corpus frequency, then symbol — the
+    id assignment real BPE vocabs ship). Output is token grain:
+    (doc_id, word_pos, sub_pos, token_id, token), 1-based positions.
+
+    Scale shape: merges induce on the distinct-word relation
+    (``_bpe_learn``); the apply side is corpus-token-grain rows
+    equi-joined to the vocab-sized word->symbols map and the
+    vocab-sized id table (AQE broadcasts both when small; never a
+    corpus×corpus join). The id-assignment window sorts the
+    VOCABULARY relation only, never the corpus."""
+    state, _ = _bpe_learn(documents, n_merges)
+    vocab = (
+        state.select("n", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("n").cast("bigint").alias("tok_n"))
+        .withColumn("token_id", F.row_number().over(
+            Window.orderBy(F.desc("tok_n"), "sym")).cast("int"))
+    )
+    docw = (
+        _spread(documents)
+        .select("doc_id", F.posexplode(textfn.tokens("text"))
+                .alias("wp0", "w"))
+        .select("doc_id", (F.col("wp0") + 1).cast("int")
+                .alias("word_pos"), "w")
+    )
+    sub = (
+        docw.join(state.select("w", "syms"), "w")
+        .select("doc_id", "word_pos",
+                F.posexplode("syms").alias("sp0", "token"))
+        .select("doc_id", "word_pos",
+                (F.col("sp0") + 1).cast("int").alias("sub_pos"), "token")
+    )
+    return (
+        sub.join(vocab.select(F.col("sym").alias("token"), "token_id"),
+                 "token")
+        .select("doc_id", "word_pos", "sub_pos", "token_id", "token")
+    )
+
+
 def text_token_estimate(documents: DataFrame) -> DataFrame:
     """BPE-ish token estimate per document (the cost model every
     training-data pipeline needs before the real tokenizer runs):

@@ -795,6 +795,123 @@ register(
     """,
 )
 
+def _bpe_rounds_sql(n_merges: int) -> str:
+    """Unrolled-CTE twin of operators/textanalysis._bpe_learn
+    (VERDICT r8 #4): ``n_merges`` BPE rounds as a static CTE chain —
+    s0 is the char-segmented distinct-word relation; each round picks
+    the argmax pair (ties: lexicographic) and applies it greedily
+    left-to-right. The greedy non-overlap is relational: consecutive
+    match positions only occur when left==right symbol, so keeping
+    the even offsets within each run of consecutive matches is
+    EXACTLY the left-to-right fold the Spark side computes."""
+    parts = [f"""
+    w0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKENS}) AS w FROM documents)
+      GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT w, n,
+             list_transform(generate_series(1, length(w)),
+                            i -> substr(w, CAST(i AS INT), 1)) AS syms
+      FROM w0
+    )"""]
+    for r in range(1, n_merges + 1):
+        q = r - 1
+        parts.append(f"""
+    p{r} AS MATERIALIZED (
+      SELECT list_extract(syms, CAST(gs AS INT)) AS p1,
+             list_extract(syms, CAST(gs AS INT) + 1) AS p2,
+             CAST(sum(n) AS BIGINT) AS cnt
+      FROM (SELECT n, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS gs
+            FROM s{q} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+      ORDER BY cnt DESC, p1, p2
+      LIMIT 1
+    ), e{r} AS MATERIALIZED (
+      SELECT w, n, CAST(gs AS INT) AS pos,
+             list_extract(syms, CAST(gs AS INT)) AS sym
+      FROM (SELECT w, n, syms,
+                   unnest(generate_series(1, len(syms))) AS gs
+            FROM s{q})
+    ), m{r} AS MATERIALIZED (
+      SELECT e.w, e.pos
+      FROM e{r} e
+      JOIN e{r} e2 ON e2.w = e.w AND e2.pos = e.pos + 1, p{r}
+      WHERE e.sym = p{r}.p1 AND e2.sym = p{r}.p2
+    ), g{r} AS MATERIALIZED (
+      SELECT w, pos FROM (
+        SELECT w, pos,
+               pos - min(pos) OVER (PARTITION BY w, grp) AS off
+        FROM (SELECT w, pos,
+                     pos - row_number()
+                           OVER (PARTITION BY w ORDER BY pos) AS grp
+              FROM m{r})
+      ) WHERE off % 2 = 0
+    ), s{r} AS MATERIALIZED (
+      SELECT e.w, e.n,
+             list(CASE WHEN gm.pos IS NOT NULL THEN e.sym || ln.sym
+                       ELSE e.sym END ORDER BY e.pos) AS syms
+      FROM e{r} e
+      LEFT JOIN g{r} gm ON gm.w = e.w AND gm.pos = e.pos
+      LEFT JOIN g{r} gd ON gd.w = e.w AND gd.pos = e.pos - 1
+      LEFT JOIN e{r} ln ON ln.w = e.w AND ln.pos = e.pos + 1
+      WHERE gd.pos IS NULL
+      GROUP BY e.w, e.n
+    )""")
+    return ", ".join(parts)
+
+
+_BPE_N = 8
+
+register(
+    "bpe_vocab",
+    lambda spark, sf: textanalysis.bpe_vocab(
+        *_t(spark, sf, "documents"), n_merges=_BPE_N),
+    "WITH " + _bpe_rounds_sql(_BPE_N) + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, p1 AS left_sym, "
+        f"p2 AS right_sym, p1 || p2 AS merged, cnt AS pair_count "
+        f"FROM p{r}" for r in range(1, _BPE_N + 1))
+    + "\n    ORDER BY merge_round",
+    family="text",
+    tier="headline",
+)
+
+register(
+    "bpe_token_ids",
+    lambda spark, sf: textanalysis.bpe_token_ids(
+        *_t(spark, sf, "documents"), n_merges=_BPE_N),
+    "WITH " + _bpe_rounds_sql(_BPE_N) + f""",
+    vs AS (
+      SELECT n, unnest(syms) AS sym FROM s{_BPE_N}
+    ), vid AS (
+      SELECT sym,
+             CAST(row_number() OVER (ORDER BY tok_n DESC, sym) AS INT)
+               AS token_id
+      FROM (SELECT sym, CAST(sum(n) AS BIGINT) AS tok_n
+            FROM vs GROUP BY sym)
+    ), docw AS (
+      SELECT doc_id, CAST(gs AS INT) AS word_pos,
+             list_extract(toks, CAST(gs AS INT)) AS w
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS gs
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents))
+    ), sub AS (
+      SELECT doc_id, word_pos, CAST(gs AS INT) AS sub_pos,
+             list_extract(syms, CAST(gs AS INT)) AS token
+      FROM (SELECT d.doc_id, d.word_pos, s.syms,
+                   unnest(generate_series(1, len(s.syms))) AS gs
+            FROM docw d JOIN s{_BPE_N} s ON s.w = d.w)
+    )
+    SELECT sub.doc_id, sub.word_pos, sub.sub_pos, v.token_id,
+           sub.token
+    FROM sub JOIN vid v ON v.sym = sub.token
+    """,
+    family="text",
+    tier="headline",
+)
+
 register(
     "bpe_merge_candidates",
     lambda spark, sf: textanalysis.bpe_merge_candidates(

@@ -817,3 +817,51 @@ def test_plan_lint_headline_queries_have_no_errors(spark):
         df = registry.queries()[name](spark, SF_TINY)
         errs = [f for f in lint.lint_plan(df) if f.severity == lint.ERROR]
         assert not errs, (name, errs)
+
+
+def test_all_registered_plans_lint_clean_and_pinned(spark):
+    """VERDICT r8 #2: every registered query — not just the ~21
+    curated headliners — lints ERROR-free and matches its pinned
+    (Exchange, BHJ, SMJ, BNLJ) fingerprint at sf0.001. The table is
+    tests/plan_fingerprints.json, generated by
+    tools/pin_fingerprints.py; regenerate DELIBERATELY when a plan
+    change is intentional (the JSON git diff is the review surface).
+    A new Exchange or a lost broadcast anywhere in the registry
+    fails HERE by name instead of surfacing as a wall-time swing."""
+    import json
+    import os
+
+    from selfhealingdatapipeline_gcp_spark.plans import lint
+
+    with open(os.path.join(os.path.dirname(__file__),
+                           "plan_fingerprints.json")) as f:
+        pinned = json.load(f)
+    qs = registry.queries()
+    unpinned = sorted(set(qs) - set(pinned))
+    stale = sorted(set(pinned) - set(qs))
+    assert not unpinned, (
+        f"queries without a pinned fingerprint: {unpinned} — run "
+        "tools/pin_fingerprints.py " + " ".join(unpinned))
+    assert not stale, (
+        f"pinned fingerprints for unregistered queries: {stale} — "
+        "re-run tools/pin_fingerprints.py to drop them")
+
+    moved: dict[str, tuple] = {}
+    lint_errors: dict[str, list[str]] = {}
+    for name, builder in qs.items():
+        df = builder(spark, SF_TINY)
+        plan = _plan(df)
+        counts = [len(_re.findall(rf"\b{node}\b", plan))
+                  for node in _FP_NODES]
+        if counts != pinned[name]:
+            moved[name] = (counts, pinned[name])
+        errs = [f.rule for f in lint.lint_plan(df)
+                if f.severity == lint.ERROR]
+        if errs:
+            lint_errors[name] = errs
+    assert not lint_errors, f"plan lint ERRORs: {lint_errors}"
+    assert not moved, (
+        "plan fingerprints moved (got != pinned): "
+        + ", ".join(f"{n}: {g} != {p}" for n, (g, p) in moved.items())
+        + " — if intentional, review explain() then re-pin via "
+          "tools/pin_fingerprints.py " + " ".join(moved))
