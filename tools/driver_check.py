@@ -139,6 +139,12 @@ ORACLE_SKIP = {
     n for n in os.environ.get("SPARK_GRAFT_ORACLE_SKIP", "").split(",")
     if n}
 
+# The in-process oracle's memory cap: 48GiB default (the r7 OOM
+# lesson), overridable down for scale sweeps that share the host
+# with a 48g Spark driver (untracked DuckDB allocations can blow
+# past the cap; a lower ceiling + spill keeps the PROCESS alive).
+DUCK_MEM = os.environ.get("SPARK_GRAFT_DUCK_MEM", "48GiB")
+
 SLICE_ROOT = os.environ.get("SPARK_GRAFT_SLICE_ROOT",
                             "/root/repo/.testdata/slices")
 
@@ -175,7 +181,7 @@ def check_slice(spark, name, builder, sql):
         out["spark_rows"] = len(srows)
         duck = duckdb.connect()
         try:
-            duck.execute("SET memory_limit='48GiB'")
+            duck.execute(f"SET memory_limit='{DUCK_MEM}'")
             duck.execute("SET temp_directory='/tmp/duckdb_spill'")
         except Exception:  # noqa: BLE001
             pass
@@ -313,7 +319,7 @@ def main(argv):
     # list-heavy oracle). With a limit + temp_directory DuckDB
     # spills to disk instead of dying.
     try:
-        duck.execute("SET memory_limit='48GiB'")
+        duck.execute(f"SET memory_limit='{DUCK_MEM}'")
         duck.execute("SET temp_directory='/tmp/duckdb_spill'")
     except Exception:  # noqa: BLE001  # older DuckDB: names differ
         pass
@@ -366,6 +372,11 @@ def main(argv):
         print(f"{tag} {name}: rows={r['spark_rows']}/{r['oracle_rows']} "
               f"schema={r['schema_match']} hash={r['hash_match']} "
               f"err={r['err']}{sl_msg}", flush=True)
+        if json_out:
+            # incremental: an OOM-killed sweep still leaves every
+            # completed row on disk for run_scale_sweep to merge
+            with open(json_out, "w") as f:
+                json.dump({"results": results}, f, indent=1)
     with open("/tmp/driver_check.json", "w") as f:
         json.dump(results, f, indent=1)
     if json_out:

@@ -1,0 +1,129 @@
+"""OOM-resilient orchestrator for full-registry scale sweeps.
+
+A monolithic driver_check run at sf10 can be SIGKILLed by the OOM
+reaper mid-query (r7 lost two runs at 71/90 GB; r9's first attempt
+died the same way even with the DuckDB cap — untracked allocations
+in list-heavy oracles). This wrapper makes the sweep converge
+anyway:
+
+- runs driver_check with ``--resume-log`` so every completed query
+  is skipped on restart;
+- on an abnormal exit (SIGKILL/OOM), identifies the in-flight query
+  (first registry name missing from the log), appends a synthetic
+  ``BAD <name>: ... err=killed`` line so the retry skips it instead
+  of dying on it forever, and keeps going;
+- merges every attempt's partial ``--json-out`` into ONE artifact at
+  the end, wrapped with the same sweep metadata driver_check emits.
+
+Killed queries stay visibly BAD in the artifact — the orchestrator
+never converts a crash into a green row; rerun them individually
+(e.g. with a lower SPARK_GRAFT_DUCK_MEM or a slice spec) and merge.
+
+Usage:
+  python tools/run_scale_sweep.py OUT.json [LOG]
+Environment: same knobs as driver_check (SPARK_GRAFT_TEST_SF,
+SPARK_GRAFT_MAX_HASH_ROWS, SPARK_GRAFT_ORACLE_SKIP,
+SPARK_GRAFT_DUCK_MEM, SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MAX_ATTEMPTS = 60
+
+
+def _logged(log: str) -> set[str]:
+    done = set()
+    if os.path.exists(log):
+        with open(log) as f:
+            for line in f:
+                if line.startswith(("OK ", "BAD ")):
+                    done.add(line.split()[1].rstrip(":"))
+    return done
+
+
+def main(argv) -> int:
+    if not argv:
+        print("usage: run_scale_sweep.py OUT.json [LOG]")
+        return 2
+    out_path = argv[0]
+    log = argv[1] if len(argv) > 1 else out_path + ".log"
+
+    from selfhealingdatapipeline_gcp_spark import registry
+    names = list(registry.queries())
+
+    merged: dict[str, dict] = {}
+    attempt = 0
+    while attempt < MAX_ATTEMPTS:
+        attempt += 1
+        part = f"{out_path}.part{attempt}"
+        with open(log, "a") as lf:
+            rc = subprocess.run(
+                [sys.executable, "tools/driver_check.py",
+                 "--resume-log", log, "--json-out", part],
+                stdout=lf, stderr=subprocess.DEVNULL,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).returncode
+        if os.path.exists(part):
+            with open(part) as f:
+                merged.update(json.load(f).get("results", {}))
+            os.remove(part)
+        if rc in (0, 1):
+            break  # completed (1 = finished with bad rows, not a crash)
+        done = _logged(log)
+        culprit = next((n for n in names if n not in done), None)
+        print(f"attempt {attempt}: rc={rc} (killed); "
+              f"culprit={culprit}", flush=True)
+        if culprit is None:
+            break
+        with open(log, "a") as lf:
+            lf.write(f"BAD  {culprit}: rows=None/None schema=None "
+                     f"hash=None err=killed_rc{rc}\n")
+        merged[culprit] = {
+            "rows_match": None, "schema_match": None,
+            "hash_match": None, "spark_rows": None,
+            "oracle_rows": None, "err": f"killed_rc{rc}"}
+
+    bad = sorted(
+        n for n, r in merged.items()
+        if not (r.get("hash_match")
+                or (r.get("err") == "no_oracle"
+                    and r.get("spark_rows") is not None)
+                or (str(r.get("err") or "").startswith("rows_only_gt_")
+                    and r.get("rows_match") and r.get("schema_match")
+                    and ((r.get("slice") or {}).get("hash_match")
+                         in (True, None)))
+                or (str(r.get("err") or "").startswith(
+                    "oracle_skip_at_scale")
+                    and (r.get("slice") or {}).get("hash_match")
+                    is True)))
+    wrapped = {
+        "sf_dir": os.environ.get("SPARK_GRAFT_TEST_SF",
+                                 "/root/testdata/sf0.01"),
+        "mode": "scale_sweep_orchestrated",
+        "max_hash_rows": int(os.environ.get(
+            "SPARK_GRAFT_MAX_HASH_ROWS", "0") or 0),
+        "oracle_skip": sorted(
+            n for n in os.environ.get(
+                "SPARK_GRAFT_ORACLE_SKIP", "").split(",") if n),
+        "attempts": attempt,
+        "n_queries": len(merged),
+        "n_green": len(merged) - len(bad),
+        "bad": bad,
+        "results": merged,
+    }
+    with open(out_path, "w") as f:
+        json.dump(wrapped, f, indent=1)
+    print(f"{len(merged) - len(bad)}/{len(merged)} green after "
+          f"{attempt} attempts; bad: {bad}", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
