@@ -1004,3 +1004,43 @@ def test_task_lint_preflight_blocks_cartesian(spark):
         assert unlinted.run(spark)["cart"].status == "SUCCESS"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_scheduled_sweep_delivers_recommendations_once(spark, tmp_path):
+    """The full reference parity path in one run (VERDICT r8 #7):
+    detector fires → rule severity routes channels → the delivered
+    jsonl carries the rule's RECOMMENDATIONS text → scheduled repeats
+    are suppressed, so after 3 ticks each (detector, alert_key,
+    channel) line exists EXACTLY once and still carries its
+    recommended actions."""
+    from selfhealingdatapipeline_gcp_spark import jobs
+    from selfhealingdatapipeline_gcp_spark.plans import alerts
+
+    alert_dir = str(tmp_path / "alerts")
+    outs = jobs.run_scheduled_sweeps(
+        spark, "/root/testdata/sf0.001", str(tmp_path / "state"),
+        interval_s=3600.0, max_runs=3, alert_dir=alert_dir,
+        sleep=lambda s: None)
+    assert len(outs) == 3
+    n_first = outs[0]["alerts"]["n_delivered"]
+    assert n_first >= 1
+    assert outs[1]["alerts"]["n_delivered"] == 0       # suppressed
+    assert outs[2]["alerts"]["n_delivered"] == 0
+
+    rules = {r.detector: r for r in alerts.DEFAULT_RULES}
+    sender = alerts.FileAlertSender(alert_dir)
+    seen = []
+    for channel in ("slack", "email", "log"):
+        for line in sender.read_back(channel):
+            det = line["detector"]
+            # channel agrees with the severity routing table
+            assert channel in alerts.route_channels(line["severity"])
+            # the jsonl carries the REGISTERED rule's recommendation
+            # text verbatim — the reference's alert_manager payload
+            assert tuple(line["recommendations"]) \
+                == rules[det].recommendations
+            assert len(line["recommendations"]) >= 2
+            seen.append((det, line["alert_key"], channel))
+    # 3 ticks, zero duplicate deliveries: every routed line is unique
+    assert len(seen) == len(set(seen))
+    assert len({(d, k) for d, k, _ in seen}) == n_first
