@@ -342,3 +342,55 @@ def test_scale_copy_cipher_preserves_quality_profile(spark):
         (F.col("doc_a") % M.STRIDE["doc_id"])
         == (F.col("doc_b") % M.STRIDE["doc_id"]))
     assert cross.count() == 0
+
+
+def test_slice_specs_name_real_tables_and_columns(spark):
+    """driver_check's sampled-slice specs must stay valid as the
+    registry moves: every spec names a registered query, a real
+    catalog table, an existing id column, and resolvable prefixes."""
+    from selfhealingdatapipeline_gcp_spark import registry
+    from tools.driver_check import SLICE_SPECS
+
+    qs = registry.queries()
+    for name, (table, id_col, by_sf) in SLICE_SPECS.items():
+        assert name in qs, name
+        assert table in catalog.TABLES, (name, table)
+        cols = catalog.load(spark, SF_SMOKE, table).columns
+        assert id_col in cols, (name, table, id_col)
+        assert "*" in by_sf, name
+        for pref in by_sf.values():
+            parts = pref.split(",") if "," in pref else list(pref)
+            assert len({len(p) for p in parts}) == 1, (name, pref)
+            assert all(c in "0123456789abcdef"
+                       for p in parts for c in p), (name, pref)
+
+
+def test_make_slice_multi_char_prefixes(tmp_path):
+    """md5-prefix slicing: '00,01' keeps exactly the ids whose md5
+    starts with those prefixes; other tables are symlinked; mixed
+    prefix lengths are rejected."""
+    import hashlib
+
+    import duckdb
+    import pytest as _pytest
+
+    from tools.make_slice import make_slice
+
+    stats = make_slice(SF_SMOKE, str(tmp_path / "sl"),
+                       table="orders", id_col="o_orderkey",
+                       hex_digits="00,01")
+    assert 0 < stats["orders"]["kept"] < stats["orders"]["total"]
+    duck = duckdb.connect()
+    keys = [r[0] for r in duck.execute(
+        f"SELECT o_orderkey FROM '{tmp_path}/sl/orders.parquet'"
+    ).fetchall()]
+    assert keys
+    assert all(hashlib.md5(str(k).encode()).hexdigest()[:2]
+               in ("00", "01") for k in keys)
+    # untouched tables are symlinks back to the source replica
+    import os
+    assert os.path.islink(str(tmp_path / "sl" / "customer.parquet"))
+    with _pytest.raises(ValueError, match="mixed-length"):
+        make_slice(SF_SMOKE, str(tmp_path / "sl2"),
+                   table="orders", id_col="o_orderkey",
+                   hex_digits="0,01")

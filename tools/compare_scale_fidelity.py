@@ -49,14 +49,19 @@ def probe(spark, sf_dir: str) -> dict[str, dict]:
     out = {}
     qs = registry.queries()
     for name, metric in PROBES:
-        df = qs[name](spark, sf_dir)
-        row: dict[str, float] = {"rows": df.count()}
-        if metric:
-            agg, col = metric.split(":")
-            from pyspark.sql import functions as F
-            fn = {"sum": F.sum, "avg": F.avg}[agg]
-            row[metric] = float(
-                df.agg(fn(col)).first()[0] or 0.0)
+        try:
+            df = qs[name](spark, sf_dir)
+            row: dict = {"rows": df.count()}
+            if metric:
+                agg, col = metric.split(":")
+                from pyspark.sql import functions as F
+                fn = {"sum": F.sum, "avg": F.avg}[agg]
+                row[metric] = float(
+                    df.agg(fn(col)).first()[0] or 0.0)
+        except Exception as e:  # noqa: BLE001 — a guard refusal IS
+            # a fidelity result (the probe exists to surface exactly
+            # this kind of workload-shape divergence), not a crash
+            row = {"rows": f"REFUSED: {str(e)[:110]}"}
         out[name] = row
         print(f"  {sf_dir.rsplit('/', 1)[-1]} {name}: {row}",
               flush=True)
@@ -74,11 +79,15 @@ def main(argv) -> int:
     print("| --- | --- | --- | --- |")
     for name, _ in PROBES:
         for k in r[name]:
-            rv, gv = r[name][k], g[name][k]
-            ratio = (gv / rv) if rv else float("inf")
+            rv, gv = r[name][k], g[name].get(k)
             label = name if k == "rows" else f"{name} ({k})"
-            print(f"| {label} | {rv:,.6g} | {gv:,.6g} "
-                  f"| {ratio:.2f}x |")
+            if isinstance(rv, (int, float)) and isinstance(
+                    gv, (int, float)):
+                ratio = f"{gv / rv:.2f}x" if rv else "inf"
+                print(f"| {label} | {rv:,.6g} | {gv:,.6g} "
+                      f"| {ratio} |")
+            else:
+                print(f"| {label} | {rv} | {gv} | — |")
     return 0
 
 
