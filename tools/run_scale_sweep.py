@@ -58,7 +58,12 @@ def main(argv) -> int:
     from selfhealingdatapipeline_gcp_spark import registry
     names = list(registry.queries())
 
+    # merged state survives orchestrator restarts too (accum file)
+    accum = out_path + ".accum"
     merged: dict[str, dict] = {}
+    if os.path.exists(accum):
+        with open(accum) as f:
+            merged = json.load(f)
     attempt = 0
     while attempt < MAX_ATTEMPTS:
         attempt += 1
@@ -74,6 +79,8 @@ def main(argv) -> int:
             with open(part) as f:
                 merged.update(json.load(f).get("results", {}))
             os.remove(part)
+            with open(accum, "w") as f:
+                json.dump(merged, f)
         if rc in (0, 1):
             break  # completed (1 = finished with bad rows, not a crash)
         done = _logged(log)
@@ -89,6 +96,56 @@ def main(argv) -> int:
             "rows_match": None, "schema_match": None,
             "hash_match": None, "spark_rows": None,
             "oracle_rows": None, "err": f"killed_rc{rc}"}
+
+    # Rows completed by a run whose JSON was lost (e.g. the
+    # orchestrator itself restarted) but that the resume log skips:
+    # reconstruct their status from the log's own printed line,
+    # flagged so the artifact is explicit about the provenance.
+    line_re = __import__("re").compile(
+        r"^(OK|BAD)\s+(\S+): rows=(\S+)/(\S+) schema=(\S+) "
+        r"hash=(\S+) err=(.*?)"
+        r"(?: slice\[(\S+)\]=(\S+)/(\S+) hash=(\S+) err=(.*))?$")
+
+    def _pv(tok: str):
+        if tok in ("None", ""):
+            return None
+        if tok in ("True", "False"):
+            return tok == "True"
+        try:
+            return int(tok)
+        except ValueError:
+            return tok
+
+    if os.path.exists(log):
+        with open(log) as f:
+            for line in f:
+                m = line_re.match(line.strip())
+                if not m or m.group(2) in merged:
+                    continue
+                name = m.group(2)
+                a, b = _pv(m.group(3)), _pv(m.group(4))
+                row = {
+                    "rows_match": (a == b) if (a is not None
+                                               and b is not None)
+                    else None,
+                    "schema_match": _pv(m.group(5)),
+                    "hash_match": _pv(m.group(6)),
+                    "spark_rows": _pv(m.group(3)),
+                    "oracle_rows": _pv(m.group(4)),
+                    "err": _pv(m.group(7)),
+                    "reconstructed_from_log": True,
+                }
+                if m.group(8):
+                    row["slice"] = {
+                        "prefixes": m.group(8),
+                        "spark_rows": _pv(m.group(9)),
+                        "oracle_rows": _pv(m.group(10)),
+                        "rows_match": _pv(m.group(9)) == _pv(
+                            m.group(10)),
+                        "hash_match": _pv(m.group(11)),
+                        "err": _pv(m.group(12)),
+                    }
+                merged[name] = row
 
     bad = sorted(
         n for n, r in merged.items()
