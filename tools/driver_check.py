@@ -124,7 +124,8 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     # token-grain output, linear in docs (~27M at sf10); the learn
     # loop + oracle re-induce merges on the sliced corpus — both
     # engines see the same sliced input, so the check stays exact
-    "bpe_token_ids": ("documents", "doc_id", {"*": "0"}),
+    "bpe_token_ids": ("documents", "doc_id",
+                      {"sf10": "00,01", "*": "0"}),
 }
 
 
