@@ -126,6 +126,15 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     # engines see the same sliced input, so the check stays exact
     "bpe_token_ids": ("documents", "doc_id",
                       {"sf10": "00,01", "*": "0"}),
+    # the PQ-family oracles build codebooks over list columns whose
+    # untracked DuckDB allocations blow past any memory_limit at
+    # 200k sf10 vectors (OOM-killed r7's sweep AND r9's attempt 1-2);
+    # full-corpus oracle is skipped at sf10, value check on the slice
+    "ann_pq_topk": ("embeddings", "vec_id", {"sf10": "01", "*": "012"}),
+    "ann_ivf_pq_topk": ("embeddings", "vec_id",
+                        {"sf10": "01", "*": "012"}),
+    "ann_pq_distortion_report": ("embeddings", "vec_id",
+                                 {"sf10": "01", "*": "012"}),
 }
 
 
