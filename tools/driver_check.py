@@ -118,6 +118,10 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     "pagerank_knn": ("embeddings", "vec_id", {"*": "012"}),
     "knn_clustering_coefficient": (
         "embeddings", "vec_id", {"*": "012"}),
+    "knn_label_propagation": (
+        "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
+    "knn_degree_stats": (
+        "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
     "dedup_embedding": (
         "embeddings", "vec_id", {"sf10": "00,01", "*": "01"}),
     "etl_orders_enriched": (
