@@ -122,6 +122,10 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
         "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
     "knn_degree_stats": (
         "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
+    "hard_negative_mining": (
+        "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
+    "dedup_cascade_report": (
+        "documents", "doc_id", {"sf10": "0", "*": "0123"}),
     "dedup_embedding": (
         "embeddings", "vec_id", {"sf10": "00,01", "*": "01"}),
     "etl_orders_enriched": (
