@@ -140,9 +140,10 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     # untracked DuckDB allocations blow past any memory_limit at
     # 200k sf10 vectors (OOM-killed r7's sweep AND r9's attempt 1-2);
     # full-corpus oracle is skipped at sf10, value check on the slice
-    "ann_pq_topk": ("embeddings", "vec_id", {"sf10": "01", "*": "012"}),
-    "ann_ivf_pq_topk": ("embeddings", "vec_id",
-                        {"sf10": "01", "*": "012"}),
+    # 'c' keeps the vec_id<5 query anchors (md5('0'/'1'/'2') start
+    # with c) so the sliced top-k output is non-empty, not vacuous
+    "ann_pq_topk": ("embeddings", "vec_id", {"*": "c"}),
+    "ann_ivf_pq_topk": ("embeddings", "vec_id", {"*": "c"}),
     "ann_pq_distortion_report": ("embeddings", "vec_id",
                                  {"sf10": "01", "*": "012"}),
 }
