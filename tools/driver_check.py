@@ -131,6 +131,17 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     "etl_orders_enriched": (
         "orders", "o_orderkey", {"sf10": "00,01", "*": "0"}),
     "streaming_sessionize": ("events", "event_id", {"*": "0"}),
+    # event-grain outputs just over the cap at sf10; slicing events
+    # filters both engines' input identically (purchases and clicks
+    # drop together, so asof/range/window semantics stay exact)
+    "asof_purchase_attribution": ("events", "event_id", {"*": "0"}),
+    "range_join_purchase_context": ("events", "event_id", {"*": "0"}),
+    "cdc_scd2_from_log": ("events", "event_id", {"*": "0"}),
+    "cdc_snapshot_diff": ("orders", "o_orderkey", {"*": "0"}),
+    "vector_quantize": ("embeddings", "vec_id", {"*": "0"}),
+    "dedup_embedding_cells": (
+        "embeddings", "vec_id", {"sf10": "01", "*": "012"}),
+    "multimodal_features": ("documents", "doc_id", {"*": "0"}),
     # token-grain output, linear in docs (~27M at sf10); the learn
     # loop + oracle re-induce merges on the sliced corpus — both
     # engines see the same sliced input, so the check stays exact
