@@ -217,8 +217,11 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
 
     ``state_root`` is required: scheduled sweeps without persisted
     history would re-alert every tick. Returns one sweep-output dict
-    per tick — INCLUDING failed ticks (``tick`` index + ``statuses``
-    carry the failure), so outputs[i] always corresponds to tick i
+    per tick — INCLUDING failed ticks: a tick whose detectors failed
+    carries ``tick`` + ``statuses``; a tick whose sweep RAISED before
+    producing statuses carries ``tick`` + ``error`` + an empty
+    ``statuses`` dict (so callers may iterate ``statuses``
+    unconditionally), and outputs[i] always corresponds to tick i
     and a caller pairing outputs with schedule times never
     mis-attributes later ticks. The outer task is NON-retryable
     (max_retries=0): the inner sweep already ran every detector
@@ -243,7 +246,7 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
             # reading state_root) still occupies its slot, so
             # outputs[i] == tick i holds on EVERY path, not just the
             # statuses-failed one
-            outputs.append({"tick": tick,
+            outputs.append({"tick": tick, "statuses": {},
                             "error": f"{type(e).__name__}: {e}"})
             raise
         out["tick"] = tick

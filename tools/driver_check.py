@@ -185,16 +185,42 @@ SLICE_ROOT = os.environ.get("SPARK_GRAFT_SLICE_ROOT",
                             "/root/repo/.testdata/slices")
 
 
+def _source_fingerprint(table: str) -> str:
+    """mtime+size of the source table file/dir — a regenerated
+    replica changes it, so stale cached slices rebuild instead of
+    silently validating old data."""
+    path = os.path.join(SF, f"{table}.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            (f, os.stat(os.path.join(path, f)))
+            for f in os.listdir(path) if not f.startswith("."))
+        return "|".join(f"{f}:{st.st_mtime_ns}:{st.st_size}"
+                        for f, st in parts)
+    st = os.stat(path)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
 def _slice_dir(table: str, id_col: str, prefixes: str) -> str:
-    """Build (or reuse) the md5-sliced replica of SF for ``table``."""
+    """Build (or reuse) the md5-sliced replica of SF for ``table``.
+    The cache marker records the SOURCE table's fingerprint; a
+    regenerated source invalidates the cached slice."""
     base = os.path.basename(os.path.normpath(SF))
     tag = prefixes.replace(",", "+")
     dst = os.path.join(SLICE_ROOT, f"{base}_{table}_{tag}")
     marker = os.path.join(dst, ".slice_ok")
-    if not os.path.exists(marker):
+    fp = _source_fingerprint(table)
+    cached_ok = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                cached_ok = json.load(f).get("src_fingerprint") == fp
+        except (json.JSONDecodeError, OSError):
+            cached_ok = False
+    if not cached_ok:
         from tools.make_slice import make_slice
         stats = make_slice(SF, dst, table=table, id_col=id_col,
                            hex_digits=prefixes)
+        stats["src_fingerprint"] = fp
         with open(marker, "w") as f:
             json.dump(stats, f)
     return dst
@@ -410,9 +436,13 @@ def main(argv):
               f"err={r['err']}{sl_msg}", flush=True)
         if json_out:
             # incremental: an OOM-killed sweep still leaves every
-            # completed row on disk for run_scale_sweep to merge
-            with open(json_out, "w") as f:
+            # completed row on disk for run_scale_sweep to merge.
+            # Write-then-rename so a SIGKILL mid-dump never leaves a
+            # truncated file for the orchestrator to choke on.
+            tmp = json_out + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump({"results": results}, f, indent=1)
+            os.replace(tmp, json_out)
     with open("/tmp/driver_check.json", "w") as f:
         json.dump(results, f, indent=1)
     if json_out:
@@ -428,8 +458,10 @@ def main(argv):
             "bad": bad,
             "results": results,
         }
-        with open(json_out, "w") as f:
+        tmp = json_out + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(wrapped, f, indent=1)
+        os.replace(tmp, json_out)
     print(f"\n{len(names) - len(bad)}/{len(names)} green; bad: {bad}")
     return 1 if bad else 0
 

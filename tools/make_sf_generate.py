@@ -113,8 +113,14 @@ def gen_embeddings(spark, copy: int) -> DataFrame:
     donors = emb.select(F.col("vec_id").alias("donor_id"),
                         F.col("embedding").alias("donor_v"))
     seed = F.lit(f"gen|{copy}")
+    # donor != template (same skip-self modulus as gen_documents): a
+    # self-donor mixes a vector with itself — an exact duplicate
+    # point under a new vec_id, the fabricated-duplicate artifact
+    # class this generator exists to avoid
+    raw = _md5pos(seed, F.col("vec_id")) % F.lit(n - 1)
     base = emb.withColumn(
-        "donor_id", _md5pos(seed, F.col("vec_id")) % F.lit(n))
+        "donor_id",
+        F.when(raw >= F.col("vec_id"), raw + 1).otherwise(raw))
     w = (_md5pos(seed, F.col("vec_id"), F.lit("w")) % 201 + 28)  # 28..228
     mixed = (
         base.join(donors, "donor_id")

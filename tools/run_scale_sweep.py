@@ -76,8 +76,18 @@ def main(argv) -> int:
                 cwd=os.path.dirname(os.path.dirname(
                     os.path.abspath(__file__)))).returncode
         if os.path.exists(part):
-            with open(part) as f:
-                merged.update(json.load(f).get("results", {}))
+            # driver_check writes the part file atomically now, but a
+            # pre-fix binary or an exotic kill can still leave garbage;
+            # a truncated part must NOT crash the orchestrator whose
+            # job is surviving kills — the log-reconstruction pass
+            # below recovers those rows anyway.
+            try:
+                with open(part) as f:
+                    merged.update(json.load(f).get("results", {}))
+            except (json.JSONDecodeError, OSError) as e:
+                print(f"attempt {attempt}: part file unreadable "
+                      f"({e}); relying on log reconstruction",
+                      flush=True)
             os.remove(part)
             with open(accum, "w") as f:
                 json.dump(merged, f)
@@ -154,8 +164,14 @@ def main(argv) -> int:
                     and r.get("spark_rows") is not None)
                 or (str(r.get("err") or "").startswith("rows_only_gt_")
                     and r.get("rows_match") and r.get("schema_match")
-                    and ((r.get("slice") or {}).get("hash_match")
-                         in (True, None)))
+                    # when a slice check was attached it must have
+                    # PASSED — hash_match=None means the slice check
+                    # itself errored, which is bad, not green (matches
+                    # driver_check's own OK/BAD line); only a row with
+                    # no slice dict at all (no spec exists) may be
+                    # green on rows alone
+                    and (r.get("slice") is None
+                         or r["slice"].get("hash_match") is True))
                 or (str(r.get("err") or "").startswith(
                     "oracle_skip_at_scale")
                     and (r.get("slice") or {}).get("hash_match")
