@@ -525,7 +525,8 @@ def dedup_incremental(new_docs: DataFrame, corpus: DataFrame,
 def dedup_simhash(documents: DataFrame,
                   bucket_shift_bits: int = 24,
                   max_hamming: int = 6,
-                  max_bucket_rows: int = 10_000) -> DataFrame:
+                  max_bucket_rows: int = 10_000,
+                  force_single_table: bool = False) -> DataFrame:
     """SimHash(32-bit) near-dup candidates: bucket on the top byte,
     keep in-bucket pairs with hamming ≤ max_hamming (xor+bit_count).
 
@@ -534,12 +535,27 @@ def dedup_simhash(documents: DataFrame,
     shape is multi-table SimHash (bucket on several rotated bit
     windows); at 32 bits this single-table form is the verifier.
 
-    Guarded (VERDICT r3 #5): a bucket-size window (same partition key
-    as the join, so the exchange is reused and no extra job runs)
-    feeds a runtime raise_error — a bucket above ``max_bucket_rows``
-    fails LOUDLY before its quadratic in-bucket join can fan out,
-    with a pointer to dedup_simhash_multitable, instead of silently
-    launching bucket² pairs. Pass a larger cap to override."""
+    Scale auto-fallback (VERDICT r9 #2, same discipline as
+    er_name_pairs): before pairing, the measured max bucket occupancy
+    — one cheap aggregate over the signature relation — is checked;
+    above ``max_bucket_rows`` (realistic corpora DO concentrate: the
+    generated-mode fidelity probe put 11,861 rows in one top-byte
+    bucket) the operator routes to the 4-window
+    ``dedup_simhash_multitable`` split with a loud warning, emitting
+    the SAME output schema with ``bucket = -1`` (pairs in the
+    multitable route need not share a top-byte bucket, so no honest
+    bucket id exists). The trade, stated plainly: the 16-bit windows
+    can miss a pair that agrees only on its top 8 bits, and can admit
+    pairs the top-byte form never sees — recall shifts toward the
+    rotation windows, which is exactly the production multi-table
+    behavior. ``force_single_table=True`` skips the occupancy probe
+    and restores the in-plan loud raise.
+
+    Belt-and-braces: the normal (non-overflow) path KEEPS the r3 #5
+    in-plan raise_error guard (bucket-size window over the same
+    partition key as the join, exchange reused) — if the data grew
+    between the probe and execution, the raise still fires before a
+    quadratic fan-out."""
     # token explode → scalar hash → 32 conditional-sum aggregates
     # (codegen + map-side partial agg), then the signature assembles
     # from the 32 sums as a plain scalar expression.
@@ -566,6 +582,26 @@ def dedup_simhash(documents: DataFrame,
             F.floor(F.col("simhash") / F.pow(F.lit(2.0), F.lit(bucket_shift_bits)))
              .cast("bigint"))
     )
+    if max_bucket_rows is not None and not force_single_table:
+        occupancy = (sh.groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("sz"))
+                     .agg(F.max("sz")).first()[0]) or 0
+        if occupancy > max_bucket_rows:
+            _log.warning(
+                "dedup_simhash: largest top-byte bucket holds %d rows "
+                "(> max_bucket_rows=%d) — auto-routing to the 4-window "
+                "dedup_simhash_multitable split (bucket column = -1; "
+                "pass force_single_table=True for the strict top-byte "
+                "form with its loud in-plan raise)",
+                occupancy, max_bucket_rows)
+            return (
+                dedup_simhash_multitable(documents,
+                                         max_hamming=max_hamming)
+                .select("doc_a", "doc_b",
+                        F.lit(-1).cast("bigint").alias("bucket"),
+                        "hamming")
+                .orderBy("doc_a", "doc_b")
+            )
     if max_bucket_rows is not None:
         bucket_win = Window.partitionBy("bucket")
         overflow_msg = F.concat(

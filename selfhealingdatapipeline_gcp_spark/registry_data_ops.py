@@ -3486,7 +3486,7 @@ register(
       ) WHERE rn = 1
     ), p AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6) AS cosine
+             {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos_raw
       FROM assign x
       JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
       JOIN n a ON a.vec_id = x.vec_id
@@ -3494,15 +3494,26 @@ register(
       WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
         AND a.label != b.label
     ), bidir AS (
-      SELECT vec_a AS anchor_id, vec_b AS negative_id, cosine FROM p
+      SELECT vec_a AS anchor_id, vec_b AS negative_id, cos_raw FROM p
       UNION ALL
-      SELECT vec_b AS anchor_id, vec_a AS negative_id, cosine FROM p
+      SELECT vec_b AS anchor_id, vec_a AS negative_id, cos_raw FROM p
+    ), capped AS (
+      -- mirrors the Spark per-anchor pool cap exactly: top
+      -- pool_factor*n_neg = 12 candidates by RAW cosine desc,
+      -- negative_id asc (the same doubles both engines compute)
+      SELECT anchor_id, negative_id, cos_raw FROM (
+        SELECT anchor_id, negative_id, cos_raw,
+               row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cos_raw DESC, negative_id) AS prank
+        FROM bidir
+      ) WHERE prank <= 12
     )
     SELECT anchor_id, negative_id, cosine, rank FROM (
-      SELECT anchor_id, negative_id, cosine,
+      SELECT anchor_id, negative_id, round(cos_raw, 6) AS cosine,
              CAST(row_number() OVER (PARTITION BY anchor_id
-               ORDER BY cosine DESC, negative_id) AS INT) AS rank
-      FROM bidir
+               ORDER BY round(cos_raw, 6) DESC, negative_id) AS INT)
+               AS rank
+      FROM capped
     ) WHERE rank <= 3
     ORDER BY anchor_id, rank
     """,

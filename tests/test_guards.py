@@ -119,15 +119,30 @@ def test_ngram_jaccard_default_ceiling_inert_on_driver_tables(spark, duck):
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash bucket cap: a skewed corpus fails loudly instead of
-# launching a quadratic in-bucket join.
+# dedup_simhash bucket cap: a skewed corpus auto-routes to the 4-window
+# multitable split (VERDICT r9 #2); force_single_table restores the old
+# loud raise instead of launching a quadratic in-bucket join.
 # ---------------------------------------------------------------------------
 
-def test_simhash_guard_raises_on_skewed_corpus(spark):
-    # 30 near-identical docs -> one simhash bucket; cap at 10
+def test_simhash_auto_routes_on_skewed_corpus(spark):
+    # 30 near-identical docs -> one simhash top-byte bucket; cap at 10
     rows = [(i, f"lorem ipsum dolor sit amet consectetur adipiscing v{i % 2}")
             for i in range(30)]
-    out = dedup.dedup_simhash(_docs(spark, rows), max_bucket_rows=10)
+    docs = _docs(spark, rows)
+    out = dedup.dedup_simhash(docs, max_bucket_rows=10).collect()
+    # routed: same schema, sentinel bucket, candidate set == multitable's
+    assert out, "skewed corpus must still produce near-dup pairs"
+    assert all(r.bucket == -1 for r in out)
+    mt = dedup.dedup_simhash_multitable(docs).collect()
+    assert ({(r.doc_a, r.doc_b, r.hamming) for r in out}
+            == {(r.doc_a, r.doc_b, r.hamming) for r in mt})
+
+
+def test_simhash_force_single_table_still_raises(spark):
+    rows = [(i, f"lorem ipsum dolor sit amet consectetur adipiscing v{i % 2}")
+            for i in range(30)]
+    out = dedup.dedup_simhash(_docs(spark, rows), max_bucket_rows=10,
+                              force_single_table=True)
     with pytest.raises(Exception, match="max_bucket_rows"):
         out.collect()
 

@@ -617,9 +617,11 @@ _FINGERPRINTS = {
     # key-grain count + O(max versions) histogram; BNLJ = the 1-row
     # totals anchor
     "cdc_churn_report": (5, 0, 0, 1),
-    # the cell pair pipeline + the bidirectional union's per-anchor
-    # rank window — pairs are the bounded near-dup relation
-    "hard_negative_mining": (8, 0, 0, 0),
+    # one dedicated cell-mining Arrow stage (assignment + in-cell
+    # per-anchor pool cap) + the final round+rank window over the
+    # bounded pool — r9 #3 halved the exchange count from the old
+    # pair-union form
+    "hard_negative_mining": (4, 0, 0, 0),
     # the corpus collapses once to the vocab count relation; the CMS
     # derives from it (×depth explode over DISTINCT tokens → ≤4096
     # cells), top-k is TakeOrdered (no global window), sketch
