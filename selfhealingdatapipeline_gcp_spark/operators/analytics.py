@@ -500,19 +500,65 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
-def approx_distinct_stats(events: DataFrame) -> DataFrame:
+def approx_distinct_stats(events: DataFrame, rsd_sigma: float = 3.0,
+                          accuracy: int = 1000) -> DataFrame:
     """Sketch-based aggregates (the 100 TB path): HyperLogLog++
     distinct counts and approximate percentiles — constant memory per
-    group vs full sort/set. Rows-only check (sketches are
-    engine-specific by nature); exact twins sit alongside for error
-    inspection."""
-    return (
+    group vs full sort/set — WITH their error-bound property gates
+    (VERDICT r9 #5, upgraded from rows-only):
+
+    - ``hll_ok``: |approx_users − exact_users| ≤ rsd_sigma · 0.05 ·
+      exact_users (approx_count_distinct's documented default rsd is
+      0.05; HLL++ is deterministic — hash-based, max-merge — so the
+      boolean is stable across partitionings).
+    - ``p90_ok``: approx_p90 lies between the EXACT values at ranks
+      0.9n ∓ (n/accuracy + 1) — percentile_approx guarantees rank
+      error ≤ n/accuracy under any merge order (Greenwald-Khanna),
+      the ±1 padding absorbs boundary conventions, so the boolean
+      holds by the algorithm's contract even where the raw estimate
+      wobbles.
+
+    The exact-rank bracket needs one per-event_type value sort — this
+    relation is the sketch VERIFIER (same role as lsh_precision_report
+    for banding); the production path at 100 TB reads the sketch
+    columns alone and skips the bracket join."""
+    sketch = (
         events.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
-            F.percentile_approx("value", 0.9, 1000).alias("approx_p90"),
+            F.percentile_approx("value", 0.9, accuracy).alias("approx_p90"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    pad = F.ceil(F.col("n") / accuracy) + 1
+    bounds = sketch.select(
+        "event_type",
+        F.greatest(F.lit(1).cast("bigint"),
+                   (F.floor(0.9 * F.col("n")) - pad).cast("bigint"))
+         .alias("lo_rank"),
+        F.least(F.col("n"),
+                (F.ceil(0.9 * F.col("n")) + pad).cast("bigint"))
+         .alias("hi_rank"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = (events.select("event_type", "value")
+              .withColumn("r", F.row_number().over(w).cast("bigint")))
+    bracket = (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .filter((F.col("r") == F.col("lo_rank"))
+                | (F.col("r") == F.col("hi_rank")))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("v_lo"), F.max("value").alias("v_hi"))
+    )
+    return (
+        sketch.join(bracket, "event_type")
+        .select(
+            "event_type", "approx_users", "exact_users", "approx_p90",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= F.lit(rsd_sigma * 0.05) * F.col("exact_users"))
+             .alias("hll_ok"),
+            ((F.col("approx_p90") >= F.col("v_lo"))
+             & (F.col("approx_p90") <= F.col("v_hi"))).alias("p90_ok"))
         .orderBy("event_type")
     )
 

@@ -591,8 +591,23 @@ register(
 register(
     "streaming_stateful_volume",
     monitors.streaming_stateful_volume_monitor,
-    # genuinely non-SQL-expressible: arbitrary-state streaming op
-    None,
+    # VERDICT r9 #5, upgraded from rows-only: under availableNow the
+    # file source delivers ONE micro-batch (no maxFilesPerTrigger),
+    # so state associativity equates the operator's output to the
+    # batch aggregate exactly — per event_type the batch count is the
+    # full count, prior state is empty (0 batches, 0.0 running avg),
+    # and the 2x-average anomaly rule cannot fire on the first batch.
+    # The same streaming_*_guard discipline as the windowed monitors.
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS batch_count,
+           CAST(0 AS BIGINT) AS prior_batches,
+           CAST(0.0 AS DOUBLE) AS prior_avg,
+           FALSE AS is_anomaly
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
 )
 
 register(

@@ -65,11 +65,22 @@ def test_parity_percentiles(spark, duck):
 
 
 def test_approx_distinct_close_to_exact(spark):
-    rows = registry.queries()["approx_distinct_stats"](spark, SF_ORACLE).collect()
-    assert rows
-    for r in rows:
+    # operator's full output carries the raw estimates
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators import analytics
+    full = analytics.approx_distinct_stats(
+        catalog.load(spark, SF_ORACLE, "events")).collect()
+    assert full
+    for r in full:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
+        assert r.hll_ok and r.p90_ok
+    # registered projection exposes only the deterministic gate
+    rows = registry.queries()["approx_distinct_stats"](
+        spark, SF_ORACLE).collect()
+    assert [r.asDict() for r in rows] == [
+        {"event_type": r.event_type, "exact_users": r.exact_users,
+         "hll_ok": True, "p90_ok": True} for r in full]
 
 
 @pytest.mark.parametrize("name", ["parts_supplier_stats",
