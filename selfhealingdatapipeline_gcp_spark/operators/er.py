@@ -210,7 +210,7 @@ def er_blocking_report(customer: DataFrame,
 
 
 def er_name_clusters(customer: DataFrame, window: int = 2,
-                     max_iterations: int = 15) -> DataFrame:
+                     max_iterations: int = 25) -> DataFrame:
     """Transitive typo-clusters: connected components over the
     er_name_pairs edge relation — records reachable through chains
     of single-substitution links resolve to ONE entity with the min

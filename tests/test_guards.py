@@ -157,6 +157,23 @@ def test_simhash_guard_inert_below_cap(spark):
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
 
 
+def test_component_labels_converges_on_long_chain(spark):
+    """r10 regression: GENERATED sf1 embeddings chain template→donor
+    into near-dup paths longer than 2^15 hops, which blew the old
+    max_iterations=15 cap. Pointer doubling over a diameter-40k path
+    must converge (≈16 rounds) under the raised 25-round cap, and
+    every node must land on the chain's min id."""
+    n = 40_000
+    edges = spark.range(n - 1).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b")
+    labels = dedup.component_labels(edges)
+    agg = labels.agg(
+        F.countDistinct("label").alias("n_labels"),
+        F.max("label").alias("max_label"),
+        F.count(F.lit(1)).alias("n_nodes")).first()
+    assert (agg.n_labels, agg.max_label, agg.n_nodes) == (1, 0, n)
+
+
 def test_dedup_clusters_accepts_external_edges(spark):
     """dedup_clusters composes with any candidate generator: feeding
     an explicit edge list produces the expected components."""
