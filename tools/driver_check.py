@@ -110,6 +110,10 @@ SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
         "documents", "doc_id", {"sf10": "00,01", "*": "01"}),
     "er_name_pairs": (
         "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+    # keeper-grain links went rows-only at generated sf1 (2.575M
+    # rows > hash cap); the customer slice value-checks them (r10)
+    "er_name_links": (
+        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
     "streaming_er_guard": (
         "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
     # 6.25% (not 18.75%): the recursive-closure oracle over the
