@@ -136,11 +136,17 @@ _QFP_SQL = f"""
       FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
       WHERE len(t) > 0
     ), rep AS (
+      -- e6-truncate FIRST, mirroring the Spark side exactly: the
+      -- operator consumes repetition_score's floor-e6 value and only
+      -- then floor-e4s for output. Flooring the raw double at e4
+      -- directly diverges at ratio boundaries (r10, generated sf10:
+      -- 62/80 distinct shingles -> raw*1e4 rounds up to exactly
+      -- 2250.0 while the e6-then-e4 composition lands 2249).
       SELECT doc_id,
-             CASE WHEN len(s) > 0
+             floor((CASE WHEN len(s) > 0
                   THEN 1.0 - len(list_distinct(list_transform(
                          s, g -> {_md5int('g')}))) * 1.0 / len(s)
-                  ELSE 0.0 END AS repetition
+                  ELSE 0.0 END) * 1000000.0) / 1000000.0 AS repetition
       FROM toks
     ), j AS (
       SELECT t.doc_id, t.n_tokens,
