@@ -394,3 +394,40 @@ def test_make_slice_multi_char_prefixes(tmp_path):
         make_slice(SF_SMOKE, str(tmp_path / "sl2"),
                    table="orders", id_col="o_orderkey",
                    hex_digits="0,01")
+
+
+def test_sweep_green_classification_requires_passed_slice():
+    """ADVICE r9: a rows-only row with an ATTACHED slice check is
+    green only when the slice hash PASSED; hash_match=None from an
+    errored slice check must classify bad, and killed rows are never
+    green."""
+    import importlib
+
+    rss = importlib.import_module("tools.run_scale_sweep")
+    ok = {"hash_match": True, "err": None}
+    rows_only_no_spec = {"hash_match": None, "rows_match": True,
+                         "schema_match": True,
+                         "err": "rows_only_gt_2000000"}
+    rows_only_slice_pass = dict(rows_only_no_spec,
+                                slice={"hash_match": True})
+    rows_only_slice_err = dict(rows_only_no_spec,
+                               slice={"hash_match": None,
+                                      "err": "OOM"})
+    rows_only_slice_fail = dict(rows_only_no_spec,
+                                slice={"hash_match": False})
+    skip_slice_pass = {"hash_match": None,
+                       "err": "oracle_skip_at_scale",
+                       "slice": {"hash_match": True}}
+    skip_slice_err = {"hash_match": None,
+                      "err": "oracle_skip_at_scale",
+                      "slice": {"hash_match": None}}
+    killed = {"hash_match": None, "rows_match": None,
+              "schema_match": None, "err": "killed_rc137"}
+    assert rss.is_green(ok)
+    assert rss.is_green(rows_only_no_spec)
+    assert rss.is_green(rows_only_slice_pass)
+    assert not rss.is_green(rows_only_slice_err)
+    assert not rss.is_green(rows_only_slice_fail)
+    assert rss.is_green(skip_slice_pass)
+    assert not rss.is_green(skip_slice_err)
+    assert not rss.is_green(killed)

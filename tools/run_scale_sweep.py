@@ -48,6 +48,24 @@ def _logged(log: str) -> set[str]:
     return done
 
 
+def is_green(r: dict) -> bool:
+    """Merged-artifact green classification — mirrors driver_check's
+    OK line exactly. Rows-only is green ONLY when no slice check was
+    attached (no spec exists); an attached slice must have PASSED —
+    hash_match=None from an errored slice check is bad, not green
+    (ADVICE r9)."""
+    return bool(
+        r.get("hash_match")
+        or (r.get("err") == "no_oracle"
+            and r.get("spark_rows") is not None)
+        or (str(r.get("err") or "").startswith("rows_only_gt_")
+            and r.get("rows_match") and r.get("schema_match")
+            and (r.get("slice") is None
+                 or r["slice"].get("hash_match") is True))
+        or (str(r.get("err") or "").startswith("oracle_skip_at_scale")
+            and (r.get("slice") or {}).get("hash_match") is True))
+
+
 def main(argv) -> int:
     if not argv:
         print("usage: run_scale_sweep.py OUT.json [LOG]")
@@ -157,25 +175,7 @@ def main(argv) -> int:
                     }
                 merged[name] = row
 
-    bad = sorted(
-        n for n, r in merged.items()
-        if not (r.get("hash_match")
-                or (r.get("err") == "no_oracle"
-                    and r.get("spark_rows") is not None)
-                or (str(r.get("err") or "").startswith("rows_only_gt_")
-                    and r.get("rows_match") and r.get("schema_match")
-                    # when a slice check was attached it must have
-                    # PASSED — hash_match=None means the slice check
-                    # itself errored, which is bad, not green (matches
-                    # driver_check's own OK/BAD line); only a row with
-                    # no slice dict at all (no spec exists) may be
-                    # green on rows alone
-                    and (r.get("slice") is None
-                         or r["slice"].get("hash_match") is True))
-                or (str(r.get("err") or "").startswith(
-                    "oracle_skip_at_scale")
-                    and (r.get("slice") or {}).get("hash_match")
-                    is True)))
+    bad = sorted(n for n, r in merged.items() if not is_green(r))
     wrapped = {
         "sf_dir": os.environ.get("SPARK_GRAFT_TEST_SF",
                                  "/root/testdata/sf0.01"),
