@@ -948,6 +948,8 @@ register(
         f"FROM p{r}" for r in range(1, _BPE_DEEP_N + 1))
     + "\n    ORDER BY merge_round",
     family="text",
+    # headline: BENCH tracks the 64-round induction cost per round
+    tier="headline",
 )
 
 register(
