@@ -99,7 +99,10 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "er_name_pairs",
                   # the BPE learn loop (argmax + checkpoint per merge
                   # round) runs in the builder
-                  "bpe_vocab", "bpe_token_ids"}
+                  "bpe_vocab", "bpe_token_ids", "bpe_vocab_deep",
+                  # the r10 hot-bucket occupancy probe aggregates the
+                  # signature relation in the builder
+                  "dedup_simhash"}
 
 
 def shuffle_metrics(df) -> tuple[int, int] | None:
