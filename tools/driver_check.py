@@ -103,19 +103,24 @@ MAX_HASH_ROWS = int(os.environ.get("SPARK_GRAFT_MAX_HASH_ROWS", "0") or 0)
 # registered oracle describes).
 SLICE_SPECS: dict[str, tuple[str, str, dict[str, str]]] = {
     "dedup_simhash": (
-        "documents", "doc_id", {"sf10": "00,01,02,03", "*": "0123"}),
+        "documents", "doc_id",
+        {"sf10": "00,01,02,03", "sf10_gen": "00,01,02,03",
+         "*": "0123"}),
     "dedup_simhash_multitable": (
         "documents", "doc_id", {"sf10": "00,01,02,03", "*": "0123"}),
     "multimodal_ahash_pairs": (
         "documents", "doc_id", {"sf10": "00,01", "*": "01"}),
     "er_name_pairs": (
-        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+        "customer", "c_custkey",
+        {"sf10": "00,01", "sf10_gen": "00,01", "*": "0"}),
     # keeper-grain links went rows-only at generated sf1 (2.575M
     # rows > hash cap); the customer slice value-checks them (r10)
     "er_name_links": (
-        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+        "customer", "c_custkey",
+        {"sf10": "00,01", "sf10_gen": "00,01", "*": "0"}),
     "streaming_er_guard": (
-        "customer", "c_custkey", {"sf10": "00,01", "*": "0"}),
+        "customer", "c_custkey",
+        {"sf10": "00,01", "sf10_gen": "00,01", "*": "0"}),
     # 6.25% (not 18.75%): the recursive-closure oracle over the
     # cell-pair CTE spills past free disk above ~12.6k vectors (r8)
     "embedding_clusters": ("embeddings", "vec_id", {"*": "0"}),
