@@ -1,0 +1,382 @@
+"""Corpus-curation operators: the round-10 additions a large-scale
+LLM training-data pipeline runs between raw ingest and tokenization —
+exact-substring duplicate spans (the dedup granularity BELOW whole
+documents), semantic prune lists over embeddings, DSIR-style
+importance weights, bigram LM scoring, and the two capacity planners
+(MinHash band tuning, Bloom filter sizing) that decide how the dedup
+stages are PARAMETERIZED before a 100-TB run.
+
+Everything is built-in DataFrame expressions (whole-stage codegen);
+no Python UDFs. Reference parity note: the reference pipeline
+(scripts/transform_script, monitoring/detectors/) has no sub-document
+dedup or importance-weighting stage at all — these extend the §2
+surface along the training-data axis the brief names first-class.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from selfhealingdatapipeline_gcp_spark.functions import textfn
+
+
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-spread on the row key before explode-heavy work:
+    single-file inputs otherwise pin the stage to one task
+    (SURVEY §3b); downstream per-key aggs reuse the exchange."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, key)
+
+
+# ---------------------------------------------------------------------------
+# exact substring duplicate spans (sub-document dedup)
+# ---------------------------------------------------------------------------
+
+def dedup_substring_spans(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Duplicated-substring span report: every maximal token span
+    covered by k-token shingles that occur MORE THAN ONCE anywhere in
+    the corpus (including repeats inside the same document). This is
+    the sub-document granularity of exact dedup — the spans a
+    train-set curator cuts out of otherwise-unique documents
+    (boilerplate headers, license blocks, templated paragraphs),
+    as opposed to dropping whole near-duplicate documents.
+
+    Method: shingle every token position (k consecutive tokens), hash
+    the shingle, count occurrences corpus-wide, mark positions whose
+    shingle count ≥ 2, then merge overlapping/adjacent marked
+    intervals [pos, pos+k-1] per document (gaps-and-islands over the
+    per-doc position sequence).
+
+    Scale shape: the corpus-wide count is ONE groupBy on a 48-bit
+    shingle hash — the shuffle carries (hash, count), never text; the
+    join back is hash-keyed. The island merge is a per-document
+    window (partitionBy doc_id), bounded by document length — no
+    global ordering anywhere. At 100 TB this is the same shape as
+    dedup_exact with a token-grain fan-out, and the fan-out rows are
+    (doc_id, pos, hash) — fixed-width.
+
+    Output: one row per merged span — (doc_id, span_start, span_end,
+    span_tokens, n_dup_shingles), token positions 0-based inclusive.
+    """
+    t = textfn.tokens("text")
+    d = (_spread(documents)
+         .select("doc_id", t.alias("t"))
+         .filter(F.size("t") >= k))
+    # start positions are 1-based for slice(); pos output is 0-based
+    sh = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t) - {k - 1}), "
+            f"i -> concat_ws(' ', slice(t, i, {k})))")
+        ).alias("pos0", "s"),
+    ).select("doc_id", F.col("pos0").cast("bigint").alias("pos"),
+             textfn.md5int(F.col("s")).alias("h"))
+    dup_h = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") >= 2).select("h"))
+    dup = sh.join(dup_h, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lag = F.lag("pos").over(w)
+    # intervals are [pos, pos+k-1]; merge when the next start is
+    # within (or exactly adjacent to) the previous interval
+    brk = F.when(lag.isNull() | (F.col("pos") - lag > k), 1).otherwise(0)
+    isl = (dup.withColumn("brk", brk)
+           .withColumn("island",
+                       F.sum("brk").over(
+                           w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + (k - 1)).alias("span_end"),
+             (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+             F.count(F.lit(1)).cast("bigint").alias("n_dup_shingles"))
+        .select("doc_id", "span_start", "span_end", "span_tokens",
+                "n_dup_shingles")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup prune list (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semdedup_prune(embeddings: DataFrame,
+                   threshold: float = 0.35) -> DataFrame:
+    """SemDeDup-style semantic prune list: within IVF cells (the
+    deterministic fixed-K grid shared with dedup_embedding_cells /
+    ann_ivf_topk), a vector is PRUNED when a smaller-id vector in the
+    same cell has cosine ≥ threshold with it — the greedy
+    keep-the-minimum-id-representative rule, applied cell-locally
+    exactly as SemDeDup applies it cluster-locally. Output is the
+    full corpus with a kept flag, i.e. the admission list a training
+    run consumes (prune list = NOT kept).
+
+    Scale shape: candidate pairs are bounded by cell co-membership
+    (equi-join on cell id — dedup_embedding's cell mode does the
+    work); the prune set is a DISTINCT over pair rows; the final pass
+    is one left join of the corpus against the prune set on vec_id.
+    Nothing is all-pairs, nothing collects.
+    """
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    pairs = dedup.dedup_embedding(embeddings, threshold=threshold)
+    pruned = (pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+              .withColumn("pruned", F.lit(True)))
+    return (
+        embeddings.select("vec_id", "label")
+        .join(pruned, "vec_id", "left")
+        .select("vec_id", "label",
+                F.coalesce(~F.col("pruned"), F.lit(True)).alias("kept"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-ngram importance weights
+# ---------------------------------------------------------------------------
+
+def dsir_importance_weights(documents: DataFrame,
+                            n_buckets: int = 4096) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR) weights over
+    hashed unigram features: per-document log importance weight
+    log p_target(x) - log p_raw(x) under bag-of-hashed-unigram
+    models, target = the lexicographically smallest source (the
+    deterministic stand-in for "the high-quality reference slice" —
+    swap the aggregate for a literal in production). Documents that
+    look like the target slice score high; resampling by these
+    weights tilts a raw crawl toward the target distribution.
+
+    Scale shape: ONE token-grain pass builds the 2×n_buckets count
+    table (groupBy on a 12-bit bucket — the shuffle carries
+    (bucket, count)); per-bucket log-ratios λ_b live on a ≤n_buckets
+    row relation that BROADCASTS to the per-token join; the per-doc
+    weight is a bigint sum of per-token floor(λ·1e6) micro-units —
+    order-independent across partial aggregation, retries, and the
+    oracle (the text_unigram_logprob discipline).
+
+    Output: (doc_id, source, n_tokens, dsir_logweight), logweight at
+    1e-4 precision.
+    """
+    toks = (_spread(documents)
+            .select("doc_id", "source",
+                    F.explode(textfn.tokens("text")).alias("w")))
+    tgt = documents.agg(F.min("source").alias("tgt"))
+    tb = (toks.crossJoin(F.broadcast(tgt))
+          .select("doc_id", "source",
+                  F.pmod(textfn.md5int(F.col("w")),
+                         F.lit(n_buckets)).alias("b"),
+                  (F.col("source") == F.col("tgt"))
+                  .cast("bigint").alias("is_t")))
+    bc = tb.groupBy("b").agg(
+        F.sum("is_t").alias("t_c"),
+        (F.count(F.lit(1)) - F.sum("is_t")).alias("r_c"))
+    tot = bc.agg(F.sum("t_c").alias("t_tot"), F.sum("r_c").alias("r_tot"))
+    lam = (bc.crossJoin(F.broadcast(tot))
+           .select("b", F.floor(
+               (F.log((F.col("t_c") + 1)
+                      / (F.col("t_tot") + float(n_buckets)))
+                - F.log((F.col("r_c") + 1)
+                        / (F.col("r_tot") + float(n_buckets)))) * 1e6)
+               .cast("bigint").alias("lam_micro")))
+    return (
+        tb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             (F.floor(F.sum("lam_micro") / 100) / 1e4)
+             .alias("dsir_logweight"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM negative log-likelihood (perplexity-filter sibling)
+# ---------------------------------------------------------------------------
+
+def text_bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document average bigram negative log-probability under the
+    corpus's own bigram MLE model: nll(w1 w2) = -ln(c(w1,w2)/c(w1)).
+    The order-sensitive sibling of text_unigram_logprob — shuffled or
+    templated word salad scores high even when its unigram profile
+    looks normal. Documents need ≥ 2 tokens to have a bigram row.
+
+    Scale shape: bigram counts are one (w1,w2)-grain groupBy (map-side
+    combined; the shuffle carries (bigram, count) — bigram-vocabulary
+    sized, sublinear in corpus); unigram counts reuse the token-grain
+    relation; each document's bigram rows join both count relations on
+    their keys. Per-bigram nll is floor-truncated to integer
+    micro-units before the bigint per-doc sum (order-independent, the
+    text_unigram_logprob discipline)."""
+    t = textfn.tokens("text")
+    d = (_spread(documents)
+         .select("doc_id", t.alias("t"))
+         .filter(F.size("t") >= 2))
+    big = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2))")).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = (_spread(documents)
+           .select(F.explode(t).alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(bi, ["w1", "w2"]).join(uni, "w1")
+        .select("doc_id",
+                F.floor(-F.log(F.col("c2") / F.col("c1")) * 1e6)
+                 .cast("bigint").alias("nll_micro")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             (F.floor(F.sum("nll_micro") / (F.count(F.lit(1)) * 100.0))
+              / 1e4).alias("avg_neg_logprob"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH band tuning (capacity planner)
+# ---------------------------------------------------------------------------
+
+#: (bands, rows_per_band) combos with bands·rows = 32 — both factors
+#: powers of two so the S-curve evaluates with pure multiplication
+BAND_COMBOS: tuple[tuple[int, int], ...] = (
+    (32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+
+
+def _pow2_chain(x, e: int):
+    """x**e for e a power of two, by repeated squaring — pure IEEE
+    multiplications so Spark and the SQL oracle agree bit-for-bit
+    (library pow() is only within-1-ulp and would flip floor()
+    boundaries)."""
+    r = x
+    n = 1
+    while n < e:
+        r = r * r
+        n *= 2
+    return r
+
+
+def _pow2_chain_sql(expr: str, e: int) -> str:
+    r = expr
+    n = 1
+    while n < e:
+        r = f"({r} * {r})"
+        n *= 2
+    return r
+
+
+def band_detect_sql(s_expr: str, bands: int, rows: int) -> str:
+    """SQL twin of the Spark S-curve below — generated from the same
+    repeated-squaring structure so the formulas are identical."""
+    sr = _pow2_chain_sql(f"({s_expr})", rows)
+    return f"(1.0 - {_pow2_chain_sql(f'(1.0 - {sr})', bands)})"
+
+
+def minhash_band_tuning(documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """LSH band-parameter tuning curve evaluated on the corpus's OWN
+    observed candidate-pair similarity distribution (not a synthetic
+    s-grid): for every (bands, rows_per_band) split of the 32-hash
+    signature, the expected detection probability 1-(1-s^r)^b
+    averaged over observed similar pairs (est_recall, s ≥ threshold)
+    and over observed dissimilar candidates (est_fp_share,
+    s < threshold). This is the table you read BEFORE burning a
+    100-TB pass with the wrong banding: more bands → recall up,
+    false-candidate mass up.
+
+    Scale shape: the pair relation is the LSH-verified candidate set
+    (bucket-bounded, never all-pairs); the S-curve is pure arithmetic
+    on its jaccard column (repeated squaring — power-of-two exponents
+    only — so the oracle matches bit-for-bit); everything then
+    collapses to |BAND_COMBOS| rows with map-side partials."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    pairs = dedup.dedup_lsh_verified(documents, threshold=0.0)
+    s = F.col("jaccard")
+    combos = []
+    for b, r in BAND_COMBOS:
+        p = F.lit(1.0) - _pow2_chain(F.lit(1.0) - _pow2_chain(s, r), b)
+        combos.append(F.struct(
+            F.lit(b).alias("bands"), F.lit(r).alias("rows_per_band"),
+            F.floor(p * 1e6).cast("bigint").alias("p_micro")))
+    ex = (pairs.select(s.alias("s"),
+                       F.explode(F.array(*combos)).alias("c"))
+          .select("s", "c.*"))
+    sim = (F.col("s") >= threshold).cast("bigint")
+    agg = (ex.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(sim).alias("n_similar"),
+        F.sum(F.col("p_micro") * sim).alias("sim_micro"),
+        F.sum(F.col("p_micro") * (1 - sim)).alias("dis_micro")))
+    est = lambda tot, n: F.when(  # noqa: E731
+        F.col(n) > 0, F.floor(F.col(tot) / (F.col(n) * 100.0)) / 1e4)
+    return (
+        agg.select(
+            "bands", "rows_per_band", "n_candidates", "n_similar",
+            est("sim_micro", "n_similar").alias("est_recall"),
+            F.when(F.col("n_candidates") - F.col("n_similar") > 0,
+                   F.floor(F.col("dis_micro")
+                           / ((F.col("n_candidates")
+                               - F.col("n_similar")) * 100.0)) / 1e4)
+             .alias("est_fp_share"))
+        .orderBy("rows_per_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter sizing (capacity planner)
+# ---------------------------------------------------------------------------
+
+#: target false-positive rates the advisor prices out
+BLOOM_FPPS: tuple[float, ...] = (0.001, 0.005, 0.01, 0.02)
+
+
+def bloom_constants(fpp: float) -> tuple[float, int]:
+    """(bits-per-key coefficient, optimal k) for a target fpp —
+    computed in PYTHON so the identical double literal is inlined
+    into both the Spark plan and the SQL oracle (no cross-engine
+    ln() of constants on the hot path)."""
+    c = -math.log(fpp) / (math.log(2) ** 2)
+    k = round(-math.log(fpp) / math.log(2))
+    return c, int(k)
+
+
+def bloom_size_advisor(documents: DataFrame) -> DataFrame:
+    """Bloom-filter capacity plan for the exact-dedup key set: for
+    each target false-positive rate, the optimal bit-array size
+    m = ceil(n·(-ln p)/ln²2) and hash count k = round(-ln p/ln 2)
+    sized from the corpus's EXACT distinct-key count (md5(text) —
+    the same key dedup_exact groups on). This is the number a
+    streaming admission guard (streaming_bloom_guard) or a
+    broadcast-side dedup filter is allocated with before a 100-TB
+    run; the fpp row chosen decides whether the filter fits executor
+    memory.
+
+    Scale shape: one count-distinct over 16-byte digests (the single
+    corpus pass); the fpp grid is a literal array — output is
+    |BLOOM_FPPS| rows. At real scale you would swap the exact NDV
+    for approx_count_distinct; approx_distinct_stats already bounds
+    that estimator's error against this exact count."""
+    nd = documents.agg(
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n"))
+    grid = []
+    for p in BLOOM_FPPS:
+        c, k = bloom_constants(p)
+        grid.append(F.struct(F.lit(float(p)).alias("fpp"),
+                             F.lit(c).alias("c"),
+                             F.lit(int(k)).alias("k")))
+    m_bits = F.ceil(F.col("n") * F.col("g.c")).cast("bigint")
+    return (
+        nd.select("n", F.explode(F.array(*grid)).alias("g"))
+        .select(F.col("g.fpp").alias("fpp"),
+                F.col("n").alias("n_distinct"),
+                m_bits.alias("m_bits"),
+                F.col("g.k").cast("int").alias("k_hashes"),
+                (F.floor(m_bits / 8.0 / 1048576.0 * 100) / 100.0)
+                .alias("m_mib"))
+        .orderBy("fpp")
+    )

@@ -381,6 +381,7 @@ def _ensure_loaded() -> None:
     from selfhealingdatapipeline_gcp_spark import registry_extended  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_dataprep  # noqa: F401
     from selfhealingdatapipeline_gcp_spark import registry_tpch  # noqa: F401
+    from selfhealingdatapipeline_gcp_spark import registry_curation  # noqa: F401
     # tier metadata must not go stale: every name in the FLAGSHIP /
     # HEADLINE sets has to resolve to a real registration (a typo or
     # a renamed query would silently shrink the bench otherwise)

@@ -684,7 +684,8 @@ register(
 # Shared with the dedup_verified_clusters oracle below. The table is
 # a parameter so the dedup_cascade_report oracle can run the same
 # pipeline over a survivors CTE instead of the base view.
-def _lsh_verified_sql(tbl: str = "documents") -> str:
+def _lsh_verified_sql(tbl: str = "documents",
+                      threshold: float = 0.5) -> str:
     return f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES} AS s
@@ -713,7 +714,7 @@ def _lsh_verified_sql(tbl: str = "documents") -> str:
            (floor((n_common * 1.0 / (n_a + n_b - n_common)) * 1000000.0)
             / 1000000.0) AS jaccard
     FROM common
-    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= {threshold}
     ORDER BY doc_a, doc_b
     """
 
