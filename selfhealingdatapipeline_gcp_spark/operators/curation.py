@@ -380,3 +380,186 @@ def bloom_size_advisor(documents: DataFrame) -> DataFrame:
                 .alias("m_mib"))
         .orderBy("fpp")
     )
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filters (Gopher / C4 rule sets)
+# ---------------------------------------------------------------------------
+
+#: the Gopher-style stopword presence list (shared with the text
+#: analysis operators' STOPWORDS, fixed here for rule stability)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_gopher_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-style rule filter (the Rae-et-al. repetition-free rule
+    subset that is meaningful on single-line documents): word-count
+    bounds, mean-word-length bounds, minimum alphabetic-word share,
+    minimum distinct-stopword hits, and a symbol-token cap. Every
+    rule is evaluated with INTEGER cross-multiplication (3 ≤ mean ≤
+    10 becomes 3·n ≤ Σchars ≤ 10·n) — no floating point anywhere, so
+    the oracle is exact by construction.
+
+    Scale shape: pure per-row array expressions (whole-stage codegen,
+    no explode, no shuffle beyond the scan) — the cheapest possible
+    admission filter to run FIRST in a 100-TB curation cascade,
+    before anything that tokenizes into long format."""
+    t = textfn.tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n = F.size(t).cast("bigint")
+    chars = F.aggregate(F.transform(t, lambda x: F.length(x)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x)
+    alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))\
+        .cast("bigint")
+    stops = F.size(F.array_intersect(F.array_distinct(t), stop_arr))\
+        .cast("bigint")
+    sym = F.size(F.filter(
+        t, lambda x: (x == "#") | x.contains("..."))).cast("bigint")
+    r_wc = (n >= 50) & (n <= 100000)
+    r_len = (chars >= 3 * n) & (chars <= 10 * n)
+    r_alpha = 5 * alpha >= 4 * n
+    r_stop = stops >= 2
+    r_sym = 10 * sym <= n
+    return (
+        documents.select(
+            "doc_id", n.alias("n_words"), chars.alias("n_chars_in_words"),
+            alpha.alias("n_alpha_words"), stops.alias("n_stop_hits"),
+            sym.alias("n_symbol_words"),
+            r_wc.alias("pass_word_count"),
+            r_len.alias("pass_mean_word_len"),
+            r_alpha.alias("pass_alpha_share"),
+            r_stop.alias("pass_stopwords"),
+            r_sym.alias("pass_symbol_ratio"),
+            (r_wc & r_len & r_alpha & r_stop & r_sym)
+            .alias("gopher_pass"))
+        .orderBy("doc_id")
+    )
+
+
+def quality_c4_rules(documents: DataFrame) -> DataFrame:
+    """C4-style rule filter (the Raffel-et-al. cleanup subset that
+    applies to single-line documents): terminal punctuation, minimum
+    sentence count, minimum word count, and the lorem-ipsum /
+    curly-brace blocklist. Booleans + integer counts only.
+
+    Scale shape: per-row string expressions, zero shuffles — pairs
+    with quality_gopher_rules as the scan-stage admission pass."""
+    t = textfn.tokens("text")
+    n = F.size(t).cast("bigint")
+    sents = F.regexp_count(F.col("text"), F.lit("[.!?]")).cast("bigint")
+    term = F.col("text").rlike("[.!?]$")
+    lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    brace = F.col("text").contains("{")
+    return (
+        documents.select(
+            "doc_id", n.alias("n_words"), sents.alias("n_sentences"),
+            term.alias("ends_terminal"),
+            lorem.alias("has_lorem_ipsum"),
+            brace.alias("has_curly_brace"),
+            (term & (sents >= 3) & (n >= 5) & ~lorem & ~brace)
+            .alias("c4_pass"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS-style local sampling)
+# ---------------------------------------------------------------------------
+
+def doc_winnow_fingerprints(documents: DataFrame, k: int = 4,
+                            w: int = 4) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS local-sampling
+    guarantee): hash every k-token gram, slide a w-gram window, keep
+    the MINIMUM hash per window (position tie → leftmost), emit the
+    distinct selected (position, hash) pairs per document. Any shared
+    substring of length ≥ k + w - 1 tokens between two documents is
+    guaranteed to share at least one selected fingerprint — the
+    bounded-density alternative to storing every shingle
+    (doc_fingerprint keeps ONE hash per doc; this keeps a provable
+    covering sample).
+
+    Scale shape: gram hashing is per-row array arithmetic; the window
+    min is a per-document ROWS frame (bounded by doc length, never
+    global); the output is the distinct-selection relation — ~2/(w+1)
+    of gram count in expectation. Join two corpora on fp_hash for
+    plagiarism-style overlap at 100 TB."""
+    t = textfn.tokens("text")
+    d = (_spread(documents)
+         .select("doc_id", t.alias("t"))
+         .filter(F.size("t") >= k + w - 1))
+    grams = d.select(
+        "doc_id", (F.size("t") - (k - 1)).cast("bigint").alias("ng"),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, size(t) - {k - 1}), "
+            f"i -> cast(conv(substring(md5(concat_ws(' ', "
+            f"slice(t, i, {k}))), 1, 12), 16, 10) as bigint))")
+        ).alias("pos0", "h"),
+    ).select("doc_id", "ng", F.col("pos0").cast("bigint").alias("pos"),
+             "h")
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+           .rowsBetween(0, w - 1))
+    wm = grams.withColumn(
+        "m", F.min(F.struct(F.col("h"), F.col("pos"))).over(win))
+    return (
+        wm.filter(F.col("pos") <= F.col("ng") - w)
+        .select("doc_id", F.col("m.pos").alias("pos"),
+                F.col("m.h").alias("fp_hash"))
+        .distinct()
+        .orderBy("doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic-dedup threshold sweep (tuning table for semdedup_prune)
+# ---------------------------------------------------------------------------
+
+def semdedup_threshold_sweep(embeddings: DataFrame) -> DataFrame:
+    """Cosine-threshold tuning curve for semantic dedup: for each
+    candidate cut 0.35, 0.40, … 0.95, how many in-cell pairs survive
+    and how many vectors the min-id greedy rule would prune — the
+    table you read before fixing semdedup_prune's threshold on a
+    100-TB corpus.
+
+    Scale shape: the dedup_threshold_sweep discipline — NOT a
+    thresholds×pairs theta-join. Each pair buckets once by its
+    round-e6 cosine; each vector buckets once by the MAX cosine of
+    the pairs where it is the larger id (it is pruned at cut t iff
+    that max ≥ t); every "≥ t" count is a suffix-cumulative window
+    over the 13 fixed grid rows. Empty cuts stay visible via the
+    grid LEFT join."""
+    from selfhealingdatapipeline_gcp_spark.operators import dedup
+
+    spark = embeddings.sparkSession
+    pairs = dedup.dedup_embedding(embeddings, threshold=0.35)
+    cos_e6 = F.round(F.col("cosine") * 1e6).cast("bigint")
+    p = pairs.select("vec_a", "vec_b", cos_e6.alias("cos_e6"))
+    idx = F.least(F.floor((F.col("cos_e6") - 350000) / 50000),
+                  F.lit(12)).cast("bigint")
+    pair_b = (p.select(idx.alias("idx"))
+              .groupBy("idx").agg(F.count(F.lit(1)).alias("__np")))
+    vec_b = (p.groupBy("vec_b").agg(F.max("cos_e6").alias("cos_e6"))
+             .select(idx.alias("idx"))
+             .groupBy("idx").agg(F.count(F.lit(1)).alias("__nv")))
+    n_total = embeddings.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"))
+    grid = (spark.range(13)
+            .select(F.col("id").alias("idx"),
+                    (350000 + F.col("id") * 50000).alias("threshold_e6")))
+    j = (grid.join(F.broadcast(pair_b), "idx", "left")
+         .join(F.broadcast(vec_b), "idx", "left")
+         .crossJoin(F.broadcast(n_total)))
+    w = (Window.orderBy(F.desc("idx"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_pairs = F.sum(F.coalesce(F.col("__np"), F.lit(0))).over(w)
+    n_pruned = F.sum(F.coalesce(F.col("__nv"), F.lit(0))).over(w)
+    return (
+        j.select(
+            "threshold_e6",
+            n_pairs.cast("bigint").alias("n_pairs"),
+            n_pruned.cast("bigint").alias("n_pruned"),
+            F.floor(n_pruned * 1e6 / F.col("__n")).cast("bigint")
+             .alias("prune_rate_e6"))
+        .orderBy("threshold_e6")
+    )

@@ -258,3 +258,178 @@ register(
     """,
     family="dedup",
 )
+
+# ---------------------------------------------------------------------------
+# quality_gopher_rules / quality_c4_rules — scan-stage admission filters
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+register(
+    "quality_gopher_rules",
+    lambda spark, sf: curation.quality_gopher_rules(
+        *_t(spark, sf, "documents")),
+    # every rule is integer cross-multiplication — zero doubles
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n,
+             CAST(coalesce(list_sum(list_transform(t, x -> length(x))),
+                           0) AS BIGINT) AS chars,
+             CAST(len(list_filter(t,
+                  x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS alpha,
+             CAST(len(list_intersect(list_distinct(t),
+                  {_GOPHER_STOPS})) AS BIGINT) AS stops,
+             CAST(len(list_filter(t,
+                  x -> x = '#' OR contains(x, '...'))) AS BIGINT) AS sym
+      FROM d
+    )
+    SELECT doc_id, n AS n_words, chars AS n_chars_in_words,
+           alpha AS n_alpha_words, stops AS n_stop_hits,
+           sym AS n_symbol_words,
+           (n >= 50 AND n <= 100000) AS pass_word_count,
+           (chars >= 3 * n AND chars <= 10 * n) AS pass_mean_word_len,
+           (5 * alpha >= 4 * n) AS pass_alpha_share,
+           (stops >= 2) AS pass_stopwords,
+           (10 * sym <= n) AS pass_symbol_ratio,
+           ((n >= 50 AND n <= 100000)
+            AND (chars >= 3 * n AND chars <= 10 * n)
+            AND (5 * alpha >= 4 * n) AND (stops >= 2)
+            AND (10 * sym <= n)) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+
+register(
+    "quality_c4_rules",
+    lambda spark, sf: curation.quality_c4_rules(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS}) AS BIGINT) AS n,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               AS sents,
+             regexp_matches(text, '[.!?]$') AS term,
+             contains(lower(text), 'lorem ipsum') AS lorem,
+             contains(text, '{{') AS brace
+      FROM documents
+    )
+    SELECT doc_id, n AS n_words, sents AS n_sentences,
+           term AS ends_terminal, lorem AS has_lorem_ipsum,
+           brace AS has_curly_brace,
+           (term AND sents >= 3 AND n >= 5
+            AND NOT lorem AND NOT brace) AS c4_pass
+    FROM m ORDER BY doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# doc_winnow_fingerprints — MOSS-style winnowing selection (k=4, w=4)
+# ---------------------------------------------------------------------------
+
+register(
+    "doc_winnow_fingerprints",
+    lambda spark, sf: curation.doc_winnow_fingerprints(
+        *_t(spark, sf, "documents")),
+    # window-min via lexicographic struct min — identical tie rule
+    # (smallest hash, then leftmost position) on both engines
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+             {_md5int('u.s')} AS h,
+             CAST(len(t) - 3 AS BIGINT) AS ng
+      FROM (
+        SELECT doc_id, t,
+               unnest(list_transform(range(1, len(t) - 2),
+                 i -> {{'pos': i - 1,
+                        's': array_to_string(t[i:i+3], ' ')}})) AS u
+        FROM d WHERE len(t) >= 7
+      )
+    ), wm AS (
+      SELECT doc_id, pos, ng,
+             min({{'h': h, 'p': pos}}) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      FROM g
+    )
+    SELECT DISTINCT doc_id, (m).p AS pos, (m).h AS fp_hash
+    FROM wm WHERE pos <= ng - 4
+    ORDER BY doc_id, pos
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# semdedup_threshold_sweep — tuning table for semdedup_prune
+# ---------------------------------------------------------------------------
+
+register(
+    "semdedup_threshold_sweep",
+    lambda spark, sf: curation.semdedup_threshold_sweep(
+        *_t(spark, sf, "embeddings")),
+    # same cells+assign CTEs as semdedup_prune; grid LEFT join +
+    # suffix-cumulative window over the 13 fixed rows
+    f"""
+    WITH n AS ({_EMB_NORMED}),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+               vec_id
+      LIMIT {_K_AUTO}
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(floor({_dot('n.v', 'cv')} / (n.nrm * cnrm)
+                               * 1000000) AS BIGINT) DESC,
+                          cent_id) AS rn
+        FROM n, cents
+      ) WHERE rn = 1
+    ), p AS (
+      SELECT y.vec_id AS vec_b,
+             CAST(round(round({_dot('a.v', 'b.v')} / (a.nrm * b.nrm), 6)
+                        * 1e6) AS BIGINT) AS cos_e6
+      FROM assign x
+      JOIN assign y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+      JOIN n a ON a.vec_id = x.vec_id
+      JOIN n b ON b.vec_id = y.vec_id
+      WHERE {_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= 0.35
+    ), pair_b AS (
+      SELECT least(CAST(floor((cos_e6 - 350000) / 50000.0) AS BIGINT),
+                   12) AS idx,
+             count(*) AS np
+      FROM p GROUP BY 1
+    ), vec_b AS (
+      SELECT least(CAST(floor((cos_e6 - 350000) / 50000.0) AS BIGINT),
+                   12) AS idx,
+             count(*) AS nv
+      FROM (SELECT vec_b, max(cos_e6) AS cos_e6 FROM p GROUP BY vec_b)
+      GROUP BY 1
+    ), total AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM embeddings
+    ), grid AS (
+      SELECT CAST(u.i AS BIGINT) AS idx,
+             CAST(350000 + u.i * 50000 AS BIGINT) AS threshold_e6
+      FROM (SELECT unnest(range(0, 13)) AS i) u
+    ), j AS (
+      SELECT grid.idx, grid.threshold_e6,
+             coalesce(np, 0) AS np, coalesce(nv, 0) AS nv
+      FROM grid LEFT JOIN pair_b USING (idx) LEFT JOIN vec_b USING (idx)
+    )
+    SELECT threshold_e6,
+           CAST(sum(np) OVER w AS BIGINT) AS n_pairs,
+           CAST(sum(nv) OVER w AS BIGINT) AS n_pruned,
+           CAST(floor(sum(nv) OVER w * 1e6 / n_total) AS BIGINT)
+             AS prune_rate_e6
+    FROM j, total
+    WINDOW w AS (ORDER BY idx DESC ROWS UNBOUNDED PRECEDING)
+    ORDER BY threshold_e6
+    """,
+    family="dedup",
+)

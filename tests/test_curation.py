@@ -148,3 +148,90 @@ def test_pow2_chain_matches_pow():
         assert curation._pow2_chain(3.0, e) == 3.0 ** e
         sql = curation._pow2_chain_sql("3.0", e)
         assert eval(sql.replace(" ", "")) == 3.0 ** e  # noqa: S307
+
+
+# ---------------------------------------------------------------------------
+# batch 2: rule filters, winnowing, semdedup sweep
+# ---------------------------------------------------------------------------
+
+NAMES2 = ("quality_gopher_rules", "quality_c4_rules",
+          "doc_winnow_fingerprints", "semdedup_threshold_sweep")
+
+
+@pytest.mark.parametrize("name", NAMES2)
+def test_parity_batch2(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_gopher_rules_hand_cases(spark):
+    good = ("the quick brown fox and the lazy dog of a farm in town "
+            * 5).strip()                       # 60 words, stopword-rich
+    short = "the cat sat"                       # fails word count
+    symbols = " ".join(["#"] * 60)              # fails symbol + stopword
+    d = _docs(spark, [good, short, symbols])
+    out = {r.doc_id: r for r in
+           curation.quality_gopher_rules(d).collect()}
+    assert out[0].gopher_pass is True
+    assert out[1].gopher_pass is False and out[1].pass_word_count is False
+    assert out[2].pass_symbol_ratio is False
+    assert out[2].pass_stopwords is False
+
+
+def test_c4_rules_hand_cases(spark):
+    d = _docs(spark, [
+        "One sentence. Two sentences! Three sentences? Yes indeed.",
+        "no terminal punctuation here at all",
+        "contains lorem ipsum filler. more text. and more. done.",
+        "has a { curly brace. two. three. four.",
+    ])
+    out = {r.doc_id: r for r in curation.quality_c4_rules(d).collect()}
+    assert out[0].c4_pass is True and out[0].n_sentences == 4
+    assert out[1].c4_pass is False and out[1].ends_terminal is False
+    assert out[2].c4_pass is False and out[2].has_lorem_ipsum is True
+    assert out[3].c4_pass is False and out[3].has_curly_brace is True
+
+
+def test_winnowing_guarantee(spark):
+    """Any shared run of >= k+w-1 = 7 tokens must share at least one
+    selected fingerprint (the winnowing covering guarantee)."""
+    shared = "s1 s2 s3 s4 s5 s6 s7"            # exactly k+w-1 tokens
+    d = _docs(spark, [
+        f"a1 a2 a3 {shared} a4 a5",
+        f"b1 {shared} b2 b3 b4 b5 b6",
+    ])
+    rows = curation.doc_winnow_fingerprints(d).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[0] & fps[1], "shared 7-token run must share a fingerprint"
+
+
+def test_winnowing_density(spark):
+    """Selected fingerprints are a strict subsample of all grams, and
+    positions are valid gram starts."""
+    out = registry.queries()["doc_winnow_fingerprints"](
+        spark, SF_ORACLE).collect()
+    assert out
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r.pos)
+    for doc, ps in per_doc.items():
+        assert len(ps) == len(set(ps))
+        assert all(p >= 0 for p in ps)
+
+
+def test_semdedup_sweep_consistent_with_prune(spark):
+    """At the lowest cut (0.35) the sweep's n_pruned equals the
+    number of vectors semdedup_prune drops at threshold 0.35."""
+    sweep = {r.threshold_e6: r for r in
+             registry.queries()["semdedup_threshold_sweep"](
+                 spark, SF_ORACLE).collect()}
+    pruned = sum(1 for r in registry.queries()["semdedup_prune"](
+        spark, SF_ORACLE).collect() if not r.kept)
+    assert sweep[350000].n_pruned == pruned
+    # monotone: higher cut prunes no more than a lower cut
+    vals = [sweep[t].n_pruned for t in sorted(sweep)]
+    assert vals == sorted(vals, reverse=True)
+    assert len(vals) == 13
