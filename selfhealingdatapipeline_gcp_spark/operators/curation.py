@@ -563,3 +563,338 @@ def semdedup_threshold_sweep(embeddings: DataFrame) -> DataFrame:
              .alias("prune_rate_e6"))
         .orderBy("threshold_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus scaling-law / concentration statistics
+# ---------------------------------------------------------------------------
+
+def corpus_novelty_curve(documents: DataFrame, k: int = 8,
+                         n_buckets: int = 10) -> DataFrame:
+    """Dedup-saturation curve: split the corpus into ``n_buckets``
+    ingest-order slices (doc_id range deciles) and report, per slice,
+    how many k-token shingle OCCURRENCES it contributes vs how many
+    DISTINCT shingles appear there for the first time. A flattening
+    novelty rate is the the-next-10-TB-adds-nothing signal every
+    scale-up decision reads; a rebound marks a genuinely new source
+    landing mid-corpus.
+
+    Scale shape: occurrences come from the per-doc arithmetic
+    ``max(len(t)-k+1, 0)`` — NO explode; only the first-seen side
+    explodes to (hash, doc_id) and immediately collapses to hash
+    grain (min doc_id per 48-bit hash — the dedup_exact shuffle
+    shape, fixed-width rows). Bucket ids are pure integer division
+    ``doc_id*n DIV (max_id+1)`` — no floating point anywhere before
+    the final rate. The cumulative window runs over ``n_buckets``
+    rows.
+
+    Output: one row per bucket (grid-total even when empty) —
+    (bucket, n_docs, n_shingle_occurrences, n_new_shingles,
+    cum_new_shingles, novelty_rate_e6 [null when no occurrences]).
+    """
+    spark = documents.sparkSession
+    t = textfn.tokens("text")
+    d = _spread(documents).select("doc_id", t.alias("t"))
+    hi = d.agg((F.max("doc_id") + 1).alias("hi"))
+    db = (d.crossJoin(F.broadcast(hi))
+          .withColumn("bucket",
+                      F.expr(f"CAST(doc_id * {n_buckets} DIV hi AS INT)")))
+    occ = (db.select("bucket",
+                     F.greatest(F.size("t") - (k - 1), F.lit(0))
+                      .cast("bigint").alias("n_sh"))
+           .groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("__nd"),
+                F.sum("n_sh").alias("__occ")))
+    sh = (db.filter(F.size("t") >= k)
+          .select("doc_id",
+                  F.explode(F.expr(
+                      f"transform(sequence(1, size(t) - {k - 1}), "
+                      f"i -> concat_ws(' ', slice(t, i, {k})))"))
+                  .alias("s"))
+          .select("doc_id", textfn.md5int(F.col("s")).alias("h")))
+    nw = (sh.groupBy("h").agg(F.min("doc_id").alias("fd"))
+          .crossJoin(F.broadcast(hi))
+          .select(F.expr(f"CAST(fd * {n_buckets} DIV hi AS INT)")
+                  .alias("bucket"))
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("__new")))
+    grid = spark.range(n_buckets).select(F.col("id").cast("int")
+                                         .alias("bucket"))
+    j = (grid.join(F.broadcast(occ), "bucket", "left")
+         .join(F.broadcast(nw), "bucket", "left"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_new = F.coalesce(F.col("__new"), F.lit(0)).cast("bigint")
+    n_occ = F.coalesce(F.col("__occ"), F.lit(0)).cast("bigint")
+    return (
+        j.select(
+            "bucket",
+            F.coalesce(F.col("__nd"), F.lit(0)).cast("bigint")
+             .alias("n_docs"),
+            n_occ.alias("n_shingle_occurrences"),
+            n_new.alias("n_new_shingles"),
+            F.sum(n_new).over(w).cast("bigint")
+             .alias("cum_new_shingles"),
+            F.when(n_occ > 0, F.floor(n_new * 1e6 / n_occ))
+             .cast("bigint").alias("novelty_rate_e6"))
+        .orderBy("bucket")
+    )
+
+
+def heaps_law_fit(documents: DataFrame,
+                  n_buckets: int = 10) -> DataFrame:
+    """Per-source Heaps'-law fit V = K·N^b: OLS of ln(cumulative
+    distinct types V) on ln(cumulative tokens N) at ingest-order
+    checkpoints (doc_id range deciles). The exponent b is the
+    vocabulary-growth rate a tokenizer-vocab budget and a
+    novelty-per-token forecast extrapolate from; template spam shows
+    b near 0 (vocab saturates instantly), natural text near 0.5.
+
+    Determinism: the source_zipf_slope discipline exactly — each
+    checkpoint's ln terms floor to e9 integers BEFORE the per-source
+    sums, the closed-form slope/intercept then divide exact integer
+    sums in doubles written identically in both engines, floor-e6.
+
+    Scale shape: token totals are per-(source, bucket) arithmetic on
+    the scan; first-seen buckets collapse the token-grain relation to
+    (source, type) vocabulary grain (sublinear, Heaps' own law); the
+    OLS runs on ≤ n_buckets rows per source. Output O(|sources|).
+    """
+    t = textfn.tokens("text")
+    d = _spread(documents).select("doc_id", "source", t.alias("t"))
+    hi = d.agg((F.max("doc_id") + 1).alias("hi"))
+    db = (d.crossJoin(F.broadcast(hi))
+          .withColumn("bucket",
+                      F.expr(f"CAST(doc_id * {n_buckets} DIV hi AS INT)")))
+    tok = (db.select("source", "bucket",
+                     F.size("t").cast("bigint").alias("n_tok"))
+           .groupBy("source", "bucket")
+           .agg(F.sum("n_tok").alias("__tok")))
+    first = (db.select("source", "bucket", F.explode("t").alias("w"))
+             .groupBy("source", "w")
+             .agg(F.min("bucket").alias("bucket"))
+             .groupBy("source", "bucket")
+             .agg(F.count(F.lit(1)).alias("__new")))
+    j = tok.join(first, ["source", "bucket"], "left")
+    w = (Window.partitionBy("source").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_n = F.sum("__tok").over(w)
+    cum_v = F.sum(F.coalesce(F.col("__new"), F.lit(0))).over(w)
+    ck = (j.select("source", "bucket",
+                   cum_n.cast("bigint").alias("cn"),
+                   cum_v.cast("bigint").alias("cv"))
+          .filter((F.col("cn") > 0) & (F.col("cv") > 0)))
+    lx = F.log(F.col("cn").cast("double"))
+    ly = F.log(F.col("cv").cast("double"))
+    terms = ck.select(
+        "source", "cn", "cv",
+        F.floor(lx * 1e9).cast("bigint").alias("x_e9"),
+        F.floor(ly * 1e9).cast("bigint").alias("y_e9"),
+        F.floor(lx * ly * 1e9).cast("bigint").alias("xy_e9"),
+        F.floor(lx * lx * 1e9).cast("bigint").alias("xx_e9"))
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.max("cn").alias("total_tokens"),
+        F.max("cv").alias("total_types"),
+        F.sum("x_e9").alias("sx"), F.sum("y_e9").alias("sy"),
+        F.sum("xy_e9").alias("sxy"), F.sum("xx_e9").alias("sxx"))
+    kk = F.col("n_checkpoints").cast("double")
+    sx = F.col("sx") / 1e9
+    sy = F.col("sy") / 1e9
+    num = kk * (F.col("sxy") / 1e9) - sx * sy
+    den = kk * (F.col("sxx") / 1e9) - sx * sx
+    slope = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    intercept = (sy - slope * sx) / kk
+    return (
+        agg.filter(F.col("n_checkpoints") >= 3)
+        .select("source", "n_checkpoints", "total_tokens",
+                "total_types",
+                (F.floor(slope * 1e6) / 1e6).alias("heaps_exponent"),
+                (F.floor(intercept * 1e6) / 1e6)
+                 .alias("heaps_intercept"))
+        .orderBy("source")
+    )
+
+
+def token_gini(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Token-frequency concentration: the Lorenz curve over the
+    vocabulary (types ranked by ascending frequency, bucketed into
+    rank deciles) plus the EXACT Gini coefficient via the rank
+    formula G = Σ(2r − T − 1)·n_r / (T·Σn) — pure integer arithmetic
+    until one final double division. High Gini (~0.95+ for natural
+    text, Zipf) collapsing toward 0 flags template floods where every
+    token appears equally often; the decile rows show WHERE the mass
+    sits (how little of the corpus the tail types cover).
+
+    Scale shape: one token-grain groupBy to vocabulary grain, then
+    rank + running-sum windows over the VOCAB relation (global-ordered
+    but vocabulary-sized — the vocab_coverage discipline). Integer
+    headroom: |2r−T−1|·n_r ≤ T·Σn, so the bigint Gini numerator holds
+    while vocab_size·total_tokens < 2^63 (~9.2e18 — beyond any corpus
+    whose token counts themselves fit bigints times a 1e5+ vocab;
+    document-scale math long before that).
+
+    Output: ``n_buckets`` rank-decile rows (ascending frequency) —
+    (decile, n_types, n_tokens, cum_type_share_e6, cum_token_share_e6,
+    gini_e6) with gini_e6 constant across rows.
+    """
+    vocab = (
+        _spread(documents)
+        .select(F.explode(textfn.tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.orderBy("n", "w")
+    ranked = vocab.select("n", F.row_number().over(win).alias("r"))
+    tot = vocab.agg(F.count(F.lit(1)).alias("t_types"),
+                    F.sum("n").alias("t_tokens"))
+    rt = ranked.crossJoin(F.broadcast(tot))
+    gini = rt.agg(
+        F.sum((2 * F.col("r") - F.col("t_types") - 1) * F.col("n"))
+         .alias("gnum"),
+        F.max("t_types").alias("t_types"),
+        F.max("t_tokens").alias("t_tokens"))
+    dec = (rt.withColumn(
+               "decile",
+               F.expr(f"CAST((r - 1) * {n_buckets} DIV t_types AS INT)"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_types"),
+                F.sum("n").alias("n_tokens")))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        dec.crossJoin(F.broadcast(gini))
+        .select(
+            "decile",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.sum("n_types").over(w) * 1e6 / F.col("t_types"))
+             .cast("bigint").alias("cum_type_share_e6"),
+            F.floor(F.sum("n_tokens").over(w) * 1e6 / F.col("t_tokens"))
+             .cast("bigint").alias("cum_token_share_e6"),
+            F.floor(F.col("gnum")
+                    / (F.col("t_types").cast("double")
+                       * F.col("t_tokens")) * 1e6)
+             .cast("bigint").alias("gini_e6"))
+        .orderBy("decile")
+    )
+
+
+def doc_length_lorenz(documents: DataFrame) -> DataFrame:
+    """Document-length concentration: power-of-two token-length bins
+    (the token_histogram bit-length discipline, on REAL whitespace
+    token counts) with cumulative document-share and token-share —
+    the Lorenz table that answers "what fraction of the token budget
+    do the longest docs hold". A packing plan (seq_pack_plan) and a
+    per-length sampling cap read this before committing stream
+    counts; token_histogram shows the distribution, this shows the
+    MASS concentration.
+
+    Scale shape: per-row arithmetic to (bucket) grain — one tiny
+    groupBy (≤ ~40 bins), integer bit-length bucketing (no libm
+    log2), cumulative windows over the bin rows only.
+
+    Output: one row per occupied bin, ascending — (log2_bucket,
+    bucket_lo, n_docs, n_tokens, cum_doc_share_e6,
+    cum_token_share_e6).
+    """
+    n_tok = F.size(textfn.tokens("text")).cast("bigint")
+    m = F.greatest(n_tok, F.lit(1))
+    bucket = (F.length(F.bin(m)) - 1).cast("int")
+    agg = (
+        _spread(documents)
+        .select(n_tok.alias("n_tok"), bucket.alias("log2_bucket"))
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = agg.agg(F.sum("n_docs").alias("t_docs"),
+                  F.sum("n_tokens").alias("t_tokens"))
+    w = (Window.orderBy("log2_bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket)")
+             .cast("bigint").alias("bucket_lo"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(F.sum("n_docs").over(w) * 1e6 / F.col("t_docs"))
+             .cast("bigint").alias("cum_doc_share_e6"),
+            F.floor(F.sum("n_tokens").over(w) * 1e6
+                    / F.col("t_tokens"))
+             .cast("bigint").alias("cum_token_share_e6"))
+        .orderBy("log2_bucket")
+    )
+
+
+def perplexity_ttr_agreement(documents: DataFrame) -> DataFrame:
+    """Per-source Pearson agreement between the bigram-LM score and
+    the type-token ratio: docs that repeat themselves have LOW
+    bigram NLL (the model memorizes their loops) and LOW TTR, so on
+    honest data the two quality signals correlate positively; a
+    source where they decouple is scoring well on one filter while
+    flunking the other — the cross-check a curation cascade runs
+    before trusting either signal alone as its admission gate.
+
+    Determinism: per-doc scores quantize to e2 integers (NLL
+    micro-sum DIV'd down, TTR via floor), the per-source Pearson
+    keeps SIX integer sums (the revenue_volume_correlation
+    discipline) and evaluates ONE closed-form double expression
+    written identically in both engines, floor-e6. Integer headroom:
+    x ≤ ~2.8e3 (ln of any bigint count × e2), so Σx² holds past 1e12
+    documents.
+
+    Scale shape: reuses the bigram/unigram count relations
+    (vocabulary-grain shuffles); per-doc collapse then ONE
+    source-grain agg. Output O(|sources|).
+    """
+    t = textfn.tokens("text")
+    d = (_spread(documents)
+         .select("doc_id", "source", t.alias("t"))
+         .filter(F.size("t") >= 2))
+    big = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2))")).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = (_spread(documents)
+           .select(F.explode(t).alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    nll = (
+        big.join(bi, ["w1", "w2"]).join(uni, "w1")
+        .select("doc_id",
+                F.floor(-F.log(F.col("c2") / F.col("c1")) * 1e6)
+                 .cast("bigint").alias("nll_micro"))
+        .groupBy("doc_id")
+        .agg(F.floor(F.sum("nll_micro")
+                     / (F.count(F.lit(1)) * 10000.0))
+              .cast("bigint").alias("x"))
+    )
+    ttr = d.select(
+        "doc_id", "source",
+        F.floor(F.size(F.array_distinct("t")) * 100.0 / F.size("t"))
+         .cast("bigint").alias("y"))
+    xy = ttr.join(nll, "doc_id")
+    agg = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n_docs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    r = F.when((vx > 0) & (vy > 0),
+               F.floor(cov / F.sqrt(vx * vy) * 1e6) / 1e6)
+    return (
+        agg.select("source",
+                   F.col("n_docs").cast("bigint").alias("n_docs"),
+                   r.alias("pearson_r"))
+        .orderBy("source")
+    )

@@ -433,3 +433,265 @@ register(
     """,
     family="dedup",
 )
+
+# ---------------------------------------------------------------------------
+# corpus scaling-law / concentration statistics
+# ---------------------------------------------------------------------------
+
+register(
+    "corpus_novelty_curve",
+    lambda spark, sf: curation.corpus_novelty_curve(
+        *_t(spark, sf, "documents")),
+    # bucket ids are pure integer division on BOTH sides (DuckDB //
+    # == Spark DIV for non-negative ints); occurrences never explode
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENS} AS t FROM documents
+    ), hi AS (SELECT max(doc_id) + 1 AS hi FROM d),
+    db AS (
+      SELECT doc_id, t, CAST((doc_id * 10) // hi AS INT) AS bucket
+      FROM d, hi
+    ), occ AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(greatest(len(t) - 7, 0)) AS BIGINT) AS occ
+      FROM db GROUP BY bucket
+    ), sh AS (
+      SELECT doc_id, {_md5int('u')} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                 i -> array_to_string(t[i:i+7], ' '))) AS u
+        FROM db WHERE len(t) >= 8
+      )
+    ), fs AS (SELECT min(doc_id) AS fd FROM sh GROUP BY h),
+    nw AS (
+      SELECT CAST((fd * 10) // hi AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS nnew
+      FROM fs, hi GROUP BY 1
+    ), grid AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket)
+    SELECT bucket,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_docs,
+           CAST(coalesce(occ, 0) AS BIGINT) AS n_shingle_occurrences,
+           CAST(coalesce(nnew, 0) AS BIGINT) AS n_new_shingles,
+           CAST(sum(coalesce(nnew, 0)) OVER (
+                  ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_new_shingles,
+           CASE WHEN coalesce(occ, 0) > 0 THEN
+             CAST(floor(coalesce(nnew, 0) * 1e6 / occ) AS BIGINT)
+           END AS novelty_rate_e6
+    FROM grid LEFT JOIN occ USING (bucket) LEFT JOIN nw USING (bucket)
+    ORDER BY bucket
+    """,
+    family="dedup",
+    tier="headline",
+)
+
+register(
+    "heaps_law_fit",
+    lambda spark, sf: curation.heaps_law_fit(
+        *_t(spark, sf, "documents")),
+    # the source_zipf_slope OLS discipline: per-checkpoint ln terms
+    # floor to e9 ints before the sums; slope_raw is computed ONCE in
+    # a subquery and reused by the intercept, exactly as the Spark
+    # column expression tree does
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS t FROM documents
+    ), hi AS (SELECT max(doc_id) + 1 AS hi FROM d),
+    db AS (
+      SELECT doc_id, source, t,
+             CAST((doc_id * 10) // hi AS INT) AS bucket
+      FROM d, hi
+    ), tok AS (
+      SELECT source, bucket, CAST(sum(len(t)) AS BIGINT) AS tk
+      FROM db GROUP BY 1, 2
+    ), fs AS (
+      SELECT source, w, min(bucket) AS bucket
+      FROM (SELECT source, bucket, unnest(t) AS w FROM db)
+      GROUP BY source, w
+    ), nw AS (
+      SELECT source, bucket, CAST(count(*) AS BIGINT) AS nv
+      FROM fs GROUP BY 1, 2
+    ), ck AS (
+      SELECT source, bucket,
+             CAST(sum(tk) OVER w AS BIGINT) AS cn,
+             CAST(sum(coalesce(nv, 0)) OVER w AS BIGINT) AS cv
+      FROM tok LEFT JOIN nw USING (source, bucket)
+      WINDOW w AS (PARTITION BY source ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING)
+    ), terms AS (
+      SELECT source, cn, cv,
+             CAST(floor(ln(cn) * 1000000000.0) AS BIGINT) AS x_e9,
+             CAST(floor(ln(cv) * 1000000000.0) AS BIGINT) AS y_e9,
+             CAST(floor(ln(cn) * ln(cv) * 1000000000.0) AS BIGINT)
+               AS xy_e9,
+             CAST(floor(ln(cn) * ln(cn) * 1000000000.0) AS BIGINT)
+               AS xx_e9
+      FROM ck WHERE cn > 0 AND cv > 0
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_checkpoints,
+             CAST(max(cn) AS BIGINT) AS total_tokens,
+             CAST(max(cv) AS BIGINT) AS total_types,
+             CAST(sum(x_e9) AS BIGINT) AS sx,
+             CAST(sum(y_e9) AS BIGINT) AS sy,
+             CAST(sum(xy_e9) AS BIGINT) AS sxy,
+             CAST(sum(xx_e9) AS BIGINT) AS sxx
+      FROM terms GROUP BY source
+    ), fit AS (
+      SELECT source, n_checkpoints, total_tokens, total_types,
+             sx, sy,
+             CASE WHEN (CAST(n_checkpoints AS DOUBLE) * (sxx / 1e9)
+                        - (sx / 1e9) * (sx / 1e9)) > 0
+                  THEN (CAST(n_checkpoints AS DOUBLE) * (sxy / 1e9)
+                        - (sx / 1e9) * (sy / 1e9))
+                       / (CAST(n_checkpoints AS DOUBLE) * (sxx / 1e9)
+                          - (sx / 1e9) * (sx / 1e9))
+                  ELSE 0.0 END AS slope_raw
+      FROM agg
+    )
+    SELECT source, n_checkpoints, total_tokens, total_types,
+           (floor(slope_raw * 1000000.0) / 1000000.0)
+             AS heaps_exponent,
+           (floor((((sy / 1e9) - slope_raw * (sx / 1e9))
+                   / CAST(n_checkpoints AS DOUBLE)) * 1000000.0)
+            / 1000000.0) AS heaps_intercept
+    FROM fit WHERE n_checkpoints >= 3 ORDER BY source
+    """,
+)
+
+register(
+    "token_gini",
+    lambda spark, sf: curation.token_gini(*_t(spark, sf, "documents")),
+    # Gini numerator is pure integer arithmetic — one double division
+    # at the very end; rank deciles via integer division
+    f"""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_TOKENS}) AS w FROM documents) GROUP BY w
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n, w) AS r FROM vocab
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS t_types,
+             CAST(sum(n) AS BIGINT) AS t_tokens
+      FROM vocab
+    ), gini AS (
+      SELECT CAST(sum((2 * r - t_types - 1) * n) AS BIGINT) AS gnum
+      FROM ranked, tot
+    ), dec AS (
+      SELECT CAST(((r - 1) * 10) // t_types AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM ranked, tot GROUP BY 1
+    )
+    SELECT decile, n_types, n_tokens,
+           CAST(floor(sum(n_types) OVER w * 1e6 / t_types) AS BIGINT)
+             AS cum_type_share_e6,
+           CAST(floor(sum(n_tokens) OVER w * 1e6 / t_tokens) AS BIGINT)
+             AS cum_token_share_e6,
+           CAST(floor(gnum / (CAST(t_types AS DOUBLE) * t_tokens)
+                      * 1e6) AS BIGINT) AS gini_e6
+    FROM dec, tot, gini
+    WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    ORDER BY decile
+    """,
+)
+
+register(
+    "doc_length_lorenz",
+    lambda spark, sf: curation.doc_length_lorenz(
+        *_t(spark, sf, "documents")),
+    # the token_histogram bit-length bucket twin, on REAL token
+    # counts, plus cumulative Lorenz shares
+    f"""
+    WITH nt AS (
+      SELECT CAST(len({_TOKENS}) AS BIGINT) AS n_tok FROM documents
+    ), agg AS (
+      SELECT CAST(length(bin(greatest(n_tok, 1))) - 1 AS INT)
+               AS log2_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM nt GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS t_tokens
+      FROM agg
+    )
+    SELECT log2_bucket,
+           CAST(1 << log2_bucket AS BIGINT) AS bucket_lo,
+           n_docs, n_tokens,
+           CAST(floor(sum(n_docs) OVER w * 1e6 / t_docs) AS BIGINT)
+             AS cum_doc_share_e6,
+           CAST(floor(sum(n_tokens) OVER w * 1e6 / t_tokens)
+                AS BIGINT) AS cum_token_share_e6
+    FROM agg, tot
+    WINDOW w AS (ORDER BY log2_bucket ROWS UNBOUNDED PRECEDING)
+    ORDER BY log2_bucket
+    """,
+)
+
+register(
+    "perplexity_ttr_agreement",
+    lambda spark, sf: curation.perplexity_ttr_agreement(
+        *_t(spark, sf, "documents")),
+    # per-doc scores quantize to e2 ints; the Pearson keeps six
+    # integer sums and evaluates one closed-form double expression
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS t FROM documents
+    ), d2 AS (SELECT * FROM d WHERE len(t) >= 2),
+    big AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'w1': t[i], 'w2': t[i+1]}})) AS u
+        FROM d2
+      )
+    ), uni AS (
+      SELECT w1, count(*) AS c1
+      FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), nll AS (
+      SELECT doc_id,
+             CAST(floor(sum(nll_micro) / (count(*) * 10000.0))
+                  AS BIGINT) AS x
+      FROM (
+        SELECT doc_id,
+               CAST(floor(-ln(c2 / c1) * 1e6) AS BIGINT) AS nll_micro
+        FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1)
+      ) GROUP BY doc_id
+    ), ttr AS (
+      SELECT doc_id, source,
+             CAST(floor(len(list_distinct(t)) * 100.0 / len(t))
+                  AS BIGINT) AS y
+      FROM d2
+    ), agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ttr JOIN nll USING (doc_id) GROUP BY source
+    )
+    SELECT source, n_docs,
+           CASE WHEN (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+           THEN floor((CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n_docs AS DOUBLE)
+                              * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                             * (CAST(n_docs AS DOUBLE)
+                                * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE)))
+                      * 1e6) / 1e6
+           END AS pearson_r
+    FROM agg ORDER BY source
+    """,
+)

@@ -235,3 +235,119 @@ def test_semdedup_sweep_consistent_with_prune(spark):
     vals = [sweep[t].n_pruned for t in sorted(sweep)]
     assert vals == sorted(vals, reverse=True)
     assert len(vals) == 13
+
+
+# ---------------------------------------------------------------------------
+# batch 3: corpus scaling-law / concentration statistics
+# ---------------------------------------------------------------------------
+
+NAMES3 = ("corpus_novelty_curve", "heaps_law_fit", "token_gini",
+          "doc_length_lorenz", "perplexity_ttr_agreement")
+
+
+@pytest.mark.parametrize("name", NAMES3)
+def test_parity_batch3(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_novelty_curve_identical_corpus_saturates(spark):
+    """All docs identical → every shingle is first seen in bucket 0;
+    later buckets contribute occurrences but zero novelty."""
+    text = " ".join(f"w{i}" for i in range(20))
+    d = _docs(spark, [text] * 10)
+    rows = {r.bucket: r for r in
+            curation.corpus_novelty_curve(d).collect()}
+    assert len(rows) == 10
+    assert rows[0].n_new_shingles == 13          # 20 - 8 + 1 positions
+    assert all(rows[b].n_new_shingles == 0 for b in range(1, 10))
+    assert rows[9].cum_new_shingles == 13
+    # occurrences are uniform (one doc per bucket)
+    assert all(rows[b].n_shingle_occurrences == 13 for b in range(10))
+    assert rows[0].novelty_rate_e6 == 1_000_000
+    assert rows[5].novelty_rate_e6 == 0
+
+
+def test_novelty_curve_grid_is_total(spark):
+    """Short docs (< k tokens) produce zero shingles but the grid
+    still emits all 10 buckets with null rates."""
+    d = _docs(spark, ["tiny doc"] * 4)
+    rows = curation.corpus_novelty_curve(d).collect()
+    assert [r.bucket for r in rows] == list(range(10))
+    assert all(r.novelty_rate_e6 is None for r in rows)
+
+
+def test_heaps_fit_saturated_vs_growing(spark):
+    """A source whose vocabulary saturates instantly fits b ≈ 0; a
+    source with fresh tokens per doc fits a clearly larger b."""
+    sat = [("sat", " ".join("tok%d" % (j % 5) for j in range(30)))
+           for _ in range(20)]
+    grow = [("grow", " ".join(f"u{i}_{j}" for j in range(30)))
+            for i in range(20)]
+    rows = [(n, t[1], "en", t[0], 1) for n, t in
+            enumerate(sat + grow)]
+    d = spark.createDataFrame(
+        [(i, txt, lg, src, nc) for (i, txt, lg, src, nc) in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in curation.heaps_law_fit(d).collect()}
+    assert out["sat"].heaps_exponent < 0.05
+    assert out["grow"].heaps_exponent > 0.5
+    assert out["sat"].total_types == 5
+    assert out["grow"].total_types == 600
+
+
+def test_token_gini_uniform_is_zero(spark):
+    """Every type appearing exactly once → perfectly equal
+    distribution → Gini = 0 and the Lorenz diagonal."""
+    d = _docs(spark, [" ".join(f"t{i}" for i in range(100))])
+    rows = curation.token_gini(d).collect()
+    assert all(r.gini_e6 == 0 for r in rows)
+    for r in rows:
+        assert r.cum_type_share_e6 == r.cum_token_share_e6
+
+
+def test_token_gini_skewed_is_high(spark):
+    """One type holding almost all mass → Gini near 1."""
+    d = _docs(spark, [("zz " * 1000) + " ".join(
+        f"r{i}" for i in range(10))])
+    rows = curation.token_gini(d).collect()
+    assert rows[0].gini_e6 > 800_000
+    # top decile (the frequent type) holds almost all token mass
+    assert rows[-1].cum_token_share_e6 == 1_000_000
+
+
+def test_doc_length_lorenz_closure_and_monotone(spark):
+    out = registry.queries()["doc_length_lorenz"](
+        spark, SF_ORACLE).collect()
+    assert out[-1].cum_doc_share_e6 == 1_000_000
+    assert out[-1].cum_token_share_e6 == 1_000_000
+    docs = [r.cum_doc_share_e6 for r in out]
+    toks = [r.cum_token_share_e6 for r in out]
+    assert docs == sorted(docs) and toks == sorted(toks)
+    # ascending-length bins: doc share runs AHEAD of token share
+    for r in out[:-1]:
+        assert r.cum_doc_share_e6 >= r.cum_token_share_e6
+
+
+def test_perplexity_ttr_signs(spark):
+    """Two docs per source sharing the hub token 'x': the looping doc
+    (x c x c ...) re-walks ONE continuation of x → low NLL, low TTR;
+    the varied doc takes a fresh continuation each time (x b1 x b2
+    ...) → high NLL, high TTR. n=2 degenerates Pearson to sign
+    agreement → +1. A source with identical docs has zero variance
+    → null."""
+    rep = "x c x c x c x c"
+    var = "x b1 x b2 x b3 x b4"
+    d = spark.createDataFrame(
+        [(0, rep, "en", "s1", 1), (1, var, "en", "s1", 1),
+         (2, "z1 z2 z3 z4 z5", "en", "s2", 1),
+         (3, "z1 z2 z3 z4 z5", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in
+           curation.perplexity_ttr_agreement(d).collect()}
+    assert out["s1"].pearson_r is not None
+    assert out["s1"].pearson_r > 0.9
+    assert out["s2"].pearson_r is None           # zero variance
