@@ -898,3 +898,99 @@ def perplexity_ttr_agreement(documents: DataFrame) -> DataFrame:
                    r.alias("pearson_r"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# split integrity + epoch scheduling
+# ---------------------------------------------------------------------------
+
+def split_contamination_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise shingle contamination between the three hash splits
+    (train/val/test by md5(doc_id) percent buckets — val < 10,
+    test < 20, train otherwise): for every split pair, how many
+    distinct 3-gram shingles appear on BOTH sides, with the Jaccard
+    overlap. split_leakage_check surfaces WHICH val docs collide
+    with train via LSH; this is the 3×3-triangle summary a release
+    gate thresholds on — and it covers val↔test, the boundary the
+    pairwise checks usually forget.
+
+    Scale shape: per-doc DISTINCT shingles explode once to 48-bit
+    hash grain; ONE groupBy collapses to per-shingle presence flags
+    (the shuffle carries hash + three bits); ONE aggregate computes
+    all three intersections and sizes in the same pass; output is
+    exactly 3 rows via stack. Nothing is pairwise at doc grain.
+    """
+    spl = F.pmod(textfn.md5int(F.col("doc_id").cast("string")),
+                 F.lit(100))
+    sh = (_spread(documents)
+          .select(spl.alias("b"),
+                  F.explode(textfn.shingles("text")).alias("s"))
+          .select("b", textfn.md5int(F.col("s")).alias("h")))
+    flags = sh.groupBy("h").agg(
+        F.max((F.col("b") < 10).cast("bigint")).alias("v"),
+        F.max(((F.col("b") >= 10) & (F.col("b") < 20)).cast("bigint"))
+         .alias("x"),
+        F.max((F.col("b") >= 20).cast("bigint")).alias("t"))
+    wide = flags.agg(
+        F.sum("t").cast("bigint").alias("n_train"),
+        F.sum("v").cast("bigint").alias("n_val"),
+        F.sum("x").cast("bigint").alias("n_test"),
+        F.sum(F.col("t") * F.col("v")).cast("bigint").alias("s_tv"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("s_tx"),
+        F.sum(F.col("v") * F.col("x")).cast("bigint").alias("s_vx"))
+    long = wide.selectExpr(
+        "stack(3, "
+        "'train', 'test', n_train, n_test, s_tx, "
+        "'train', 'val',  n_train, n_val,  s_tv, "
+        "'val',   'test', n_val,   n_test, s_vx) "
+        "AS (split_a, split_b, n_shingles_a, n_shingles_b, n_shared)")
+    union = (F.col("n_shingles_a") + F.col("n_shingles_b")
+             - F.col("n_shared"))
+    return (
+        long.select(
+            "split_a", "split_b", "n_shingles_a", "n_shingles_b",
+            "n_shared",
+            F.when(union > 0,
+                   F.floor(F.col("n_shared") * 1e6 / union))
+             .cast("bigint").alias("jaccard_e6"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+def epoch_shuffle_plan(documents: DataFrame, n_epochs: int = 3,
+                       n_buckets: int = 16) -> DataFrame:
+    """Deterministic per-epoch shuffle plan: every document lands in
+    bucket md5(doc_id ':' epoch) % n_buckets, so each epoch visits
+    the corpus in a DIFFERENT but fully reproducible order (retry-
+    and resume-stable — no rand(), the train_val_split discipline),
+    and no epoch's order correlates with another's. The output is
+    the (epoch, bucket) manifest a data loader streams — bucket
+    sizes (share within the epoch) prove the per-epoch load is
+    balanced BEFORE the run.
+
+    Scale shape: per-row hash arithmetic, one explode by n_epochs
+    (bounded fan-out), one groupBy to (epoch, bucket) grain — output
+    is n_epochs × n_buckets rows regardless of corpus size."""
+    t = textfn.tokens("text")
+    epochs = F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
+    per = (_spread(documents)
+           .select("doc_id", F.size(t).cast("bigint").alias("n_tok"))
+           .withColumn("epoch", epochs))
+    bucket = F.pmod(
+        textfn.md5int(F.concat_ws(
+            ":", F.col("doc_id").cast("string"),
+            F.col("epoch").cast("string"))),
+        F.lit(n_buckets)).cast("int")
+    agg = (per.withColumn("bucket", bucket)
+           .groupBy("epoch", "bucket")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    ew = Window.partitionBy("epoch")
+    return (
+        agg.select(F.col("epoch").cast("int").alias("epoch"),
+                   "bucket", "n_docs", "n_tokens",
+                   F.floor(F.col("n_docs") * 1e6
+                           / F.sum("n_docs").over(ew))
+                    .cast("bigint").alias("share_e6"))
+        .orderBy("epoch", "bucket")
+    )

@@ -258,6 +258,51 @@ def pii_redact(documents: DataFrame) -> DataFrame:
     )
 
 
+def pii_density_report(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure profile: document counts and hit
+    counts per PII kind (card/phone/email — the pii_redact patterns,
+    counted with the SAME sequential-redaction rule so a card number
+    is never double-counted as a phone), plus hits per million
+    characters. pii_redact rewrites documents one at a time; this is
+    the source-grain audit a curation run reads FIRST to decide
+    which sources need the redaction pass at all — and the
+    before/after evidence a takedown review asks for.
+
+    Scale shape: pure per-row regexp counting at the scan (codegen,
+    no UDF, no explode), ONE source-grain aggregate; output is
+    O(|sources|). Density is floor-e6 over exact integer sums."""
+    red = F.col("text")
+    counts: dict[str, F.Column] = {}
+    for kind in ("card", "phone", "email"):
+        pat = PII_PATTERNS[kind]
+        counts[kind] = (F.size(F.split(red, pat)) - 1).cast("bigint")
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    per = documents.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        counts["email"].alias("e"), counts["phone"].alias("p"),
+        counts["card"].alias("c"))
+    hits = F.col("e") + F.col("p") + F.col("c")
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((hits > 0).cast("bigint")).cast("bigint")
+         .alias("n_docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_email"),
+        F.sum("p").cast("bigint").alias("n_phone"),
+        F.sum("c").cast("bigint").alias("n_card"),
+        F.sum(hits).cast("bigint").alias("n_hits"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"))
+    return (
+        agg.select(
+            "source", "n_docs", "n_docs_with_pii",
+            "n_email", "n_phone", "n_card",
+            F.when(F.col("n_chars") > 0,
+                   F.floor(F.col("n_hits") * 1e6 / F.col("n_chars")))
+             .cast("bigint").alias("hits_per_mchar"))
+        .orderBy("source")
+    )
+
+
 def vector_quantize(embeddings: DataFrame) -> DataFrame:
     """Per-vector int8 scalar quantization in long format:
     scale = max |x| over the vector, q8 = floor(x/scale·127) — floor,

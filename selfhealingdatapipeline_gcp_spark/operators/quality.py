@@ -686,6 +686,59 @@ def k_anonymity_audit(customer: DataFrame,
     )
 
 
+def l_diversity_audit(customer: DataFrame,
+                      thresholds: tuple[int, ...] = (2, 3, 5, 10)
+                      ) -> DataFrame:
+    """l-diversity audit over the customer quasi-identifier pair
+    (nation, market segment) with the account-balance kilobucket as
+    the sensitive attribute: for each diversity threshold l, how
+    many QI equivalence classes — and how many ROWS — expose fewer
+    than l distinct sensitive values (Machanavajjhala et al.'s
+    refinement of k-anonymity: a large class is still unsafe when
+    everyone in it shares one sensitive value). The privacy gate
+    k_anonymity_audit cannot see — the two run as a pair before any
+    customer-derived release.
+
+    One QI-grain aggregate with an exact per-class distinct count
+    (the shuffle carries QI tuples, never rows), then every
+    threshold evaluated in the SAME pass over the bounded class
+    relation and stacked to long format — the k_anonymity_audit
+    discipline exactly. Rates floor-e6; everything engine-exact.
+
+    Scale: the class relation is |distinct QI| rows — bounded by the
+    QI domain, not the corpus."""
+    sizes = (
+        customer.groupBy(
+            F.col("c_nationkey").alias("qi_nation"),
+            F.col("c_mktsegment").alias("qi_segment"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.count_distinct(
+                 F.floor(F.col("c_acctbal") / 1000).cast("bigint"))
+              .cast("bigint").alias("l_div")))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_rows")]
+    for t in thresholds:
+        below = (F.col("l_div") < t).cast("bigint")
+        aggs += [F.sum(below).cast("bigint").alias(f"g{t}"),
+                 F.sum(below * F.col("n")).cast("bigint")
+                  .alias(f"r{t}")]
+    wide = sizes.agg(*aggs)
+    stack = ", ".join(f"{t}, `g{t}`, `r{t}`" for t in thresholds)
+    return (
+        wide.selectExpr(
+            "n_groups", "n_rows",
+            f"stack({len(thresholds)}, {stack}) "
+            "AS (l, n_groups_below_l, n_rows_below_l)")
+        .select(
+            F.col("l").cast("int").alias("l"),
+            "n_groups", "n_rows", "n_groups_below_l", "n_rows_below_l",
+            F.floor(F.col("n_rows_below_l") * 1_000_000
+                    / F.col("n_rows"))
+             .cast("bigint").alias("at_risk_rate_e6"))
+        .orderBy("l")
+    )
+
+
 def fk_orphan_audit(edges: list[tuple[DataFrame, str, str,
                                       DataFrame, str, str]]) -> DataFrame:
     """Referential-integrity audit: one row per foreign-key edge

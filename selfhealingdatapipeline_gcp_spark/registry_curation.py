@@ -695,3 +695,93 @@ register(
     FROM agg ORDER BY source
     """,
 )
+
+# ---------------------------------------------------------------------------
+# split integrity + epoch scheduling
+# ---------------------------------------------------------------------------
+
+_SHINGLES3 = ("list_distinct(list_transform("
+              "range(1, greatest(len(t) - 2, 0) + 1), "
+              "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))")
+
+register(
+    "split_contamination_matrix",
+    lambda spark, sf: curation.split_contamination_matrix(
+        *_t(spark, sf, "documents")),
+    # per-shingle presence flags in ONE groupBy, all three
+    # intersections in ONE aggregate, 3 rows via UNION ALL
+    f"""
+    WITH sp AS (
+      SELECT ({_md5int('CAST(doc_id AS VARCHAR)')} % 100) AS b,
+             {_SHINGLES3} AS s
+      FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+    ), sh AS (
+      SELECT b, {_md5int('g')} AS h
+      FROM (SELECT b, unnest(s) AS g FROM sp)
+    ), flags AS (
+      SELECT h,
+             max(CASE WHEN b < 10 THEN 1 ELSE 0 END) AS v,
+             max(CASE WHEN b >= 10 AND b < 20 THEN 1 ELSE 0 END) AS x,
+             max(CASE WHEN b >= 20 THEN 1 ELSE 0 END) AS t
+      FROM sh GROUP BY h
+    ), w AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n_train,
+             CAST(sum(v) AS BIGINT) AS n_val,
+             CAST(sum(x) AS BIGINT) AS n_test,
+             CAST(sum(t * v) AS BIGINT) AS s_tv,
+             CAST(sum(t * x) AS BIGINT) AS s_tx,
+             CAST(sum(v * x) AS BIGINT) AS s_vx
+      FROM flags
+    ), long AS (
+      SELECT 'train' AS split_a, 'test' AS split_b,
+             n_train AS n_shingles_a, n_test AS n_shingles_b,
+             s_tx AS n_shared FROM w
+      UNION ALL
+      SELECT 'train', 'val', n_train, n_val, s_tv FROM w
+      UNION ALL
+      SELECT 'val', 'test', n_val, n_test, s_vx FROM w
+    )
+    SELECT split_a, split_b, n_shingles_a, n_shingles_b, n_shared,
+           CASE WHEN n_shingles_a + n_shingles_b - n_shared > 0 THEN
+             CAST(floor(n_shared * 1e6
+                        / (n_shingles_a + n_shingles_b - n_shared))
+                  AS BIGINT)
+           END AS jaccard_e6
+    FROM long ORDER BY split_a, split_b
+    """,
+    family="dedup",
+)
+
+register(
+    "epoch_shuffle_plan",
+    lambda spark, sf: curation.epoch_shuffle_plan(
+        *_t(spark, sf, "documents")),
+    # epoch-salted md5 buckets; share within the epoch
+    f"""
+    WITH per AS (
+      SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    ), pe AS (
+      SELECT doc_id, n_tok, CAST(u.e AS INT) AS epoch
+      FROM per, (SELECT unnest(range(0, 3)) AS e) u
+    ), pb AS (
+      SELECT epoch,
+             CAST({_md5int(
+                 "CAST(doc_id AS VARCHAR) || ':' || "
+                 "CAST(epoch AS VARCHAR)")} % 16 AS INT) AS bucket,
+             n_tok
+      FROM pe
+    ), agg AS (
+      SELECT epoch, bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM pb GROUP BY 1, 2
+    )
+    SELECT epoch, bucket, n_docs, n_tokens,
+           CAST(floor(n_docs * 1e6
+                      / sum(n_docs) OVER (PARTITION BY epoch))
+                AS BIGINT) AS share_e6
+    FROM agg ORDER BY epoch, bucket
+    """,
+    family="dataprep",
+)

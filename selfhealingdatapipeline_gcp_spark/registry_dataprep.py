@@ -847,3 +847,48 @@ register(
     ORDER BY ds.source
     """,
 )
+
+
+register(
+    "pii_density_report",
+    # the pii_redact sequential-redaction counting per doc, one
+    # source-grain rollup (operators/dataprep.py pii_density_report)
+    lambda spark, sf: dataprep.pii_density_report(
+        *_t(spark, sf, "documents")),
+    """
+    WITH s1 AS (
+      SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_split_to_array(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}')) - 1
+                  AS BIGINT) AS c,
+             regexp_replace(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
+                  '<CARD>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT source, n_chars, c,
+             CAST(len(regexp_split_to_array(t1,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) - 1 AS BIGINT) AS p,
+             regexp_replace(t1, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]',
+                  '<PHONE>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT source, n_chars, c, p,
+             CAST(len(regexp_split_to_array(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                  AS BIGINT) AS e
+      FROM s2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e + p + c > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_email,
+           CAST(sum(p) AS BIGINT) AS n_phone,
+           CAST(sum(c) AS BIGINT) AS n_card,
+           CASE WHEN sum(n_chars) > 0 THEN
+             CAST(floor(sum(e + p + c) * 1e6 / sum(n_chars)) AS BIGINT)
+           END AS hits_per_mchar
+    FROM s3 GROUP BY source ORDER BY source
+    """,
+)

@@ -1582,3 +1582,42 @@ register(
         *_t(spark, sf, "orders", "events")),
     _incident_rollup_sql(),
 )
+
+
+_LD_THRESHOLDS = (2, 3, 5, 10)
+_LD_STACK = "\n      UNION ALL\n      ".join(
+    f"SELECT {t} AS l, g{t} AS n_groups_below_l, r{t} AS n_rows_below_l, "
+    "n_groups, n_rows FROM w" for t in _LD_THRESHOLDS)
+_LD_AGGS = ",\n        ".join(
+    f"CAST(count(*) FILTER (l_div < {t}) AS BIGINT) AS g{t}, "
+    f"CAST(coalesce(sum(n) FILTER (l_div < {t}), 0) AS BIGINT) AS r{t}"
+    for t in _LD_THRESHOLDS)
+register(
+    "l_diversity_audit",
+    # per-QI-class exact distinct-sensitive counts in one aggregate,
+    # every threshold in the same pass (operators/quality.py
+    # l_diversity_audit — the k_anonymity_audit discipline)
+    lambda spark, sf: quality.l_diversity_audit(
+        *_t(spark, sf, "customer")),
+    f"""
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                      AS BIGINT)) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2
+    ), w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+        {_LD_AGGS}
+      FROM sizes
+    ), long AS (
+      {_LD_STACK}
+    )
+    SELECT CAST(l AS INT) AS l, n_groups, n_rows,
+           n_groups_below_l, n_rows_below_l,
+           CAST(floor(n_rows_below_l * 1000000.0 / n_rows) AS BIGINT)
+             AS at_risk_rate_e6
+    FROM long ORDER BY l
+    """,
+)

@@ -351,3 +351,100 @@ def test_perplexity_ttr_signs(spark):
     assert out["s1"].pearson_r is not None
     assert out["s1"].pearson_r > 0.9
     assert out["s2"].pearson_r is None           # zero variance
+
+
+# ---------------------------------------------------------------------------
+# batch 4: privacy / split integrity / epoch scheduling
+# ---------------------------------------------------------------------------
+
+NAMES4 = ("l_diversity_audit", "pii_density_report",
+          "split_contamination_matrix", "epoch_shuffle_plan")
+
+
+@pytest.mark.parametrize("name", NAMES4)
+def test_parity_batch4(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    """A QI class with MANY rows but ONE sensitive value is
+    k-anonymous yet l-diverse-unsafe — the defining separation."""
+    from selfhealingdatapipeline_gcp_spark.operators import quality
+    rows = ([(i, 1, "SEG_A", 500.0) for i in range(50)]     # l = 1
+            + [(100 + i, 2, "SEG_B", 1000.0 * i)            # l = 5
+               for i in range(5)])
+    d = spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey int, c_mktsegment string, "
+        "c_acctbal double")
+    out = {r.l: r for r in quality.l_diversity_audit(d).collect()}
+    assert out[2].n_groups == 2 and out[2].n_rows == 55
+    # the 50-row homogeneous class is below every threshold
+    assert out[2].n_groups_below_l == 1
+    assert out[2].n_rows_below_l == 50
+    # at l=10 BOTH classes are below (5 < 10 too)
+    assert out[10].n_groups_below_l == 2
+    assert out[10].n_rows_below_l == 55
+
+
+def test_pii_density_sequential_rule(spark):
+    """A card number is counted once as card, never again as phone;
+    per-source sums match the per-kind plants."""
+    from selfhealingdatapipeline_gcp_spark.operators import dataprep
+    d = spark.createDataFrame(
+        [(0, "call 4111-1111-1111-1111 now", "en", "s1", 1),
+         (1, "mail a@b.com or c@d.org", "en", "s1", 1),
+         (2, "clean document here", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in
+           dataprep.pii_density_report(d).collect()}
+    assert out["s1"].n_card == 1
+    assert out["s1"].n_phone == 0          # card consumed the digits
+    assert out["s1"].n_email == 2
+    assert out["s1"].n_docs_with_pii == 2
+    assert out["s2"].n_docs_with_pii == 0
+    assert out["s2"].hits_per_mchar == 0
+
+
+def test_split_contamination_identical_corpus(spark):
+    """All docs identical → every split holds the SAME shingle set →
+    pairwise Jaccard 1e6 wherever both sides are non-empty."""
+    text = " ".join(f"w{i}" for i in range(12))
+    d = _docs(spark, [text] * 200)           # 200 docs hit all splits
+    rows = curation.split_contamination_matrix(d).collect()
+    assert len(rows) == 3
+    assert ([tuple([r.split_a, r.split_b]) for r in rows]
+            == [("train", "test"), ("train", "val"), ("val", "test")])
+    for r in rows:
+        assert r.n_shared <= min(r.n_shingles_a, r.n_shingles_b)
+        if r.n_shingles_a and r.n_shingles_b:
+            assert r.jaccard_e6 == 1_000_000
+
+
+def test_split_contamination_disjoint(spark):
+    """One doc only → exactly one split is non-empty → zero shared
+    everywhere and null jaccard for empty-empty pairs."""
+    d = _docs(spark, ["a b c d e"])
+    rows = curation.split_contamination_matrix(d).collect()
+    assert all(r.n_shared == 0 for r in rows)
+
+
+def test_epoch_shuffle_plan_conservation_and_decorrelation(spark):
+    out = registry.queries()["epoch_shuffle_plan"](
+        spark, SF_ORACLE).collect()
+    assert len(out) == 48                     # 3 epochs × 16 buckets
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    for e, rows in by_epoch.items():
+        assert sum(r.n_docs for r in rows) == 500
+        shares = sum(r.share_e6 for r in rows)
+        assert 1_000_000 - 16 <= shares <= 1_000_000
+    # epochs re-shuffle: the bucket-size vector must differ across
+    # epochs (md5 salting makes a collision astronomically unlikely)
+    v = {e: tuple(r.n_docs for r in sorted(rows,
+                                           key=lambda x: x.bucket))
+         for e, rows in by_epoch.items()}
+    assert len(set(v.values())) == 3
