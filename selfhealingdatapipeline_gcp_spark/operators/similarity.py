@@ -1850,3 +1850,149 @@ def ann_pq_distortion_report(embeddings: DataFrame, n_sub: int = 8,
                 "n_vectors", "mean_sq_err_u", "max_sq_err_u")
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / clustering evaluation
+# ---------------------------------------------------------------------------
+
+def ndcg_weights(k: int) -> tuple[list[int], list[int]]:
+    """(per-rank DCG weights, prefix sums) as e9 INTEGERS:
+    w_i = floor(1e9 / log2(i+1)), computed once in PYTHON so the
+    identical integer literals are inlined into both engines — DCG
+    sums are then pure bigint arithmetic (order-independent), the
+    bloom_constants discipline applied to ranking math."""
+    import math
+
+    ws = [math.floor(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+    prefix = [0]
+    for w in ws:
+        prefix.append(prefix[-1] + w)
+    return ws, prefix
+
+
+def ann_ndcg_report(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """Per-label retrieval quality of the cell-bounded kNN graph,
+    scored as labeled-retrieval: a neighbor is RELEVANT when it
+    shares the anchor's label. Reports position-weighted nDCG@k
+    (ideal = min(k, label size − 1) relevants up front) and flat
+    precision@k — the eval table that says whether the ANN index is
+    good enough to ship BEFORE wiring it to a training run
+    (ann_recall_report scores overlap vs brute force; this scores
+    usefulness vs ground-truth labels).
+
+    Determinism: DCG weights are Python-precomputed e9 integers
+    (ndcg_weights), so per-anchor DCG and ideal-DCG are bigint sums
+    and lookups; per-anchor nDCG floors to e6 before the per-label
+    mean of exact integers. Singleton-label anchors (no relevant
+    possible) are reported in n_anchors but excluded from the mean
+    (n_scored counts what entered it).
+
+    Scale shape: everything downstream of knn_graph_cells (the
+    cell-bounded edge relation) is anchor-grain then label-grain;
+    the label-count side is |labels| rows, broadcast."""
+    ws, prefix = ndcg_weights(k)
+    edges = knn_graph_cells(embeddings, k=k)
+    labs = embeddings.select("vec_id", "label")
+    e = (edges
+         .join(labs.withColumnRenamed("label", "lab_a"), "vec_id")
+         .join(labs.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("label").alias("lab_n")),
+               "neighbor_id"))
+    w_arr = F.array(*[F.lit(int(w)).cast("bigint") for w in ws])
+    rel = (F.col("lab_a") == F.col("lab_n")).cast("bigint")
+    per = (e.groupBy("vec_id", "lab_a")
+           .agg(F.sum(rel * F.element_at(w_arr, F.col("rank")))
+                 .cast("bigint").alias("dcg_e9"),
+                F.sum(rel).cast("bigint").alias("n_rel")))
+    counts = labs.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    p_arr = F.array(*[F.lit(int(p)).cast("bigint") for p in prefix])
+    r_av = F.least(F.lit(k).cast("bigint"), F.col("cnt") - 1)
+    scored = (per.join(F.broadcast(counts),
+                       per.lab_a == counts.label)
+              .withColumn("idcg_e9", F.element_at(p_arr,
+                                                  (r_av + 1).cast("int")))
+              .withColumn("ndcg_e6",
+                          F.when(F.col("idcg_e9") > 0,
+                                 F.floor(F.col("dcg_e9") * 1e6
+                                         / F.col("idcg_e9")))
+                           .cast("bigint")))
+    return (
+        scored.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+             F.count("ndcg_e6").cast("bigint").alias("n_scored"),
+             F.floor(F.sum("ndcg_e6") / F.count("ndcg_e6"))
+              .cast("bigint").alias("mean_ndcg_e6"),
+             F.floor(F.sum("n_rel") * 1e6
+                     / (F.count(F.lit(1)) * k))
+              .cast("bigint").alias("precision_at_k_e6"))
+        .orderBy("label")
+    )
+
+
+def embedding_silhouette(embeddings: DataFrame) -> DataFrame:
+    """Per-label simplified silhouette (centroid-based, cosine):
+    s = (cos_own − cos_nearest_other) / max(1 − cos_own,
+    1 − cos_nearest_other) per vector, averaged per label — the
+    label-quality score that says whether labels form separated
+    regions in embedding space (≈1 tight and far from the next
+    label, ≈0 on the boundary, <0 closer to another label's centroid
+    than its own). label_centroid_distances scores label PAIRS;
+    this scores the MEMBERS, catching a label whose centroid sits
+    apart but whose points bleed.
+
+    Determinism: the label_centroid_distances integer discipline
+    end-to-end — vectors AND centroids quantize to e6 integers, all
+    dots/norms are bigint sums, cosines are one double division each
+    (identical expression both engines), s floors to e6 before the
+    per-label mean of exact integers.
+
+    Scale shape: ONE corpus-grain explode; the centroid relation is
+    |labels|·d rows and BROADCASTS to the per-dim join (corpus×K
+    fan-out — the assign-cells shape, K = |labels| bounded); vectors
+    with zero norm or a singleton label pool drop out explicitly."""
+    ex = embeddings.select(
+        "vec_id", "label",
+        F.posexplode(vectorfn.to_double(F.col("embedding")))
+         .alias("dim_idx", "x"),
+    ).select("vec_id", "label", "dim_idx",
+             F.floor(F.col("x") * 1e6).cast("bigint").alias("xq"))
+    cent = (ex.groupBy(F.col("label").alias("clab"), F.col("dim_idx"))
+            .agg(F.floor(F.sum("xq") / F.count(F.lit(1)))
+                  .cast("bigint").alias("m")))
+    cnorm = cent.groupBy("clab").agg(
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("nsq_c"))
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("nsq_v"))
+    dots = (ex.join(F.broadcast(cent), "dim_idx")
+            .groupBy("vec_id", "label", "clab")
+            .agg(F.sum(F.col("xq") * F.col("m")).cast("bigint")
+                  .alias("dot")))
+    cos = (F.col("dot")
+           / F.sqrt(F.col("nsq_v").cast("double")
+                    * F.col("nsq_c").cast("double")))
+    scored = (dots.join(F.broadcast(cnorm), "clab")
+              .join(vnorm, "vec_id")
+              .filter((F.col("nsq_v") > 0) & (F.col("nsq_c") > 0))
+              .withColumn("cos", cos))
+    per = (scored.groupBy("vec_id", "label")
+           .agg(F.max(F.when(F.col("clab") == F.col("label"),
+                             F.col("cos"))).alias("cos_own"),
+                F.max(F.when(F.col("clab") != F.col("label"),
+                             F.col("cos"))).alias("cos_oth")))
+    denom = F.greatest(1 - F.col("cos_own"), 1 - F.col("cos_oth"))
+    s_e6 = F.when(
+        F.col("cos_own").isNotNull() & F.col("cos_oth").isNotNull()
+        & (denom > 0),
+        F.floor((F.col("cos_own") - F.col("cos_oth")) / denom * 1e6)
+    ).cast("bigint")
+    return (
+        per.withColumn("s_e6", s_e6)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+             F.count("s_e6").cast("bigint").alias("n_scored"),
+             F.floor(F.sum("s_e6") / F.count("s_e6")).cast("bigint")
+              .alias("mean_silhouette_e6"))
+        .orderBy("label")
+    )

@@ -4155,3 +4155,108 @@ register(
     ORDER BY doc_id, rank
     """,
 )
+
+
+register(
+    "ann_ndcg_report",
+    lambda spark, sf: similarity.ann_ndcg_report(
+        *_t(spark, sf, "embeddings")),
+    # DCG weights are Python-precomputed e9 integers (ndcg_weights)
+    # inlined into BOTH engines — ranking math is pure bigint
+    f"""
+    WITH {_KNN_CTES},
+    ed AS (SELECT vec_id, neighbor_id, rank FROM r WHERE rank <= 5),
+    e AS (
+      SELECT ed.vec_id, a.label AS lab_a, b.label AS lab_n, ed.rank
+      FROM ed JOIN embeddings a ON ed.vec_id = a.vec_id
+              JOIN embeddings b ON ed.neighbor_id = b.vec_id
+    ), per AS (
+      SELECT vec_id, lab_a,
+             CAST(sum(CASE WHEN lab_a = lab_n THEN
+                    CASE rank WHEN 1 THEN 1000000000 WHEN 2 THEN 630929753 WHEN 3 THEN 500000000 WHEN 4 THEN 430676558 WHEN 5 THEN 386852807 ELSE 0 END
+                  ELSE 0 END) AS BIGINT) AS dcg_e9,
+             CAST(sum(CASE WHEN lab_a = lab_n THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_rel
+      FROM e GROUP BY 1, 2
+    ), counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cnt
+      FROM embeddings GROUP BY 1
+    ), scored AS (
+      SELECT counts.label, dcg_e9, n_rel,
+             CASE least(5, cnt - 1) WHEN 0 THEN 0 WHEN 1 THEN 1000000000 WHEN 2 THEN 1630929753 WHEN 3 THEN 2130929753 WHEN 4 THEN 2561606311 WHEN 5 THEN 2948459118 ELSE 0 END AS idcg_e9
+      FROM per JOIN counts ON per.lab_a = counts.label
+    ), s2 AS (
+      SELECT label, n_rel,
+             CASE WHEN idcg_e9 > 0 THEN
+               CAST(floor(dcg_e9 * 1e6 / idcg_e9) AS BIGINT)
+             END AS ndcg_e6
+      FROM scored
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(count(ndcg_e6) AS BIGINT) AS n_scored,
+           CAST(floor(sum(ndcg_e6) / count(ndcg_e6)) AS BIGINT)
+             AS mean_ndcg_e6,
+           CAST(floor(sum(n_rel) * 1e6 / (count(*) * 5)) AS BIGINT)
+             AS precision_at_k_e6
+    FROM s2 GROUP BY label ORDER BY label
+    """,
+    family="ann",
+)
+
+register(
+    "embedding_silhouette",
+    lambda spark, sf: similarity.embedding_silhouette(
+        *_t(spark, sf, "embeddings")),
+    # vectors AND centroids quantize to e6 ints; dots/norms are
+    # bigint sums; one double division per cosine (the
+    # label_centroid_distances discipline, member-grain)
+    """
+    WITH ex AS (
+      SELECT vec_id, label, CAST(u.i - 1 AS INT) AS dim_idx,
+             CAST(floor(v[u.i] * 1000000.0) AS BIGINT) AS xq
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings),
+           LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) u
+    ), cent AS (
+      SELECT label AS clab, dim_idx,
+             CAST(floor(sum(xq) / count(*)) AS BIGINT) AS m
+      FROM ex GROUP BY 1, 2
+    ), cnorm AS (
+      SELECT clab, CAST(sum(m * m) AS BIGINT) AS nsq_c
+      FROM cent GROUP BY 1
+    ), vnorm AS (
+      SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS nsq_v
+      FROM ex GROUP BY 1
+    ), dots AS (
+      SELECT vec_id, label, clab,
+             CAST(sum(xq * m) AS BIGINT) AS dot
+      FROM ex JOIN cent USING (dim_idx) GROUP BY 1, 2, 3
+    ), sc AS (
+      SELECT vec_id, label, clab,
+             dot / sqrt(CAST(nsq_v AS DOUBLE) * CAST(nsq_c AS DOUBLE))
+               AS cos
+      FROM dots JOIN cnorm USING (clab) JOIN vnorm USING (vec_id)
+      WHERE nsq_v > 0 AND nsq_c > 0
+    ), per AS (
+      SELECT vec_id, label,
+             max(CASE WHEN clab = label THEN cos END) AS cos_own,
+             max(CASE WHEN clab != label THEN cos END) AS cos_oth
+      FROM sc GROUP BY 1, 2
+    ), s AS (
+      SELECT label,
+             CASE WHEN cos_own IS NOT NULL AND cos_oth IS NOT NULL
+                       AND greatest(1 - cos_own, 1 - cos_oth) > 0
+                  THEN CAST(floor((cos_own - cos_oth)
+                                  / greatest(1 - cos_own, 1 - cos_oth)
+                                  * 1e6) AS BIGINT)
+             END AS s_e6
+      FROM per
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(s_e6) AS BIGINT) AS n_scored,
+           CAST(floor(sum(s_e6) / count(s_e6)) AS BIGINT)
+             AS mean_silhouette_e6
+    FROM s GROUP BY label ORDER BY label
+    """,
+    family="ann",
+)

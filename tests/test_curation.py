@@ -448,3 +448,84 @@ def test_epoch_shuffle_plan_conservation_and_decorrelation(spark):
                                            key=lambda x: x.bucket))
          for e, rows in by_epoch.items()}
     assert len(set(v.values())) == 3
+
+
+# ---------------------------------------------------------------------------
+# batch 5: retrieval / clustering evaluation (similarity.py)
+# ---------------------------------------------------------------------------
+
+NAMES5 = ("ann_ndcg_report", "embedding_silhouette")
+
+
+@pytest.mark.parametrize("name", NAMES5)
+def test_parity_batch5(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def _vecs(spark, rows):
+    """rows: list of (vec_id, embedding list, label)."""
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long")
+
+
+def test_ndcg_weights_monotone_and_integer():
+    from selfhealingdatapipeline_gcp_spark.operators.similarity import \
+        ndcg_weights
+    ws, prefix = ndcg_weights(5)
+    assert ws[0] == 10 ** 9                    # 1/log2(2) = 1
+    assert ws == sorted(ws, reverse=True)
+    assert all(isinstance(w, int) for w in ws)
+    assert prefix[5] == sum(ws)
+
+
+def test_ndcg_separated_beats_mixed_labels(spark):
+    """Same point cloud, two labelings: geometry-aligned labels (two
+    tight clusters, label = cluster) must score strictly higher nDCG
+    and precision than adversarial alternating labels (label =
+    vec_id parity, so ~half of every neighborhood is irrelevant).
+    Robust to the cell grid — both runs share the exact same cells
+    and edges, only relevance flips."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    pts = ([(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(30)]
+           + [(100 + i, [0.0001 * i, 1.0, 0.0, 0.0])
+              for i in range(30)])
+    aligned = [(vid, v, 0 if vid < 100 else 1) for vid, v in pts]
+    mixed = [(vid, v, vid % 2) for vid, v in pts]
+    oa = {r.label: r for r in similarity.ann_ndcg_report(
+        _vecs(spark, aligned)).collect()}
+    om = {r.label: r for r in similarity.ann_ndcg_report(
+        _vecs(spark, mixed)).collect()}
+    for lab in (0, 1):
+        assert 0 <= om[lab].mean_ndcg_e6 < oa[lab].mean_ndcg_e6
+        assert om[lab].precision_at_k_e6 < oa[lab].precision_at_k_e6
+        assert oa[lab].mean_ndcg_e6 <= 1_000_000
+    # aligned clusters are far apart → every retrieved neighbor is
+    # same-label → per-anchor precision = n_retrieved/5 ≥ 1/5
+    for lab in (0, 1):
+        assert oa[lab].precision_at_k_e6 >= 200_000
+
+
+def test_silhouette_separated_vs_mixed(spark):
+    """Tight separated clusters score near 1; a label whose members
+    sit ON the other label's centroid scores negative."""
+    from selfhealingdatapipeline_gcp_spark.operators import similarity
+    sep = ([(i, [1.0, 0.001 * i, 0.0], 0) for i in range(3)]
+           + [(10 + i, [0.0, 1.0, 0.001 * i], 1) for i in range(3)])
+    out = {r.label: r for r in
+           similarity.embedding_silhouette(_vecs(spark, sep)).collect()}
+    assert out[0].mean_silhouette_e6 > 900_000
+    assert out[1].mean_silhouette_e6 > 900_000
+    # now plant label 2's members straddling label 0's centroid
+    # (distinct points, so no degenerate cos_own = cos_oth = 1)
+    mixed = sep + [(20 + i, [1.0, 0.0005 + 0.0005 * i, 0.0], 2)
+                   for i in range(3)]
+    out2 = {r.label: r for r in
+            similarity.embedding_silhouette(
+                _vecs(spark, mixed)).collect()}
+    # label 0 and 2 overlap: both near the boundary (|s| small or
+    # negative), label 1 stays separated
+    assert out2[1].mean_silhouette_e6 > 800_000
+    assert out2[0].mean_silhouette_e6 < 500_000
+    assert out2[2].mean_silhouette_e6 < 500_000
