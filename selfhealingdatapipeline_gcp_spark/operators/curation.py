@@ -994,3 +994,63 @@ def epoch_shuffle_plan(documents: DataFrame, n_epochs: int = 3,
                     .cast("bigint").alias("share_e6"))
         .orderBy("epoch", "bucket")
     )
+
+
+def source_bigram_nll_profile(documents: DataFrame) -> DataFrame:
+    """Per-source distribution of the bigram-LM score: exact
+    interpolated p10/p50/p90 and mean of each document's average
+    bigram negative log-probability — the which-sources-produce-
+    high-perplexity-text dashboard a perplexity-filter threshold is
+    chosen from (text_bigram_logprob emits the per-doc scores; a
+    500M-doc relation is not a decision table, this |sources|-row
+    profile is).
+
+    Determinism: per-doc scores are e4 INTEGERS (the
+    text_bigram_logprob micro-sum, DIV'd down before anything
+    averages); percentiles use the Spark percentile ↔ DuckDB
+    quantile_cont identical-interpolation pairing pinned since
+    event_value_percentiles, floor-e6; the mean is an integer-sum
+    ratio, floor-e4.
+
+    Scale shape: the bigram/unigram count relations are
+    vocabulary-grain; per-doc collapse then ONE source-grain agg —
+    output O(|sources|)."""
+    t = textfn.tokens("text")
+    d = (_spread(documents)
+         .select("doc_id", "source", t.alias("t"))
+         .filter(F.size("t") >= 2))
+    big = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS w1, "
+            "element_at(t, i + 1) AS w2))")).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    uni = (_spread(documents)
+           .select(F.explode(t).alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    nll = (
+        big.join(bi, ["w1", "w2"]).join(uni, "w1")
+        .select("doc_id",
+                F.floor(-F.log(F.col("c2") / F.col("c1")) * 1e6)
+                 .cast("bigint").alias("nll_micro"))
+        .groupBy("doc_id")
+        .agg(F.floor(F.sum("nll_micro") / (F.count(F.lit(1)) * 100.0))
+              .cast("bigint").alias("nll_e4"))
+    )
+    per = d.select("doc_id", "source").join(nll, "doc_id")
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nll_e4").alias("nll_sum"),
+        *[F.percentile("nll_e4", F.lit(p / 100.0)).alias(f"q{p}")
+          for p in (10, 50, 90)])
+    return (
+        agg.select(
+            "source", "n_docs",
+            *[(F.floor(F.col(f"q{p}") * 1e6) / 1e6)
+              .alias(f"nll_e4_p{p}") for p in (10, 50, 90)],
+            (F.floor(F.col("nll_sum") / F.col("n_docs")) / 1e4)
+             .alias("mean_nll"))
+        .orderBy("source")
+    )

@@ -785,3 +785,51 @@ register(
     """,
     family="dataprep",
 )
+
+register(
+    "source_bigram_nll_profile",
+    lambda spark, sf: curation.source_bigram_nll_profile(
+        *_t(spark, sf, "documents")),
+    # per-doc e4-integer scores, then quantile_cont (the Spark
+    # percentile interpolation twin) + integer-sum mean per source
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKENS} AS t FROM documents
+    ), d2 AS (SELECT * FROM d WHERE len(t) >= 2),
+    big AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                 i -> {{'w1': t[i], 'w2': t[i+1]}})) AS u
+        FROM d2
+      )
+    ), uni AS (
+      SELECT w1, count(*) AS c1
+      FROM (SELECT unnest(t) AS w1 FROM d) GROUP BY w1
+    ), bi AS (
+      SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2
+    ), nll AS (
+      SELECT doc_id,
+             CAST(floor(sum(nll_micro) / (count(*) * 100.0))
+                  AS BIGINT) AS nll_e4
+      FROM (
+        SELECT doc_id,
+               CAST(floor(-ln(c2 / c1) * 1e6) AS BIGINT) AS nll_micro
+        FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1)
+      ) GROUP BY doc_id
+    ), per AS (
+      SELECT source, nll_e4 FROM d2 JOIN nll USING (doc_id)
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           (floor(quantile_cont(nll_e4, 0.1) * 1000000.0) / 1000000.0)
+             AS nll_e4_p10,
+           (floor(quantile_cont(nll_e4, 0.5) * 1000000.0) / 1000000.0)
+             AS nll_e4_p50,
+           (floor(quantile_cont(nll_e4, 0.9) * 1000000.0) / 1000000.0)
+             AS nll_e4_p90,
+           (floor(CAST(sum(nll_e4) AS BIGINT) / count(*)) / 10000.0)
+             AS mean_nll
+    FROM per GROUP BY source ORDER BY source
+    """,
+)

@@ -4260,3 +4260,41 @@ register(
     """,
     family="ann",
 )
+
+
+register(
+    "streaming_pii_guard",
+    monitors.streaming_pii_guard,
+    # chop-invariant per-doc PII scores: the epoch union equals the
+    # batch result; same sequential-redaction chain as pii_redact
+    """
+    WITH s1 AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}')) - 1
+                  AS BIGINT) AS n_card,
+             regexp_replace(text,
+                  '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}',
+                  '<CARD>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, source, n_card,
+             CAST(len(regexp_split_to_array(t1,
+                  '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]')) - 1 AS BIGINT)
+               AS n_phone,
+             regexp_replace(t1, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]',
+                  '<PHONE>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, source, n_card, n_phone,
+             CAST(len(regexp_split_to_array(t2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+                  AS BIGINT) AS n_email
+      FROM s2
+    )
+    SELECT doc_id, source, n_email, n_phone, n_card,
+           (n_email + n_phone + n_card) > 0 AS has_pii
+    FROM s3 ORDER BY doc_id
+    """,
+    family="streaming",
+)

@@ -1099,3 +1099,68 @@ def streaming_er_guard(spark: SparkSession, sf_dir: str,
             [], "id_a bigint, id_b bigint, name_a string, "
                 "name_b string, edit_distance int")
     return er.pairs_from_masked(spark.read.parquet(out_dir))
+
+
+def streaming_pii_guard(spark: SparkSession, sf_dir: str,
+                        max_files_per_trigger: int | None = None
+                        ) -> DataFrame:
+    """Streaming PII ADMISSION guard: every arriving micro-batch of
+    candidate documents is PII-scored at the door (card → phone →
+    email with pii_redact's sequential-redaction counting, so kinds
+    never double-count) and flagged BEFORE anything enters the
+    corpus — the live-feed form of pii_density_report's batch audit,
+    and the gate that keeps a takedown from ever being needed.
+
+    foreachBatch lands each epoch's per-doc counts in an epoch-keyed
+    parquet dir (idempotent exactly-once sink — a replayed epoch
+    overwrites itself). A doc's PII score depends only on its own
+    text, never on micro-batch peers — chop-invariant, so the epoch
+    union equals the batch result and the oracle is plain SQL.
+
+    Scale: per-epoch work is scan-stage regexp counting (codegen, no
+    UDF, no shuffle) — the cheapest possible admission gate."""
+    from selfhealingdatapipeline_gcp_spark.operators.dataprep import (
+        PII_PATTERNS)
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_staged_dir(path))
+    out_dir = _fresh_sink_dir("pii_guard")
+    epochs = []
+
+    def score_epoch(batch_df, epoch_id: int) -> None:
+        red = F.col("text")
+        counts: dict[str, F.Column] = {}
+        for kind in ("card", "phone", "email"):
+            pat = PII_PATTERNS[kind]
+            counts[kind] = (F.size(F.split(red, pat)) - 1)\
+                .cast("bigint")
+            red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+        scored = batch_df.select(
+            "doc_id", "source",
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["card"].alias("n_card"))
+        (scored.withColumn(
+            "has_pii",
+            (F.col("n_email") + F.col("n_phone") + F.col("n_card"))
+            > 0)
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
+        epochs.append(epoch_id)
+
+    q = (stream.writeStream.foreachBatch(score_epoch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not epochs:
+        return spark.createDataFrame(
+            [], "doc_id bigint, source string, n_email bigint, "
+                "n_phone bigint, n_card bigint, has_pii boolean")
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "source", "n_email", "n_phone", "n_card",
+                "has_pii")
+        .orderBy("doc_id")
+    )

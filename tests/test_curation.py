@@ -529,3 +529,89 @@ def test_silhouette_separated_vs_mixed(spark):
     assert out2[1].mean_silhouette_e6 > 800_000
     assert out2[0].mean_silhouette_e6 < 500_000
     assert out2[2].mean_silhouette_e6 < 500_000
+
+
+# ---------------------------------------------------------------------------
+# batch 6: streaming PII guard + source-grain LM profile
+# ---------------------------------------------------------------------------
+
+NAMES6 = ("streaming_pii_guard", "source_bigram_nll_profile")
+
+
+@pytest.mark.parametrize("name", NAMES6)
+def test_parity_batch6(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_streaming_pii_guard_chop_invariance(spark, tmp_path):
+    """A 3-file source with maxFilesPerTrigger=1 runs >= 2
+    micro-batches; the epoch union must equal the batch
+    pii_density-style per-doc counts — a doc's PII score depends
+    only on its own text, never on micro-batch peers."""
+    import os
+    from selfhealingdatapipeline_gcp_spark import catalog
+    from selfhealingdatapipeline_gcp_spark.operators.dataprep import (
+        PII_PATTERNS)
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sf_pii")
+    os.makedirs(src)
+    docs = catalog.load(spark, SF_ORACLE, "documents")
+    docs.repartition(3).write.parquet(f"{src}/documents.parquet")
+
+    streamed = {r.doc_id: (r.n_email, r.n_phone, r.n_card, r.has_pii)
+                for r in monitors.streaming_pii_guard(
+                    spark, src, max_files_per_trigger=1).collect()}
+    red = F.col("text")
+    counts = {}
+    for kind in ("card", "phone", "email"):
+        pat = PII_PATTERNS[kind]
+        counts[kind] = (F.size(F.split(red, pat)) - 1).cast("bigint")
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    loaded = catalog.load(spark, src, "documents")
+    batch = {r.doc_id: (r.n_email, r.n_phone, r.n_card,
+                        (r.n_email + r.n_phone + r.n_card) > 0)
+             for r in loaded.select(
+                 "doc_id", counts["email"].alias("n_email"),
+                 counts["phone"].alias("n_phone"),
+                 counts["card"].alias("n_card")).collect()}
+    assert streamed == batch and len(batch) == 500
+
+
+def test_streaming_pii_guard_flags_planted_pii(spark, tmp_path):
+    import os
+    from selfhealingdatapipeline_gcp_spark.streaming import monitors
+    src = str(tmp_path / "sf_plant")
+    os.makedirs(src)
+    d = spark.createDataFrame(
+        [(0, "reach me at a@b.com today", "en", "s", 1),
+         (1, "wire 4111-1111-1111-1111 now", "en", "s", 1),
+         (2, "nothing sensitive here", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    d.write.parquet(f"{src}/documents.parquet")
+    out = {r.doc_id: r for r in monitors.streaming_pii_guard(
+        spark, src).collect()}
+    assert out[0].has_pii is True and out[0].n_email == 1
+    assert out[1].has_pii is True and out[1].n_card == 1
+    assert out[2].has_pii is False
+
+
+def test_bigram_profile_orders_repetitive_below_varied(spark):
+    """A source of looping docs (one continuation per hub) profiles
+    a lower median NLL than a source taking fresh continuations."""
+    rep = [(i, "x c x c x c x c", "en", "rep", 1) for i in range(6)]
+    var = [(10 + i, f"x v{i}a x v{i}b x v{i}c x v{i}d", "en", "var", 1)
+           for i in range(6)]
+    d = spark.createDataFrame(
+        rep + var,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in
+           curation.source_bigram_nll_profile(d).collect()}
+    assert out["rep"].nll_e4_p50 < out["var"].nll_e4_p50
+    assert out["rep"].mean_nll < out["var"].mean_nll
+    assert out["rep"].n_docs == 6 and out["var"].n_docs == 6
