@@ -1054,3 +1054,103 @@ def source_bigram_nll_profile(documents: DataFrame) -> DataFrame:
              .alias("mean_nll"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# filter agreement + review sizing
+# ---------------------------------------------------------------------------
+
+def quality_rules_venn(documents: DataFrame) -> DataFrame:
+    """Agreement matrix between the two rule-based admission filters:
+    the 2×2 contingency of gopher_pass × c4_pass with counts and
+    corpus shares — the redundancy audit run before stacking filters
+    in a cascade (if the cells off the diagonal are empty, the second
+    filter adds nothing; a big pass/fail cell is the population to
+    hand-review). Composes the REGISTERED rule operators verbatim so
+    the cells can never drift from the filters they describe.
+
+    Scale shape: both rule sets are scan-stage per-row expressions;
+    one doc_id equi-join, ONE aggregate with four conditional counts
+    stacked to the grid — output is exactly 4 rows, total by
+    construction."""
+    g = quality_gopher_rules(documents).select("doc_id", "gopher_pass")
+    c = quality_c4_rules(documents).select("doc_id", "c4_pass")
+    j = g.join(c, "doc_id")
+    gp, cp = F.col("gopher_pass"), F.col("c4_pass")
+    cells = [("gg", gp & cp), ("gx", gp & ~cp),
+             ("xg", ~gp & cp), ("xx", ~gp & ~cp)]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_total")]
+    for nm, cond in cells:
+        aggs.append(F.sum(cond.cast("bigint")).cast("bigint")
+                    .alias(nm))
+    wide = j.agg(*aggs)
+    long = wide.selectExpr(
+        "n_total",
+        "stack(4, "
+        "true,  true,  gg, "
+        "true,  false, gx, "
+        "false, true,  xg, "
+        "false, false, xx) AS (gopher_pass, c4_pass, n_docs)")
+    return (
+        long.select(
+            "gopher_pass", "c4_pass", "n_docs",
+            F.floor(F.col("n_docs") * 1e6 / F.col("n_total"))
+             .cast("bigint").alias("share_e6"))
+        .orderBy(F.desc("gopher_pass"), F.desc("c4_pass"))
+    )
+
+
+#: (half-width, z²/w² coefficient) for a 95% CI — computed in PYTHON
+#: so the identical double literal reaches both engines
+CI_HALF_WIDTHS: tuple[float, ...] = (0.01, 0.02, 0.05)
+_Z95 = 1.96
+
+
+def ci_coefficient(w: float) -> float:
+    return (_Z95 / w) ** 2
+
+
+def sample_size_calculator(documents: DataFrame) -> DataFrame:
+    """Human-review sample sizing per source: how many docs must be
+    drawn to estimate that source's gopher pass rate within ±w at
+    95% confidence — n = ceil(z²·p̂(1−p̂)/w²) from the OBSERVED pass
+    rate, plus the finite-population-corrected size (small sources
+    need far fewer than the asymptotic formula says). The table a QA
+    budget is negotiated from; pairs with neyman_allocation_plan
+    (which splits a FIXED budget; this prices the budget itself).
+
+    Determinism: p̂(1−p̂) is computed from exact integer counts in
+    one double expression; z²/w² are Python-inlined repr literals
+    (the bloom_constants discipline); ceil on both engines.
+
+    Scale shape: one source-grain aggregate over the scan-stage rule
+    expressions; output |sources| × |CI_HALF_WIDTHS| rows."""
+    g = quality_gopher_rules(documents).select("doc_id", "gopher_pass")
+    per = (documents.select("doc_id", "source").join(g, "doc_id")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.col("gopher_pass").cast("bigint"))
+                 .cast("bigint").alias("n_pass")))
+    grid = []
+    for w in CI_HALF_WIDTHS:
+        grid.append(F.struct(
+            F.lit(int(round(w * 1e6))).cast("bigint")
+             .alias("half_width_e6"),
+            F.lit(float(ci_coefficient(w))).alias("c")))
+    p = F.col("n_pass").cast("double") / F.col("n_docs")
+    n_req = F.ceil(F.col("g.c") * p * (1 - p)).cast("bigint")
+    n_fpc = F.ceil(
+        n_req.cast("double")
+        / (1 + (n_req - 1).cast("double") / F.col("n_docs")))\
+        .cast("bigint")
+    return (
+        per.select("source", "n_docs", "n_pass",
+                   F.explode(F.array(*grid)).alias("g"))
+        .select("source", "n_docs", "n_pass",
+                F.floor(F.col("n_pass") * 1e6 / F.col("n_docs"))
+                 .cast("bigint").alias("pass_rate_e6"),
+                F.col("g.half_width_e6").alias("half_width_e6"),
+                n_req.alias("n_required"),
+                n_fpc.alias("n_required_fpc"))
+        .orderBy("source", "half_width_e6")
+    )

@@ -833,3 +833,90 @@ register(
     FROM per GROUP BY source ORDER BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# filter agreement + review sizing
+# ---------------------------------------------------------------------------
+
+
+def _venn_sql() -> str:
+    """Compose the REGISTERED rule oracles verbatim — the cells can
+    never drift from the filters they describe."""
+    from selfhealingdatapipeline_gcp_spark.registry import _REGISTRY
+    g = _REGISTRY["quality_gopher_rules"].oracle
+    c = _REGISTRY["quality_c4_rules"].oracle
+    return f"""
+    WITH g AS (SELECT doc_id, gopher_pass FROM ({g})),
+    c AS (SELECT doc_id, c4_pass FROM ({c})),
+    j AS (SELECT gopher_pass, c4_pass FROM g JOIN c USING (doc_id)),
+    w AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN gopher_pass AND c4_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS gg,
+        CAST(sum(CASE WHEN gopher_pass AND NOT c4_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS gx,
+        CAST(sum(CASE WHEN NOT gopher_pass AND c4_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS xg,
+        CAST(sum(CASE WHEN NOT gopher_pass AND NOT c4_pass
+                 THEN 1 ELSE 0 END) AS BIGINT) AS xx
+      FROM j
+    ), long AS (
+      SELECT true AS gopher_pass, true AS c4_pass, gg AS n_docs,
+             n_total FROM w
+      UNION ALL
+      SELECT true, false, gx, n_total FROM w
+      UNION ALL
+      SELECT false, true, xg, n_total FROM w
+      UNION ALL
+      SELECT false, false, xx, n_total FROM w
+    )
+    SELECT gopher_pass, c4_pass, n_docs,
+           CAST(floor(n_docs * 1e6 / n_total) AS BIGINT) AS share_e6
+    FROM long ORDER BY gopher_pass DESC, c4_pass DESC
+    """
+
+
+register(
+    "quality_rules_venn",
+    lambda spark, sf: curation.quality_rules_venn(
+        *_t(spark, sf, "documents")),
+    _venn_sql(),
+)
+
+
+def _sample_size_sql() -> str:
+    from selfhealingdatapipeline_gcp_spark.registry import _REGISTRY
+    g = _REGISTRY["quality_gopher_rules"].oracle
+    return f"""
+    WITH g AS (SELECT doc_id, gopher_pass FROM ({g})),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass
+      FROM documents JOIN g USING (doc_id) GROUP BY source
+    ), grid(half_width_e6, c) AS (SELECT * FROM (VALUES (CAST(10000 AS BIGINT), CAST(38416.0 AS DOUBLE)), (CAST(20000 AS BIGINT), CAST(9604.0 AS DOUBLE)), (CAST(50000 AS BIGINT), CAST(1536.6399999999996 AS DOUBLE))))
+    SELECT source, n_docs, n_pass,
+           CAST(floor(n_pass * 1e6 / n_docs) AS BIGINT)
+             AS pass_rate_e6,
+           half_width_e6,
+           CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+                     * (1 - CAST(n_pass AS DOUBLE) / n_docs))
+                AS BIGINT) AS n_required,
+           CAST(ceil(CAST(CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+                          * (1 - CAST(n_pass AS DOUBLE) / n_docs))
+                     AS BIGINT) AS DOUBLE)
+                / (1 + (CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+                             * (1 - CAST(n_pass AS DOUBLE) / n_docs))
+                        AS BIGINT) - 1) / CAST(n_docs AS DOUBLE)))
+                AS BIGINT) AS n_required_fpc
+    FROM per, grid ORDER BY source, half_width_e6
+    """
+
+
+register(
+    "sample_size_calculator",
+    lambda spark, sf: curation.sample_size_calculator(
+        *_t(spark, sf, "documents")),
+    _sample_size_sql(),
+)

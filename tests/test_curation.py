@@ -615,3 +615,60 @@ def test_bigram_profile_orders_repetitive_below_varied(spark):
     assert out["rep"].nll_e4_p50 < out["var"].nll_e4_p50
     assert out["rep"].mean_nll < out["var"].mean_nll
     assert out["rep"].n_docs == 6 and out["var"].n_docs == 6
+
+
+# ---------------------------------------------------------------------------
+# batch 7: filter agreement + review sizing
+# ---------------------------------------------------------------------------
+
+NAMES7 = ("quality_rules_venn", "sample_size_calculator")
+
+
+@pytest.mark.parametrize("name", NAMES7)
+def test_parity_batch7(name, spark, duck):
+    q = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_venn_cells_total_and_match_filters(spark):
+    out = registry.queries()["quality_rules_venn"](
+        spark, SF_ORACLE).collect()
+    assert len(out) == 4
+    assert sum(r.n_docs for r in out) == 500
+    # cell (gopher, c4) = (True, True) count equals the direct
+    # conjunction of the two registered filters
+    g = {r.doc_id: r.gopher_pass for r in registry.queries()[
+        "quality_gopher_rules"](spark, SF_ORACLE).collect()}
+    c = {r.doc_id: r.c4_pass for r in registry.queries()[
+        "quality_c4_rules"](spark, SF_ORACLE).collect()}
+    both = sum(1 for d in g if g[d] and c[d])
+    cell = next(r for r in out if r.gopher_pass and r.c4_pass)
+    assert cell.n_docs == both
+
+
+def test_sample_size_tighter_ci_needs_more(spark):
+    """n_required is monotone decreasing in half-width, capped by
+    the finite-population correction at n_docs."""
+    out = registry.queries()["sample_size_calculator"](
+        spark, SF_ORACLE).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.half_width_e6)
+        ns = [r.n_required for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            assert r.n_required_fpc <= r.n_required
+            assert r.n_required_fpc <= r.n_docs + 1
+
+
+def test_sample_size_closed_form_hand_case(spark):
+    """p = 0.5 maximizes p(1-p): n = ceil(1.96²·0.25/w²)."""
+    import math as m
+    from selfhealingdatapipeline_gcp_spark.operators.curation import (
+        CI_HALF_WIDTHS, ci_coefficient)
+    for w in CI_HALF_WIDTHS:
+        assert m.ceil(ci_coefficient(w) * 0.25) == m.ceil(
+            1.96 ** 2 * 0.25 / w ** 2)
