@@ -1139,10 +1139,16 @@ def sample_size_calculator(documents: DataFrame) -> DataFrame:
             F.lit(float(ci_coefficient(w))).alias("c")))
     p = F.col("n_pass").cast("double") / F.col("n_docs")
     n_req = F.ceil(F.col("g.c") * p * (1 - p)).cast("bigint")
-    n_fpc = F.ceil(
-        n_req.cast("double")
-        / (1 + (n_req - 1).cast("double") / F.col("n_docs")))\
-        .cast("bigint")
+    # a degenerate p ∈ {0,1} gives n_req = 0, where the FPC
+    # denominator 1 + (n_req-1)/N can hit 0 (N = 1): define the
+    # corrected size as 0 — no sampling needed to confirm a rate the
+    # whole source already agrees on (found by the hypothesis
+    # property test, not by any oracle SF)
+    n_fpc = F.when(
+        n_req > 0,
+        F.ceil(n_req.cast("double")
+               / (1 + (n_req - 1).cast("double") / F.col("n_docs"))))\
+        .otherwise(F.lit(0)).cast("bigint")
     return (
         per.select("source", "n_docs", "n_pass",
                    F.explode(F.array(*grid)).alias("g"))

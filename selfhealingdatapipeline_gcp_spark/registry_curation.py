@@ -903,13 +903,17 @@ def _sample_size_sql() -> str:
            CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
                      * (1 - CAST(n_pass AS DOUBLE) / n_docs))
                 AS BIGINT) AS n_required,
-           CAST(ceil(CAST(CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+           CASE WHEN CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
                           * (1 - CAST(n_pass AS DOUBLE) / n_docs))
-                     AS BIGINT) AS DOUBLE)
-                / (1 + (CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
-                             * (1 - CAST(n_pass AS DOUBLE) / n_docs))
-                        AS BIGINT) - 1) / CAST(n_docs AS DOUBLE)))
-                AS BIGINT) AS n_required_fpc
+                     AS BIGINT) > 0 THEN
+             CAST(ceil(CAST(CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+                            * (1 - CAST(n_pass AS DOUBLE) / n_docs))
+                       AS BIGINT) AS DOUBLE)
+                  / (1 + (CAST(ceil(c * (CAST(n_pass AS DOUBLE) / n_docs)
+                               * (1 - CAST(n_pass AS DOUBLE) / n_docs))
+                          AS BIGINT) - 1) / CAST(n_docs AS DOUBLE)))
+                  AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS n_required_fpc
     FROM per, grid ORDER BY source, half_width_e6
     """
 

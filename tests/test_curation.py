@@ -672,3 +672,19 @@ def test_sample_size_closed_form_hand_case(spark):
     for w in CI_HALF_WIDTHS:
         assert m.ceil(ci_coefficient(w) * 0.25) == m.ceil(
             1.96 ** 2 * 0.25 / w ** 2)
+
+
+def test_sample_size_degenerate_source_needs_zero(spark):
+    """A source whose every doc agrees (p = 0 or 1) needs no review
+    sample — n_required = 0 and the FPC stays defined even at
+    n_docs = 1 (the 0/0 edge the hypothesis test found)."""
+    d = spark.createDataFrame(
+        [(0, "tiny", "en", "solo", 1)],      # 1 doc, fails gopher
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    from selfhealingdatapipeline_gcp_spark.operators.curation import (
+        sample_size_calculator)
+    rows = sample_size_calculator(d).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_required == 0 and r.n_required_fpc == 0

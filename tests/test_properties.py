@@ -280,3 +280,88 @@ def test_ahash_above_mean_bit_rule_pure(counts):
     for c, b in zip(counts, bits):
         assert b == (c > total / 16)
     assert sum(bits) < 16
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation: curation/eval integer disciplines
+# ---------------------------------------------------------------------------
+
+@given(st.integers(min_value=1, max_value=10))
+@settings(max_examples=50, deadline=None)
+def test_ndcg_weights_shape(k):
+    """Weights are positive, strictly decreasing integers; prefix
+    sums strictly increase — the bigint-DCG precondition."""
+    from selfhealingdatapipeline_gcp_spark.operators.similarity import (
+        ndcg_weights)
+    ws, prefix = ndcg_weights(k)
+    assert len(ws) == k and len(prefix) == k + 1
+    assert all(isinstance(w, int) and w > 0 for w in ws)
+    assert all(a > b for a, b in zip(ws, ws[1:]))
+    assert prefix[0] == 0 and all(
+        prefix[i + 1] - prefix[i] == ws[i] for i in range(k))
+
+
+@given(st.sets(st.integers(min_value=1, max_value=5), max_size=5))
+@settings(max_examples=300, deadline=None)
+def test_ndcg_bounded_by_ideal(ranks):
+    """For ANY set of relevant ranks with |ranks| <= R, the e6 nDCG
+    floor((Σ w[rank])·1e6 / prefix[R]) lands in [0, 1e6] — the
+    invariant that makes the per-label mean a share."""
+    from selfhealingdatapipeline_gcp_spark.operators.similarity import (
+        ndcg_weights)
+    ws, prefix = ndcg_weights(5)
+    r_avail = max(len(ranks), 1)
+    dcg = sum(ws[r - 1] for r in ranks)
+    idcg = prefix[r_avail]
+    ndcg_e6 = dcg * 10**6 // idcg
+    assert 0 <= ndcg_e6 <= 10**6
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10**9),
+                min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_gini_rank_formula_bounds(freqs):
+    """The token_gini integer numerator Σ(2r−T−1)·n_r over
+    ascending-sorted frequencies is >= 0 and < T·Σn — so gini_e6
+    lands in [0, 1e6)."""
+    ns = sorted(freqs)
+    t, s = len(ns), sum(ns)
+    num = sum((2 * (i + 1) - t - 1) * n for i, n in enumerate(ns))
+    assert 0 <= num < t * s
+    g = math.floor(num / (t * s) * 1e6)
+    assert 0 <= g < 10**6
+    if len(set(ns)) == 1:
+        assert num == 0              # perfectly equal → Gini 0
+
+
+@given(st.integers(min_value=1, max_value=10**7),
+       st.integers(min_value=1, max_value=20))
+@settings(max_examples=300, deadline=None)
+def test_bucket_div_total_and_monotone(hi, nb):
+    """bucket = id·nb DIV hi for id in [0, hi) always lands in
+    [0, nb) and is monotone in id — the corpus_novelty_curve /
+    heaps_law_fit bucketing contract."""
+    ids = sorted({0, hi - 1, hi // 2, hi // 3, min(hi - 1, 12345)})
+    buckets = [(i * nb) // hi for i in ids]
+    assert all(0 <= b < nb for b in buckets)
+    assert buckets == sorted(buckets)
+
+
+@given(st.integers(min_value=0, max_value=10**6),
+       st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_sample_size_fpc_never_exceeds_raw(n_pass, n_docs):
+    """ceil-FPC is <= the asymptotic n and <= N+1 for any observed
+    pass rate — the sample_size_calculator contract."""
+    from selfhealingdatapipeline_gcp_spark.operators.curation import (
+        CI_HALF_WIDTHS, ci_coefficient)
+    n_pass = min(n_pass, n_docs)
+    p = n_pass / n_docs
+    for w in CI_HALF_WIDTHS:
+        n_req = math.ceil(ci_coefficient(w) * p * (1 - p))
+        if n_req > 0:
+            n_fpc = math.ceil(n_req / (1 + (n_req - 1) / n_docs))
+        else:
+            n_fpc = 0                 # the operator's degenerate rule
+        assert n_fpc <= max(n_req, 1)
+        assert n_fpc <= n_docs + 1
