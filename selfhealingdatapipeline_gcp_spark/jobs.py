@@ -265,7 +265,8 @@ def run_scheduled_sweeps(spark: SparkSession, sf_dir: str,
 
 
 def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
-                     dup_rate_alert_e6: int = 200_000) -> dict[str, Any]:
+                     dup_rate_alert_e6: int = 200_000,
+                     rule_prefilter: bool = False) -> dict[str, Any]:
     """The training-data curation pipeline end to end, through the
     same self-healing runner as the reference DAG: quality filter →
     exact dedup → LSH near-dup candidates + verified drop → split →
@@ -285,6 +286,22 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
 
     def filter_stage(s: SparkSession, ctx: dict[str, Any]):
         docs = catalog.load(s, sf_dir, "documents")
+        if rule_prefilter:
+            # rule-based ADMISSION pass before the statistical
+            # filter: Gopher rule conjunction + zero PII hits — both
+            # scan-stage expressions, so the prefilter adds no
+            # shuffle; C4 is web-text-specific and stays opt-in via
+            # the operator registry rather than this job flag
+            from selfhealingdatapipeline_gcp_spark.operators import (
+                curation)
+            g = (curation.quality_gopher_rules(docs)
+                 .filter(F.col("gopher_pass")).select("doc_id"))
+            p = (dataprep.pii_redact(docs)
+                 .filter((F.col("n_email") + F.col("n_phone")
+                          + F.col("n_card")) == 0)
+                 .select("doc_id"))
+            docs = docs.join(g, "doc_id").join(p, "doc_id")
+            state["n_rule_admitted"] = docs.count()
         kept = (dataprep.quality_filter_pipeline(docs)
                 .filter(F.col("keep")).select("doc_id"))
         return docs.join(kept, "doc_id")
@@ -364,7 +381,7 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
         Task("alerts", alert_on_dup_rate, depends_on=("dedup",)),
     ])
     results = pipe.run(spark)
-    return {
+    out: dict[str, Any] = {
         "statuses": {k: v.status for k, v in results.items()},
         "n_in": state.get("n_in"),
         "n_out": state.get("n_out"),
@@ -375,3 +392,6 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
         "output_path": (results["sink"].result
                         if results["sink"].status == "SUCCESS" else None),
     }
+    if "n_rule_admitted" in state:
+        out["n_rule_admitted"] = state["n_rule_admitted"]
+    return out
