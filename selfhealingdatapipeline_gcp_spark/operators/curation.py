@@ -1160,3 +1160,60 @@ def sample_size_calculator(documents: DataFrame) -> DataFrame:
                 n_fpc.alias("n_required_fpc"))
         .orderBy("source", "half_width_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode hygiene
+# ---------------------------------------------------------------------------
+
+#: (kind, Spark/Java regex, DuckDB/RE2 regex) — same character
+#: classes spelled in each engine's escape syntax
+UNICODE_ANOMALY_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("control", r"[\x00-\x08\x0B\x0C\x0E-\x1F]",
+     r"[\x00-\x08\x0b\x0c\x0e-\x1f]"),
+    ("zero_width", "[​-‍﻿]",
+     r"[\x{200B}-\x{200D}\x{FEFF}]"),
+    ("replacement", "�", r"\x{FFFD}"),
+    ("non_ascii", r"[^\x00-\x7F]", r"[^\x00-\x7F]"),
+)
+
+
+def unicode_anomaly_scan(documents: DataFrame) -> DataFrame:
+    """Per-source unicode hygiene audit: occurrences and affected-doc
+    counts for control characters (mojibake / binary bleed-through),
+    zero-width characters (the invisible-text prompt-injection and
+    watermark channel), U+FFFD replacement characters (upstream
+    decode failures), and total non-ASCII share — the four classes a
+    crawl-ingest gate checks before any tokenizer sees the text.
+    Rule-based filters count WORDS; this audits the BYTES under
+    them.
+
+    Scale shape: four regexp counts per row at the scan (codegen, no
+    explode), ONE source-grain aggregate; output O(|sources|).
+    Identical character classes are spelled in each engine's escape
+    syntax side by side in UNICODE_ANOMALY_PATTERNS so they cannot
+    drift silently."""
+    counts = {k: F.regexp_count("text", F.lit(spark_pat)).cast("bigint")
+              for k, spark_pat, _ in UNICODE_ANOMALY_PATTERNS}
+    per = documents.select(
+        "source", F.length("text").cast("bigint").alias("n_chars"),
+        *[c.alias(k) for k, c in counts.items()])
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars")]
+    for k, _, _ in UNICODE_ANOMALY_PATTERNS:
+        aggs += [
+            F.sum(k).cast("bigint").alias(f"n_{k}"),
+            F.sum((F.col(k) > 0).cast("bigint")).cast("bigint")
+             .alias(f"docs_with_{k}")]
+    agg = per.groupBy("source").agg(*aggs)
+    return (
+        agg.select(
+            "source", "n_docs", "n_chars",
+            *[c for k, _, _ in UNICODE_ANOMALY_PATTERNS
+              for c in (F.col(f"n_{k}"), F.col(f"docs_with_{k}"))],
+            F.when(F.col("n_chars") > 0,
+                   F.floor(F.col("n_non_ascii") * 1e6
+                           / F.col("n_chars")))
+             .cast("bigint").alias("non_ascii_per_mchar"))
+        .orderBy("source")
+    )

@@ -924,3 +924,36 @@ register(
         *_t(spark, sf, "documents")),
     _sample_size_sql(),
 )
+
+
+register(
+    "unicode_anomaly_scan",
+    lambda spark, sf: curation.unicode_anomaly_scan(
+        *_t(spark, sf, "documents")),
+    # same character classes, RE2 escape spelling
+    r"""
+    WITH agg AS (
+      SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]'))) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_control,
+           CAST(sum(len(regexp_extract_all(text, '[\x{200B}-\x{200D}\x{FEFF}]'))) AS BIGINT) AS n_zero_width,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '[\x{200B}-\x{200D}\x{FEFF}]')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_zero_width,
+           CAST(sum(len(regexp_extract_all(text, '\x{FFFD}'))) AS BIGINT) AS n_replacement,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '\x{FFFD}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_replacement,
+           CAST(sum(len(regexp_extract_all(text, '[^\x00-\x7F]'))) AS BIGINT) AS n_non_ascii,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '[^\x00-\x7F]')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_non_ascii
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_chars, n_control, docs_with_control, n_zero_width, docs_with_zero_width, n_replacement, docs_with_replacement, n_non_ascii, docs_with_non_ascii,
+           CASE WHEN n_chars > 0 THEN
+             CAST(floor(n_non_ascii * 1e6 / n_chars) AS BIGINT)
+           END AS non_ascii_per_mchar
+    FROM agg ORDER BY source
+    """,
+)

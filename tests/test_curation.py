@@ -708,3 +708,40 @@ def test_curation_job_rule_prefilter(spark, tmp_path):
     assert ruled["n_in"] <= base["n_in"]
     assert ruled["n_in"] == ruled["n_rule_admitted"] or \
         ruled["n_in"] <= ruled["n_rule_admitted"]
+
+
+# ---------------------------------------------------------------------------
+# batch 8: unicode hygiene
+# ---------------------------------------------------------------------------
+
+def test_parity_unicode_scan(spark, duck):
+    q = registry.queries()["unicode_anomaly_scan"]
+    sql = registry.oracle_sql()["unicode_anomaly_scan"]
+    assert_parity(q(spark, SF_ORACLE), duck, sql)
+
+
+def test_unicode_scan_planted_anomalies(spark):
+    """Planted control / zero-width / replacement / non-ASCII chars
+    are counted per class, and the clean source reads all zeros."""
+    from selfhealingdatapipeline_gcp_spark.operators.curation import (
+        unicode_anomaly_scan)
+    d = spark.createDataFrame(
+        [(0, "bad\x07text\x1f here", "en", "dirty", 1),
+         (1, "invisible​join‍ and ﻿ mark", "en",
+          "dirty", 1),
+         (2, "decode fail �� twice", "en", "dirty", 1),
+         (3, "accent café and euro €", "en", "dirty", 1),
+         (4, "perfectly clean ascii", "en", "clean", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = {r.source: r for r in unicode_anomaly_scan(d).collect()}
+    dirty, clean = out["dirty"], out["clean"]
+    assert dirty.n_control == 2 and dirty.docs_with_control == 1
+    assert dirty.n_zero_width == 3 and dirty.docs_with_zero_width == 1
+    assert dirty.n_replacement == 2 and dirty.docs_with_replacement == 1
+    # non-ascii counts EVERY non-ascii char incl. zw + replacement
+    assert dirty.n_non_ascii == 3 + 2 + 2  # zw(3) + fffd(2) + é,€(2)
+    assert dirty.docs_with_non_ascii == 3
+    assert clean.n_control == clean.n_zero_width == 0
+    assert clean.n_replacement == clean.n_non_ascii == 0
+    assert clean.non_ascii_per_mchar == 0
