@@ -20,9 +20,11 @@ of the reference's own surface (SURVEY.md §2). Designed for 100 TB:
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from selfhealingdatapipeline_gcp_spark.functions import textfn, vectorfn
 
@@ -1006,6 +1008,54 @@ def minhash_estimate_report(documents: DataFrame) -> DataFrame:
     )
 
 
+def _component_labels_driver(edges: DataFrame,
+                             id_type: "T.DataType") -> DataFrame:
+    """Exact min-label connected components via driver-side
+    union-find over an ALREADY-CHECKPOINTED, cap-checked edge
+    relation — the bounded-small-state leg of component_labels'
+    hybrid execution (same result contract: one (doc_id, label) row
+    per node appearing in edges, label = min reachable doc_id).
+
+    Path compression + union-by-root-min keeps this O(E α(E)); at
+    the 2M-edge cap that is well under a second of driver CPU, vs
+    ~3 Spark jobs per pointer-doubling round. The collect moves
+    16 bytes/edge once — strictly less traffic than a single round's
+    shuffle of the same relation."""
+    pdf = edges.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: every root is
+            # then its component's min id seen so far
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    import pandas as pd
+
+    schema = T.StructType([T.StructField("doc_id", id_type, True),
+                           T.StructField("label", id_type, True)])
+    if not parent:
+        return edges.sparkSession.createDataFrame([], schema)
+    out = pd.DataFrame({"doc_id": list(parent),
+                        "label": [find(n) for n in parent]})
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def component_labels(edges: DataFrame,
                      max_iterations: int = 25) -> DataFrame:
     """doc_id → connected-component label (the MIN reachable doc_id)
@@ -1046,6 +1096,18 @@ def component_labels(edges: DataFrame,
     fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     adj = fwd.unionByName(rev)
+
+    # Hybrid small-state leg (r10 optimization): when the
+    # checkpointed edge relation is under the driver cap, compute the
+    # identical fixed point with one exact union-find pass instead of
+    # ~3 Spark jobs per doubling round. count() runs on materialized
+    # checkpoint blocks (no recompute); the distributed loop below is
+    # untouched for bigger graphs and non-integral id types.
+    cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "2000000"))
+    id_type = adj.schema["src"].dataType
+    if (cap > 0 and isinstance(id_type, (T.LongType, T.IntegerType))
+            and edges.count() <= cap):
+        return _component_labels_driver(edges, id_type)
 
     nodes = (adj.select(F.col("src").alias("doc_id")).distinct())
     labels = nodes.withColumn("label", F.col("doc_id")) \

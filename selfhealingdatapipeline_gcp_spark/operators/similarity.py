@@ -15,6 +15,8 @@ plan shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1187,10 +1189,80 @@ def embedding_top_component(embeddings: DataFrame,
     With fixed n_rounds the whole loop is a pure function of the
     scan — the DuckDB oracle replays it as unrolled CTE rounds.
 
+    Hybrid execution (optimization r10, guide §1.2/§5): the ONLY
+    corpus-sized work is embedding_covariance's one pass; the
+    iteration state is the d²-row integer relation (d = embedding
+    dim — 2,080 rows at d=64, constant w.r.t. corpus size), yet the
+    distributed loop paid ~3 Spark jobs per round (matvec+max,
+    normalize, checkpoint). The relation now collects once and the
+    identical floor-quantized integer recurrence runs on the driver
+    — every arithmetic step (double casts, multiply order, floors)
+    mirrors the Catalyst expressions term for term, so the result
+    is bit-identical; a >200k-row relation (d ≳ 450) falls back to
+    the distributed loop.
+
     Returns (dim_idx, component, eigenvalue, variance_share); the
     component is the e6-quantized direction normalized to max-abs 1
     (sign fixed by the all-ones start)."""
-    cov = embedding_covariance(embeddings).localCheckpoint(eager=True)
+    cov_df = embedding_covariance(embeddings)
+    cap = int(os.environ.get("SPARK_GRAFT_TOPCOMP_DRIVER_CAP", "200000"))
+    head = cov_df.limit(cap + 1).toPandas() if cap > 0 else None
+    if head is not None and len(head) <= cap:
+        import math
+
+        import pandas as pd
+
+        schema = ("dim_idx int, component double, eigenvalue double, "
+                  "variance_share double")
+        spark = embeddings.sparkSession
+        if not len(head):
+            return spark.createDataFrame([], schema)
+        entries = []  # symmetric (i, j, cov_e12) incl. mirrored
+        tr_e12 = 0
+        dims = set()
+        for i, j, c in zip(head["dim_i"].tolist(), head["dim_j"].tolist(),
+                           head["cov_e12"].tolist()):
+            i, j, c = int(i), int(j), int(c)
+            dims.add(i)
+            entries.append((i, j, c))
+            if i == j:
+                tr_e12 += c
+            else:
+                entries.append((j, i, c))
+        tr_e12 = max(tr_e12, 1)
+        v = {i: 1_000_000 for i in dims}
+
+        def matvec(vcur: dict) -> dict:
+            # Σ_i of floor(((c/1e12) * (vj/1e6)) * 1e6): each term is
+            # floored to an exact int BEFORE the sum — the same
+            # order-independent quantization the Catalyst expression
+            # applies, so partial-agg schedules can't matter there
+            # and plain dict accumulation is exact here
+            w = {i: 0 for i in vcur}
+            for i, j, c in entries:
+                w[i] += math.floor(
+                    ((float(c) / 1e12) * (float(vcur[j]) / 1e6)) * 1e6)
+            return w
+
+        for _ in range(n_rounds):
+            w = matvec(v)
+            m = max(max(abs(x) for x in w.values()), 1)
+            v = {i: math.floor(float(we) * 1e6 / float(m))
+                 for i, we in w.items()}
+        w = matvec(v)
+        num = sum(v[i] * w[i] for i in v)
+        den = sum(vu * vu for vu in v.values())
+        lam = float(num) / float(den)
+        out = pd.DataFrame({
+            "dim_idx": sorted(v),
+            "component": [v[i] / 1e6 for i in sorted(v)],
+            "eigenvalue": [math.floor(lam * 1e6) / 1e6] * len(v),
+            "variance_share": [math.floor(
+                lam * 1e12 / float(tr_e12) * 1e6) / 1e6] * len(v),
+        })
+        return spark.createDataFrame(out, schema)
+
+    cov = cov_df.localCheckpoint(eager=True)
     sym = (
         cov.select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
                    "cov_e12")

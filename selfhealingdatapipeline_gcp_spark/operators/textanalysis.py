@@ -7,6 +7,8 @@ and a rolling-hash fingerprint. No Python UDFs anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -265,23 +267,107 @@ def _bpe_apply_merge(syms, p1: str, p2: str):
     )
 
 
+def _bpe_apply_merge_py(syms: list, p1: str, p2: str) -> list:
+    """Pure-Python twin of ``_bpe_apply_merge``: the identical
+    greedy left fold (freshly merged symbol never re-matches as the
+    left element in the same pass), used by the driver-side
+    induction leg so both legs commit bit-identical states."""
+    acc: list = []
+    for s in syms:
+        if acc and acc[-1] == p1 and s == p2:
+            acc[-1] = p1 + p2
+        else:
+            acc.append(s)
+    return acc
+
+
+def _bpe_learn_driver(words: list, n_merges: int):
+    """Driver-side BPE induction over the collected distinct-word
+    relation ``[(w, n), ...]`` — the classic incremental-pair-stats
+    algorithm (only words containing the committed pair update their
+    pair counts each round). Commit order is identical to the
+    distributed leg: max summed count, ties broken by (p1, p2)
+    ascending (Python str comparison is code-point order, the same
+    order Spark's UTF8String binary comparison yields for valid
+    UTF-8). Returns (final [(w, n, syms)] state, merge records)."""
+    state = [[list(w), n] for w, n in words]
+    pair_counts: dict = {}
+    pair_words: dict = {}
+    for idx, (syms, n) in enumerate(state):
+        for pr in zip(syms, syms[1:]):
+            pair_counts[pr] = pair_counts.get(pr, 0) + n
+            pair_words.setdefault(pr, set()).add(idx)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (p1, p2), cnt = min(pair_counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, p1, p2, cnt))
+        # stale indices (word no longer contains the pair after an
+        # earlier round's merge) are harmless: subtract-then-re-add
+        # of the CURRENT symbols cancels exactly
+        for idx in sorted(pair_words.pop((p1, p2), ())):
+            syms, n = state[idx]
+            for pr in zip(syms, syms[1:]):
+                left = pair_counts[pr] - n
+                if left:
+                    pair_counts[pr] = left
+                else:
+                    del pair_counts[pr]
+            new = _bpe_apply_merge_py(syms, p1, p2)
+            state[idx][0] = new
+            for pr in zip(new, new[1:]):
+                pair_counts[pr] = pair_counts.get(pr, 0) + n
+                pair_words.setdefault(pr, set()).add(idx)
+    return state, merges
+
+
 def _bpe_learn(documents: DataFrame, n_merges: int):
     """Induce ``n_merges`` BPE rules from the corpus; returns
     (final word->symbols state, merge records).
 
     The kmeans/pagerank unrolled-round discipline: the corpus
     collapses ONCE to the distinct-word relation (one vocab-sized
-    shuffle with map-side combine, then an eager localCheckpoint so
-    no round re-reads the corpus); every round after that is one
-    vocab×avg-word-length pair aggregate (a few thousand distinct
-    pairs at ANY corpus size) + a map-side fold, re-checkpointed to
-    keep lineage flat. The only driver traffic is ONE row per round
-    (the argmax pair) — state never leaves the cluster."""
-    state = (
+    shuffle with map-side combine); every round after that touches
+    only vocab-sized state. Hybrid execution (optimization r10,
+    guide §1.2): the distributed loop pays ~2 Spark jobs per merge
+    round (argmax + re-checkpoint) — pure scheduler overhead once
+    the distinct-word relation is small. Below
+    ``$SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP`` distinct words (default
+    200k — the K×d centroid hand-broadcast discipline: the word
+    relation is vocabulary-sized, sublinear in the corpus) the
+    relation collects once and the induction runs incrementally on
+    the driver, committing bit-identical merges; past the cap the
+    original distributed loop runs — one argmax row per round to
+    the driver, state never leaves the cluster."""
+    words_agg = (
         _spread(documents)
         .select(F.explode(textfn.tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cap = int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_CAP", "200000"))
+    if cap > 0:
+        head = words_agg.limit(cap + 1).toPandas()
+        if len(head) <= cap:
+            spark = documents.sparkSession
+            state_py, merges = _bpe_learn_driver(
+                list(zip(head["w"].tolist(),
+                         (int(x) for x in head["n"].tolist()))),
+                n_merges)
+            import pandas as pd
+
+            state_pdf = pd.DataFrame({
+                "w": head["w"].tolist(),
+                "n": head["n"].tolist(),
+                "syms": [s for s, _ in state_py]})
+            state_df = spark.createDataFrame(
+                state_pdf,
+                schema=("w string, n bigint, syms array<string>"))
+            return state_df, merges
+    state = (
+        words_agg
         .withColumn("syms", F.expr(
             "transform(sequence(1, length(w)), "
             "i -> substring(w, i, 1))"))
