@@ -1252,15 +1252,22 @@ def embedding_top_component(embeddings: DataFrame,
         w = matvec(v)
         num = sum(v[i] * w[i] for i in v)
         den = sum(vu * vu for vu in v.values())
-        lam = float(num) / float(den)
-        out = pd.DataFrame({
-            "dim_idx": sorted(v),
-            "component": [v[i] / 1e6 for i in sorted(v)],
-            "eigenvalue": [math.floor(lam * 1e6) / 1e6] * len(v),
-            "variance_share": [math.floor(
-                lam * 1e12 / float(tr_e12) * 1e6) / 1e6] * len(v),
-        })
-        return spark.createDataFrame(out, schema)
+        if den:
+            lam = float(num) / float(den)
+            out = pd.DataFrame({
+                "dim_idx": sorted(v),
+                "component": [v[i] / 1e6 for i in sorted(v)],
+                "eigenvalue": [math.floor(lam * 1e6) / 1e6] * len(v),
+                "variance_share": [math.floor(
+                    lam * 1e12 / float(tr_e12) * 1e6) / 1e6] * len(v),
+            })
+            return spark.createDataFrame(out, schema)
+        # den == 0: degenerate all-zero covariance (e.g. a one-row
+        # corpus). The driver recurrence is eager, so dividing here
+        # would raise at plan-build time where the distributed leg
+        # defers the ANSI division to action time (and a count() never
+        # evaluates it at all). Fall through to the distributed leg so
+        # both legs stay observably identical on this edge.
 
     cov = cov_df.localCheckpoint(eager=True)
     sym = (
