@@ -39,11 +39,13 @@ _log = logging.getLogger(__name__)
 _MASK = "\x01"
 
 
-def _masked_keys(recs: DataFrame, window: int) -> DataFrame:
-    """(id, name, p, k): for p = 1..window (position from the END),
-    k = name with that position replaced by the mask marker. Keys
-    keep full length, so equal keys ⟹ equal name lengths ⟹ the
-    pair differs ONLY at the masked position (edit distance ≤ 1)."""
+def _masked_keys(recs: DataFrame, window: int,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
+    """(id, name, *carry, p, k): for p = 1..window (position from the
+    END), k = name with that position replaced by the mask marker.
+    Keys keep full length, so equal keys ⟹ equal name lengths ⟹ the
+    pair differs ONLY at the masked position (edit distance ≤ 1).
+    ``carry`` rides extra doc-level columns through the explode."""
     masks = F.array(*[
         F.concat(
             F.substring(F.col("name"), F.lit(1), F.length("name") - p),
@@ -54,9 +56,10 @@ def _masked_keys(recs: DataFrame, window: int) -> DataFrame:
         for p in range(1, window + 1)
     ])
     return (
-        recs.select("id", "name", F.posexplode(masks).alias("pos", "k"))
+        recs.select("id", "name", *carry,
+                    F.posexplode(masks).alias("pos", "k"))
         .filter(F.length("name") > F.col("pos") + 1)
-        .select("id", "name",
+        .select("id", "name", *carry,
                 (F.col("pos") + 1).cast("int").alias("p"), "k")
     )
 
@@ -114,13 +117,17 @@ def er_name_pairs(customer: DataFrame, window: int = 4,
             return pairs_from_masked(
                 _masked_keys(names, window),
                 max_block=max(4096, max_block),
-                op_name="er_name_pairs[keeper-grain]")
+                op_name="er_name_pairs[keeper-grain]",
+                distinct_names=True)
     return pairs_from_masked(masked, max_block)
 
 
 def pairs_from_masked(masked: DataFrame,
                       max_block: int = 256,
-                      op_name: str = "er_name_pairs") -> DataFrame:
+                      op_name: str = "er_name_pairs",
+                      distinct_names: bool = False,
+                      carry: tuple[str, ...] = (),
+                      ordered: bool = True) -> DataFrame:
     """Block-group-verify over an already-masked (id, name, p, k)
     relation — the shared core of er_name_pairs (batch) and
     streaming_er_guard (per-epoch masking, pairing over the
@@ -132,7 +139,36 @@ def pairs_from_masked(masked: DataFrame,
     callers (er_name_links, the keeper-grain fallback) must not emit
     the id-grain message, whose healer remedy — "drop force_id_grain
     so er_name_pairs auto-routes to keeper grain" — is circular when
-    the failure already happened AT keeper grain."""
+    the failure already happened AT keeper grain.
+
+    ``distinct_names=True`` (optimization r10, guide §2.4) declares
+    the caller's guarantee that no two rows of ``masked`` share a
+    name. Then every emitted pair joins two DISTINCT equal-length
+    names differing at exactly one position — the masked position —
+    so the pair surfaces in exactly ONE (p, k) family and the
+    cross-family ``dropDuplicates`` Exchange is provably a no-op and
+    is skipped. (At id grain, same-name pairs share ALL ``window``
+    masked keys and the dedup is load-bearing — the default keeps
+    it.)
+
+    ``carry`` rides extra per-row columns of ``masked`` (e.g. the
+    group multiplicity ``n_ids``) through the block structs and out
+    as ``<col>_a`` / ``<col>_b`` — so callers never join the pair
+    relation back to the record table (guide §2.4: two operations
+    keyed the same way should share one pass). Struct field order
+    keeps ``id`` first, so ``sort_array`` ordering — and therefore
+    every emitted pair — is unchanged by carried columns.
+
+    ``ordered=False`` skips the cosmetic global sort of the pair
+    output (guide §2.4: "an orderBy used only to make output
+    deterministic" is a removable Exchange). The driver's value hash
+    is row-order-insensitive (rows are sorted before hashing on both
+    engines), so the result multiset — the declared contract — is
+    unchanged; measured on er_name_links, the sort's
+    range-partitioning sample pass additionally re-evaluated the
+    whole explode+levenshtein subtree a second time once the
+    pair-dedup Exchange no longer sat between them as a
+    materialization barrier."""
     if op_name == "er_name_pairs":
         remedy = (" — a flood of identical names makes in-block"
                   " pairing quadratic; collapse exact-duplicate names"
@@ -150,7 +186,8 @@ def pairs_from_masked(masked: DataFrame,
     blocks = (
         masked
         .groupBy("p", "k")
-        .agg(F.sort_array(F.collect_list(F.struct("id", "name")))
+        .agg(F.sort_array(F.collect_list(
+                F.struct("id", "name", *carry)))
               .alias("mem"))
         .filter(F.size("mem") >= 2)
         .filter(F.when(F.size("mem") > max_block,
@@ -162,21 +199,31 @@ def pairs_from_masked(masked: DataFrame,
         .select(F.explode("mem").alias("a"), "mem")
         .select(F.col("a.id").alias("id_a"),
                 F.col("a.name").alias("name_a"),
+                *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry],
                 F.explode(F.filter(
                     "mem", lambda m: m["id"] > F.col("a.id")))
                  .alias("b"))
         .select("id_a", "name_a",
+                *[f"{c}_a" for c in carry],
                 F.col("b.id").alias("id_b"),
-                F.col("b.name").alias("name_b"))
-        .dropDuplicates(["id_a", "id_b"])
+                F.col("b.name").alias("name_b"),
+                *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry])
+    )
+    if not distinct_names:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    pairs = (
+        pairs
         .withColumn("edit_distance",
                     F.levenshtein("name_a", "name_b").cast("int"))
         # masked-key equality already implies ≤ 1; the filter is the
         # verify discipline (blocking recall ≠ precision contract)
         .filter(F.col("edit_distance") <= 1)
     )
-    return pairs.select("id_a", "id_b", "name_a", "name_b",
-                        "edit_distance").orderBy("id_a", "id_b")
+    out = pairs.select("id_a", "id_b", "name_a", "name_b",
+                       *[f"{c}_a" for c in carry],
+                       *[f"{c}_b" for c in carry],
+                       "edit_distance")
+    return out.orderBy("id_a", "id_b") if ordered else out
 
 
 def er_blocking_report(customer: DataFrame,
@@ -277,12 +324,19 @@ def er_name_links(customer: DataFrame, window: int = 4,
     duplicate mass itself is er_name_clusters / dedup territory; the
     implied_id_pairs column preserves the accounting.
 
-    Plan shape: one name-grain collapse (shuffle carries names +
-    counts), masked keys over the distinct-name relation, the same
-    bucket-grouped pairing (no self-join node), levenshtein verify on
-    paired rows. Every pair here has edit_distance exactly 1
-    (distinct names with equal full-length masked keys differ at
-    precisely the masked position)."""
+    Plan shape (tightened in the r10 optimization round, guide §2.4):
+    one name-grain collapse (shuffle carries names + counts), masked
+    keys over the distinct-name relation WITH ``n_ids`` carried
+    through the block structs, the same bucket-grouped pairing (no
+    self-join node), levenshtein verify on paired rows. Every pair
+    here has edit_distance exactly 1 (distinct names with equal
+    full-length masked keys differ at precisely the masked position),
+    and — distinct names — every pair surfaces in exactly one mask
+    family, so the cross-family pair-dedup Exchange, the two
+    name-relation joins that previously re-attached n_ids, AND the
+    trailing cosmetic global sorts are gone (6 Exchange + 2 BHJ down
+    to 2 Exchange; result multiset identical, pinned by the
+    oracle)."""
     names = (
         customer.select(F.lower(F.col("c_name")).alias("name"),
                         F.col("c_custkey").alias("ck"))
@@ -292,16 +346,17 @@ def er_name_links(customer: DataFrame, window: int = 4,
     )
     # reuse the masking on the distinct-name relation: id := keeper
     masked = _masked_keys(
-        names.select(F.col("keeper_id").alias("id"), "name"), window)
+        names.select(F.col("keeper_id").alias("id"), "name", "n_ids"),
+        window, carry=("n_ids",))
     pairs = pairs_from_masked(masked, max_block,
-                              op_name="er_name_links")
-    a = names.select(F.col("name").alias("name_a"),
-                     F.col("n_ids").alias("n_ids_a"))
-    b = names.select(F.col("name").alias("name_b"),
-                     F.col("n_ids").alias("n_ids_b"))
+                              op_name="er_name_links",
+                              distinct_names=True, carry=("n_ids",),
+                              ordered=False)
+    # no trailing global sort: the output is corpus-sized (one row
+    # per typo link) and the declared contract is the row multiset —
+    # the driver hash sorts rows on both engines before comparing
     return (
-        pairs.join(a, "name_a").join(b, "name_b")
-        .select(
+        pairs.select(
             "name_a", "name_b",
             F.col("id_a").alias("keeper_id_a"),
             F.col("id_b").alias("keeper_id_b"),
@@ -309,5 +364,4 @@ def er_name_links(customer: DataFrame, window: int = 4,
             (F.col("n_ids_a") * F.col("n_ids_b")).cast("bigint")
              .alias("implied_id_pairs"),
             "edit_distance")
-        .orderBy("name_a", "name_b")
     )

@@ -506,19 +506,21 @@ _FINGERPRINTS = {
     # join broadcasts at tiny SF; the window exchanges move the
     # dim-sized (source, label) aggregate, never the corpus
     "source_topic_mix": (2, 1, 0, 0),
-    # corpus⋈labels stays SMJ by design: cluster labels can be a
-    # large fraction of the corpus at 100 TB (AQE may broadcast when
-    # small); the CC loop itself is a checkpoint leaf, not plan nodes
-    # (r7 review fix dropped the corpus-wide orderBy: 3 -> 2 Exchange)
-    "leakage_safe_split": (2, 0, 1, 0),
+    # r10 hybrid CC: at tiny SF the edge relation sits under the
+    # driver cap, labels come back as a local relation and the
+    # corpus⋈labels join broadcasts it with zero exchanges; past the
+    # cap the distributed leg restores the (2, 0, 1, 0) SMJ shape
+    # (cluster labels can be a large corpus fraction at 100 TB)
+    "leakage_safe_split": (0, 1, 0, 0),
     # everything after the one tokenize pass runs at vocabulary /
     # source-pair grain (≤ |vocab| and O(sources²) rows); the BNLJ is
     # the dim-sized source×source all-pairs frame, never the corpus
     "source_divergence_matrix": (19, 3, 1, 1),
-    # one corpus pass builds the d(d+1)/2-row covariance relation;
-    # the power-iteration rounds and both BNLJs live on that d²-sized
-    # integer relation (d=64 → 2080 rows), corpus never re-read
-    "embedding_top_component": (5, 1, 1, 2),
+    # r10 hybrid: the d²-row covariance relation sits under the
+    # driver cap, the power iteration runs driver-side and the result
+    # is one materialized local relation — zero plan nodes; past the
+    # cap the distributed rounds restore the (5, 1, 1, 2) shape
+    "embedding_top_component": (0, 0, 0, 0),
     # rides text_language_id's explode; reduces to |langs|² cells
     "doc_language_confusion": (6, 3, 0, 0),
     # trace + Frobenius over the covariance relation: 1-row output
@@ -665,9 +667,11 @@ _FINGERPRINTS = {
     # four detector legs composed verbatim; every BNLJ is a parent's
     # 1-row anchor broadcast (annotated at each parent)
     "detector_incident_rollup": (21, 1, 0, 5),
-    # name collapse + masked blocks (bucket-grouped, no self-join) +
-    # two n_ids join-backs on the bounded name relation
-    "er_name_links": (6, 2, 0, 0),
+    # name collapse + masked blocks (bucket-grouped, no self-join);
+    # n_ids rides the block structs and the cosmetic global sort is
+    # gone, so the old pair-dedup Exchange, both n_ids join-backs and
+    # the sort Exchange all vanish (r10: 6 Ex + 2 BHJ -> 2 Ex)
+    "er_name_links": (2, 0, 0, 0),
     # explode → tf collapse → df collapse → token join-back (BHJ at
     # tiny SF, SMJ at vocab scale) → per-doc window; BNLJ = the
     # 1-row N anchor
