@@ -1059,19 +1059,23 @@ def streaming_er_guard(spark: SparkSession, sf_dir: str,
     runs, catching a typo'd re-registration as it arrives instead of
     in the nightly batch.
 
-    Chop-invariance is by CONSTRUCTION, not recomputation: masking is
-    a per-row map, so the union of per-epoch masked-key relations
-    equals the batch relation regardless of how the stream chops, and
-    the downstream pairing (operators/er.py pairs_from_masked, the
-    exact code path the batch operator runs) is a deterministic
-    function of that relation — the report equals batch er_name_pairs
+    Chop-invariance is by CONSTRUCTION, not recomputation: the epoch
+    sink lands each record's normalized (id, name) — a per-row map —
+    so the union of epoch relations equals the batch record relation
+    regardless of how the stream chops, and the downstream
+    mask-then-pair (operators/er.py _masked_keys + pairs_from_masked,
+    the exact code path the batch operator runs) is a deterministic
+    function of that union — the report equals batch er_name_pairs
     row for row, hence the shared SQL oracle.
 
-    Scale: each epoch writes O(batch × window) masked keys (id + name
-    + 2 small cols, never payloads); the cross-epoch pairing reads
-    the key store, blocks stay alphabet-bounded with the batch
-    operator's loud cap. A production form would keep the key store
-    as a compacted table and pair only NEW keys against it per epoch
+    Scale: each epoch writes O(batch) normalized key rows (id + name,
+    never payloads — optimization r10, guide §2.3 "shuffle/write keys
+    instead of payloads": masking is applied AFTER the store read,
+    which cuts the epoch sink volume window× (4×) since mask∘union ≡
+    union∘mask for a per-row map); the cross-epoch pairing reads the
+    key store, blocks stay alphabet-bounded with the batch operator's
+    loud cap. A production form would keep the key store as a
+    compacted table and pair only NEW keys against it per epoch
     (delta-join); the full re-pair here keeps the audit exact."""
     from selfhealingdatapipeline_gcp_spark.operators import er
 
@@ -1084,21 +1088,21 @@ def streaming_er_guard(spark: SparkSession, sf_dir: str,
     out_dir = _fresh_sink_dir("er_guard")
     epochs = []
 
-    def mask_epoch(batch_df, epoch_id: int) -> None:
-        recs = batch_df.select(F.col("c_custkey").alias("id"),
-                               F.lower(F.col("c_name")).alias("name"))
-        (er._masked_keys(recs, window=4)
+    def land_epoch(batch_df, epoch_id: int) -> None:
+        (batch_df.select(F.col("c_custkey").alias("id"),
+                         F.lower(F.col("c_name")).alias("name"))
          .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
         epochs.append(epoch_id)
 
-    q = (stream.writeStream.foreachBatch(mask_epoch)
+    q = (stream.writeStream.foreachBatch(land_epoch)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     if not epochs:
         return spark.createDataFrame(
             [], "id_a bigint, id_b bigint, name_a string, "
                 "name_b string, edit_distance int")
-    return er.pairs_from_masked(spark.read.parquet(out_dir))
+    return er.pairs_from_masked(
+        er._masked_keys(spark.read.parquet(out_dir), window=4))
 
 
 def streaming_pii_guard(spark: SparkSession, sf_dir: str,
