@@ -229,12 +229,16 @@ def test_dedup_clusters_10k_path_converges_in_log_rounds(spark):
     assert out[0].keeper_doc_id == 0 and out[0].cluster_id == 0
 
 
-def test_dedup_clusters_nonconvergence_raises(spark):
+def test_dedup_clusters_nonconvergence_raises(spark, monkeypatch):
     """Exhausting max_iterations must fail loudly, never silently
-    emit partial components."""
+    emit partial components. The guard lives in the DISTRIBUTED
+    pointer-doubling loop — the r10 driver fast path is a one-pass
+    exact union-find with no iteration cap (it cannot fail to
+    converge), so pin the distributed leg via the edge cap."""
     import pytest
     from pyspark.sql import functions as F
     from selfhealingdatapipeline_gcp_spark.operators import dedup
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "0")
     edges = spark.range(3000).select(
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     with pytest.raises(RuntimeError, match="did not converge"):

@@ -802,7 +802,7 @@ def test_smtp_alert_sender_delivers_routed_alerts(spark):
         dead.deliver(crit_only)
 
 
-def test_healer_catches_own_scale_guards(spark):
+def test_healer_catches_own_scale_guards(spark, monkeypatch):
     """The loop that makes the guards self-healing: each quadratic
     guard's REAL raised text (not a hand-typed copy) must classify to
     its documented remediation rule."""
@@ -835,7 +835,11 @@ def test_healer_catches_own_scale_guards(spark):
     fix = healer.analyze_error(str(e2.value))
     assert "max_all_pairs_rows" in fix.root_cause
 
-    # connected components non-convergence
+    # connected components non-convergence: the raise lives in the
+    # DISTRIBUTED pointer-doubling loop (the r10 driver fast path is
+    # a one-pass union-find that cannot exhaust an iteration cap), so
+    # pin the distributed leg for the guard text to fire
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGE_CAP", "0")
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError) as e3:
