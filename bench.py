@@ -86,6 +86,11 @@ BUILD_EXECUTES = {"knn_clustering_coefficient", "knn_degree_stats",
                   "dedup_cascade_report",
                   # power iteration checkpoints eagerly per round
                   "embedding_top_component",
+                  # r10: eager checkpoint of the verified-pair
+                  # relation in the builder (consumed at two grains;
+                  # see OPTIMIZATION_r10.md) — the LSH+verify work
+                  # must stay inside the timing window
+                  "dedup_threshold_sweep",
                   # LPA materializes its kNN edge leaf in the builder
                   "knn_label_propagation",
                   # foreachBatch streaming guards run in the builder

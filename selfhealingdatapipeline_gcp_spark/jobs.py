@@ -313,7 +313,7 @@ def run_curation_job(spark: SparkSession, sf_dir: str, output_path: str,
         keepers = exact.select(F.col("keeper_doc_id").alias("doc_id"))
         uniq = docs.join(keepers, "doc_id")
         # near-dup drop: keep doc_a (lower id), drop its verified dups
-        verified = dedup.dedup_lsh_verified(uniq)
+        verified = dedup._lsh_verified_pairs(uniq)
         drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
         out = uniq.join(drops, "doc_id", "left_anti")
         n_out = out.count()

@@ -295,7 +295,7 @@ def minhash_band_tuning(documents: DataFrame,
     collapses to |BAND_COMBOS| rows with map-side partials."""
     from selfhealingdatapipeline_gcp_spark.operators import dedup
 
-    pairs = dedup.dedup_lsh_verified(documents, threshold=0.0)
+    pairs = dedup._lsh_verified_pairs(documents, threshold=0.0)
     s = F.col("jaccard")
     combos = []
     for b, r in BAND_COMBOS:

@@ -102,9 +102,15 @@ def _shingle_rows(documents: DataFrame,
 
     Built with posexplode + windowed lead() instead of array
     expressions: higher-order array functions are interpreted
-    (no whole-stage codegen) and measured ~20ms/doc, while
-    split+explode+window+concat all stay inside codegen. The window
-    shuffle is on doc_id — the same key every downstream agg needs.
+    (no whole-stage codegen), while split+explode+window+concat all
+    stay inside codegen. Re-measured on Spark 4.1 (r10,
+    tools/hof_shingle_probe3.py, interleaved min-of-5 at the sf1
+    replica): a fused transform+md5 array build is ~4x slower than
+    this form at the distinct-(doc_id,h) stage (2.2s vs 0.6s) and
+    ~1.4x slower through the full pair pipeline — the per-element
+    interpreted lambda costs more than the window sort it removes.
+    The window shuffle is on doc_id — the same key every downstream
+    agg needs (the _spread exchange serves both).
     """
     toks = (
         _spread(documents, "doc_id")
@@ -167,6 +173,16 @@ def dedup_ngram_jaccard(documents: DataFrame,
     df-filtered universe) come from re-aggregating the KEPT buckets,
     so df-dropped shingles leave both sides of the ratio
     consistently."""
+    return (_ngram_jaccard_pairs(documents, threshold, max_df)
+            .orderBy("doc_a", "doc_b"))
+
+
+def _ngram_jaccard_pairs(documents: DataFrame, threshold: float,
+                         max_df: int | None) -> DataFrame:
+    """UNSORTED exact-Jaccard pairs — the internal relation form of
+    dedup_ngram_jaccard (same rationale as _lsh_verified_pairs: the
+    public orderBy is cosmetic and executes for real below a join,
+    e.g. lsh_recall_report's truth side)."""
     pairs = _shingle_pair_counts(documents, max_df)
     jac = (F.col("n_common") * 1.0
            / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
@@ -175,7 +191,6 @@ def dedup_ngram_jaccard(documents: DataFrame,
         .filter(jac >= threshold)
         .select("doc_a", "doc_b",
                 (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -913,6 +928,37 @@ def dedup_embedding(embeddings: DataFrame,
     )
 
 
+def _lsh_verified_pairs(documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+    """UNSORTED verified near-dup pairs — the internal edge/pair form
+    of dedup_lsh_verified, for consumers that treat the output as a
+    relation (CC edge lists, recall/precision joins, bucket sweeps).
+    The public query's cosmetic orderBy is NOT free below those
+    consumers: EliminateSorts only prunes a sort sitting directly
+    under an aggregate, so a Generate/join/eager-checkpoint in
+    between executes the rangepartitioning Exchange + global Sort of
+    the whole pair relation for nothing (seen live in
+    dedup_threshold_sweep's doc-grain branch and in
+    component_labels' eager edge checkpoint, r10 final plans)."""
+    sh = _shingle_rows(documents)
+    cand = dedup_minhash_lsh(documents, shingles=sh)
+    sets_ = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
+    j = (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b",
+                F.size(F.array_intersect("sa", "sb")).alias("n_common"),
+                F.size("sa").alias("n_a"), F.size("sb").alias("n_b"))
+    )
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        j.filter(jac >= threshold)
+        .select("doc_a", "doc_b",
+                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
+    )
+
+
 def dedup_lsh_verified(documents: DataFrame,
                        threshold: float = 0.5) -> DataFrame:
     """The production near-dup composition: MinHash-LSH generates
@@ -934,24 +980,8 @@ def dedup_lsh_verified(documents: DataFrame,
     pathological mega-document makes a mega-array; the long-format
     join handles that better, but LSH shingle sets are doc-length
     bounded in practice."""
-    sh = _shingle_rows(documents)
-    cand = dedup_minhash_lsh(documents, shingles=sh)
-    sets_ = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("sa"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("sb"))
-    j = (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b",
-                F.size(F.array_intersect("sa", "sb")).alias("n_common"),
-                F.size("sa").alias("n_a"), F.size("sb").alias("n_b"))
-    )
-    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        j.filter(jac >= threshold)
-        .select("doc_a", "doc_b",
-                (F.floor(jac * 1e6) / 1e6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return (_lsh_verified_pairs(documents, threshold)
+            .orderBy("doc_a", "doc_b"))
 
 
 def minhash_estimate_report(documents: DataFrame) -> DataFrame:
@@ -1230,7 +1260,7 @@ def dedup_drop_list(documents: DataFrame,
     from selfhealingdatapipeline_gcp_spark.operators import textanalysis
 
     if edges is None:
-        edges = dedup_lsh_verified(documents)
+        edges = _lsh_verified_pairs(documents)
     labels = component_labels(edges, max_iterations)
     sized = (labels.groupBy("label")
              .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -1287,7 +1317,7 @@ def leakage_safe_split(documents: DataFrame,
     majority; clustered docs add one left join against the bounded
     label relation."""
     if edges is None:
-        edges = dedup_lsh_verified(documents)
+        edges = _lsh_verified_pairs(documents)
     labels = component_labels(edges, max_iterations)
     s = (documents.select("doc_id")
          .join(labels, "doc_id", "left")
@@ -1319,7 +1349,7 @@ def dedup_rate_report(documents: DataFrame,
     aggregate, composed by a 1-row × 1-row crossJoin (the anchored
     broadcast pattern — never a data join)."""
     if edges is None:
-        edges = dedup_lsh_verified(documents)
+        edges = _lsh_verified_pairs(documents)
     labels = component_labels(edges, max_iterations)
     corpus = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     stats = (labels.groupBy("label")
@@ -1496,7 +1526,7 @@ def lsh_precision_report(documents: DataFrame) -> DataFrame:
     ever materializes."""
     nc = dedup_minhash_lsh(documents).agg(
         F.count(F.lit(1)).alias("n_candidates"))
-    nv = dedup_lsh_verified(documents).agg(
+    nv = _lsh_verified_pairs(documents).agg(
         F.count(F.lit(1)).alias("n_verified"))
     return nc.crossJoin(F.broadcast(nv)).select(
         "n_candidates", "n_verified",
@@ -1517,8 +1547,8 @@ def lsh_recall_report(documents: DataFrame,
 
     One equi-join of two slim pair relations on (doc_a, doc_b) +
     three 1-row counts; output is a single row."""
-    truth = dedup_ngram_jaccard(documents, threshold=threshold)
-    found = dedup_lsh_verified(documents)
+    truth = _ngram_jaccard_pairs(documents, threshold, 10_000)
+    found = _lsh_verified_pairs(documents)
     hit = truth.join(found.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
     nt = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     nh = hit.agg(F.count(F.lit(1)).alias("n_recovered"))
@@ -1541,7 +1571,7 @@ def cross_source_dup_matrix(documents: DataFrame) -> DataFrame:
     Scale: the pair relation is LSH-bounded; two broadcast-friendly
     joins attach sources by doc id (slim (id, source) projection,
     never text); output is O(|sources|²) forever."""
-    pairs = dedup_lsh_verified(documents).select("doc_a", "doc_b")
+    pairs = _lsh_verified_pairs(documents).select("doc_a", "doc_b")
     src = documents.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"),
                     F.col("source").alias("sa"))
@@ -1609,7 +1639,16 @@ def dedup_threshold_sweep(documents: DataFrame,
     mean_jaccard_e6 is NULL where no pairs survive."""
     spark = documents.sparkSession
     if edges is None:
-        edges = dedup_lsh_verified(documents)
+        # Materialize the verified pairs ONCE (eager, builder-time —
+        # the query is in bench BUILD_EXECUTES for it): the sweep
+        # consumes the relation at TWO grains (pair buckets and
+        # per-doc max buckets), and exchange reuse alone leaves the
+        # a-side shingle-set aggregation executing twice — it sits
+        # directly on the _spread partitioning with no exchange of
+        # its own to reuse (r10 final-plan evidence). Pairs are
+        # LSH-bounded, tiny next to the corpus — the same
+        # checkpoint-the-edges discipline as component_labels.
+        edges = _lsh_verified_pairs(documents).localCheckpoint(eager=True)
     jac_e6 = F.round(F.col("jaccard") * 1e6).cast("bigint")
     p = edges.select("doc_a", "doc_b", jac_e6.alias("jac_e6"))
     idx = F.least(F.floor((F.col("jac_e6") - 500000) / 50000),
@@ -1675,7 +1714,7 @@ def dedup_cascade_report(documents: DataFrame,
              .agg(F.min("doc_id").alias("doc_id"))
              .select("doc_id"))
     d2 = d1.join(keep2, "doc_id", "semi")
-    edges = dedup_lsh_verified(d2)
+    edges = _lsh_verified_pairs(d2)
     labels = component_labels(edges, max_iterations)
     dr3 = (labels.groupBy("label")
            .agg(F.count(F.lit(1)).alias("sz"))

@@ -1392,7 +1392,7 @@ register(
     # oracle: recursive-CTE closure over the verified-pair SQL)
     lambda spark, sf: dedup.dedup_clusters(
         None,
-        edges=dedup.dedup_lsh_verified(*_t(spark, sf, "documents"))),
+        edges=dedup._lsh_verified_pairs(*_t(spark, sf, "documents"))),
     _cc_oracle(_LSH_VERIFIED_SQL),
 )
 

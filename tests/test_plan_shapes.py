@@ -527,8 +527,10 @@ _FINGERPRINTS = {
     "embedding_intrinsic_dim": (3, 0, 0, 0),
     # suffix-cumulative over a fixed 10-bucket grid — the grid joins
     # are broadcast EQUI-joins on idx, never a thresholds×pairs
-    # theta-join (no BNLJ); upstream is the shared LSH-verify plan
-    "dedup_threshold_sweep": (15, 6, 0, 0),
+    # theta-join (no BNLJ); the LSH-verify pairs are eagerly
+    # checkpointed in the builder (r10: consumed at two grains), so
+    # the query plan starts from the materialized pair relation
+    "dedup_threshold_sweep": (4, 2, 0, 0),
     # the 3 BNLJs are the anchored 1-row count crossJoins; stage
     # semi-joins broadcast at tiny SF (SMJ on digests at scale)
     "dedup_cascade_report": (9, 4, 0, 3),

@@ -46,7 +46,7 @@ def timed(tag: str, build, n: int = 3) -> float:
         t0 = time.perf_counter()
         _noop(build())
         best = min(best, time.perf_counter() - t0)
-    print(f"{tag:=48s} {best:8.3f}s")
+    print(f"{tag:<48s} {best:8.3f}s")
     return best
 
 
