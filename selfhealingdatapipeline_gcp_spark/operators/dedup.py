@@ -1703,16 +1703,25 @@ def dedup_cascade_report(documents: DataFrame,
     run first for exactly this reason). The final report composes
     five 1-row aggregates by anchored broadcast crossJoins — never a
     data join."""
+    # The keeper-id sets are eagerly checkpointed (builder-time; the
+    # query is in bench BUILD_EXECUTES already for its CC loop):
+    # without this, the exact-dedup md5 groupBy evaluates THREE times
+    # (the LSH edge build over d2, c1, c2) and the normalized groupBy
+    # twice — each a full corpus aggregation pass. The sets are
+    # doc_id-only (8 B/row, ~1000× slimmer than the corpus text), the
+    # slim-relation end of the checkpoint-the-edges discipline.
+    # Measured (interleaved min-of-5): sf0.1 4.42→3.79 s,
+    # sf1 replica 11.41→9.26 s, identical rows at both SFs.
     keep1 = (documents.groupBy(F.md5("text"))
              .agg(F.min("doc_id").alias("doc_id"))
-             .select("doc_id"))
+             .select("doc_id").localCheckpoint(eager=True))
     d1 = documents.join(keep1, "doc_id", "semi")
     norm = F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
         " +", " "))
     keep2 = (d1.groupBy(F.md5(norm))
              .agg(F.min("doc_id").alias("doc_id"))
-             .select("doc_id"))
+             .select("doc_id").localCheckpoint(eager=True))
     d2 = d1.join(keep2, "doc_id", "semi")
     edges = _lsh_verified_pairs(d2)
     labels = component_labels(edges, max_iterations)
@@ -1722,8 +1731,11 @@ def dedup_cascade_report(documents: DataFrame,
            .agg(F.coalesce(F.sum(F.col("sz") - 1), F.lit(0))
                  .cast("bigint").alias("dr3")))
     c0 = documents.agg(F.count(F.lit(1)).alias("n0"))
-    c1 = d1.agg(F.count(F.lit(1)).alias("n1"))
-    c2 = d2.agg(F.count(F.lit(1)).alias("n2"))
+    # |d1| = |keep1| and |d2| = |keep2| (keepers are a subset of doc
+    # ids and the semi-join keeps exactly them), so the stage counts
+    # read the materialized keeper sets — no re-scan, no re-join
+    c1 = keep1.agg(F.count(F.lit(1)).alias("n1"))
+    c2 = keep2.agg(F.count(F.lit(1)).alias("n2"))
     row = (c0.crossJoin(F.broadcast(c1))
            .crossJoin(F.broadcast(c2))
            .crossJoin(F.broadcast(dr3)))

@@ -531,9 +531,13 @@ _FINGERPRINTS = {
     # checkpointed in the builder (r10: consumed at two grains), so
     # the query plan starts from the materialized pair relation
     "dedup_threshold_sweep": (4, 2, 0, 0),
-    # the 3 BNLJs are the anchored 1-row count crossJoins; stage
-    # semi-joins broadcast at tiny SF (SMJ on digests at scale)
-    "dedup_cascade_report": (9, 4, 0, 3),
+    # the 3 BNLJs are the anchored 1-row count crossJoins; keeper-id
+    # sets are eagerly checkpointed in the builder (r10: the exact /
+    # normalized corpus aggregates evaluated 3x/2x without it), so
+    # the query plan's joins against them sit behind the
+    # materialized relations and the stage counts read the sets
+    # directly — 4 fewer Exchange, the 4 BHJs gone from the plan
+    "dedup_cascade_report": (5, 0, 0, 3),
     # scan-level token size + |sources| agg; BNLJ = 1-row normalizer
     "source_epoch_plan": (4, 0, 0, 1),
     # join-free: source carried through the explode, zero-token docs
