@@ -1113,7 +1113,14 @@ def component_labels(edges: DataFrame,
     need the rounds pay for them. 15 (32k hops) proved too low on
     GENERATED sf1 embeddings (r10): convex-mixture vectors chain
     template→donor into long thin near-dup paths, a realistic shape
-    ciphered replicas never produce."""
+    ciphered replicas never produce.
+
+    Guard asymmetry note (VERDICT r10 #6): below the
+    ``SPARK_GRAFT_CC_DRIVER_EDGE_CAP`` edge count the driver-side
+    union-find fast path is exact and always converges by
+    construction, so the ``max_iterations`` non-convergence raise is
+    unreachable on that leg; the distributed loop above the cap keeps
+    the guard (pinned in tests)."""
     # Materialize the edge relation ONCE before looping: the loop
     # joins adj against labels twice per round, and without this the
     # whole candidate-generation subtree (at worst the full
@@ -1636,7 +1643,14 @@ def dedup_threshold_sweep(documents: DataFrame,
 
     Empty buckets stay visible (LEFT join from the full grid +
     coalesce 0 — the ADVICE r6 minhash_estimate_report rule);
-    mean_jaccard_e6 is NULL where no pairs survive."""
+    mean_jaccard_e6 is NULL where no pairs survive.
+
+    Laziness caveat (ADVICE r10): when ``edges`` is None, BUILDING
+    this DataFrame eagerly materializes the verified-pair relation
+    (``localCheckpoint(eager=True)``) — construction runs real jobs,
+    and the checkpointed lineage is not recoverable on executor loss
+    (local, non-reliable storage). Pass a pre-built ``edges`` to keep
+    construction lazy."""
     spark = documents.sparkSession
     if edges is None:
         # Materialize the verified pairs ONCE (eager, builder-time —
@@ -1702,7 +1716,16 @@ def dedup_cascade_report(documents: DataFrame,
     only (each stage SHRINKS the input for the next — the cheap rungs
     run first for exactly this reason). The final report composes
     five 1-row aggregates by anchored broadcast crossJoins — never a
-    data join."""
+    data join.
+
+    Preconditions and laziness (ADVICE r10): ``doc_id`` must be
+    unique in ``documents`` — stage counts are read as |keeper set|
+    (|d1| = |keep1|, |d2| = |keep2|), which holds only when the
+    semi-join keeps exactly one row per keeper id. And building this
+    DataFrame eagerly runs the two keeper-set aggregation jobs
+    (``localCheckpoint(eager=True)``) — construction is not lazy,
+    and the checkpointed sets are lost on executor failure (local,
+    non-reliable storage)."""
     # The keeper-id sets are eagerly checkpointed (builder-time; the
     # query is in bench BUILD_EXECUTES already for its CC loop):
     # without this, the exact-dedup md5 groupBy evaluates THREE times
