@@ -20,10 +20,14 @@ not ~30 bytes × registry size; r07 shipped `parsed: null` because the
     JSONL lines above.
   Spark console progress is disabled in the session (session.py).
 
-Each query is built fresh and driven to completion with a count-style
-action (foreach-noop via write to noop sink would skip result
-materialization; collect of aggregates is small, so collect for
-small outputs and count for large ones).
+Each query is built fresh and driven to completion: collect() for
+small (aggregate-shaped) outputs — matching how a user consumes them
+— and the JVM noop-equivalent ``executedPlan().execute().count()``
+for LARGE_OUTPUT (computes every column of every row, ships nothing
+to the driver, and keeps the executed metrics on the df — a noop
+DataFrameWriter or ``df.count()`` would each run a DIFFERENT
+QueryExecution, leaving the declared plan untimed and the shuffle
+pins at zero; r11 measurement fix, guide §1.4).
 
 Shuffle volumes are read from the executed plan's SQL metrics
 (shuffle bytes/records written summed over every exchange in the
@@ -60,16 +64,51 @@ CORE = list(registry.FLAGSHIP)
 # pair output grows ~SF^2; er_name_links is the benched scale form).
 HEADLINE = registry.headline_names()
 
-# Queries whose result set is corpus-sized (hundreds of thousands of
-# rows at sf0.1): drive them with count() so the measurement is the
-# PLAN, not driver-side row materialization (VERDICT r4 minor #2).
-# Aggregate-shaped queries keep collect() — their outputs are tiny
-# and collect matches how a user actually consumes them.
+# Queries whose result set is corpus-sized (tens to hundreds of
+# thousands of rows at sf0.1): drive them through the JVM-side
+# noop-equivalent (``executedPlan().execute().count()``) so the
+# measurement is the PLAN, not driver-side row materialization
+# (VERDICT r4 minor #2, r10 #4). Aggregate-shaped queries keep
+# collect() — their outputs are tiny and collect matches how a user
+# actually consumes them.
+#
+# r11 measurement-bug fix (guide §1.4): these were previously driven
+# with ``df.count()``, which builds a SEPARATE QueryExecution over a
+# column-pruned agg plan — so the timed work was NOT the declared
+# query (pruned projections) and the shuffle pins read (0, 0) (the
+# declared df's own plan never executed; confirmed on the committed
+# BENCH.json). The JVM action executes the declared df's OWN final
+# adaptive plan (every column computed, rows counted JVM-side,
+# nothing shipped to the driver — the noop-sink discipline) and the
+# shuffle metrics land on that same QueryExecution, so the pins are
+# real. Old count-mode seconds are kept in OPTIMIZATION_r11.md §2.
 LARGE_OUTPUT = {"vector_quantize", "seq_pack_plan", "cdc_snapshot_diff",
                 # ~16 typo-links per serial key: output is corpus-scale
                 "er_name_pairs",
                 # token-grain output (every subword of every doc)
-                "bpe_token_ids"}
+                "bpe_token_ids",
+                # r11 additions (VERDICT r10 #4) — the only two ≥100k-
+                # row collect-mode headliners in the audited registry
+                # (tools/audit_output_rows.py at sf0.1; next largest
+                # collect is 80k multimodal_features — left on collect,
+                # small fixed-width rows). Both emit one row per
+                # distinct-name typo link: 257,500 rows at sf0.1, so
+                # collect was timing driver materialization.
+                "er_name_links", "streaming_er_guard"}
+
+
+def drive(df, name: str) -> None:
+    """Execute a built query for timing: collect() for small outputs
+    (matches user consumption), the JVM noop-equivalent for
+    LARGE_OUTPUT (computes every column of every row through the
+    df's own final adaptive plan, counts rows JVM-side, ships
+    nothing to the driver — and, unlike ``df.count()`` or a noop
+    DataFrameWriter, leaves the executed metrics ON ``df`` for
+    shuffle_metrics)."""
+    if name in LARGE_OUTPUT:
+        df._jdf.queryExecution().executedPlan().execute().count()
+    else:
+        df.collect()
 
 # Queries whose BUILDER executes the real work (localCheckpoint
 # materialization, foreachBatch streaming): the build call must sit
@@ -261,10 +300,9 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3,
     shuffles: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        action = "count" if name in LARGE_OUTPUT else "collect"
         try:
             # warm: codegen + JIT
-            getattr(queries[name](spark, sf_dir), action)()
+            drive(queries[name](spark, sf_dir), name)
             best = float("inf")
             # min of THREE measured runs (was two): the shared host
             # shows 1-10x swings on identical plans (noisy-neighbor
@@ -276,12 +314,12 @@ def run_bench(spark, sf_dir: str, n_runs: int = 3,
                 if name in BUILD_EXECUTES:
                     t0 = time.perf_counter()
                     df = queries[name](spark, sf_dir)
-                    getattr(df, action)()
+                    drive(df, name)
                     best = min(best, time.perf_counter() - t0)
                 else:
                     df = queries[name](spark, sf_dir)
                     t0 = time.perf_counter()
-                    getattr(df, action)()
+                    drive(df, name)
                     best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             sm = shuffle_metrics(df)

@@ -56,7 +56,6 @@ def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
         .withColumn("avg_disc",
                     money.trunc(F.col("__disc_sum") / F.col("count_order")))
         .drop("__disc_sum")
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -112,7 +111,6 @@ def q5_regional_revenue(customer: DataFrame, orders: DataFrame,
         .filter(F.col("r_name") == region_name)
         .groupBy("n_name")
         .agg(_sum_revenue().alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -150,7 +148,6 @@ def top_customers_per_segment(customer: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank_in_segment") <= k)
         .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name",
                 F.round("c_acctbal", 2).alias("acctbal"))
-        .orderBy("c_mktsegment", "rank_in_segment")
     )
 
 
@@ -176,7 +173,6 @@ def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
               "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -444,7 +440,6 @@ def q7_nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
                  F.year("l_shipdate").alias("l_year"))
         .agg(money.sum_revenue_e4(F.col("l_extendedprice"),
                                  F.col("l_discount")).alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -478,7 +473,6 @@ def q8_brand_market_share(lineitem: DataFrame, part: DataFrame,
             "market_share_pct",
             money.trunc(F.col("brand_revenue") * 100.0
                         / F.col("total_revenue")))
-        .orderBy("o_year")
     )
 
 
@@ -496,7 +490,6 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
             F.min("value").alias("v_min"),
             F.max("value").alias("v_max"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -559,7 +552,6 @@ def approx_distinct_stats(events: DataFrame, rsd_sigma: float = 3.0,
              .alias("hll_ok"),
             ((F.col("approx_p90") >= F.col("v_lo"))
              & (F.col("approx_p90") <= F.col("v_hi"))).alias("p90_ok"))
-        .orderBy("event_type")
     )
 
 
@@ -574,7 +566,6 @@ def parts_supplier_stats(part: DataFrame, lineitem: DataFrame) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
              F.count(F.lit(1)).alias("n_lines"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -652,7 +643,6 @@ def funnel_view_click_purchase(events: DataFrame) -> DataFrame:
                                            F.col("user_id")))
         .groupBy("stage")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("stage")
     )
 
 
@@ -690,7 +680,6 @@ def event_props_stats(events: DataFrame) -> DataFrame:
         )
         .withColumn("avg_k",
                     F.floor(F.col("sum_k") * 1e4 / F.col("n_events")) / 1e4)
-        .orderBy("event_type")
     )
 
 
@@ -703,7 +692,6 @@ def customers_without_orders(customer: DataFrame,
         .join(orders.select("o_custkey"),
               F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -721,7 +709,6 @@ def missing_order_days(orders: DataFrame) -> DataFrame:
     observed = orders.select(F.to_date("o_orderdate").alias("d")).distinct()
     return (
         calendar.join(observed, "d", "left_anti")
-        .orderBy("d")
     )
 
 
@@ -905,7 +892,6 @@ def cohort_retention(events: DataFrame) -> DataFrame:
             money.trunc(F.col("n_users") * 100.0 / F.col("cohort_size"))
              .alias("retention_pct"),
         )
-        .orderBy("cohort_week", "week_offset")
     )
 
 
@@ -961,7 +947,6 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
         )
         .withColumn("rfm",
                     F.concat_ws("", "r_score", "f_score", "m_score"))
-        .orderBy("o_custkey")
     )
 
 
@@ -1047,7 +1032,6 @@ def source_token_stats(documents: DataFrame) -> DataFrame:
             (F.floor(F.sum("n_tokens") * 1e4 / F.count(F.lit(1))) / 1e4)
              .alias("avg_tokens_per_doc"),
         )
-        .orderBy("source")
     )
 
 
@@ -1089,7 +1073,6 @@ def brand_price_trend(lineitem: DataFrame, part: DataFrame) -> DataFrame:
             F.when(den != 0, F.floor(num * 1e4 / den) / 1e4)
              .otherwise(F.lit(0.0)).alias("slope_dollars_per_month"),
         )
-        .orderBy("brand")
     )
 
 
@@ -1132,7 +1115,6 @@ def supplier_concentration_hhi(lineitem: DataFrame,
                               * F.col("total_d").cast("double"))) / 1e6)
              .otherwise(F.lit(0.0)).alias("hhi"),
         )
-        .orderBy("nation")
     )
 
 
@@ -1194,7 +1176,6 @@ def brand_affinity(lineitem: DataFrame, part: DataFrame,
             F.floor(nab * nt / (na * nb) * 1e6).cast("bigint")
              .alias("lift_e6"),
         )
-        .orderBy("brand_a", "brand_b")
     )
 
 
@@ -1212,7 +1193,6 @@ def event_hourly_heatmap(events: DataFrame) -> DataFrame:
               .alias("__v_u"))
         .select("dow", "hour", "n_events",
                 (F.col("__v_u") / 1e6).alias("total_value"))
-        .orderBy("dow", "hour")
     )
 
 
@@ -1281,7 +1261,6 @@ def event_trigram_paths(events: DataFrame,
         .select("step_1", "step_2", "step_3", "n_paths",
                 F.floor(F.col("n_paths") * 1e6 / F.col("__total"))
                  .cast("bigint").alias("share_e6"))
-        .orderBy("step_1", "step_2", "step_3")
     )
 
 
@@ -1390,7 +1369,6 @@ def event_audience_overlap(events: DataFrame) -> DataFrame:
             F.floor(F.col("n_both") * 1e6
                     / (F.col("n_a") + F.col("n_b") - F.col("n_both")))
              .cast("bigint").alias("jaccard_e6"))
-        .orderBy("type_a", "type_b")
     )
 
 
@@ -1446,7 +1424,7 @@ def series_downsample_m4(events: DataFrame, n_buckets: int = 256
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("event_type", "bkt", "role")
+    return out
 
 
 def supplier_scorecard(lineitem: DataFrame, supplier: DataFrame,
@@ -1490,5 +1468,4 @@ def supplier_scorecard(lineitem: DataFrame, supplier: DataFrame,
             # mean discount in e4: disc_c is e2 per line; ×100 / n
             F.floor(F.col("disc_c") * 100 / F.col("n_lines"))
              .cast("bigint").alias("avg_discount_e4"))
-        .orderBy("supplier_key")
     )

@@ -492,7 +492,6 @@ def reconciliation_hourly_breakdown(source: DataFrame, dest: DataFrame,
             (sc - dc).alias("discrepancy"),
         )
         .filter(F.col("discrepancy") != 0)
-        .orderBy("hour")
     )
 
 
@@ -736,7 +735,6 @@ def event_anomaly_mad(events: DataFrame, k: float = 3.0) -> DataFrame:
             (F.col("abs_dev_u") > F.lit(k) * 1.4826 * F.col("mad_u"))
              .alias("is_outlier"),
         )
-        .orderBy("d")
     )
 
 
@@ -771,7 +769,6 @@ def value_outlier_iqr(events: DataFrame) -> DataFrame:
             F.max("lo_fence").alias("lo_fence"),
             F.max("hi_fence").alias("hi_fence"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -795,7 +792,6 @@ def orders_backlog_aging(orders: DataFrame) -> DataFrame:
         .groupBy("age_bucket")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              (F.sum("cents") / 100.0).alias("backlog_value"))
-        .orderBy("age_bucket")
     )
 
 
@@ -852,7 +848,6 @@ def benford_first_digit(orders: DataFrame,
             (F.abs(share_e6 - expected) > dev_threshold_e6)
              .alias("is_deviant"),
         )
-        .orderBy("digit")
     )
 
 
@@ -907,7 +902,6 @@ def event_rate_cusum(events: DataFrame, k: float = 0.5,
             F.col("alarm_u").alias("alarm_threshold"),
             ((F.col("cum") - F.col("run_min")) > F.col("alarm_u"))
              .alias("is_alarm"))
-        .orderBy("d")
     )
 
 
@@ -945,7 +939,6 @@ def revenue_weekly_seasonality(orders: DataFrame) -> DataFrame:
                     / (F.col("n_dow").cast("double")
                        * F.col("total").cast("double")))
              .cast("bigint").alias("index_e6"))
-        .orderBy("dow")
     )
 
 
@@ -1132,7 +1125,6 @@ def feed_interarrival_stats(events: DataFrame) -> DataFrame:
              F.round(F.percentile("gap_us", 0.95) / 1e6, 6)
               .alias("p95_gap_s"),
              F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"))
-        .orderBy("feed_id")
     )
 
 
@@ -1193,7 +1185,6 @@ def revenue_autocorrelation(orders: DataFrame,
         agg.filter(F.col("n_pairs") >= min_pairs)
         .select("lag_days", "n_pairs",
                 (F.floor(r * 1e6) / 1e6).alias("autocorr"))
-        .orderBy("lag_days")
     )
 
 
@@ -1245,7 +1236,6 @@ def user_burstiness(events: DataFrame, min_gaps: int = 2) -> DataFrame:
             cv_e6.alias("cv_e6"),
             (cv_e6 > 1000000).alias("is_bursty"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -1400,7 +1390,6 @@ def forecast_backtest_report(orders: DataFrame) -> DataFrame:
              _floordiv(F.sum("err_c"), n).alias("bias_cents"),
              _floordiv(F.sum("ape_e6"), F.count("ape_e6"))
               .alias("mape_e6"))
-        .orderBy("method")
     )
 
 
@@ -1481,7 +1470,6 @@ def series_sax_symbols(orders: DataFrame,
              .when(F.col("z_e6") < mid, F.lit("b"))
              .when(F.col("z_e6") < hi, F.lit("c"))
              .otherwise(F.lit("d")).alias("symbol"))
-        .orderBy("win_idx")
     )
     return out
 
@@ -1518,7 +1506,6 @@ def sax_motif_novelty(orders: DataFrame, motif_len: int = 4) -> DataFrame:
         m.withColumn("n_occurrences",
                      F.count(F.lit(1)).over(wc).cast("bigint"))
         .withColumn("is_novel", F.col("n_occurrences") == 1)
-        .orderBy("win_idx")
     )
 
 
@@ -1562,4 +1549,4 @@ def detector_incident_rollup(orders: DataFrame,
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    return out.orderBy("d", "detector")
+    return out
